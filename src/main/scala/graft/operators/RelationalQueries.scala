@@ -1,0 +1,355 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator inventory (SURVEY §2.3): scans, projection,
+  * filters/predicates, join strategies, aggregation, cube/rollup/grouping
+  * sets, windows, sorts/top-k, set ops, string/math functions.
+  *
+  * Float determinism: money columns (2-decimal doubles) are summed as
+  * decimal(18, s) — exact, order-independent — then cast back to double, so
+  * Spark and DuckDB agree bit-for-bit regardless of partitioning (and the
+  * result is stable on a 1000-executor cluster, not just local[4]).
+  */
+object RelationalQueries {
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Exact order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact sum of extendedprice*(1-discount) (4-decimal products). */
+  private def drevenue(price: Column, disc: Column): Column =
+    sum(price.cast("decimal(18,2)") * (lit(1) - disc).cast("decimal(18,2)")).cast("double")
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("rel_filter_project",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_returnflag") === "R" && col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+          col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+             |       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_returnflag = 'R' AND l_quantity > 40
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // TPC-H Q1-shaped pricing summary: partial aggregation + tiny shuffle.
+    QueryDef("rel_agg_q1",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+             |       avg(l_quantity) AS avg_qty,
+             |       round(avg(l_discount), 6) AS avg_disc,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("rel_agg_stats",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |       round(var_samp(l_quantity), 4) AS var_qty,
+             |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |       round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+             |       min(l_extendedprice) AS min_price,
+             |       max(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("rel_agg_distinct",
+      (s, d) => T(s, d, "lineitem").agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"),
+        count(lit(1)).as("n_rows")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps,
+             |       count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+             |       count(*) AS n_rows
+             |FROM lineitem""".stripMargin)),
+
+    // HLL sketch differs from DuckDB's — rows-only check by design.
+    QueryDef("rel_approx_distinct",
+      (s, d) => T(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+      None),
+
+    // Broadcast-hash join: dimension tables are tiny at every SF.
+    QueryDef("rel_join_broadcast",
+      (s, d) => T(s, d, "customer")
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // Large-large equi-join -> sort-merge/shuffled-hash under AQE.
+    QueryDef("rel_join_sortmerge",
+      (s, d) => T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef("rel_join_semi",
+      (s, d) => T(s, d, "orders")
+        .join(T(s, d, "lineitem").filter(col("l_quantity") >= 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef("rel_join_anti",
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("rel_join_outer",
+      (s, d) => T(s, d, "customer")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // orderBy + limit compiles to TakeOrderedAndProject: per-partition top-k,
+    // single driver merge — no full sort at scale.
+    QueryDef("rel_topk",
+      (s, d) => T(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("rel_setops",
+      (s, d) => {
+        val c = T(s, d, "customer"); val o = T(s, d, "orders")
+        val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+        val b = o.filter(col("o_totalprice") > 300000).select(col("o_custkey").as("custkey"))
+        val u = c.filter(col("c_acctbal") < 500).select(col("c_custkey").as("custkey"))
+        val x = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        a.intersect(b).union(u).except(x).orderBy("custkey")
+      },
+      Some("""SELECT custkey FROM (
+             |  SELECT custkey FROM (
+             |    SELECT custkey FROM (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |                         INTERSECT
+             |                         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000)
+             |    UNION
+             |    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 500)
+             |  EXCEPT
+             |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+             |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("rel_cube",
+      (s, d) => T(s, d, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY CUBE (lang, source)
+             |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)),
+
+    QueryDef("rel_rollup",
+      (s, d) => T(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+        .rollup(col("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority, count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY ROLLUP (yr, o_orderpriority)
+             |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    QueryDef("rel_grouping_sets",
+      (s, d) => {
+        T(s, d, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+                |FROM gs_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QueryDef("rel_case_predicates",
+      (s, d) => T(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+          col("o_orderdate").between("1996-01-01", "1999-12-31") &&
+          col("o_orderstatus").like("%O%") && col("o_custkey").isNotNull)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 300000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+             |            WHEN o_totalprice < 300000 THEN 'mid'
+             |            ELSE 'high' END AS bucket,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+             |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31'
+             |  AND o_orderstatus LIKE '%O%' AND o_custkey IS NOT NULL
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    QueryDef("rel_join_part",
+      (s, d) => T(s, d, "lineitem")
+        .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"),
+          round(avg(col("p_retailprice")), 4).as("avg_retail"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+             |       round(avg(p_retailprice), 4) AS avg_retail
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    QueryDef("win_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        T(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .filter(col("rn") <= 10)
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |         CAST(row_number() OVER w AS INT) AS rn,
+             |         CAST(rank() OVER w AS INT) AS rnk,
+             |         CAST(dense_rank() OVER w AS INT) AS drnk,
+             |         CAST(ntile(4) OVER w AS INT) AS quartile
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+             |WHERE rn <= 10 ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    QueryDef("fn_string",
+      (s, d) => T(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 10, 9).as("id_digits"),
+          concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name"),
+          regexp_replace(col("c_name"), "[0-9]+", "N").as("name_norm"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          length(col("c_name")).cast("bigint").as("name_len"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |       upper(c_name) AS uname,
+             |       substring(c_name, 10, 9) AS id_digits,
+             |       c_mktsegment || '/' || c_name AS seg_name,
+             |       regexp_replace(c_name, '[0-9]+', 'N', 'g') AS name_norm,
+             |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             |       CAST(length(c_name) AS BIGINT) AS name_len,
+             |       trim('  x  ') AS trimmed
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("fn_math",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          ceil(col("l_extendedprice") / 1000).cast("bigint").as("price_k_ceil"),
+          floor(col("l_extendedprice") / 1000).cast("bigint").as("price_k_floor"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          (col("l_quantity").cast("bigint") % 7).as("qty_mod7"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       abs(l_quantity - 25) AS abs_dev,
+             |       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+             |       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+             |       round(sqrt(l_quantity), 6) AS sqrt_qty,
+             |       round(ln(l_extendedprice), 6) AS ln_price,
+             |       pow(l_quantity, 2) AS qty_sq,
+             |       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+             |       greatest(l_discount, l_tax) AS max_rate
+             |FROM lineitem WHERE l_orderkey < 500
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Exact interpolated median/quantiles (Spark percentile == DuckDB
+    // quantile_cont, both linear interpolation).
+    QueryDef("rel_percentiles",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

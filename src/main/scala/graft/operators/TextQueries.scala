@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis inventory over the `documents` table: the reference's two
+  * jobs (word count `mapreduce_wc.py:3-11`, inverted index
+  * `mapreduce_inverted.py:3-11`) in their benchmarked DataFrame form, the
+  * typed mapReduce facade, and the LLM-pipeline text operators (token stats,
+  * language-ID, quality, fingerprint, TF-IDF).
+  */
+object TextQueries {
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Shared oracle for the word-count shape: used by both the DataFrame plan
+    * and the typed facade (they must agree with each other AND the oracle).
+    */
+  private val wordCountSql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    QueryDef("tx_wordcount",
+      (s, d) => TextAnalysis.wordCount(T(s, d, "documents")).orderBy("word"),
+      Some(wordCountSql)),
+
+    QueryDef("tx_inverted_index",
+      (s, d) => TextAnalysis.invertedIndex(T(s, d, "documents")).orderBy("word"),
+      Some("""WITH pairs AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             |SELECT word,
+             |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_list,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM pairs WHERE length(word) > 0
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // Typed facade (flatMap + groupByKey.mapGroups) — the reference's
+    // arbitrary-UDF surface; must equal the declarative plan and the oracle.
+    QueryDef("tx_mr_facade",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+          .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+        MapReduce.wordCount(docs).toDF("word", "cnt").orderBy("word")
+      },
+      Some(wordCountSql)),
+
+    QueryDef("tx_token_stats",
+      (s, d) => TextAnalysis.tokenStats(T(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(t) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+             |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars_tok
+             |FROM tt ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("tx_langid",
+      (s, d) => TextAnalysis.langId(T(s, d, "documents")).orderBy("doc_id"),
+      Some {
+        val markers = TextFns.langMarkers
+        val langs = markers.keys.toSeq
+        val scoreCols = langs.map { l =>
+          val in = markers(l).map(m => s"'$m'").mkString(", ")
+          s"CAST(len(list_filter(t, x -> x IN ($in))) AS BIGINT) AS s_$l"
+        }.mkString(",\n       ")
+        // same arg-max CASE chain as TextAnalysis.langId, in ListMap order
+        val pred = langs.init.zipWithIndex.map { case (l, i) =>
+          val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        s"""WITH tt AS (SELECT doc_id, lang AS actual_lang, string_split(text, ' ') AS t FROM documents),
+           |scored AS (
+           |  SELECT doc_id, actual_lang,
+           |       $scoreCols
+           |  FROM tt)
+           |SELECT doc_id, $pred AS pred_lang, actual_lang, ${langs.map(l => s"s_$l").mkString(", ")}
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("tx_quality",
+      (s, d) => TextAnalysis.quality(T(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH tt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+             |SELECT doc_id, lang,
+             |       CAST(len(t) AS BIGINT) AS n_tokens,
+             |       CAST(length(text) AS BIGINT) AS n_chars,
+             |       round(CAST(length(text) AS DOUBLE) / len(t), 4) AS mean_tok_len,
+             |       round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / len(t), 4) AS stopword_ratio,
+             |       CAST(len(regexp_extract_all(text, '[^a-z ]')) AS BIGINT) AS n_nonalpha
+             |FROM tt ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("tx_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(T(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH pos AS (
+             |  SELECT doc_id,
+             |         unnest(string_split(text, ' ')) AS w,
+             |         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(sum(((i * 31 + 7) * (length(w) * 17 + ascii(w))) % 2147483647) % 2147483647 AS BIGINT) AS fp
+             |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("tx_tfidf",
+      (s, d) => TextAnalysis.tfidf(T(s, d, "documents")).orderBy("doc_id", "word"),
+      Some("""WITH pairs AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs WHERE length(word) > 0 GROUP BY 1, 2),
+             |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM pairs WHERE length(word) > 0 GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, word, tf, df,
+             |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+             |FROM tf JOIN df USING (word) CROSS JOIN n
+             |ORDER BY doc_id, word""".stripMargin))
+  )
+}

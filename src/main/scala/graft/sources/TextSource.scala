@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity text source/sink.
+  *
+  * Source: the reference reads local text files line-by-line and feeds map
+  * functions (file, contents) records (/root/reference/master.py:25-38,
+  * mapper_node.py:81-82). `readLines` is the line-level scan
+  * (`spark.read.text` + `input_file_name()`); `readDocuments` is the
+  * (file, contents) record shape via `wholeTextFiles` (file-at-a-time is
+  * genuinely imperative per-file I/O — one of the rare justified RDD uses).
+  *
+  * Sink: the reference writes `key\tvalue` lines into one consolidated text
+  * file (/root/reference/reducer_node.py:25-26, master.py:166-173).
+  */
+object TextSource {
+
+  /** (file, line) records. */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .select(input_file_name().as("file"), col("line"))
+
+  /** (file, text) whole-document records — the reference map fn's input
+    * contract (doc_id, contents).
+    */
+  def readDocuments(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path).toDF("file", "text")
+  }
+
+  /** Tab-separated text sink (`k\tv...` lines). `singleFile` coalesces to
+    * one partition for byte-level parity with the reference's consolidated
+    * output — never do that at scale; default keeps parallel part files.
+    */
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val line = concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*)
+    val out = df.select(line.as("value"))
+    (if (singleFile) out.coalesce(1) else out)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  // 20 base docs with disjoint vocabularies + 2 planted near-dup pairs + 1
+  // exact dup (near-dups share all but one/one-extra token with their base)
+  private def corpus = {
+    val base = (0 until 20).map { i =>
+      val toks = (0 until 30).map(j => s"w${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    val nd1 = (100L, base(3)._2.replace("w3_29", "zzz"))  // near-dup of doc 3
+    val nd2 = (101L, base(7)._2 + " extra")               // near-dup of doc 7
+    val exact = (102L, base(5)._2)                        // exact dup of doc 5
+    (base ++ Seq(nd1, nd2, exact)).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val stats = Dedup.exactStats(corpus).as[(Long, Long, Long)].head()
+    assert(stats == ((23L, 22L, 1L)))
+    val kept = Dedup.exactDedup(corpus).as[(Long, Long)].collect().toMap
+    assert(kept(5L) == 2L) // doc 5 kept as representative of the exact pair
+    assert(!kept.contains(102L))
+  }
+
+  test("exact ngram jaccard finds exactly the planted near-dups (J>=0.8)") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 100L), (7L, 101L), (5L, 102L)))
+  }
+
+  test("minhash LSH recovers the same pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, minJ = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs recover the planted near-dups") {
+    val sh = Dedup.simhashPairs(corpus, maxHam = 10, minJ = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sh.contains((5L, 102L))) // exact dup: hamming 0
+    assert(sh.subsetOf(Set((3L, 100L), (7L, 101L), (5L, 102L))))
+  }
+
+  test("dedup is idempotent: no pairs among deduplicated docs") {
+    val deduped = corpus.join(
+      Dedup.ngramJaccardPairs(corpus, minJ = 0.5).select($"b_id".as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assert(Dedup.ngramJaccardPairs(deduped, minJ = 0.5).count() == 0)
+  }
+}

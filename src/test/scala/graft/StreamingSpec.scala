@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("windowed counts over a memory stream match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(events, windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("00:00", "click", 2L), ("00:10", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionCounts(events, gap = "5 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      // user 1: events at 00:01, 00:03 (one session), 00:20 (new session)
+      input.addData((ts(1), 1L), (ts(3), 1L), (ts(20), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(got == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree") {
+    val batch = Seq((ts(1), 1L), (ts(3), 1L), (ts(20), 1L))
+      .toDF("ts", "user_id")
+    val sessions = EventStreams.sessionCounts(batch, gap = "5 minutes")
+    assert(sessions.count() == 2)
+  }
+}
