@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): the LSH paths (MinHash bands, SimHash chunks)
   * shuffle O(bands x docs) rows and compare only within buckets, avoiding the
-  * O(n^2) pair space; candidate generation uses groupBy+pair-expansion inside
-  * buckets rather than a self-join, so there is exactly one shuffle to form
-  * buckets. Oversized buckets (degenerate keys) are capped. The exact
-  * pairwise forms exist as correctness oracles and for small inputs.
+  * O(n^2) pair space. MinHash buckets (64-bit band keys, only truly-similar
+  * docs collide) expand pairs in-bucket with a size cap; SimHash chunks (16
+  * bits, hot on low-entropy corpora) use a self-join so AQE can split skewed
+  * keys. Shingling is a codegen'd posexplode + window-lead pipeline — no
+  * interpreted array lambdas on the hot path. The exact pairwise forms exist
+  * as correctness baselines for the LSH paths and for small inputs.
   */
 object Dedup {
 
@@ -35,15 +37,25 @@ object Dedup {
     docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Distinct word-n-gram shingle sets per doc: (doc_id, shingles).
-    * Tokenization is materialized in its own projection so the shingle
-    * lambda's repeated element_at references hit a cheap attribute, not a
-    * re-evaluated split() (Catalyst's CollapseProject would otherwise be free
-    * to inline it into every lambda position).
+  /** Distinct word-n-gram shingle hashes per doc as rows: (doc_id, hraw).
+    * Built with posexplode + window lead — whole-stage-codegen'd end to end
+    * (an array-lambda formulation would drop to interpreted HOF eval on the
+    * hottest path of every dedup operator). hraw is the full 64-bit
+    * xxhash64 of the space-joined shingle: with distinct-shingle counts ~1e5
+    * the collision probability is ~1e-9, so hash-set Jaccard == string-set
+    * Jaccard. One shuffle (by doc_id) + one distinct.
     */
-  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_sort(array_distinct(TextFns.shingles(col("toks"), n))).as("sh"))
+  private def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val grams = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    tok.select(col("doc_id") +: col("t") +: grams: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("t") +: (1 until n).map(i => col(s"t$i")): _*)).as("hraw"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ). Pair
     * generation via shingle equi-join (only docs sharing a shingle are ever
@@ -52,14 +64,19 @@ object Dedup {
     * correctness baseline; MinHash below is the scale path.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.8): DataFrame = {
-    val sh = shingleSets(docs, n)
-    val ex = sh.select(col("doc_id"), col("sh"), explode(col("sh")).as("s"))
-    val a = ex.select(col("doc_id").as("a_id"), col("s"), size(col("sh")).as("na"))
-    val b = ex.select(col("doc_id").as("b_id"), col("s"), size(col("sh")).as("nb"))
-    a.join(b, Seq("s"))
+    // Join on the 8-byte shingle hash, not the shingle string: cheaper
+    // shuffle + comparisons; per-doc set sizes join in afterwards against the
+    // (much smaller) pair table. AQE handles hot-shingle skew.
+    val ex = shingleHashRows(docs, n)
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.select(col("doc_id").as("a_id"), col("hraw"))
+      .join(ex.select(col("doc_id").as("b_id"), col("hraw")), Seq("hraw"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJ)
@@ -74,22 +91,23 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 32,
                       minJ: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val sh = shingleSets(docs, n)
-    // Signature via explode + k codegen'd MIN aggregates (map-side partial
-    // min => the shuffle carries one k-wide row per doc) — the scalable shape
-    // vs. a per-row interpreted lambda over k x |shingles|.
-    val hrows = sh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(TextFns.HashP)).as("h"))
+    // ONE aggregation over the (doc, shingle-hash) rows produces both the
+    // k-wide MinHash signature (codegen'd MIN aggregates with map-side
+    // partial min) and the sorted hash set used for exact-Jaccard
+    // verification — the shingle pipeline runs once, and all later joins
+    // carry compact longs instead of shingle strings.
+    val hrows = shingleHashRows(docs, n)
+      .select(col("doc_id"), col("hraw"), pmod(col("hraw"), lit(TextFns.HashP)).as("h"))
     val minCols = (0 until k).map(i =>
       min(pmod(lit(TextFns.minhashA(i)) * col("h") + lit(TextFns.minhashB(i)), lit(TextFns.HashP)))
         .as(s"m$i"))
-    val sig = hrows
+    val perDoc = hrows
       .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-      .withColumn("bandkeys", TextFns.lshBandKeys(col("sig"), bands, rows))
-    val buckets = sig
+      .agg(sort_array(collect_set(col("hraw"))).as("hs"), minCols: _*)
+      .select(col("doc_id"), col("hs"),
+        TextFns.lshBandKeys(array((0 until k).map(i => col(s"m$i")): _*), bands, rows)
+          .as("bandkeys"))
+    val buckets = perDoc
       .select(col("doc_id"), posexplode(col("bandkeys")).as(Seq("band", "key")))
       .groupBy("band", "key")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
@@ -98,13 +116,12 @@ object Dedup {
       .select(explode(pairUp(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-    withSets
+    cand
+      .join(perDoc.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(perDoc.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))), 4).as("jaccard"))
       .filter(col("jaccard") >= minJ)
   }
 
@@ -115,21 +132,28 @@ object Dedup {
         y => struct(x.as("a"), y.as("b")))))
 
   /** SimHash near-dup pairs: 64-bit simhash, candidates via the 4x16-bit
-    * chunk pigeonhole (guarantees recall for hamming <= 3... per chunk
-    * equality at least one for hamming <= 3), verified by hamming <= maxHam
-    * AND exact Jaccard >= minJ (so the verified output is hash-independent).
+    * chunk pigeonhole (at least one chunk is equal whenever hamming <= 3),
+    * verified by hamming <= maxHam AND exact Jaccard >= minJ.
+    *
+    * Candidate generation is a codegen'd self-join on (chunk, key) with the
+    * hamming filter inline in the join condition: low-entropy corpora create
+    * hot chunk buckets, and a join lets AQE split that skew instead of
+    * materializing per-bucket pair arrays.
     */
-  def simhashPairs(docs: DataFrame, n: Int = 3, maxHam: Int = 3, minJ: Double = 0.8,
-                   maxBucket: Int = 1000): DataFrame = {
-    val sh = shingleSets(docs, n)
-    // SimHash via explode + 64 codegen'd SUM aggregates (bit-majority vote),
-    // partial aggregation map-side — same scalable shape as MinHash above.
-    val trows = docs
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+  def simhashPairs(docs: DataFrame, n: Int = 3, maxHam: Int = 3,
+                   minJ: Double = 0.8): DataFrame = {
+    // SimHash over the n-gram SHINGLE features (not unigram tokens): on a
+    // small vocabulary most documents share nearly identical token sets, so
+    // token-level simhashes collapse and every pair becomes a candidate;
+    // shingle features keep unrelated docs ~32 bits apart. One shingle scan
+    // feeds both the bit-majority vote (raw 64-bit hash) and the
+    // exact-Jaccard verification sets (mod-p hash, as in MinHash).
+    val hrows = shingleHashRows(docs, n)
+    val hsets = hrows.groupBy("doc_id").agg(sort_array(collect_set(col("hraw"))).as("hs"))
+    // 64 codegen'd SUM aggregates (bit-majority vote), partial agg map-side.
     val bitCols = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val counted = trows.groupBy("doc_id").agg(count(lit(1)).as("n"), bitCols: _*)
+      sum(shiftright(col("hraw"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val counted = hrows.groupBy("doc_id").agg(count(lit(1)).as("n"), bitCols: _*)
     val simCol = (0 until 64)
       .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
@@ -138,29 +162,23 @@ object Dedup {
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
-    val buckets = chunks
-      .groupBy(col("ck.chunk"), col("ck.key"))
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("sim")))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val cand = buckets
-      .select(explode(pairUpStruct(col("members"))).as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        TextFns.hamming(col("p.a.sim"), col("p.b.sim")).as("ham"))
-      .filter(col("ham") <= maxHam)
+      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val cand = chunks
+      .select(col("chunk"), col("key"), col("doc_id").as("a_id"), col("sim").as("sima"))
+      .join(chunks.select(col("chunk"), col("key"), col("doc_id").as("b_id"), col("sim").as("simb")),
+        Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id") &&
+        TextFns.hamming(col("sima"), col("simb")) <= maxHam)
+      .select("a_id", "b_id")
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))), 4).as("jaccard"))
       .filter(col("jaccard") >= minJ)
   }
-
-  private def pairUpStruct(ms: org.apache.spark.sql.Column) =
-    flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + lit(2), size(ms) - i - 1),
-        y => struct(x.as("a"), y.as("b")))))
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= minCos).
     * Brute-force pair comparison with the codegen'd dot product; at 100 TB

@@ -69,7 +69,7 @@ object PipelineQueries {
     // is hash-dependent and gets a rows-only check. (MinHash above is the
     // recall-1 path and is oracle-checked.)
     QueryDef("dd_simhash",
-      (s, d) => Dedup.simhashPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 16).orderBy("a_id", "b_id"),
       None),
 
     QueryDef("dd_embedding_cosine",

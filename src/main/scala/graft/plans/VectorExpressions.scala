@@ -47,4 +47,8 @@ object VectorExpressions {
   /** Expose as a Column for DataFrame use. */
   def floatDot(a: Column, b: Column): Column =
     bridge.column(FloatDotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Register `float_dot` for SQL use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    bridge.registerFunction(spark, "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)))
 }
