@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational inventory: multiset set-ops, pivot, multi-way
+  * joins, value window functions, string/bitwise/conditional batteries,
+  * deterministic listagg.
+  */
+object RelationalQueries2 {
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Multiset semantics: UNION ALL / INTERSECT ALL / EXCEPT ALL.
+    QueryDef("rel_setops_all",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        val a = li.filter(col("l_returnflag") === "R").select(col("l_orderkey").as("k"))
+        val b = li.filter(col("l_linestatus") === "F").select(col("l_orderkey").as("k"))
+        val c = li.filter(col("l_quantity") > 48).select(col("l_orderkey").as("k"))
+        a.unionAll(c).exceptAll(b).intersectAll(a)
+          .groupBy("k").agg(count(lit(1)).as("multiplicity"))
+          .orderBy("k")
+      },
+      Some("""WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+             |b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+             |c AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 48),
+             |m AS (SELECT k FROM (SELECT k FROM (SELECT k FROM a UNION ALL SELECT k FROM c)
+             |                     EXCEPT ALL SELECT k FROM b)
+             |      INTERSECT ALL SELECT k FROM a)
+             |SELECT k, count(*) AS multiplicity FROM m GROUP BY k ORDER BY k""".stripMargin)),
+
+    // Pivot: per-day event counts by type as columns; oracle via FILTER aggs.
+    QueryDef("rel_pivot",
+      (s, d) => T(s, d, "events")
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day"),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |       count(*) FILTER (WHERE event_type = 'click') AS click,
+             |       count(*) FILTER (WHERE event_type = 'view') AS view,
+             |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |       count(*) FILTER (WHERE event_type = 'error') AS error
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // TPC-H Q5-shaped 5-way join: dims broadcast, fact tables co-shuffled.
+    QueryDef("rel_join_q5",
+      (s, d) => T(s, d, "lineitem")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef("win_value_fns",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            first_value(col("c_custkey")).over(wf).as("richest"),
+            last_value(col("c_custkey")).over(wf).as("poorest"),
+            nth_value(col("c_custkey"), 2).over(wf).as("second"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+             |       first_value(c_custkey) OVER wf AS richest,
+             |       last_value(c_custkey) OVER wf AS poorest,
+             |       nth_value(c_custkey, 2) OVER wf AS second,
+             |       round(percent_rank() OVER w, 6) AS pct_rank,
+             |       round(cume_dist() OVER w, 6) AS cume
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+             |       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("fn_string2",
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          instr(col("p_name"), " ").cast("bigint").as("space_pos"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+          expr("left(p_name, 3)").as("name_l3"),
+          expr("right(p_name, 3)").as("name_r3"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          split(col("p_name"), " ").getItem(0).as("first_word"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+             |       CAST(strpos(p_name, ' ') AS BIGINT) AS space_pos,
+             |       translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+             |       left(p_name, 3) AS name_l3,
+             |       right(p_name, 3) AS name_r3,
+             |       reverse(p_brand) AS brand_rev,
+             |       repeat('ab', 3) AS rep,
+             |       string_split(p_name, ' ')[1] AS first_word
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("fn_bitwise",
+      (s, d) => T(s, d, "events")
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("low_byte"),
+          col("event_id").bitwiseOR(lit(16L)).as("with_bit4"),
+          col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+          shiftleft(col("event_id"), 2).as("shl2"),
+          shiftright(col("event_id"), 3).as("shr3"),
+          bit_count(col("event_id")).cast("bigint").as("popcount"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       event_id & 255 AS low_byte,
+             |       event_id | 16 AS with_bit4,
+             |       xor(event_id, user_id) AS xored,
+             |       event_id << 2 AS shl2,
+             |       event_id >> 3 AS shr3,
+             |       CAST(bit_count(event_id) AS BIGINT) AS popcount
+             |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
+
+    QueryDef("fn_conditional",
+      (s, d) => T(s, d, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or_other"),
+          when(col("c_acctbal") > 5000, lit("high")).otherwise(lit("low")).as("tier"),
+          least(col("c_acctbal"), lit(1000.0)).as("capped"),
+          greatest(col("c_acctbal"), lit(0.0)).as("floored"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |       nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+             |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+             |       CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier,
+             |       least(c_acctbal, 1000.0) AS capped,
+             |       greatest(c_acctbal, 0.0) AS floored
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Deterministic listagg: sorted collect_list joined to one string.
+    QueryDef("rel_listagg",
+      (s, d) => T(s, d, "nation")
+        .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name,
+             |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |       count(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+  )
+}

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
 
 /** Structured Streaming surface. The reference is strictly batch (hard
   * map->reduce barrier, SURVEY §2.3 "Streaming: ABSENT"), so this is part of
@@ -35,4 +38,27 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+
+  /** Running per-user totals via arbitrary stateful processing
+    * (`mapGroupsWithState`) — the custom-state surface for logic that
+    * windowed aggregation can't express. State is one (count, sum) pair per
+    * user; timeout-free for simplicity. Works only on streaming Datasets;
+    * batch equivalents use plain groupBy.
+    */
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: Dataset[(Long, Double)]): Dataset[UserTotals] = {
+    implicit val stateEnc = Encoders.product[(Long, Double)]
+    implicit val outEnc = Encoders.product[UserTotals]
+    events
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Double), UserTotals](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          UserTotals(user, n, math.round(s * 100).toDouble / 100)
+      }
+  }
 }

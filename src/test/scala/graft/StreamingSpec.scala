@@ -46,6 +46,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 3.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree") {
     val batch = Seq((ts(1), 1L), (ts(3), 1L), (ts(20), 1L))
       .toDF("ts", "user_id")
