@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row with rts <= lts per
+  * key — the time-series point-in-time lookup the reference engine lacks
+  * entirely (SURVEY §2.3 joins: ABSENT).
+  *
+  * Implementation is the single-shuffle union + running-last window trick
+  * rather than a range join: tag both sides, sort (key, ts, side) with right
+  * rows first at equal timestamps, and carry the last-seen right payload
+  * forward with `last(..., ignoreNulls = true)`. One shuffle on the key, no
+  * per-key quadratic blowup, no custom physical operator needed — exactly
+  * the plan shape that scales to skewed keys under AQE.
+  */
+object AsofJoin {
+
+  /** @param left        left (probe) rows
+    * @param right       right (quote/reference) rows
+    * @param key         equi-join key column name (same name both sides)
+    * @param ts          event-time column name (same name both sides)
+    * @param rightCols   right columns to carry (emitted as matched_<name>,
+    *                    null when no right row precedes the left row)
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+    // common-schema union: right rows sort before left rows at equal ts so
+    // "<=" (not "<") semantics hold
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side"), lit(null).cast(
+        right.select(payload).schema.head.dataType.sql).as("__r")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__r")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__match.$c").as(s"matched_$c")): _*)
+  }
+}

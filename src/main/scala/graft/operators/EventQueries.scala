@@ -98,6 +98,31 @@ object EventQueries {
              |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // As-of join (point-in-time lookup): each purchase matched to the user's
+    // latest preceding click. Oracle uses DuckDB's native ASOF JOIN; the
+    // Spark side is the union + running-last window plan (AsofJoin).
+    QueryDef("ts_asof_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            col("ts").as("cts"))
+        AsofJoin.asof(purchases, clicks, "user_id", "ts", Seq("click_id", "cts"))
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            col("matched_click_id").as("click_event_id"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("matched_cts"))).as("gap_s"))
+          .orderBy("p_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             |       c.event_id AS click_event_id,
+             |       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_s
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p_event_id""".stripMargin)),
+
     QueryDef("fn_datetime",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") < 500)

@@ -161,6 +161,21 @@ object RelationalQueries2 {
              |       greatest(c_acctbal, 0.0) AS floored
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // Salted join: result must equal the plain equi-join (oracle is the
+    // unsalted SQL) — demonstrates the hot-key mitigation preserves
+    // semantics. Salt derives deterministically from l_linenumber.
+    QueryDef("rel_join_salted",
+      (s, d) => Skew.saltedJoin(
+          T(s, d, "lineitem"),
+          T(s, d, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          "l_orderkey", col("l_linenumber"), salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Deterministic listagg: sorted collect_list joined to one string.
     QueryDef("rel_listagg",
       (s, d) => T(s, d, "nation")
