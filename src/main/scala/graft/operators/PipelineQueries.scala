@@ -127,6 +127,13 @@ object PipelineQueries {
              |JOIN nrm nv ON nv.vec_id = d.vec_id
              |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
 
+    // ANN via random-hyperplane LSH bucketing: hash-dependent candidate set
+    // (recall < 1 by design) -> rows-only check; lshTopK's bucket scan is the
+    // scale path whose quality baseline is sim_topk_bruteforce.
+    QueryDef("sim_lsh_ann",
+      (s, d) => Similarity.lshTopK(T(s, d, "embeddings"), queryId = 0L, k = 5),
+      None),
+
     QueryDef("mm_multimodal_join",
       (s, d) => Multimodal.multimodalJoin(T(s, d, "documents"), T(s, d, "embeddings"))
         .select("doc_id", "n_bytes", "dim", "label", "lang")

@@ -45,12 +45,12 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))), s => s.getField("cx"))
         .as("centroid"))
 
-  /** IVF-style top-k: route the query to its nearest centroid by cosine
-    * (nprobe=1), then exact-search only that cluster. The probed partition is
+  /** IVF-style top-k: route the query to its `nprobe` nearest centroids by
+    * cosine, then exact-search only those clusters. The probed partitions are
     * the only data scanned — the 100 TB path when clusters are storage-
     * partitioned by label.
     */
-  def ivfTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
+  def ivfTopK(embs: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
     val cents = centroids(embs)
     val q = embs.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
@@ -63,7 +63,7 @@ object Similarity {
     val best = cents.crossJoin(broadcast(q))
       .select(col("label"), (qdot / (qn * cn)).as("c_sim"))
       .orderBy(col("c_sim").desc, col("label"))
-      .limit(1)
+      .limit(nprobe)
       .select(col("label"))
     embs
       .join(broadcast(best), "label")
@@ -73,6 +73,25 @@ object Similarity {
       .select(col("vec_id"), col("label").cast("bigint").as("label"),
         round(VectorFns.dot(col("embedding"), col("q_emb")) / (VectorFns.norm(col("embedding")) * col("q_nrm")), 3)
           .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN search via random-hyperplane LSH: restrict the exact scan to the
+    * query's bucket (one probe table). Recall < 1 by construction — the
+    * scale path that trades recall for scanning |corpus| / 2^nBits.
+    */
+  def lshTopK(embs: DataFrame, queryId: Long, k: Int, nBits: Int = 4): DataFrame = {
+    val bucketed = rhpBucket(embs, nBits, table = 0)
+    val qb = bucketed.filter(col("vec_id") === queryId)
+      .select(col("bucket"), col("embedding").as("q_emb"),
+        VectorFns.norm(col("embedding")).as("q_nrm"))
+    bucketed
+      .join(broadcast(qb), "bucket")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(VectorFns.dot(col("embedding"), col("q_emb")) /
+          (VectorFns.norm(col("embedding")) * col("q_nrm")), 3).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -63,6 +63,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c0.head - 0.95) < 1e-6)
   }
 
+  test("IVF with nprobe=2 searches two clusters") {
+    val top = Similarity.ivfTopK(vecs, queryId = 0L, k = 5, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.contains(1L) && top.size >= 2) // second probed cluster adds members
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates, deterministically") {
+    val a = Similarity.lshTopK(vecs, queryId = 0L, k = 5, nBits = 2)
+      .as[(Long, Double)].collect().toSeq
+    val b = Similarity.lshTopK(vecs, queryId = 0L, k = 5, nBits = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b)                                  // deterministic hyperplanes
+    assert(!a.map(_._1).contains(0L))               // query excluded
+  }
+
+  test("operators tolerate empty inputs") {
+    val empty = vecs.filter($"vec_id" < 0)
+    assert(Similarity.bruteForceTopK(empty, 0L, 3).count() == 0)
+    assert(graft.operators.Dedup.embeddingNearDupPairs(empty, 0.5).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.wordCount(emptyDocs).count() == 0)
+    assert(graft.operators.Dedup.minhashLshPairs(emptyDocs).count() == 0)
+  }
+
   test("embedding near-dup finds parallel vectors") {
     val pairs = graft.operators.Dedup.embeddingNearDupPairs(vecs, minCos = 0.95)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
