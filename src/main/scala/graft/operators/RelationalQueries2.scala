@@ -176,6 +176,26 @@ object RelationalQueries2 {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Pure SQL-text surface (spark.sql over registered views) — the same
+    // declarative plan Catalyst sees from the DataFrame API.
+    QueryDef("rel_sql_text",
+      (s, d) => {
+        Seq("orders", "customer").foreach(t =>
+          graft.Tables.t(s, d, t).createOrReplaceTempView(s"sql_$t"))
+        s.sql("""SELECT c_mktsegment,
+                |       count(*) AS n_orders,
+                |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM sql_orders JOIN sql_customer ON o_custkey = c_custkey
+                |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Deterministic listagg: sorted collect_list joined to one string.
     QueryDef("rel_listagg",
       (s, d) => T(s, d, "nation")

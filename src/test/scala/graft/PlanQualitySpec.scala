@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the physical-plan properties the 100 TB design depends on — if a
+  * refactor breaks pushdown, broadcast choice, top-k, or partial
+  * aggregation, these fail even though results stay correct.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("top-k compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("rel_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins are broadcast-hash") {
+    assert(plan("rel_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("rel_join_q5").contains("BroadcastHashJoin"))
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val p = plan("rel_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,40.0)"))
+    assert(p.contains("ReadSchema:") && !p.contains("l_comment"))
+  }
+
+  test("aggregations run partial (map-side) before the shuffle") {
+    assert(plan("rel_agg_q1").contains("partial_"))
+    assert(plan("tx_wordcount").contains("partial_count"))
+  }
+
+  test("minhash signature is a partial_min aggregate battery") {
+    assert(plan("dd_minhash_lsh").contains("partial_min"))
+  }
+
+  test("similarity scan uses the native dot-product expression, broadcast query") {
+    val p = plan("sim_topk_bruteforce")
+    assert(p.contains("float_dot"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("whole-stage codegen is active in hot paths") {
+    // AQE assigns codegen ids only once stages execute — run, then inspect
+    // the final adaptive plan ("*(n)" marks codegen'd spans).
+    Seq("rel_agg_q1", "dd_ngram_jaccard").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("*("), q)
+    }
+  }
+}
