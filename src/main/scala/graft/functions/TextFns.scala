@@ -26,7 +26,11 @@ object TextFns {
   /** Whitespace tokenization (reference parity: mapreduce_wc.py:4). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: ["a","b","c","d"] with n=3 -> ["a b c","b c d"]. */
+  /** Word n-gram shingles: ["a","b","c","d"] with n=3 -> ["a b c","b c d"].
+    * Column-level convenience for small/typed use; hot paths should use the
+    * codegen'd row pipeline in Dedup.shingleHashRows instead (higher-order
+    * functions evaluate interpreted).
+    */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -127,6 +127,33 @@ object PipelineQueries {
              |JOIN nrm nv ON nv.vec_id = d.vec_id
              |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
 
+    // End-to-end corpus dedup: drop the higher-id side of every verified
+    // near-dup pair (keep-first-occurrence policy), report the surviving
+    // corpus stats. MinHash LSH supplies the pairs, so this is the full
+    // 100 TB dedup pipeline in one query; the oracle recomputes the pair set
+    // exactly.
+    QueryDef("dd_neardup_filter",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val dupIds = Dedup.minhashLshPairs(docs).select(col("b_id").as("doc_id")).distinct()
+        docs.join(dupIds, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("surviving_docs"), sum(col("n_chars")).as("surviving_chars"))
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(generate_series(1, len(t) - 2),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             |       FROM tt),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |dups AS (SELECT DISTINCT b_id FROM inter
+             |         JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |         WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8)
+             |SELECT count(*) AS surviving_docs, CAST(sum(n_chars) AS BIGINT) AS surviving_chars
+             |FROM documents WHERE doc_id NOT IN (SELECT b_id FROM dups)""".stripMargin)),
+
     // ANN via random-hyperplane LSH bucketing: hash-dependent candidate set
     // (recall < 1 by design) -> rows-only check; lshTopK's bucket scan is the
     // scale path whose quality baseline is sim_topk_bruteforce.

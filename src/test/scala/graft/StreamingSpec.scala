@@ -63,6 +63,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over the events parquet matches batch results") {
+    // a real file stream source (not MemoryStream): the sf0.001 events
+    // parquet read as a one-batch stream, through the same windowedCounts
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val toTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // FileStreamSource requires a directory — stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = toTs(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win").count()
+      val batch = EventStreams.windowedCounts(
+        Tables.t(spark, "/root/testdata/sf0.001", "events")).count()
+      assert(streamed == batch && streamed > 0)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree") {
     val batch = Seq((ts(1), 1L), (ts(3), 1L), (ts(20), 1L))
       .toDF("ts", "user_id")
