@@ -19,8 +19,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // untimed: drop accumulated broadcast/shuffle refs so later queries
-      // aren't charged for earlier queries' GC debt
+      // Best-effort hygiene between queries: promotes dead broadcast/shuffle
+      // refs for cleanup so later queries carry less of earlier queries' GC
+      // debt. Not a guarantee — ContextCleaner drains asynchronously — but
+      // it removed observed 3-4x inflation late in long runs.
       System.gc()
       name -> dt
     }

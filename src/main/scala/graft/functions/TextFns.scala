@@ -27,9 +27,11 @@ object TextFns {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles: ["a","b","c","d"] with n=3 -> ["a b c","b c d"].
-    * Column-level convenience for small/typed use; hot paths should use the
-    * codegen'd row pipeline in Dedup.shingleHashRows instead (higher-order
-    * functions evaluate interpreted).
+    * Column-level convenience for small/typed use; hot paths should go
+    * through the verified dedup operators (Dedup.ngramJaccardPairs /
+    * minhashLshPairs / simhashPairs), whose shared `shingleHashRows`
+    * pipeline (private[graft]) is fully codegen'd — higher-order functions
+    * like this one evaluate interpreted.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

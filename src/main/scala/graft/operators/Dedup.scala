@@ -45,7 +45,7 @@ object Dedup {
     * the collision probability is ~1e-9, so hash-set Jaccard == string-set
     * Jaccard. One shuffle (by doc_id) + one distinct.
     */
-  private def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
     val tok = docs.select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
     val w = Window.partitionBy("doc_id").orderBy("p")
@@ -84,9 +84,12 @@ object Dedup {
 
   /** MinHash + LSH candidate pairs, verified by exact Jaccard on the shingle
     * sets. With k=128, 32 bands x 4 rows, P(candidate | J=0.8) ~ 1 - (1 -
-    * 0.8^4)^32 ~= 1.0, so verified output equals the exact >=minJ pair set.
-    * One shuffle to form (band, key) buckets, pairs expanded within buckets,
-    * then a join back to shingle sets for verification (candidates only).
+    * 0.8^4)^32 ~= 1.0, so verified output equals the exact >=minJ pair set —
+    * except inside buckets larger than maxBucket, where pair expansion is
+    * capped to min-id chains (every duplicate still links to a keeper; see
+    * the candidate-generation comment). One shuffle to form (band, key)
+    * buckets, pairs expanded within buckets, then a join back to shingle
+    * sets for verification (candidates only).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 32,
                       minJ: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
@@ -111,9 +114,20 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("bandkeys")).as(Seq("band", "key")))
       .groupBy("band", "key")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
+    // Buckets up to maxBucket expand all O(|bucket|^2) pairs (complete pair
+    // set). Over-full buckets — degenerate keys, e.g. one text duplicated
+    // 10^4 times at corpus scale — are NOT dropped: they chain every member
+    // to the bucket's minimum id, which is O(|bucket|) pairs and still links
+    // every duplicate to a keeper for dedup filtering. The only loss is
+    // pairs among non-minimum members of over-full buckets.
     val cand = buckets
-      .select(explode(pairUp(col("ids"))).as("p"))
+      .select(
+        when(size(col("ids")) <= maxBucket, pairUp(col("ids")))
+          .otherwise(transform(slice(col("ids"), lit(2), size(col("ids")) - 1),
+            y => struct(element_at(col("ids"), 1).as("a"), y.as("b"))))
+          .as("pairs"))
+      .select(explode(col("pairs")).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
     cand

@@ -20,11 +20,12 @@ object PipelineQueries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
-  /** Exact >= 0.8 3-gram Jaccard pairs — shared oracle for the three text
-    * near-dup paths.
+  /** Shared CTE chain computing exact 3-gram shingle intersections — the
+    * single source of truth for "what is a near-dup pair" across every
+    * oracle that needs it (change the shingle definition here only).
     */
-  private val jaccardPairsSql =
-    """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private val jaccardCtes =
+    """tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |              unnest(list_transform(generate_series(1, len(t) - 2),
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -32,7 +33,13 @@ object PipelineQueries {
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** Exact >= 0.8 3-gram Jaccard pairs — shared oracle for the text near-dup
+    * pair queries.
+    */
+  private val jaccardPairsSql =
+    s"""WITH $jaccardCtes
       |SELECT a_id, b_id,
       |       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
       |FROM inter
@@ -139,15 +146,7 @@ object PipelineQueries {
         docs.join(dupIds, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("surviving_docs"), sum(col("n_chars")).as("surviving_chars"))
       },
-      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
-             |              unnest(list_transform(generate_series(1, len(t) - 2),
-             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-             |       FROM tt),
-             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2),
+      Some(s"""WITH $jaccardCtes,
              |dups AS (SELECT DISTINCT b_id FROM inter
              |         JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
              |         WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8)

@@ -49,6 +49,17 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.subsetOf(Set((3L, 100L), (7L, 101L), (5L, 102L))))
   }
 
+  test("over-full LSH buckets chain to the minimum id instead of being dropped") {
+    // 12 exact copies with maxBucket=5: every band bucket holds all 12,
+    // exceeding the cap -> chained pairs (min, other) must still link every
+    // copy to the keeper
+    val copies = (0 until 12).map(i => (i.toLong, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(copies, minJ = 0.9, maxBucket = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
+  }
+
   test("dedup is idempotent: no pairs among deduplicated docs") {
     val deduped = corpus.join(
       Dedup.ngramJaccardPairs(corpus, minJ = 0.5).select($"b_id".as("doc_id")),
