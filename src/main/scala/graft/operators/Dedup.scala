@@ -57,6 +57,15 @@ object Dedup {
       .distinct()
   }
 
+  /** Materialize a frame that the downstream DAG consumes more than once.
+    * Spark recomputes a DataFrame per use; for the dedup operators the
+    * shared shingle/signature intermediates feed 2-3 consumers, so one
+    * explicit materialization beats re-running the pipeline. localCheckpoint
+    * is the local-mode stand-in for `persist(StorageLevel.DISK_ONLY)` +
+    * checkpointing on a cluster (same pattern, executor-local storage).
+    */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ). Pair
     * generation via shingle equi-join (only docs sharing a shingle are ever
     * compared), intersection counted from the join — never materializes the
@@ -67,7 +76,7 @@ object Dedup {
     // Join on the 8-byte shingle hash, not the shingle string: cheaper
     // shuffle + comparisons; per-doc set sizes join in afterwards against the
     // (much smaller) pair table. AQE handles hot-shingle skew.
-    val ex = shingleHashRows(docs, n)
+    val ex = materialize(shingleHashRows(docs, n)) // consumed by sz + both join sides
     val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.select(col("doc_id").as("a_id"), col("hraw"))
       .join(ex.select(col("doc_id").as("b_id"), col("hraw")), Seq("hraw"))
@@ -104,6 +113,9 @@ object Dedup {
     val minCols = (0 until k).map(i =>
       min(pmod(lit(TextFns.minhashA(i)) * col("h") + lit(TextFns.minhashB(i)), lit(TextFns.HashP)))
         .as(s"m$i"))
+    // NOTE: deliberately NOT materialized — checkpointing this node hides
+    // size stats from AQE and degrades the downstream verify joins' strategy
+    // (measured slower than the recompute).
     val perDoc = hrows
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("hraw"))).as("hs"), minCols: _*)
@@ -130,8 +142,13 @@ object Dedup {
       .select(explode(col("pairs")).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
-    cand
+    // Verification joins broadcast the CANDIDATE side: it is bounded (pairs
+    // that collided in a band), while perDoc is corpus-sized — also pins the
+    // join strategy, which otherwise flapped between broadcast and SMJ on
+    // borderline runtime stats (observed 3-24s swings on identical input).
+    val j1 = broadcast(cand)
       .join(perDoc.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+    broadcast(j1)
       .join(perDoc.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
@@ -162,7 +179,7 @@ object Dedup {
     // shingle features keep unrelated docs ~32 bits apart. One shingle scan
     // feeds both the bit-majority vote (raw 64-bit hash) and the
     // exact-Jaccard verification sets (mod-p hash, as in MinHash).
-    val hrows = shingleHashRows(docs, n)
+    val hrows = materialize(shingleHashRows(docs, n)) // consumed by hsets + bit counts
     val hsets = hrows.groupBy("doc_id").agg(sort_array(collect_set(col("hraw"))).as("hs"))
     // 64 codegen'd SUM aggregates (bit-majority vote), partial agg map-side.
     val bitCols = (0 until 64).map(j =>
@@ -171,7 +188,7 @@ object Dedup {
     val simCol = (0 until 64)
       .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val hashed = counted.select(col("doc_id"), simCol.as("sim"))
+    val hashed = materialize(counted.select(col("doc_id"), simCol.as("sim"))) // both chunk-join sides
     val chunks = hashed.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -185,8 +202,10 @@ object Dedup {
         TextFns.hamming(col("sima"), col("simb")) <= maxHam)
       .select("a_id", "b_id")
       .distinct()
-    cand
+    // candidate side broadcast — see minhashLshPairs verification comment
+    val j1 = broadcast(cand)
       .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+    broadcast(j1)
       .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
