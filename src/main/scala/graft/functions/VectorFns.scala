@@ -16,8 +16,8 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; callers should pre-materialize norms when one side is
-    * reused (e.g. a broadcast query vector).
+  /** Cosine similarity — fused single-pass codegen'd expression (dot and
+    * both norms accumulate in one array traversal).
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorExpressions.floatCosine(a, b)
 }

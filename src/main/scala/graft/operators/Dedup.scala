@@ -108,18 +108,21 @@ object Dedup {
     // partial min) and the sorted hash set used for exact-Jaccard
     // verification — the shingle pipeline runs once, and all later joins
     // carry compact longs instead of shingle strings.
-    val hrows = shingleHashRows(docs, n)
-      .select(col("doc_id"), col("hraw"), pmod(col("hraw"), lit(TextFns.HashP)).as("h"))
+    val hrows = materialize(shingleHashRows(docs, n) // consumed by signature agg + verify sets
+      .select(col("doc_id"), col("hraw"), pmod(col("hraw"), lit(TextFns.HashP)).as("h")))
     val minCols = (0 until k).map(i =>
       min(pmod(lit(TextFns.minhashA(i)) * col("h") + lit(TextFns.minhashB(i)), lit(TextFns.HashP)))
         .as(s"m$i"))
-    // NOTE: deliberately NOT materialized — checkpointing this node hides
-    // size stats from AQE and degrades the downstream verify joins' strategy
-    // (measured slower than the recompute).
+    // Signature aggregate is PURE codegen'd min-aggregation — mixing a
+    // collect_set into it forced the whole corpus-wide aggregate into
+    // interpreted ObjectHashAggregate (observed bimodal 4s-60s runtimes).
+    // Verification hash sets are collected further down for candidate docs
+    // only, which is also the 100 TB shape: never materialize per-doc sets
+    // for the whole corpus.
     val perDoc = hrows
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("hraw"))).as("hs"), minCols: _*)
-      .select(col("doc_id"), col("hs"),
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
         TextFns.lshBandKeys(array((0 until k).map(i => col(s"m$i")): _*), bands, rows)
           .as("bandkeys"))
     val buckets = perDoc
@@ -142,14 +145,21 @@ object Dedup {
       .select(explode(col("pairs")).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
-    // Verification joins broadcast the CANDIDATE side: it is bounded (pairs
-    // that collided in a band), while perDoc is corpus-sized — also pins the
-    // join strategy, which otherwise flapped between broadcast and SMJ on
-    // borderline runtime stats (observed 3-24s swings on identical input).
-    val j1 = broadcast(cand)
-      .join(perDoc.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+    val candM = materialize(cand) // tiny; consumed by the id semi-join + both verify joins
+    // Exact-Jaccard verification: hash sets are collected ONLY for docs that
+    // appear in a candidate pair (semi-join first), and the joins broadcast
+    // the bounded candidate side — pins the strategy, which otherwise
+    // flapped between broadcast and SMJ (observed 3-24s swings).
+    val candIds = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    val hsets = hrows
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hraw"))).as("hs"))
+    val j1 = broadcast(candM)
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
     broadcast(j1)
-      .join(perDoc.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
           size(array_union(col("ha"), col("hb"))), 4).as("jaccard"))
@@ -179,8 +189,7 @@ object Dedup {
     // shingle features keep unrelated docs ~32 bits apart. One shingle scan
     // feeds both the bit-majority vote (raw 64-bit hash) and the
     // exact-Jaccard verification sets (mod-p hash, as in MinHash).
-    val hrows = materialize(shingleHashRows(docs, n)) // consumed by hsets + bit counts
-    val hsets = hrows.groupBy("doc_id").agg(sort_array(collect_set(col("hraw"))).as("hs"))
+    val hrows = materialize(shingleHashRows(docs, n)) // consumed by verify sets + bit counts
     // 64 codegen'd SUM aggregates (bit-majority vote), partial agg map-side.
     val bitCols = (0 until 64).map(j =>
       sum(shiftright(col("hraw"), j).bitwiseAND(lit(1L))).as(s"b$j"))
@@ -202,8 +211,16 @@ object Dedup {
         TextFns.hamming(col("sima"), col("simb")) <= maxHam)
       .select("a_id", "b_id")
       .distinct()
-    // candidate side broadcast — see minhashLshPairs verification comment
-    val j1 = broadcast(cand)
+    val candM = materialize(cand)
+    // verification sets for candidate docs only; candidate side broadcast —
+    // see minhashLshPairs verification comment
+    val candIds = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    val hsets = hrows
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hraw"))).as("hs"))
+    val j1 = broadcast(candM)
       .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
     broadcast(j1)
       .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
@@ -219,13 +236,11 @@ object Dedup {
     * instead of the full cross join.
     */
   def embeddingNearDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
-    val withNorm = embs.select(col("vec_id"), col("embedding"),
-      VectorFns.norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = withNorm.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 3).as("cos_sim"))
+        round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 }

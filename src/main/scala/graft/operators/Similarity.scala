@@ -22,12 +22,11 @@ object Similarity {
     */
   def bruteForceTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embs.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), VectorFns.norm(col("embedding")).as("q_nrm"))
+      .select(col("embedding").as("q_emb"))
     embs.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(VectorFns.dot(col("embedding"), col("q_emb")) / (VectorFns.norm(col("embedding")) * col("q_nrm")), 3)
-          .as("cos_sim"))
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -69,10 +68,9 @@ object Similarity {
       .join(broadcast(best), "label")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(embs.filter(col("vec_id") === queryId)
-        .select(col("embedding").as("q_emb"), VectorFns.norm(col("embedding")).as("q_nrm"))))
+        .select(col("embedding").as("q_emb"))))
       .select(col("vec_id"), col("label").cast("bigint").as("label"),
-        round(VectorFns.dot(col("embedding"), col("q_emb")) / (VectorFns.norm(col("embedding")) * col("q_nrm")), 3)
-          .as("cos_sim"))
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -84,14 +82,12 @@ object Similarity {
   def lshTopK(embs: DataFrame, queryId: Long, k: Int, nBits: Int = 4): DataFrame = {
     val bucketed = rhpBucket(embs, nBits, table = 0)
     val qb = bucketed.filter(col("vec_id") === queryId)
-      .select(col("bucket"), col("embedding").as("q_emb"),
-        VectorFns.norm(col("embedding")).as("q_nrm"))
+      .select(col("bucket"), col("embedding").as("q_emb"))
     bucketed
       .join(broadcast(qb), "bucket")
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        round(VectorFns.dot(col("embedding"), col("q_emb")) /
-          (VectorFns.norm(col("embedding")) * col("q_nrm")), 3).as("cos_sim"))
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -25,6 +25,19 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(idx == Map("cat" -> Seq("d0", "d1"), "dog" -> Seq("d2")))
   }
 
+  test("float_cosine fused expression equals the composed dot/norm form") {
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+    val (fused, composed) = df.select(
+      graft.plans.VectorExpressions.floatCosine(col("a"), col("b")),
+      graft.functions.VectorFns.dot(col("a"), col("b")) /
+        (sqrt(graft.functions.VectorFns.dot(col("a"), col("a"))) *
+         sqrt(graft.functions.VectorFns.dot(col("b"), col("b")))))
+      .as[(Double, Double)].head()
+    assert(fused == composed) // identical accumulation order -> bit-equal
+  }
+
   test("float_dot is SQL-registrable") {
     VectorExpressions.register(spark)
     val got = spark.sql(
@@ -32,5 +45,9 @@ class AggregatorsSpec extends AnyFunSuite {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
       .as[Double].head()
     assert(got == 11.0)
+    val cos = spark.sql(
+      "SELECT float_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
   }
 }

@@ -34,13 +34,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("tx_wordcount").contains("partial_count"))
   }
 
-  test("minhash signature is a partial_min aggregate battery") {
-    assert(plan("dd_minhash_lsh").contains("partial_min"))
+  test("minhash signature is a codegen partial_min battery, not ObjectHashAggregate") {
+    // The full query materializes this stage eagerly (localCheckpoint), so
+    // assert the aggregate shape on the signature pipeline itself: 128 min
+    // aggregates must stay in codegen HashAggregate with map-side partials —
+    // mixing in a collect-based agg would silently demote the whole corpus
+    // aggregation to interpreted ObjectHashAggregate.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val hrows = graft.operators.Dedup.shingleHashRows(Tables.t(spark, sf, "documents"), 3)
+      .select(col("doc_id"), pmod(col("hraw"), lit(TextFns.HashP)).as("h"))
+    val minCols = (0 until 128).map(i =>
+      min(pmod(lit(TextFns.minhashA(i)) * col("h") + lit(TextFns.minhashB(i)), lit(TextFns.HashP)))
+        .as(s"m$i"))
+    val p = hrows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_min"))
+    assert(!p.contains("ObjectHashAggregate"))
   }
 
-  test("similarity scan uses the native dot-product expression, broadcast query") {
+  test("similarity scan uses the native cosine expression, broadcast query") {
     val p = plan("sim_topk_bruteforce")
-    assert(p.contains("float_dot"))
+    assert(p.contains("float_cosine"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
