@@ -1,12 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Execution-proof bench action: a noop-format write evaluates every
+    * output row/column, whereas `count()` lets Catalyst collapse the plan to
+    * Aggregate(count(1)) and prune unfiltered projections — pure-projection
+    * queries (fn_string, fn_json, ...) would time scan+count only.
+    */
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Static conf, default 100: the 59-query inventory compiles far more
+      // than 100 generated classes, so the widest plans (the 128-column
+      // MinHash signature aggregate) get evicted between their warmup and
+      // their timed run and pay a multi-second janino recompile. Size the
+      // cache to hold the whole inventory.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -18,12 +32,16 @@ object Bench {
     // over to the timed run (first-run JIT was 3-4x the steady state for the
     // widest aggregates).
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // Optional args = subset of query names to bench (debug aid).
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else SparkEntry.queries
+    selected.foreach { case (_, fn) =>
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // Best-effort hygiene between queries: promotes dead broadcast/shuffle
       // refs for cleanup so later queries carry less of earlier queries' GC
