@@ -338,14 +338,46 @@ object RelationalQueries {
 
     // Exact interpolated median/quantiles (Spark percentile == DuckDB
     // quantile_cont, both linear interpolation).
+    // Exact linear-interpolated percentiles via sort + row_number instead of
+    // the built-in `percentile` aggregate: that one is a
+    // TypedImperativeAggregate (interpreted ObjectHashAggregate, per-value
+    // OpenHashMap inserts + serialized partial maps — ~10s at sf0.1 on the
+    // bench), while this formulation is one codegen'd shuffle-sort per
+    // (group, column) partition plus a cheap weighted sum, and it scales:
+    // sort parallelism = #groups x #columns, no driver-side map merge.
+    // value(p) = v[lo]*(1-frac) + v[lo+1]*frac at pos = p*(n-1), identical to
+    // percentile / DuckDB quantile_cont.
     QueryDef("rel_percentiles",
-      (s, d) => T(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        // Unpivot the measured columns so ONE window pass ranks both.
+        val unpiv = T(s, d, "lineitem")
+          .select(col("l_returnflag"), explode(array(
+            struct(lit("q").as("c"), col("l_quantity").as("v")),
+            struct(lit("p").as("c"), col("l_extendedprice").as("v")))).as("cv"))
+          .select(col("l_returnflag"), col("cv.c").as("c"), col("cv.v").as("v"))
+        val byV = Window.partitionBy("l_returnflag", "c").orderBy("v")
+        val whole = Window.partitionBy("l_returnflag", "c")
+        val ranked = unpiv.select(col("l_returnflag"), col("c"), col("v"),
+          (row_number().over(byV) - 1).cast("double").as("rn"),
+          count(lit(1)).over(whole).as("n"))
+        // Weight of each row toward percentile p of column cn: nonzero only
+        // at ranks floor(pos) and floor(pos)+1.
+        def pct(cn: String, p: Double): Column = {
+          val pos = lit(p) * (col("n") - 1).cast("double")
+          val lo = floor(pos)
+          val frac = pos - lo
+          val w = when(col("rn") === lo, lit(1.0) - frac)
+            .when(col("rn") === lo + 1, frac)
+            .otherwise(lit(0.0))
+          sum(when(col("c") === cn, col("v") * w).otherwise(lit(0.0)))
+        }
+        ranked.groupBy("l_returnflag")
+          .agg(
+            round(pct("q", 0.5), 4).as("median_qty"),
+            round(pct("p", 0.9), 4).as("p90_price"),
+            round(pct("p", 0.99), 4).as("p99_price"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
              |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
