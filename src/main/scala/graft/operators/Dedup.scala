@@ -95,8 +95,8 @@ object Dedup {
     * sets. With k=128, 32 bands x 4 rows, P(candidate | J=0.8) ~ 1 - (1 -
     * 0.8^4)^32 ~= 1.0, so verified output equals the exact >=minJ pair set —
     * except inside buckets larger than maxBucket, where pair expansion is
-    * capped to min-id chains (every duplicate still links to a keeper; see
-    * the candidate-generation comment). One shuffle to form (band, key)
+    * capped to min-id + neighbor chains (every duplicate still links to a
+    * keeper; see [[bucketPairs]]). One shuffle to form (band, key)
     * buckets, pairs expanded within buckets, then a join back to shingle
     * sets for verification (candidates only).
     */
@@ -130,22 +130,7 @@ object Dedup {
       .groupBy("band", "key")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    // Buckets up to maxBucket expand all O(|bucket|^2) pairs (complete pair
-    // set). Over-full buckets — degenerate keys, e.g. one text duplicated
-    // 10^4 times at corpus scale — are NOT dropped: they chain every member
-    // to the bucket's minimum id, which is O(|bucket|) pairs and still links
-    // every duplicate to a keeper for dedup filtering. The only loss is
-    // pairs among non-minimum members of over-full buckets.
-    val cand = buckets
-      .select(
-        when(size(col("ids")) <= maxBucket, pairUp(col("ids")))
-          .otherwise(transform(slice(col("ids"), lit(2), size(col("ids")) - 1),
-            y => struct(element_at(col("ids"), 1).as("a"), y.as("b"))))
-          .as("pairs"))
-      .select(explode(col("pairs")).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .distinct()
-    val candM = materialize(cand) // tiny; consumed by the id semi-join + both verify joins
+    val candM = materialize(bucketPairs(buckets, maxBucket)) // tiny; consumed by the id semi-join + both verify joins
     // Exact-Jaccard verification: hash sets are collected ONLY for docs that
     // appear in a candidate pair (semi-join first), and the joins broadcast
     // the bounded candidate side — pins the strategy, which otherwise
@@ -171,6 +156,34 @@ object Dedup {
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids) - i - 1),
         y => struct(x.as("a"), y.as("b")))))
+
+  /** Expand LSH buckets (`ids` = sorted member array) into candidate
+    * (a_id, b_id) pairs. Buckets up to maxBucket expand all O(|bucket|^2)
+    * pairs (complete pair set). Over-full buckets — degenerate keys, e.g.
+    * one text duplicated 10^4 times at corpus scale — are NOT dropped: every
+    * member is chained to the bucket minimum AND to its sorted-id neighbors,
+    * O(|bucket|) pairs that link each member to a keeper by two independent
+    * routes (a member whose min-link fails verification usually still
+    * verifies against a neighbor). Residual bound: pathological over-full
+    * buckets mixing several distinct near-dup groups can still leave a
+    * member whose min- and neighbor-links all fail verification; full
+    * resolution would re-bucket unresolved members iteratively.
+    */
+  private[graft] def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val ids = col("ids")
+    val minChain = transform(slice(ids, lit(2), size(ids) - 1),
+      y => struct(element_at(ids, 1).as("a"), y.as("b")))
+    val adjChain = transform(slice(ids, lit(1), size(ids) - 1),
+      (x, i) => struct(x.as("a"), element_at(ids, i + lit(2)).as("b")))
+    buckets
+      .select(
+        when(size(ids) <= maxBucket, pairUp(ids))
+          .otherwise(concat(minChain, adjChain))
+          .as("pairs"))
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+  }
 
   /** SimHash near-dup pairs: 64-bit simhash, candidates via the 4x16-bit
     * chunk pigeonhole (at least one chunk is equal whenever hamming <= 3),
@@ -231,14 +244,52 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= minCos).
-    * Brute-force pair comparison with the codegen'd dot product; at 100 TB
-    * the same verification runs after LSH bucketing (Similarity.lshBuckets)
-    * instead of the full cross join.
+    * Brute-force pair comparison with the codegen'd dot product — the
+    * correctness BASELINE (O(n^2) pairs, a scale-killer at 100 TB);
+    * [[embeddingLshPairs]] is the scale path.
     */
   def embeddingNearDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
     val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Embedding near-dup pairs at scale: multi-table random-hyperplane LSH
+    * candidate generation + exact fused-cosine verification — the 100 TB
+    * replacement for [[embeddingNearDupPairs]]'s all-pairs join.
+    *
+    * Shape: one corpus scan computes all probe-table keys per vector in a
+    * single codegen'd pass ([[graft.plans.RhpTableKeys]]); one shuffle of
+    * O(tables x vectors) (table, key) rows forms buckets; pairs are expanded
+    * in-bucket (capped, chained — [[bucketPairs]]); candidates only are
+    * verified with the codegen'd cosine, with the bounded candidate side
+    * broadcast-pinned exactly like the MinHash verification.
+    *
+    * Recall: a pair at angle theta collides in one table with probability
+    * (1 - theta/pi)^bitsPerTable, missed by all tables with prob
+    * (1 - p)^tables — for TRUE near-dups (cos >= 0.9, theta <= 26 deg) at
+    * the defaults that is < 1e-4 per pair; colinear duplicates (scaled
+    * copies, cos = 1) have identical sign bits in EVERY table, so their
+    * recall is exactly 1 by construction, not probabilistically.
+    */
+  def embeddingLshPairs(embs: DataFrame, minCos: Double, dim: Int = 64,
+                        bitsPerTable: Int = 16, tables: Int = 8,
+                        maxBucket: Int = 1000): DataFrame = {
+    val keyed = materialize(embs.select(col("vec_id"), col("embedding"),
+      VectorFns.rhpKeys(col("embedding"), dim, bitsPerTable, tables).as("keys")))
+    val buckets = keyed
+      .select(col("vec_id"), posexplode(col("keys")).as(Seq("tbl", "key")))
+      .groupBy("tbl", "key")
+      .agg(array_sort(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val candM = materialize(bucketPairs(buckets, maxBucket))
+    val j1 = broadcast(candM)
+      .join(keyed.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+    broadcast(j1)
+      .join(keyed.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

@@ -94,6 +94,40 @@ object PipelineQueries {
              |WHERE round(dp / (na.n * nb.n), 3) >= 0.4
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Scale path for embedding near-dup: multi-table RHP-LSH candidates +
+    // exact cosine verification (dd_embedding_cosine above is the all-pairs
+    // baseline). The synthetic corpus has no natural near-dups (max pairwise
+    // cosine ~0.5), so the query plants one scaled copy (x2) of every vector
+    // — colinear duplicates have identical RHP sign bits in every table, so
+    // LSH recall over them is exactly 1 BY CONSTRUCTION (not probabilistic)
+    // and the verified output deterministically equals the exact-cosine
+    // oracle at minCos 0.9. Noisy (non-colinear) near-dup recall is
+    // demonstrated in DedupSpec with planted perturbed vectors.
+    QueryDef("dd_embedding_lsh",
+      (s, d) => {
+        val base = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val planted = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        Dedup.embeddingLshPairs(base.union(planted), minCos = 0.9)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH aug AS (SELECT vec_id, embedding FROM embeddings
+             |             UNION ALL
+             |             SELECT vec_id + 1000000 AS vec_id,
+             |                    list_transform(embedding, x -> x * 2) AS embedding
+             |             FROM embeddings),
+             |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i
+             |       FROM aug),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+             |         GROUP BY 1, 2)
+             |SELECT a_id, b_id, round(dp / (na.n * nb.n), 3) AS cos_sim
+             |FROM dots JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id
+             |WHERE round(dp / (na.n * nb.n), 3) >= 0.9
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     QueryDef("sim_topk_bruteforce",
       (s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"), queryId = 0L, k = 10),
       Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -153,11 +187,13 @@ object PipelineQueries {
              |SELECT count(*) AS surviving_docs, CAST(sum(n_chars) AS BIGINT) AS surviving_chars
              |FROM documents WHERE doc_id NOT IN (SELECT b_id FROM dups)""".stripMargin)),
 
-    // ANN via random-hyperplane LSH bucketing: hash-dependent candidate set
-    // (recall < 1 by design) -> rows-only check; lshTopK's bucket scan is the
-    // scale path whose quality baseline is sim_topk_bruteforce.
+    // ANN via multi-table random-hyperplane LSH: hash-dependent candidate
+    // set (recall < 1 by design) -> rows-only check. Quality gate:
+    // SimilaritySpec measures recall@10 vs sim_topk_bruteforce at exactly
+    // this (nBits=2, tables=8) config and asserts the bound.
     QueryDef("sim_lsh_ann",
-      (s, d) => Similarity.lshTopK(T(s, d, "embeddings"), queryId = 0L, k = 5),
+      (s, d) => Similarity.lshTopK(T(s, d, "embeddings"), queryId = 0L, k = 5,
+        nBits = 2, tables = 8),
       None),
 
     QueryDef("mm_multimodal_join",

@@ -51,15 +51,15 @@ object Similarity {
     */
   def ivfTopK(embs: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
     val cents = centroids(embs)
-    val q = embs.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
+    val q = broadcast(embs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
     // double-precision dot of query (float) against centroid (double)
     val qdot = aggregate(
       zip_with(col("q_emb").cast("array<double>"), col("centroid"), (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x)
     val qn = sqrt(aggregate(transform(col("q_emb").cast("array<double>"), a => a * a), lit(0.0), (acc, x) => acc + x))
     val cn = sqrt(aggregate(transform(col("centroid"), a => a * a), lit(0.0), (acc, x) => acc + x))
-    val best = cents.crossJoin(broadcast(q))
+    val best = cents.crossJoin(q)
       .select(col("label"), (qdot / (qn * cn)).as("c_sim"))
       .orderBy(col("c_sim").desc, col("label"))
       .limit(nprobe)
@@ -67,53 +67,44 @@ object Similarity {
     embs
       .join(broadcast(best), "label")
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(embs.filter(col("vec_id") === queryId)
-        .select(col("embedding").as("q_emb"))))
+      .crossJoin(q)
       .select(col("vec_id"), col("label").cast("bigint").as("label"),
         round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** ANN search via random-hyperplane LSH: restrict the exact scan to the
-    * query's bucket (one probe table). Recall < 1 by construction — the
-    * scale path that trades recall for scanning |corpus| / 2^nBits.
+  /** ANN search via multi-table random-hyperplane LSH: scan only the union
+    * of the query's buckets across `tables` probe tables. Recall < 1 by
+    * construction (quality gate: SimilaritySpec measures recall@k against
+    * [[bruteForceTopK]]) — the scale path that trades recall for scanning
+    * roughly `tables / 2^nBits` of the corpus. Keys come from the codegen'd
+    * [[graft.plans.RhpTableKeys]] single-pass expression.
     */
-  def lshTopK(embs: DataFrame, queryId: Long, k: Int, nBits: Int = 4): DataFrame = {
-    val bucketed = rhpBucket(embs, nBits, table = 0)
-    val qb = bucketed.filter(col("vec_id") === queryId)
-      .select(col("bucket"), col("embedding").as("q_emb"))
-    bucketed
-      .join(broadcast(qb), "bucket")
+  def lshTopK(embs: DataFrame, queryId: Long, k: Int, nBits: Int = 4,
+              tables: Int = 8, dim: Int = 64): DataFrame = {
+    val keyed = embs.select(col("vec_id"), col("embedding"),
+      posexplode(VectorFns.rhpKeys(col("embedding"), dim, nBits, tables))
+        .as(Seq("tbl", "key")))
+    val qk = keyed.filter(col("vec_id") === queryId)
+      .select(col("tbl"), col("key"), col("embedding").as("q_emb"))
+    keyed
+      .join(broadcast(qk), Seq("tbl", "key"))
       .filter(col("vec_id") =!= queryId)
+      // a vector matching the query in several tables appears once per table
+      .dropDuplicates("vec_id")
       .select(col("vec_id"),
         round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket key (sign bits of dot products with
-    * deterministic pseudo-random hyperplanes) — the candidate-generation
-    * stage for embedding near-dup at scale. nBits sign bits -> one bigint
-    * bucket id per probe table.
+  /** Single-table RHP bucket key (compat/spec surface over
+    * [[VectorFns.rhpKeys]]): sign bits of dot products with deterministic
+    * pseudo-random hyperplanes. Vectors of any dimension hash (planes are
+    * sized by `dim`; shorter vectors hash their prefix).
     */
-  def rhpBucket(embs: DataFrame, nBits: Int, table: Int): DataFrame = {
-    val dim = 64
-    val planes: Seq[Seq[Double]] = (0 until nBits).map { b =>
-      (0 until dim).map { d =>
-        // deterministic pseudo-random in [-1, 1): splitmix-style integer mix
-        val z = ((table * 1000003L + b * 7919L + d) * 0x9E3779B97F4A7C15L)
-        val m = (z ^ (z >>> 31)) & ((1L << 53) - 1)
-        m.toDouble / (1L << 52) - 1.0
-      }
-    }
-    val bucket = (0 until nBits).map { b =>
-      val d = aggregate(
-        zip_with(col("embedding").cast("array<double>"),
-          array(planes(b).map(lit): _*), (x, p) => x * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    embs.withColumn("bucket", bucket)
-  }
+  def rhpBucket(embs: DataFrame, nBits: Int, table: Int, dim: Int = 64): DataFrame =
+    embs.withColumn("bucket",
+      element_at(VectorFns.rhpKeys(col("embedding"), dim, nBits, tables = 1, firstTable = table), 1))
 }

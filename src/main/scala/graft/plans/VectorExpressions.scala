@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd dot product over two `array<float>` columns (embedding math hot
   * path). Native Catalyst expression rather than a UDF so whole-stage codegen
@@ -89,6 +89,88 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd multi-table random-hyperplane LSH keys over an `array<float>`
+  * embedding: one pass computes, for each of the `planes.size / bitsPerTable`
+  * probe tables, the long bucket key whose bit b is the sign of the dot
+  * product with that table's b-th hyperplane. Returns `array<long>` (element
+  * t = table t's key).
+  *
+  * This is the candidate-generation hot path for embedding near-dup and ANN
+  * at scale: a single tight generated loop per row, instead of
+  * tables x bits interpreted zip_with/aggregate lambdas. Hyperplanes ship as
+  * a broadcast-side constant (`addReferenceObj`), so the generated class
+  * stays small no matter how many tables are probed. Vectors shorter than a
+  * plane hash their available prefix (no nulls, no silent bucket-0 collapse).
+  *
+  * Planes are `Seq[Seq[Float]]` (structural equality keeps Catalyst plan
+  * canonicalization/dedup working — arrays compare by reference); the
+  * runtime float[][] is derived lazily.
+  */
+case class RhpTableKeys(child: Expression, planes: Seq[Seq[Float]], bitsPerTable: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bitsPerTable >= 1 && bitsPerTable <= 63, "bitsPerTable must be in [1, 63]")
+  require(planes.nonEmpty && planes.size % bitsPerTable == 0,
+    "planes.size must be a positive multiple of bitsPerTable")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_table_keys"
+
+  @transient private lazy val planeArr: Array[Array[Float]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nTables = planeArr.length / bitsPerTable
+    val out = new Array[Long](nTables)
+    var pi = 0
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val pl = planeArr(pi); pi += 1
+        val n = math.min(pl.length, v.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += pl(i).toDouble * v.getFloat(i).toDouble; i += 1 }
+        if (acc >= 0.0) key |= (1L << b)
+        b += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("rhpPlanes", planeArr, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int nTables = $planesRef.length / $bitsPerTable;
+         |long[] keys = new long[nTables];
+         |int pi = 0;
+         |for (int t = 0; t < nTables; t++) {
+         |  long key = 0L;
+         |  for (int b = 0; b < $bitsPerTable; b++) {
+         |    float[] pl = $planesRef[pi++];
+         |    int n = java.lang.Math.min(pl.length, $v.numElements());
+         |    double acc = 0.0;
+         |    for (int i = 0; i < n; i++) {
+         |      acc += (double) pl[i] * (double) $v.getFloat(i);
+         |    }
+         |    if (acc >= 0.0) key |= (1L << b);
+         |  }
+         |  keys[t] = key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Expose as a Column for DataFrame use. */
   def floatDot(a: Column, b: Column): Column =
@@ -96,6 +178,9 @@ object VectorExpressions {
 
   def floatCosine(a: Column, b: Column): Column =
     bridge.column(FloatCosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  def rhpTableKeys(v: Column, planes: Seq[Seq[Float]], bitsPerTable: Int): Column =
+    bridge.column(RhpTableKeys(bridge.expression(v), planes, bitsPerTable))
 
   /** Register `float_dot` / `float_cosine` for SQL use in this session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -49,15 +50,49 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.subsetOf(Set((3L, 100L), (7L, 101L), (5L, 102L))))
   }
 
-  test("over-full LSH buckets chain to the minimum id instead of being dropped") {
+  test("over-full LSH buckets chain min + neighbors instead of being dropped") {
     // 12 exact copies with maxBucket=5: every band bucket holds all 12,
-    // exceeding the cap -> chained pairs (min, other) must still link every
-    // copy to the keeper
+    // exceeding the cap -> chained pairs must still link every copy to the
+    // keeper (min chain) plus its sorted-id neighbors (second route, so one
+    // failed verification can't orphan a member)
     val copies = (0 until 12).map(i => (i.toLong, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"))
       .toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPairs(copies, minJ = 0.9, maxBucket = 5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(pairs == (1 until 12).map(i => (0L, i.toLong)).toSet)
+    val minChain = (1 until 12).map(i => (0L, i.toLong)).toSet
+    val adjChain = (1 until 11).map(i => (i.toLong, i + 1L)).toSet
+    assert(pairs == minChain ++ adjChain)
+    // the dedup guarantee: every non-keeper is some pair's b_id
+    assert((1 until 12).forall(i => pairs.exists(_._2 == i.toLong)))
+  }
+
+  test("embedding LSH near-dup: recall 1 over noisy planted near-dups") {
+    // Non-colinear near-dups (the probabilistic regime, unlike the scaled
+    // copies in the dd_embedding_lsh oracle query): 50 random unit vectors +
+    // a perturbed copy of each at cosine ~0.97. LSH candidates + exact
+    // verification must reproduce the brute-force pair set exactly.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 50).map(i => (i.toLong, unit()))
+    val planted = base.map { case (i, v) =>
+      val u = unit()
+      (i + 1000L, v.zip(u).map { case (x, w) => x + 0.15f * w })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = Dedup.embeddingNearDupPairs(df, minCos = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingLshPairs(df, minCos = 0.9, dim = dim,
+      bitsPerTable = 8, tables = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dup pairs")
+    assert(lsh == exact,
+      s"LSH pair set != exact pair set (missing=${exact -- lsh}, extra=${lsh -- exact})")
   }
 
   test("dedup is idempotent: no pairs among deduplicated docs") {

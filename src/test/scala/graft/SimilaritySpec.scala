@@ -78,6 +78,90 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!a.map(_._1).contains(0L))               // query excluded
   }
 
+  test("RhpTableKeys matches an independent double-precision sign computation") {
+    val planes = VectorFns.rhpPlanes(dim = 3, bitsPerTable = 4, tables = 2)
+    val rows = vecs.select(col("vec_id"),
+      VectorFns.rhpKeys(col("embedding"), dim = 3, bitsPerTable = 4, tables = 2).as("keys"),
+      col("embedding"))
+      .as[(Long, Seq[Long], Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, keys, emb) =>
+      assert(keys.length == 2)
+      val expect = (0 until 2).map { t =>
+        (0 until 4).foldLeft(0L) { (key, b) =>
+          val pl = planes(t * 4 + b)
+          val dot = pl.zip(emb).map { case (p, x) => p.toDouble * x.toDouble }.sum
+          if (dot >= 0.0) key | (1L << b) else key
+        }
+      }
+      assert(keys == expect)
+    }
+  }
+
+  test("rhpBucket hashes vectors shorter than the plane dimension (no bucket-0 collapse)") {
+    // dim param is 8 but vectors are 3-dim: prefix hashing must still
+    // split vectors across buckets (a null-product bug would send all to 0)
+    val b = Similarity.rhpBucket(vecs, nBits = 4, table = 0, dim = 8)
+      .select("bucket").as[Long].collect().toSet
+    assert(b.size > 1)
+  }
+
+  test("ANN recall gate: measured recall@10 vs brute force on sf0.01") {
+    val embs = Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+    val k = 10
+    val qids = Seq(0L, 7L, 42L, 99L, 123L)
+    val recalls = qids.map { qid =>
+      val bf = Similarity.bruteForceTopK(embs, qid, k)
+        .select("vec_id").as[Long].collect().toSet
+      val lsh = Similarity.lshTopK(embs, qid, k, nBits = 2, tables = 8)
+        .select("vec_id").as[Long].collect().toSet
+      bf.intersect(lsh).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"measured ANN recall@10 on sf0.01 (nBits=2, tables=8): mean=$mean%.2f per-query=${recalls.mkString(",")}")
+    // Deterministic hyperplanes -> this is a fixed number, not a flaky
+    // sample. Honest context: sf0.01 neighbors sit near cosine 0.5
+    // (theta ~60deg), the regime where RHP-LSH prunes weakly; the
+    // clustered-regime test below shows the intended operating point.
+    assert(mean >= 0.8, s"ANN mean recall@10 regressed: $mean")
+  }
+
+  test("ANN on clustered data: high recall at a small scan fraction") {
+    // The regime LSH is FOR: tight clusters (within-cluster cosine >= ~0.95).
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val centers = Seq.fill(10)(unit())
+    val members = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      val noise = unit()
+      val m = c.zip(noise).map { case (x, u) => x + 0.18f * u }
+      (i.toLong, m, i % 10)
+    }
+    val df = members.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val k = 10
+    val bf = Similarity.bruteForceTopK(df, 0L, k).select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(df, 0L, k, nBits = 8, tables = 4, dim = dim)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = bf.intersect(lsh).size.toDouble / k
+    // scan fraction = candidates sharing a (table, bucket) with the query
+    val keyed = df.select(col("vec_id"),
+      posexplode(VectorFns.rhpKeys(col("embedding"), dim, 8, 4)).as(Seq("tbl", "key")))
+    val scanned = keyed
+      .join(keyed.filter($"vec_id" === 0L).select("tbl", "key"), Seq("tbl", "key"))
+      .filter($"vec_id" =!= 0L)
+      .select("vec_id").distinct().count()
+    val frac = scanned.toDouble / 199
+    info(f"clustered ANN: recall@10=$recall%.2f scanning ${100 * frac}%.1f%% of corpus")
+    assert(recall >= 0.9, s"clustered-regime recall regressed: $recall")
+    assert(frac <= 0.35, s"clustered-regime scan fraction too high: $frac")
+  }
+
   test("operators tolerate empty inputs") {
     val empty = vecs.filter($"vec_id" < 0)
     assert(Similarity.bruteForceTopK(empty, 0L, 3).count() == 0)
