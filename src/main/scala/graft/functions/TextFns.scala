@@ -23,8 +23,15 @@ object TextFns {
     */
   val HashP = 2147483647L
 
-  /** Whitespace tokenization (reference parity: mapreduce_wc.py:4). */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokenization with Python str.split() semantics (reference
+    * parity: mapreduce_wc.py:4): split on runs of ANY whitespace and drop
+    * empty tokens, so tabs/newlines/repeated/leading/trailing whitespace
+    * tokenize identically to the reference. (The oracles keep
+    * string_split(text, ' ') — equivalent on the single-space test corpus;
+    * the semantics difference only shows on irregular whitespace.)
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles: ["a","b","c","d"] with n=3 -> ["a b c","b c d"].
     * Column-level convenience for small/typed use; hot paths should go

@@ -38,8 +38,13 @@ object AsofJoin {
       Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__r")) ++
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // __r as the final sort key: among right rows sharing (key, ts), ties
+    // are broken by the payload struct's field-wise order, so the carried
+    // match is deterministic (the max payload) instead of partition-order
+    // dependent. Left rows sort by (ts, __side) alone (__r is null, and
+    // NULLS FIRST keeps them after right rows only via __side).
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

@@ -185,9 +185,32 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, candidates via the 4x16-bit
-    * chunk pigeonhole (at least one chunk is equal whenever hamming <= 3),
-    * verified by hamming <= maxHam AND exact Jaccard >= minJ.
+  /** 64-bit SimHash per doc over n-gram shingle features: bit j of `sim` is
+    * the majority vote of bit j across the doc's shingle hashes. 64
+    * codegen'd SUM aggregates (partial agg map-side).
+    */
+  private def simhashFromHashRows(hrows: DataFrame): DataFrame = {
+    val bitCols = (0 until 64).map(j =>
+      sum(shiftright(col("hraw"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val counted = hrows.groupBy("doc_id").agg(count(lit(1)).as("n"), bitCols: _*)
+    val simCol = (0 until 64)
+      .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    counted.select(col("doc_id"), simCol.as("sim"))
+  }
+
+  /** (doc_id, sim) SimHash table — test/inspection surface over the same
+    * pipeline [[simhashPairs]] uses.
+    */
+  private[graft] def simhash64(docs: DataFrame, n: Int = 3): DataFrame =
+    simhashFromHashRows(shingleHashRows(docs, n))
+
+  /** SimHash near-dup pairs: 64-bit simhash, candidates via the 8x8-bit
+    * chunk pigeonhole — a pair differing in hamming <= 7 bits cannot differ
+    * in all 8 chunks, so at least one chunk key is equal and RECALL IS 1 FOR
+    * maxHam <= 7 (pairs at hamming 8..63 are found only if they happen to
+    * agree on some chunk) — verified by hamming <= maxHam AND exact Jaccard
+    * >= minJ.
     *
     * Candidate generation is a codegen'd self-join on (chunk, key) with the
     * hamming filter inline in the join condition: low-entropy corpora create
@@ -203,18 +226,11 @@ object Dedup {
     // feeds both the bit-majority vote (raw 64-bit hash) and the
     // exact-Jaccard verification sets (mod-p hash, as in MinHash).
     val hrows = materialize(shingleHashRows(docs, n)) // consumed by verify sets + bit counts
-    // 64 codegen'd SUM aggregates (bit-majority vote), partial agg map-side.
-    val bitCols = (0 until 64).map(j =>
-      sum(shiftright(col("hraw"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val counted = hrows.groupBy("doc_id").agg(count(lit(1)).as("n"), bitCols: _*)
-    val simCol = (0 until 64)
-      .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    val hashed = materialize(counted.select(col("doc_id"), simCol.as("sim"))) // both chunk-join sides
+    val hashed = materialize(simhashFromHashRows(hrows)) // both chunk-join sides
     val chunks = hashed.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until 8).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
+          shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL)).as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val cand = chunks
       .select(col("chunk"), col("key"), col("doc_id").as("a_id"), col("sim").as("sima"))

@@ -32,6 +32,29 @@ object EventQueries {
              |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
 
+    // Sliding (hopping) window: 1-hour windows every 15 minutes — each event
+    // lands in exactly ceil(60/15) = 4 windows. Spark's window(ts, w, s)
+    // assigns windows aligned to the epoch; the oracle replays that by
+    // exploding each event into start times floor15(ts) - k*15min, k=0..3.
+    // make_timestamp keeps the oracle timezone-naive (to_timestamp would
+    // yield TIMESTAMPTZ and strftime would then depend on session tz).
+    QueryDef("ts_sliding_window",
+      (s, d) => T(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some("""WITH e AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS t15,
+             |                  event_type, value
+             |           FROM events),
+             |ks AS (SELECT unnest(generate_series(0, 3)) AS k),
+             |w AS (SELECT make_timestamp((t15 - k * 900) * 1000000) AS ws, event_type, value
+             |      FROM e CROSS JOIN ks)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start, event_type,
+             |       count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
     // Gap-based sessions: Spark's native session_window (30 min gap); the
     // oracle replays the same semantics with lag + running sum. Session ids
     // are per-user ordinals of session start. At scale this is one shuffle

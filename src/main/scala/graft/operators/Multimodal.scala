@@ -58,14 +58,19 @@ object Multimodal {
       // per-partition setup would init the decoder/model once here
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ fakeDecode(bytes, dim).toSeq)
+        // null payload (e.g. null source text) -> empty feature vector
+        // rather than an executor-killing NPE mid-pipeline
+        val feats = if (bytes == null) Seq.empty[Float] else fakeDecode(bytes, dim).toSeq
+        Row.fromSeq(r.toSeq :+ feats)
       }
     }
   }
 
   /** Multimodal record assembly: documents joined with their embedding
     * vectors into one struct-typed row (text + vector + metadata). The join
-    * key is the shared id; at scale both sides are bucketed on it.
+    * key is the shared id; at scale both sides are bucketed on it via
+    * [[graft.sources.BucketedSink]] — FormatsSpec demonstrates the
+    * exchange-free co-bucketed join plan.
     */
   def multimodalJoin(docs: DataFrame, embs: DataFrame): DataFrame =
     withPayload(docs)

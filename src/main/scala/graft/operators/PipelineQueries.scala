@@ -70,13 +70,14 @@ object PipelineQueries {
       (s, d) => Dedup.minhashLshPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
-    // SimHash candidates are bounded by hamming <= 3 (4x16-bit pigeonhole);
-    // on this corpus the planted near-dups sit at larger hamming distances,
-    // so recall vs. the exact-Jaccard set is partial BY DESIGN — the output
-    // is hash-dependent and gets a rows-only check. (MinHash above is the
-    // recall-1 path and is oracle-checked.)
+    // SimHash with maxHam = 7, exactly the 8x8-bit pigeonhole recall bound
+    // (every pair at hamming <= 7 shares a chunk, so candidate recall is 1
+    // at this threshold). Output is still hash-dependent — a 7-bit simhash
+    // radius is not the same pair set as Jaccard >= 0.8 — so it gets a
+    // rows-only check; the recall-at-the-bound property itself is asserted
+    // in DedupSpec. (MinHash above is the oracle-checked recall-1 path.)
     QueryDef("dd_simhash",
-      (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 16).orderBy("a_id", "b_id"),
+      (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 7).orderBy("a_id", "b_id"),
       None),
 
     QueryDef("dd_embedding_cosine",

@@ -95,6 +95,22 @@ class DedupSpec extends AnyFunSuite {
       s"LSH pair set != exact pair set (missing=${exact -- lsh}, extra=${lsh -- exact})")
   }
 
+  test("simhash pigeonhole: every pair at hamming <= 7 is found (recall bound)") {
+    // Ground truth from the exposed simhash table: all-pairs hamming,
+    // locally. With minJ = 0 the pair query's only filters are the chunk
+    // collision and the hamming threshold, so at maxHam = 7 (the 8x8-bit
+    // pigeonhole bound) its output must EQUAL the <=7-hamming pair set.
+    val sims = Dedup.simhash64(corpus).as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairs(corpus, maxHam = 7, minJ = 0.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty) // exact dup (5, 102) at hamming 0 at minimum
+    assert(found == expected)
+  }
+
   test("dedup is idempotent: no pairs among deduplicated docs") {
     val deduped = corpus.join(
       Dedup.ngramJaccardPairs(corpus, minJ = 0.5).select($"b_id".as("doc_id")),

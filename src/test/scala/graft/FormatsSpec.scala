@@ -33,6 +33,29 @@ class FormatsSpec extends AnyFunSuite {
       sample.orderBy("id").collect().toSeq)
   }
 
+  test("bucketed tables join on the bucket key without any exchange") {
+    import graft.sources.BucketedSink
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang")
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("doc_id"), $"label")
+    BucketedSink.writeBucketed(docs, "docs_bucketed", 8, Seq("doc_id"))
+    BucketedSink.writeBucketed(embs, "embs_bucketed", 8, Seq("doc_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path: a broadcast join would trivially avoid the
+    // shuffle (and its BroadcastExchange would also trip the assert below)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("docs_bucketed").join(spark.table("embs_bucketed"), "doc_id")
+      val expected = docs.join(embs, "doc_id").count()
+      assert(j.count() == expected && expected > 0)
+      // co-bucketed scans already satisfy the join's required distribution:
+      // the executed plan must contain NO exchange of any kind
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("parquet writer supports partitioned layout with pruning") {
     val dir = Files.createTempDirectory("pq").toString + "/out"
     Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
