@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The 59-query suite JITs thousands of generated-class methods; the JDK 17
+  // default 240m code cache can fill mid-suite, silently disabling the JIT
+  // ("CodeCache is full") and dropping hot queries to the interpreter —
+  // observed as rare 20-30s spikes on otherwise ~1.5s queries.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

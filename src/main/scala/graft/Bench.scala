@@ -39,7 +39,11 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    // SPARK_GRAFT_REPEAT=N: time each query N times (tail-latency hunting).
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = selected.flatMap { case (name, fn) =>
+      (1 to repeat).map(i => (if (repeat == 1) name else s"$name#$i") -> fn)
+    }.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -94,6 +94,24 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[^a-z ]")).cast("bigint").as("n_nonalpha"))
   }
 
+  /** BPE-style pre-tokenizer regex (GPT-2 pattern family, RE2-compatible
+    * subset: contraction suffixes, space-prefixed letter runs / digit runs /
+    * punctuation runs, whitespace runs). No lookahead, so the same pattern
+    * runs in Spark (java.util.regex) and DuckDB (RE2) with identical
+    * leftmost-first alternation.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** Token-budget accounting: whitespace token count vs a BPE-ish
+    * pre-tokenizer count per document. Shuffle-free single pass.
+    */
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks(col("text"))).cast("bigint").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("bigint").as("n_bpe_tokens"))
+
   /** Positional rolling-hash fingerprint per document. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFns.fingerprint(toks(col("text"))).as("fp"))

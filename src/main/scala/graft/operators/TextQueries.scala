@@ -59,6 +59,19 @@ object TextQueries {
              |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars_tok
              |FROM tt ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish token budget: the regex is RE2-compatible (no lookahead), so
+    // the oracle runs the IDENTICAL pattern; whitespace runs count as tokens
+    // in both (the real GPT-2 pattern folds them into the following word via
+    // lookahead — documented simplification).
+    QueryDef("tx_bpe_count",
+      (s, d) => TextAnalysis.bpeTokenCount(T(s, d, "documents")).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |       CAST(len(regexp_extract_all(text,
+             |            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+             |            AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("tx_langid",
       (s, d) => TextAnalysis.langId(T(s, d, "documents")).orderBy("doc_id"),
       Some {

@@ -17,14 +17,16 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  /** Tumbling-window counts with a watermark for late data. Works on batch
-    * and streaming inputs; on a stream use append/update mode downstream.
+  /** Tumbling-window (or, with `slide` < `windowLen`, sliding/hopping)
+    * counts with a watermark for late data. Works on batch and streaming
+    * inputs; on a stream use append/update mode downstream.
     */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
-                     watermark: String = "1 hour"): DataFrame =
+                     watermark: String = "1 hour",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 

@@ -29,6 +29,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows over a memory stream assign events to every hop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(events, windowLen = "10 minutes",
+        slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("slide_counts").outputMode("complete").start()
+    try {
+      input.addData((ts(7), "click", 1.0), (ts(12), "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("slide_counts")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"n")
+        .as[(String, Long)].collect().toSet
+      // event@7 -> windows starting 00:00, 00:05; event@12 -> 00:05, 00:10
+      assert(got == Set(("00:00", 1L), ("00:05", 2L), ("00:10", 1L)))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
