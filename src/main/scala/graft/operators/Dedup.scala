@@ -267,10 +267,15 @@ object Dedup {
   def embeddingNearDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
     val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
-      .filter(col("cos_sim") >= minCos)
+    // Both predicates INSIDE the join condition, cheap id-order test first:
+    // left to its own devices Catalyst pushes the cosine filter into the
+    // BroadcastNestedLoopJoin condition but orders it BEFORE a_id < b_id, so
+    // the fused cosine runs for all n^2 ordered pairs; the explicit
+    // short-circuit order halves the cosine evaluations. Survivor rows
+    // (tiny) re-evaluate the cosine once in the projection.
+    val cos = round(VectorFns.cosine(col("ea"), col("eb")), 3)
+    a.join(b, col("a_id") < col("b_id") && cos >= minCos)
+      .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
   }
 
   /** Embedding near-dup pairs at scale: multi-table random-hyperplane LSH
