@@ -356,10 +356,12 @@ object RelationalQueries {
             struct(lit("p").as("c"), col("l_extendedprice").as("v")))).as("cv"))
           .select(col("l_returnflag"), col("cv.c").as("c"), col("cv.v").as("v"))
         val byV = Window.partitionBy("l_returnflag", "c").orderBy("v")
-        val whole = Window.partitionBy("l_returnflag", "c")
+        // group sizes via a tiny broadcast join rather than a second
+        // (unordered, whole-partition-buffering) window pass
+        val sizes = unpiv.groupBy("l_returnflag", "c").agg(count(lit(1)).as("n"))
         val ranked = unpiv.select(col("l_returnflag"), col("c"), col("v"),
-          (row_number().over(byV) - 1).cast("double").as("rn"),
-          count(lit(1)).over(whole).as("n"))
+          (row_number().over(byV) - 1).cast("double").as("rn"))
+          .join(broadcast(sizes), Seq("l_returnflag", "c"))
         // Weight of each row toward percentile p of column cn: nonzero only
         // at ranks floor(pos) and floor(pos)+1.
         def pct(cn: String, p: Double): Column = {

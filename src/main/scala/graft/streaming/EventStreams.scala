@@ -41,6 +41,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
 
+  /** Streaming exact dedup for a training-data ingest pipeline: keep the
+    * first occurrence of each `dedupCol` value, with state BOUNDED by the
+    * event-time watermark (dropDuplicatesWithinWatermark evicts seen-keys
+    * older than the horizon — a plain dropDuplicates would grow state
+    * forever on an unbounded corpus stream).
+    */
+  def streamingDedup(docs: DataFrame, dedupCol: String = "text",
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(dedupCol)
+
   /** Running per-user totals via arbitrary stateful processing
     * (`mapGroupsWithState`) — the custom-state surface for logic that
     * windowed aggregation can't express. State is one (count, sum) pair per

@@ -105,6 +105,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence, bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val q = EventStreams.streamingDedup(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData((ts(1), "alpha"), (ts(2), "beta"), (ts(3), "alpha"))
+      q.processAllAvailable()
+      input.addData((ts(4), "beta"), (ts(5), "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select(date_format($"ts", "mm").as("m"), $"text")
+        .as[(String, String)].collect().toSet
+      // duplicates at 03 and 04 dropped; first occurrences survive
+      assert(got == Set(("01", "alpha"), ("02", "beta"), ("05", "gamma")))
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree") {
     val batch = Seq((ts(1), 1L), (ts(3), 1L), (ts(20), 1L))
       .toDF("ts", "user_id")
