@@ -60,6 +60,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("embedding LSH keys compute in ONE rhp_table_keys pass, cosine short-circuits after id test") {
+    // the key stage is materialized (localCheckpoint) inside the full query,
+    // so assert the expression on the key pipeline itself (as the minhash
+    // battery test does): ONE projection evaluates all 8 probe tables
+    import org.apache.spark.sql.functions.col
+    val keyed = Tables.t(spark, sf, "embeddings")
+      .select(graft.functions.VectorFns.rhpKeys(col("embedding"), 64, 16, 8).as("keys"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(keyed.contains("rhp_table_keys"))
+    // verification joins stay broadcast-pinned (candidate side bounded)
+    assert(plan("dd_embedding_lsh").contains("BroadcastHashJoin"))
+    val pc = plan("dd_embedding_cosine")
+    // cheap id-order conjunct must run before the fused cosine in the BNLJ
+    // condition — Catalyst's own pushdown puts the cosine first, doubling
+    // its evaluations
+    val cond = pc.linesIterator.find(_.contains("Join condition")).getOrElse("")
+    assert(cond.indexOf("a_id") >= 0 && cond.indexOf("float_cosine") > cond.indexOf("a_id"), cond)
+  }
+
+  test("exact percentiles avoid the interpreted ObjectHashAggregate path") {
+    val p = plan("rel_percentiles")
+    assert(!p.contains("ObjectHashAggregate"), "percentile fell back to interpreted aggregation")
+    assert(p.contains("Window") && p.contains("partial_sum"))
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
