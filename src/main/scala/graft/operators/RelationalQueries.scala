@@ -99,12 +99,29 @@ object RelationalQueries {
              |       count(*) AS n_rows
              |FROM lineitem""".stripMargin)),
 
-    // HLL sketch differs from DuckDB's — rows-only check by design.
+    // The HLL sketch value differs from DuckDB's sketch, so the raw estimate
+    // cannot hash-match an oracle; instead the query OUTPUTS the quality
+    // gate: exact cardinalities plus booleans asserting the estimates land
+    // within HLL's expected error (default rsd 0.05 -> 5% band used here).
+    // The oracle computes the exact counts and expects the booleans TRUE —
+    // a sketch regression (or an rsd change) now fails the t2 gate instead
+    // of hiding behind a rows-only check.
     QueryDef("rel_approx_distinct",
-      (s, d) => T(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-      None),
+      (s, d) => {
+        def ok(c: String) =
+          abs(approx_count_distinct(col(c)) - count_distinct(col(c)))
+            .leq(count_distinct(col(c)).cast("double") * 0.05)
+        T(s, d, "lineitem").agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          ok("l_partkey").as("parts_within_5pct"),
+          ok("l_orderkey").as("orders_within_5pct"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |       count(DISTINCT l_orderkey) AS exact_orders,
+             |       TRUE AS parts_within_5pct,
+             |       TRUE AS orders_within_5pct
+             |FROM lineitem""".stripMargin)),
 
     // Broadcast-hash join: dimension tables are tiny at every SF.
     QueryDef("rel_join_broadcast",
