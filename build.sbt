@@ -32,4 +32,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ("CodeCache is full") and dropping hot queries to the interpreter —
   // observed as rare 20-30s spikes on otherwise ~1.5s queries.
   "-XX:ReservedCodeCacheSize=1g",
-) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -22,7 +22,9 @@ object AsofJoin {
     * @param key         equi-join key column name (same name both sides)
     * @param ts          event-time column name (same name both sides)
     * @param rightCols   right columns to carry (emitted as matched_<name>,
-    *                    null when no right row precedes the left row)
+    *                    null when no right row precedes the left row). Must
+    *                    be of orderable types (no maps): the payload struct
+    *                    doubles as the deterministic tie-breaker sort key.
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightCols: Seq[String]): DataFrame = {

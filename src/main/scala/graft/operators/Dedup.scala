@@ -290,14 +290,16 @@ object Dedup {
     * broadcast-pinned exactly like the MinHash verification.
     *
     * Recall: a pair at angle theta collides in one table with probability
-    * (1 - theta/pi)^bitsPerTable, missed by all tables with prob
-    * (1 - p)^tables — for TRUE near-dups (cos >= 0.9, theta <= 26 deg) at
-    * the defaults that is < 1e-4 per pair; colinear duplicates (scaled
-    * copies, cos = 1) have identical sign bits in EVERY table, so their
-    * recall is exactly 1 by construction, not probabilistically.
+    * p = (1 - theta/pi)^bitsPerTable and is missed by all tables with
+    * probability (1 - p)^tables. At the 8-bit x 16-table defaults that miss
+    * probability is ~1.4e-4 at cos 0.95 and ~4e-3 at cos 0.9; fewer bits /
+    * more tables buy recall at the price of bigger buckets (more verified
+    * candidates). Colinear duplicates (scaled copies, cos = 1) have
+    * identical sign bits in EVERY table, so their recall is exactly 1 by
+    * construction regardless of parameters.
     */
   def embeddingLshPairs(embs: DataFrame, minCos: Double, dim: Int = 64,
-                        bitsPerTable: Int = 16, tables: Int = 8,
+                        bitsPerTable: Int = 8, tables: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     val keyed = materialize(embs.select(col("vec_id"), col("embedding"),
       VectorFns.rhpKeys(col("embedding"), dim, bitsPerTable, tables).as("keys")))

@@ -102,15 +102,15 @@ object RelationalQueries {
     // The HLL sketch value differs from DuckDB's sketch, so the raw estimate
     // cannot hash-match an oracle; instead the query OUTPUTS the quality
     // gate: exact cardinalities plus booleans asserting the estimates land
-    // within HLL's expected error (default rsd 0.05 -> 5% band used here).
-    // The oracle computes the exact counts and expects the booleans TRUE —
-    // a sketch regression (or an rsd change) now fails the t2 gate instead
-    // of hiding behind a rows-only check.
+    // within a 3-sigma band (default rsd 0.05 is a STANDARD DEVIATION, not
+    // a bound — a 1-sigma band would legitimately fail ~1/3 of the time on
+    // fresh data; 15% catches gross sketch regressions without phantom
+    // failures). The oracle computes the exact counts and expects TRUE.
     QueryDef("rel_approx_distinct",
       (s, d) => {
         def ok(c: String) =
           abs(approx_count_distinct(col(c)) - count_distinct(col(c)))
-            .leq(count_distinct(col(c)).cast("double") * 0.05)
+            .leq(count_distinct(col(c)).cast("double") * 0.15)
         T(s, d, "lineitem").agg(
           count_distinct(col("l_partkey")).as("exact_parts"),
           count_distinct(col("l_orderkey")).as("exact_orders"),
@@ -360,10 +360,16 @@ object RelationalQueries {
     // TypedImperativeAggregate (interpreted ObjectHashAggregate, per-value
     // OpenHashMap inserts + serialized partial maps — ~10s at sf0.1 on the
     // bench), while this formulation is one codegen'd shuffle-sort per
-    // (group, column) partition plus a cheap weighted sum, and it scales:
-    // sort parallelism = #groups x #columns, no driver-side map merge.
-    // value(p) = v[lo]*(1-frac) + v[lo+1]*frac at pos = p*(n-1), identical to
-    // percentile / DuckDB quantile_cont.
+    // (group, column) partition plus a cheap weighted sum, with no
+    // driver-side map merge. Honest scale bound: sort parallelism equals
+    // #groups x #columns (6 here), each group sorted by one task — right
+    // when groups are numerous or moderate-sized; for FEW huge groups at
+    // extreme scale use approx_percentile or a pre-aggregated
+    // (value, count) weighted percentile instead. This query's point is
+    // exactness parity with quantile_cont:
+    // value(p) = v[lo]*(1-frac) + v[lo+1]*frac at pos = p*(n-1), NULLs
+    // excluded (the isNotNull filter below — percentile and quantile_cont
+    // both ignore NULLs).
     QueryDef("rel_percentiles",
       (s, d) => {
         // Unpivot the measured columns so ONE window pass ranks both.
@@ -372,6 +378,7 @@ object RelationalQueries {
             struct(lit("q").as("c"), col("l_quantity").as("v")),
             struct(lit("p").as("c"), col("l_extendedprice").as("v")))).as("cv"))
           .select(col("l_returnflag"), col("cv.c").as("c"), col("cv.v").as("v"))
+          .filter(col("v").isNotNull)
         val byV = Window.partitionBy("l_returnflag", "c").orderBy("v")
         // group sizes via a tiny broadcast join rather than a second
         // (unordered, whole-partition-buffering) window pass

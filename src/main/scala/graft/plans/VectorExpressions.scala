@@ -29,13 +29,18 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName: nullSafeCodeGen only scopes the snippet in its own
+      // block when the child is nullable — fixed local names would collide
+      // when two instances land in one generated method (janino error ->
+      // silent interpreted fallback)
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -73,15 +78,19 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: see FloatDotProduct.doGenCode
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -145,24 +154,30 @@ case class RhpTableKeys(child: Expression, planes: Seq[Seq[Float]], bitsPerTable
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("rhpPlanes", planeArr, "float[][]")
     nullSafeCodeGen(ctx, ev, v => {
+      // fresh locals: see FloatDotProduct.doGenCode
+      val nT = ctx.freshName("nTables"); val keys = ctx.freshName("keys")
+      val pi = ctx.freshName("pi"); val t = ctx.freshName("t")
+      val key = ctx.freshName("key"); val b = ctx.freshName("b")
+      val pl = ctx.freshName("pl"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       s"""
-         |int nTables = $planesRef.length / $bitsPerTable;
-         |long[] keys = new long[nTables];
-         |int pi = 0;
-         |for (int t = 0; t < nTables; t++) {
-         |  long key = 0L;
-         |  for (int b = 0; b < $bitsPerTable; b++) {
-         |    float[] pl = $planesRef[pi++];
-         |    int n = java.lang.Math.min(pl.length, $v.numElements());
-         |    double acc = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      acc += (double) pl[i] * (double) $v.getFloat(i);
+         |int $nT = $planesRef.length / $bitsPerTable;
+         |long[] $keys = new long[$nT];
+         |int $pi = 0;
+         |for (int $t = 0; $t < $nT; $t++) {
+         |  long $key = 0L;
+         |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |    float[] $pl = $planesRef[$pi++];
+         |    int $n = java.lang.Math.min($pl.length, $v.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += (double) $pl[$i] * (double) $v.getFloat($i);
          |    }
-         |    if (acc >= 0.0) key |= (1L << b);
+         |    if ($acc >= 0.0) $key |= (1L << $b);
          |  }
-         |  keys[t] = key;
+         |  $keys[$t] = $key;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(keys);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
        """.stripMargin
     })
   }

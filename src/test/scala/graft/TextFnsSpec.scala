@@ -17,6 +17,30 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got(1) == Seq.empty) // shorter than n -> no shingles, no error
   }
 
+  test("tokens has Python str.split() semantics on irregular whitespace") {
+    // reference parity (mapreduce_wc.py uses str.split()): runs of any
+    // whitespace split, leading/trailing whitespace and empty strings yield
+    // no empty tokens. NOTE: the DuckDB oracles use string_split(text, ' '),
+    // equivalent ONLY on the single-space test corpus — this test pins the
+    // Spark-side semantics so a corpus change surfaces here, not as an
+    // opaque oracle hash mismatch.
+    val df = Seq(
+      (0, "a b c"),            // plain
+      (1, "a  b\tc"),          // double space + tab
+      (2, "  a b  "),          // leading/trailing
+      (3, "a\nb\r\nc"),        // newlines
+      (4, ""),                 // empty
+      (5, "   ")               // whitespace only
+    ).toDF("id", "text").select(col("id"), TextFns.tokens(col("text")).as("t"))
+    val got = df.as[(Int, Seq[String])].collect().toMap
+    assert(got(0) == Seq("a", "b", "c"))
+    assert(got(1) == Seq("a", "b", "c"))
+    assert(got(2) == Seq("a", "b"))
+    assert(got(3) == Seq("a", "b", "c"))
+    assert(got(4) == Seq.empty)
+    assert(got(5) == Seq.empty)
+  }
+
   test("minhash coefficients are in-range and deterministic") {
     (0 until 128).foreach { i =>
       val a = TextFns.minhashA(i); val b = TextFns.minhashB(i)
