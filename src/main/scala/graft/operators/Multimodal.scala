@@ -7,12 +7,14 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 /** Multimodal column handling: opaque `binary` payloads with typed metadata,
   * plus a decode/feature-extract stage.
   *
-  * The container has no image/audio codec libraries, so `fakeDecode` below is
-  * a clearly-marked deterministic STUB standing in for a real decoder; the
-  * Spark-side plumbing — binary column, metadata struct, partition-iterator
-  * batch shape, output schema — is real and is what matters at scale: decode
-  * runs per-partition (no shuffle), and the binary column rides along
-  * columnar parquet scans.
+  * Two decode paths: [[decodeWav]] is a REAL decoder (RIFF/WAV PCM-16 is
+  * parseable with pure JVM byte arithmetic — no codec library); formats that
+  * do need external codecs (JPEG/MP3/...) go through `fakeDecode`, a
+  * clearly-marked deterministic STUB (the container has no codec libraries).
+  * Either way the Spark-side plumbing — binary column, metadata struct,
+  * partition-iterator batch shape, output schema — is real and is what
+  * matters at scale: decode runs per-partition (no shuffle), and the binary
+  * column rides along columnar parquet scans.
   */
 object Multimodal {
 
@@ -62,6 +64,72 @@ object Multimodal {
         // rather than an executor-killing NPE mid-pipeline
         val feats = if (bytes == null) Seq.empty[Float] else fakeDecode(bytes, dim).toSeq
         Row.fromSeq(r.toSeq :+ feats)
+      }
+    }
+  }
+
+  /** Decoded WAV metadata + amplitude features. */
+  case class WavInfo(sample_rate: Int, n_channels: Int, n_samples: Long,
+                     duration_s: Double, mean_abs_amplitude: Double)
+
+  /** REAL audio decode for RIFF/WAV PCM-16 payloads — pure JVM byte parsing,
+    * no codec library needed (the clearly-marked [[fakeDecode]] stands in
+    * for formats that DO need one, e.g. JPEG/MP3). Returns null for payloads
+    * that are not valid PCM-16 WAV.
+    *
+    * Header layout (little-endian): "RIFF" _ "WAVE", then chunks; the "fmt "
+    * chunk carries audio_format(16) channels(22) sample_rate(24); the "data"
+    * chunk carries the PCM samples.
+    */
+  private[graft] def decodeWav(bytes: Array[Byte]): WavInfo = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var pos = 12
+    var rate = 0; var channels = 0; var fmt = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= bytes.length && (dataOff < 0 || rate == 0)) {
+      val id = tag(pos); val len = le32(pos + 4)
+      if (id == "fmt " && pos + 16 <= bytes.length) {
+        fmt = le16(pos + 8); channels = le16(pos + 10); rate = le32(pos + 12).toInt
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      // chunks are 2-byte aligned; a corrupt/huge len (negative after toInt)
+      // must terminate the scan, not walk backwards
+      val step = 8 + len.toInt + (len.toInt & 1)
+      if (step <= 8) pos = bytes.length else pos += step
+    }
+    if (rate <= 0 || channels <= 0 || fmt != 1 || dataOff < 0) return null
+    val end = math.min(bytes.length.toLong, dataOff + dataLen).toInt
+    val nSamples = (end - dataOff) / 2 / channels
+    var sum = 0.0
+    var i = dataOff
+    while (i + 1 < end) {
+      sum += math.abs((le16(i) << 16) >> 16) // sign-extend 16-bit sample
+      i += 2
+    }
+    val nVals = (end - dataOff) / 2
+    WavInfo(rate, channels, nSamples, nSamples.toDouble / rate,
+      if (nVals == 0) 0.0 else sum / nVals / 32768.0)
+  }
+
+  /** WAV decode over a binary payload column via mapPartitions (same batch
+    * shape as [[extractFeatures]]); appends a `wav` struct column, null for
+    * non-WAV payloads.
+    */
+  def decodeWavColumn(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    val schema = df.schema.add("wav",
+      org.apache.spark.sql.Encoders.product[WavInfo].schema)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val w = decodeWav(r.getAs[Array[Byte]](idx))
+        val wRow = if (w == null) null
+          else Row(w.sample_rate, w.n_channels, w.n_samples, w.duration_s, w.mean_abs_amplitude)
+        Row.fromSeq(r.toSeq :+ wRow)
       }
     }
   }

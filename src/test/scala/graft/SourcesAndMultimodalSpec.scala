@@ -43,6 +43,37 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(row.getString(1) == "text/plain")
   }
 
+  test("WAV decode parses real RIFF/PCM-16 bytes: rate, channels, duration, amplitude") {
+    // synthesize two valid PCM-16 WAVs byte-by-byte (no codec library):
+    // a constant-amplitude mono signal and a stereo silence
+    def wav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val mono = wav(8000, 1, Array.fill(16000)(16384.toShort))  // 2s, amp 0.5
+    val stereo = wav(44100, 2, Array.fill(882)(0.toShort))     // 10ms silence
+    val df = Seq((1L, mono), (2L, stereo), (3L, "not a wav".getBytes("US-ASCII")))
+      .toDF("id", "content")
+    val out = Multimodal.decodeWavColumn(df)
+      .select("id", "wav.sample_rate", "wav.n_channels", "wav.n_samples",
+        "wav.duration_s", "wav.mean_abs_amplitude")
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(8000), Some(1), Some(16000L), Some(2.0), Some(0.5))))
+    assert(out(1)._2 == Some(44100) && out(1)._3 == Some(2) &&
+      out(1)._4 == Some(441L) && out(1)._6 == Some(0.0))
+    assert(out(2)._2.isEmpty) // non-WAV payload -> null struct, no exception
+  }
+
   test("extractFeatures (stub decode) is deterministic with the right shape") {
     val docs = Seq((1L, "abc", "en", "s", 3L), (2L, "abd", "en", "s", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
