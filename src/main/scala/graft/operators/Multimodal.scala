@@ -134,6 +134,19 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video-like payloads: one row per sampled frame index
+    * (every `stride`-th frame in [0, n_frames)), declaratively via
+    * explode(sequence(...)) so Catalyst plans it without a shuffle; the
+    * per-frame byte extraction then belongs in the per-partition decoder
+    * ([[decodeWavColumn]]-style), keyed by (payload, frame_idx).
+    */
+  def sampleFrames(df: DataFrame, nFramesCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    df.filter(col(nFramesCol) >= 1)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col(nFramesCol).cast("int") - 1, lit(stride))))
+  }
+
   /** Multimodal record assembly: documents joined with their embedding
     * vectors into one struct-typed row (text + vector + metadata). The join
     * key is the shared id; at scale both sides are bucketed on it via

@@ -74,6 +74,16 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(out(2)._2.isEmpty) // non-WAV payload -> null struct, no exception
   }
 
+  test("frame sampling emits every Nth frame index without a shuffle") {
+    val vids = Seq((1L, 10), (2L, 3), (3L, 1), (4L, 0)).toDF("vid_id", "n_frames")
+    val out = Multimodal.sampleFrames(vids, "n_frames", stride = 4)
+      .select("vid_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 0), (1L, 4), (1L, 8), (2L, 0), (3L, 0))) // 0 frames -> no rows
+    val plan = Multimodal.sampleFrames(vids, "n_frames", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("extractFeatures (stub decode) is deterministic with the right shape") {
     val docs = Seq((1L, "abc", "en", "s", 3L), (2L, "abd", "en", "s", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
