@@ -186,6 +186,41 @@ object RelationalQueries {
 
     // orderBy + limit compiles to TakeOrderedAndProject: per-partition top-k,
     // single driver merge — no full sort at scale.
+    // Reproducible sampling — the training-data-pipeline form: a Knuth
+    // multiplicative hash of the key decides membership, so the sample is
+    // (a) deterministic across engines/runs/partitionings (unlike
+    // df.sample's seed+partition-dependent Bernoulli), (b) key-coherent
+    // (all lineitems of a sampled order travel together), and (c) a plain
+    // pushdown-friendly filter — no shuffle, no RNG state. Stratified rates
+    // per l_returnflag via per-stratum thresholds on the same hash.
+    // u = (key * 2654435761) mod 2^32 is uniform-ish on [0, 2^32); products
+    // stay < 2^63 for any conceivable orderkey.
+    QueryDef("rel_sample_hash",
+      (s, d) => {
+        val u = pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L))
+        def cut(f: Double) = lit((f * 4294967296L).toLong)
+        val strat = when(col("l_returnflag") === "R", cut(0.02))
+          .when(col("l_returnflag") === "A", cut(0.05))
+          .otherwise(cut(0.10))
+        T(s, d, "lineitem")
+          .filter(u < strat)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sampled"),
+            count_distinct(col("l_orderkey")).as("n_orders"),
+            sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |       count(*) AS n_sampled,
+             |       count(DISTINCT l_orderkey) AS n_orders,
+             |       sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE (l_orderkey * 2654435761) % 4294967296 <
+             |      CASE l_returnflag WHEN 'R' THEN CAST(0.02 * 4294967296 AS BIGINT)
+             |                        WHEN 'A' THEN CAST(0.05 * 4294967296 AS BIGINT)
+             |                        ELSE CAST(0.10 * 4294967296 AS BIGINT) END
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("rel_topk",
       (s, d) => T(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
