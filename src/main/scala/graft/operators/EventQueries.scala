@@ -87,6 +87,28 @@ object EventQueries {
              |FROM se GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Time-RANGE window frame: rolling 1-hour sum per user — RANGE (all rows
+    // within the last 3599 SECONDS of event time), not ROWS (last N rows);
+    // ties at equal timestamps are frame peers in both engines, so the
+    // frame SET is identical and the rounded sum is representation-stable.
+    QueryDef("win_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+          .rangeBetween(-3599, 0)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 2).as("rolling_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       round(sum(value) OVER (
+             |         PARTITION BY user_id
+             |         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     QueryDef("win_running",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -101,6 +101,27 @@ object RelationalQueries2 {
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): nulls match
+    // nulls — derived nullable keys (nationkey 3 nulled on BOTH sides) make
+    // the semantic difference observable: nation-3 customers pair with the
+    // nulled nation row, which a plain equi-join would drop.
+    QueryDef("rel_join_nullsafe",
+      (s, d) => {
+        val c = T(s, d, "customer")
+          .select(nullif(col("c_nationkey"), lit(3)).as("nk"), col("c_custkey"))
+        val n = T(s, d, "nation")
+          .select(nullif(col("n_nationkey"), lit(3)).as("nk2"), col("n_name"))
+        c.join(broadcast(n), col("nk") <=> col("nk2"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_customers
+             |FROM (SELECT nullif(c_nationkey, 3) AS nk, c_custkey FROM customer) c
+             |JOIN (SELECT nullif(n_nationkey, 3) AS nk2, n_name FROM nation) n
+             |  ON c.nk IS NOT DISTINCT FROM n.nk2
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     QueryDef("fn_string2",
       (s, d) => T(s, d, "part")
         .select(col("p_partkey"),
