@@ -259,6 +259,44 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** Connected components of the near-dup pair graph by iterative min-label
+    * propagation: every doc's label converges to the minimum doc_id in its
+    * component, so keeper = label and every transitive duplicate (a ~ b,
+    * b ~ c => {a,b,c} one group even when a !~ c) maps to the same keeper —
+    * pairwise b_id-dropping would wrongly keep one doc per EDGE view, not
+    * per component. Returns (id, comp).
+    *
+    * Scale notes: the pair graph is tiny relative to the corpus (only docs
+    * with a near-dup edge), each iteration is one join + min-aggregate on
+    * it, and iterations are bounded by graph diameter (near-dup clusters
+    * are shallow; maxIter caps adversarial chains). The 100 TB refinement
+    * of the same fixpoint is large-star/small-star (fewer rounds on
+    * high-diameter graphs); min-label is the straightforward form.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("a_id").as("s"), col("b_id").as("d"))
+    val edges = materialize( // reused every iteration
+      e0.union(e0.select(col("d").as("s"), col("s").as("d"))).distinct())
+    var labels = materialize(
+      edges.select(col("s").as("id")).distinct().select(col("id"), col("id").as("comp")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("d"), col("comp")), "d")
+        .groupBy("s").agg(min(col("comp")).as("ncomp"))
+      val updated = materialize(labels
+        .join(viaNbr.select(col("s").as("id"), col("ncomp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("oldc")))
+      changed = updated.filter(col("comp") < col("oldc")).count()
+      labels = updated.select("id", "comp")
+      it += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= minCos).
     * Brute-force pair comparison with the codegen'd dot product — the
     * correctness BASELINE (O(n^2) pairs, a scale-killer at 100 TB);

@@ -220,6 +220,44 @@ object PipelineQueries {
              |SELECT count(*) AS surviving_docs, CAST(sum(n_chars) AS BIGINT) AS surviving_chars
              |FROM documents WHERE doc_id NOT IN (SELECT b_id FROM dups)""".stripMargin)),
 
+    // Component-level dedup: connected components over the verified near-dup
+    // pair graph, keep the minimum doc_id per component — the transitive
+    // closure semantics (a~b, b~c => one group of three) that pairwise
+    // b_id-dropping (dd_neardup_filter) approximates. The oracle recomputes
+    // the components with a recursive transitive-closure CTE on the exact
+    // pair set.
+    QueryDef("dd_cc_dedup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val labels = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(docs).select("a_id", "b_id"))
+        val dups = labels.filter(col("comp") < col("id")).select(col("id").as("doc_id"))
+        val surv = docs.join(dups, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("surviving_docs"),
+            sum(col("n_chars")).as("surviving_chars"))
+        val comps = labels.agg(
+          count(lit(1)).as("n_graph_docs"),
+          count_distinct(col("comp")).as("n_clusters"))
+        surv.crossJoin(comps)
+      },
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS d FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION
+             |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+             |comp AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s),
+             |surv AS (SELECT count(*) AS surviving_docs,
+             |                CAST(sum(n_chars) AS BIGINT) AS surviving_chars
+             |         FROM documents
+             |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)),
+             |cc AS (SELECT count(*) AS n_graph_docs,
+             |              count(DISTINCT comp) AS n_clusters FROM comp)
+             |SELECT * FROM surv CROSS JOIN cc""".stripMargin)),
+
     // ANN via multi-table random-hyperplane LSH: hash-dependent candidate
     // set (recall < 1 by design) -> rows-only check. Quality gate:
     // SimilaritySpec measures recall@10 vs sim_topk_bruteforce at exactly

@@ -111,6 +111,20 @@ class DedupSpec extends AnyFunSuite {
     assert(found == expected)
   }
 
+  test("connected components: transitive chains collapse to one keeper") {
+    // a~b, b~c (a !~ c) plus a separate pair: components {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain converges too (diameter > 1 iteration's reach)
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cl = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cl.values.toSet == Set(1L) && cl.size == 10)
+    // empty pair set -> empty labels, no loop blowup
+    assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0)).count() == 0)
+  }
+
   test("dedup is idempotent: no pairs among deduplicated docs") {
     val deduped = corpus.join(
       Dedup.ngramJaccardPairs(corpus, minJ = 0.5).select($"b_id".as("doc_id")),
