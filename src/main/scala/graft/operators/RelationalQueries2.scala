@@ -197,6 +197,48 @@ object RelationalQueries2 {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Correlated + scalar subqueries in SQL text: Catalyst rewrites EXISTS
+    // to a left-semi join and the scalar subquery to a broadcast-able
+    // single-row aggregate — the optimizer surface, not just the parser.
+    // Identical SQL runs on both engines.
+    QueryDef("rel_subqueries",
+      (s, d) => {
+        Seq("orders", "customer").foreach(t =>
+          graft.Tables.t(s, d, t).createOrReplaceTempView(s"sq_$t"))
+        s.sql("""SELECT c_custkey, c_acctbal
+                |FROM sq_customer
+                |WHERE EXISTS (SELECT 1 FROM sq_orders
+                |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+                |  AND c_acctbal > (SELECT avg(c_acctbal) FROM sq_customer)
+                |  AND c_custkey NOT IN (SELECT o_custkey FROM sq_orders
+                |                        WHERE o_orderpriority = '1-URGENT'
+                |                          AND o_totalprice > 400000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+             |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_orderpriority = '1-URGENT'
+             |                          AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Hash-function surface: md5 / sha2-256 hex digests agree across
+    // engines (both lowercase hex); xxhash64 is Spark-specific and is
+    // exercised throughout the dedup pipelines instead.
+    QueryDef("fn_hash",
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("name_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("name_sha256"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |       md5(p_name) AS name_md5,
+             |       sha256(p_name) AS name_sha256
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Pure SQL-text surface (spark.sql over registered views) — the same
     // declarative plan Catalyst sees from the DataFrame API.
     QueryDef("rel_sql_text",
