@@ -12,9 +12,8 @@ import scala.collection.immutable.ListMap
   * higher-order functions — no Scala UDFs — so Catalyst keeps pushdown,
   * pruning and (where supported) whole-stage codegen. The reference engine's
   * whitespace tokenizer is `str.split()` (/root/reference/mapreduce_wc.py:4);
-  * the testdata `documents.text` is single-space separated, so a plain
-  * single-space split matches both the reference semantics and the DuckDB
-  * oracle's `string_split(text, ' ')`.
+  * [[tokens]] reproduces those semantics exactly, and the DuckDB oracles
+  * interpolate the equivalent [[tokensSqlDuckDB]] expression.
   */
 object TextFns {
 
@@ -26,12 +25,21 @@ object TextFns {
   /** Whitespace tokenization with Python str.split() semantics (reference
     * parity: mapreduce_wc.py:4): split on runs of ANY whitespace and drop
     * empty tokens, so tabs/newlines/repeated/leading/trailing whitespace
-    * tokenize identically to the reference. (The oracles keep
-    * string_split(text, ' ') — equivalent on the single-space test corpus;
-    * the semantics difference only shows on irregular whitespace.)
+    * tokenize identically to the reference. Every DuckDB oracle uses the
+    * equivalent [[tokensSqlDuckDB]], so engine/oracle parity holds by
+    * construction on ANY corpus (not just the single-space testdata) —
+    * including the empty string (both sides yield an empty list).
     */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** DuckDB expression equivalent to [[tokens]]`(col)` — regexp split on
+    * whitespace runs + empty-token filter. The single source of truth for
+    * oracle-side tokenization: every token-based oracle interpolates this,
+    * so the two tokenizers cannot drift apart query by query.
+    */
+  def tokensSqlDuckDB(textExpr: String): String =
+    s"list_filter(regexp_split_to_array($textExpr, '\\s+'), tok -> length(tok) > 0)"
 
   /** Word n-gram shingles: ["a","b","c","d"] with n=3 -> ["a b c","b c d"].
     * Column-level convenience for small/typed use; hot paths should go

@@ -205,12 +205,26 @@ object Dedup {
   private[graft] def simhash64(docs: DataFrame, n: Int = 3): DataFrame =
     simhashFromHashRows(shingleHashRows(docs, n))
 
-  /** SimHash near-dup pairs: 64-bit simhash, candidates via the 8x8-bit
-    * chunk pigeonhole — a pair differing in hamming <= 7 bits cannot differ
-    * in all 8 chunks, so at least one chunk key is equal and RECALL IS 1 FOR
-    * maxHam <= 7 (pairs at hamming 8..63 are found only if they happen to
-    * agree on some chunk) — verified by hamming <= maxHam AND exact Jaccard
-    * >= minJ.
+  /** SimHash near-dup pairs: 64-bit simhash, candidates via the chunk
+    * pigeonhole, verified by hamming <= maxHam AND exact Jaccard >= minJ.
+    *
+    * Recall bounds (pigeonhole): with c = 64/chunkBits chunks, a pair at
+    * hamming <= c-1 must agree on some chunk — recall 1 up to c-1. With
+    * multiProbe (one side also emits every 1-bit flip of each chunk key), a
+    * chunk collides whenever it differs by <= 1 bit, so if every chunk
+    * differed by >= 2 the total would be >= 2c: recall 1 up to 2c-1. Pairs
+    * beyond the bound are found only if they happen to share a chunk.
+    *
+    * Candidate-volume asymptotics (the cost side of the same dial, for a
+    * corpus of n_docs random-ish simhashes): expected RANDOM chunk
+    * collisions ~ n_docs^2 * c / 2^chunkBits.
+    *  - chunkBits=8 (8x8, default): bound ham<=7, volume ~n^2 * 8/256 =
+    *    n^2/32 — effectively quadratic on large corpora; fine at test scale,
+    *    NOT the 100 TB configuration.
+    *  - chunkBits=16 + multiProbe (the scale config): the SAME ham<=7 bound
+    *    (2c-1 with c=4), volume ~n^2 * 4*17/65536 ~= n^2/964 — 30x fewer
+    *    random candidates for 17x emitted probe rows (rows are cheap,
+    *    candidate verification is not).
     *
     * Candidate generation is a codegen'd self-join on (chunk, key) with the
     * hamming filter inline in the join condition: low-entropy corpora create
@@ -218,7 +232,11 @@ object Dedup {
     * materializing per-bucket pair arrays.
     */
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHam: Int = 3,
-                   minJ: Double = 0.8): DataFrame = {
+                   minJ: Double = 0.8, chunkBits: Int = 8,
+                   multiProbe: Boolean = false): DataFrame = {
+    require(64 % chunkBits == 0, s"chunkBits must divide 64, got $chunkBits")
+    val nChunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
     // SimHash over the n-gram SHINGLE features (not unigram tokens): on a
     // small vocabulary most documents share nearly identical token sets, so
     // token-level simhashes collapse and every pair becomes a candidate;
@@ -227,14 +245,25 @@ object Dedup {
     // exact-Jaccard verification sets (mod-p hash, as in MinHash).
     val hrows = materialize(shingleHashRows(docs, n)) // consumed by verify sets + bit counts
     val hashed = materialize(simhashFromHashRows(hrows)) // both chunk-join sides
+    def chunkKey(c: Int) = shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))
     val chunks = hashed.select(col("doc_id"), col("sim"),
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL)).as("key"))): _*)).as("ck"))
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("chunk"), chunkKey(c).as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    // Probe side: exact key plus (with multiProbe) every 1-bit flip — the
+    // flips go on ONE side only, which suffices for <=1-bit chunk collision.
+    val probes = if (!multiProbe) chunks else {
+      val variants = (0 until nChunks).flatMap { c =>
+        val base = chunkKey(c)
+        (base +: (0 until chunkBits).map(b => base.bitwiseXOR(lit(1L << b))))
+          .map(k => struct(lit(c).as("chunk"), k.as("key")))
+      }
+      hashed.select(col("doc_id"), col("sim"), explode(array(variants: _*)).as("ck"))
+        .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    }
     val cand = chunks
       .select(col("chunk"), col("key"), col("doc_id").as("a_id"), col("sim").as("sima"))
-      .join(chunks.select(col("chunk"), col("key"), col("doc_id").as("b_id"), col("sim").as("simb")),
+      .join(probes.select(col("chunk"), col("key"), col("doc_id").as("b_id"), col("sim").as("simb")),
         Seq("chunk", "key"))
       .filter(col("a_id") < col("b_id") &&
         TextFns.hamming(col("sima"), col("simb")) <= maxHam)
@@ -272,6 +301,12 @@ object Dedup {
     * are shallow; maxIter caps adversarial chains). The 100 TB refinement
     * of the same fixpoint is large-star/small-star (fewer rounds on
     * high-diameter graphs); min-label is the straightforward form.
+    *
+    * Convergence is VERIFIED, not assumed: label propagation advances one
+    * hop per iteration, so a component whose diameter exceeds maxIter would
+    * exit with labels that are silently wrong (docs of one component split
+    * across several keepers). If the loop hits maxIter with changes still
+    * in flight the operator throws instead of returning bad labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col("a_id").as("s"), col("b_id").as("d"))
@@ -294,6 +329,11 @@ object Dedup {
       labels = updated.select("id", "comp")
       it += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — component diameter exceeds maxIter; " +
+          "raise maxIter or switch to the large-star/small-star variant")
     labels
   }
 

@@ -25,7 +25,7 @@ object PipelineQueries {
     * oracle that needs it (change the shingle definition here only).
     */
   private val jaccardCtes =
-    """tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |              unnest(list_transform(generate_series(1, len(t) - 2),
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s

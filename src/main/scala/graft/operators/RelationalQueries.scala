@@ -114,13 +114,13 @@ object RelationalQueries {
         T(s, d, "lineitem").agg(
           count_distinct(col("l_partkey")).as("exact_parts"),
           count_distinct(col("l_orderkey")).as("exact_orders"),
-          ok("l_partkey").as("parts_within_5pct"),
-          ok("l_orderkey").as("orders_within_5pct"))
+          ok("l_partkey").as("parts_within_band"),
+          ok("l_orderkey").as("orders_within_band"))
       },
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
              |       count(DISTINCT l_orderkey) AS exact_orders,
-             |       TRUE AS parts_within_5pct,
-             |       TRUE AS orders_within_5pct
+             |       TRUE AS parts_within_band,
+             |       TRUE AS orders_within_band
              |FROM lineitem""".stripMargin)),
 
     // Broadcast-hash join: dimension tables are tiny at every SF.
@@ -193,11 +193,16 @@ object RelationalQueries {
     // (all lineitems of a sampled order travel together), and (c) a plain
     // pushdown-friendly filter — no shuffle, no RNG state. Stratified rates
     // per l_returnflag via per-stratum thresholds on the same hash.
-    // u = (key * 2654435761) mod 2^32 is uniform-ish on [0, 2^32); products
-    // stay < 2^63 for any conceivable orderkey.
+    // u = ((key & (2^31-1)) * 2654435761) mod 2^32 is uniform-ish on
+    // [0, 2^32). The 31-bit mask keeps the product < 2^62 — no signed-64
+    // overflow for ANY orderkey (unmasked, keys past ~3.47e9 would wrap in
+    // Spark but raise in ANSI engines, breaking cross-engine determinism);
+    // key-coherence is untouched since the mask is itself a pure key
+    // function.
     QueryDef("rel_sample_hash",
       (s, d) => {
-        val u = pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L))
+        val u = pmod(col("l_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
+          lit(4294967296L))
         def cut(f: Double) = lit((f * 4294967296L).toLong)
         val strat = when(col("l_returnflag") === "R", cut(0.02))
           .when(col("l_returnflag") === "A", cut(0.05))
@@ -215,7 +220,7 @@ object RelationalQueries {
              |       count(DISTINCT l_orderkey) AS n_orders,
              |       sum(l_quantity) AS sum_qty
              |FROM lineitem
-             |WHERE (l_orderkey * 2654435761) % 4294967296 <
+             |WHERE ((l_orderkey & 2147483647) * 2654435761) % 4294967296 <
              |      CASE l_returnflag WHEN 'R' THEN CAST(0.02 * 4294967296 AS BIGINT)
              |                        WHEN 'A' THEN CAST(0.05 * 4294967296 AS BIGINT)
              |                        ELSE CAST(0.10 * 4294967296 AS BIGINT) END

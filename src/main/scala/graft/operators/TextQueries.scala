@@ -15,11 +15,16 @@ object TextQueries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** DuckDB tokenizer matching TextFns.tokens (whitespace runs, empties
+    * dropped) — interpolated into every token-based oracle below.
+    */
+  private val tk = TextFns.tokensSqlDuckDB("text")
+
   /** Shared oracle for the word-count shape: used by both the DataFrame plan
     * and the typed facade (they must agree with each other AND the oracle).
     */
   private val wordCountSql =
-    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    s"""WITH toks AS (SELECT unnest($tk) AS word FROM documents)
       |SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0
       |GROUP BY word ORDER BY word""".stripMargin
 
@@ -31,8 +36,8 @@ object TextQueries {
 
     QueryDef("tx_inverted_index",
       (s, d) => TextAnalysis.invertedIndex(T(s, d, "documents")).orderBy("word"),
-      Some("""WITH pairs AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      Some(s"""WITH pairs AS (
+             |  SELECT doc_id, unnest($tk) AS word FROM documents)
              |SELECT word,
              |       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_list,
              |       count(DISTINCT doc_id) AS n_docs
@@ -52,7 +57,7 @@ object TextQueries {
 
     QueryDef("tx_token_stats",
       (s, d) => TextAnalysis.tokenStats(T(s, d, "documents")).orderBy("doc_id"),
-      Some("""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents)
              |SELECT doc_id,
              |       CAST(len(t) AS BIGINT) AS n_tokens,
              |       CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
@@ -65,8 +70,8 @@ object TextQueries {
     // lookahead — documented simplification).
     QueryDef("tx_bpe_count",
       (s, d) => TextAnalysis.bpeTokenCount(T(s, d, "documents")).orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      Some(s"SELECT doc_id,\n       CAST(len($tk) AS BIGINT) AS n_ws_tokens," +
+        """
              |       CAST(len(regexp_extract_all(text,
              |            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
              |            AS BIGINT) AS n_bpe_tokens
@@ -86,7 +91,7 @@ object TextQueries {
           val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
           s"WHEN $ge THEN '$l'"
         }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-        s"""WITH tt AS (SELECT doc_id, lang AS actual_lang, string_split(text, ' ') AS t FROM documents),
+        s"""WITH tt AS (SELECT doc_id, lang AS actual_lang, $tk AS t FROM documents),
            |scored AS (
            |  SELECT doc_id, actual_lang,
            |       $scoreCols
@@ -97,7 +102,7 @@ object TextQueries {
 
     QueryDef("tx_quality",
       (s, d) => TextAnalysis.quality(T(s, d, "documents")).orderBy("doc_id"),
-      Some("""WITH tt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+      Some(s"""WITH tt AS (SELECT doc_id, lang, text, $tk AS t FROM documents)
              |SELECT doc_id, lang,
              |       CAST(len(t) AS BIGINT) AS n_tokens,
              |       CAST(length(text) AS BIGINT) AS n_chars,
@@ -108,19 +113,20 @@ object TextQueries {
 
     QueryDef("tx_fingerprint",
       (s, d) => TextAnalysis.fingerprint(T(s, d, "documents")).orderBy("doc_id"),
-      Some("""WITH pos AS (
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |pos AS (
              |  SELECT doc_id,
-             |         unnest(string_split(text, ' ')) AS w,
-             |         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
-             |  FROM documents)
+             |         unnest(t) AS w,
+             |         unnest(generate_series(1, len(t))) AS i
+             |  FROM tt)
              |SELECT doc_id,
              |       CAST(sum(((i * 31 + 7) * (length(w) * 17 + ascii(w))) % 2147483647) % 2147483647 AS BIGINT) AS fp
              |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("tx_tfidf",
       (s, d) => TextAnalysis.tfidf(T(s, d, "documents")).orderBy("doc_id", "word"),
-      Some("""WITH pairs AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      Some(s"""WITH pairs AS (
+             |  SELECT doc_id, unnest($tk) AS word FROM documents),
              |tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs WHERE length(word) > 0 GROUP BY 1, 2),
              |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM pairs WHERE length(word) > 0 GROUP BY 1),
              |n AS (SELECT count(*) AS n_docs FROM documents)

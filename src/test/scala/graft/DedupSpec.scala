@@ -111,6 +111,32 @@ class DedupSpec extends AnyFunSuite {
     assert(found == expected)
   }
 
+  test("simhash scale config (16-bit chunks + multi-probe) equals 8x8 at the shared bound") {
+    // Both configs guarantee recall 1 at hamming <= 7 (8 chunks exact; 4
+    // chunks with 1-bit probes => 2c-1 = 7), and the verification filter
+    // caps at maxHam, so their VERIFIED outputs are the same deterministic
+    // set — the scale config trades 17x probe rows for ~30x fewer random
+    // chunk collisions (see simhashPairs scaladoc).
+    val small = Dedup.simhashPairs(corpus, maxHam = 7, minJ = 0.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val scale = Dedup.simhashPairs(corpus, maxHam = 7, minJ = 0.0,
+        chunkBits = 16, multiProbe = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(small.nonEmpty)
+    assert(scale == small,
+      s"configs disagree (missing=${small -- scale}, extra=${scale -- small})")
+  }
+
+  test("connected components: throws instead of returning non-converged labels") {
+    // chain of diameter 9 cannot converge in 3 one-hop iterations — the
+    // operator must fail loudly, never silently return split components
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components: transitive chains collapse to one keeper") {
     // a~b, b~c (a !~ c) plus a separate pair: components {1,2,3} and {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

@@ -20,10 +20,9 @@ class TextFnsSpec extends AnyFunSuite {
   test("tokens has Python str.split() semantics on irregular whitespace") {
     // reference parity (mapreduce_wc.py uses str.split()): runs of any
     // whitespace split, leading/trailing whitespace and empty strings yield
-    // no empty tokens. NOTE: the DuckDB oracles use string_split(text, ' '),
-    // equivalent ONLY on the single-space test corpus — this test pins the
-    // Spark-side semantics so a corpus change surfaces here, not as an
-    // opaque oracle hash mismatch.
+    // no empty tokens. The DuckDB oracles interpolate
+    // TextFns.tokensSqlDuckDB — the regexp split + empty filter with these
+    // exact semantics — so parity holds on any corpus by construction.
     val df = Seq(
       (0, "a b c"),            // plain
       (1, "a  b\tc"),          // double space + tab
