@@ -54,4 +54,27 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         rightCols.map(c => col(s"__match.$c").as(s"matched_$c")): _*)
   }
+
+  /** Native-operator form: plans a [[graft.plans.AsofJoin]] logical node,
+    * executed by [[graft.plans.AsofJoinExec]]'s single-pass partition merge
+    * (vs this object's union+window composition — same semantics, same
+    * oracle, different physical strategy; see the exec's scaladoc for the
+    * scale comparison). Column names must be disjoint across the two sides
+    * (pre-rename the right side); the strategy is auto-registered.
+    */
+  def asofNative(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val spark = left.sparkSession
+    bridge.ensureStrategy(spark, new graft.plans.AsofJoinStrategy)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    bridge.ofRows(spark, graft.plans.AsofJoin(lp, rp,
+      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+      attr(lp, leftTs), attr(rp, rightTs)))
+  }
 }

@@ -168,6 +168,32 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p_event_id""".stripMargin)),
 
+    // Same point-in-time lookup through the native Catalyst operator
+    // (graft.plans.AsofJoin → AsofJoinExec single-pass partition merge)
+    // instead of the union+window composition — same DuckDB ASOF oracle
+    // gates both physical strategies.
+    QueryDef("ts_asof_native",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"))
+        AsofJoin.asofNative(purchases, clicks, "user_id", "c_user_id", "ts", "cts")
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            col("click_id").as("click_event_id"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("cts"))).as("gap_s"))
+          .orderBy("p_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             |       c.event_id AS click_event_id,
+             |       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_s
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p_event_id""".stripMargin)),
+
     QueryDef("fn_datetime",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") < 500)

@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("float_cosine"),
       info("float_cosine", "float_cosine(a, b) - fused single-pass cosine similarity"),
       (args: Seq[Expression]) => FloatCosineSimilarity(args(0), args(1))))
+    // the native as-of join ([[AsofJoinStrategy]]) — sessions built without
+    // extensions get it lazily via AsofJoin.asofNative's ensureStrategy
+    ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
     ext.injectFunction((FunctionIdentifier("rhp_table_keys"),
       info("rhp_table_keys",
         "rhp_table_keys(vec, dim, bitsPerTable, tables) - multi-table RHP-LSH bucket keys"),

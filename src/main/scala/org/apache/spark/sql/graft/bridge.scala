@@ -2,6 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between catalyst Expressions and the public (node-based, Spark 4)
@@ -13,4 +14,19 @@ object bridge {
   /** Register an expression builder for SQL use in this session. */
   def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Wrap a (resolved) logical plan as a DataFrame — the construction hook
+    * for custom logical operators (e.g. graft.plans.AsofJoin).
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Ensure a planner strategy is active in this session (idempotent) —
+    * covers ad-hoc sessions built without GraftExtensions.
+    */
+  def ensureStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.exists(_.getClass == strategy.getClass))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
 }

@@ -30,6 +30,65 @@ class AsofAndSkewSpec extends AnyFunSuite {
     assert(got.contains(42.0))
   }
 
+  test("native asof join picks the latest right row at or before each left row") {
+    val trades = Seq((1L, ts(5), "t1"), (1L, ts(10), "t2"), (2L, ts(3), "t3"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq((1L, ts(4), 100.0), (1L, ts(9), 110.0), (1L, ts(11), 120.0))
+      .toDF("qkey", "qts", "px")
+    val got = AsofJoin.asofNative(trades, quotes, "key", "qkey", "ts", "qts")
+      .select($"trade", $"px").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("t1" -> Some(100.0), "t2" -> Some(110.0), "t3" -> None))
+  }
+
+  test("native asof join: <= match, null keys/times never match, ties take max payload") {
+    val l = Seq(
+      (Some(1L), Some(ts(5)), "exact"),   // right row at exactly ts(5) matches
+      (Some(1L), Some(ts(6)), "tie"),     // two right rows at ts(5): max px wins
+      (None, Some(ts(9)), "nullkey"),     // NULL key never matches
+      (Some(1L), None, "nullts"))         // NULL left time never matches
+      .toDF("key", "ts", "tag")
+    val r = Seq(
+      (Some(1L), Some(ts(5)), Some(42.0)),
+      (Some(1L), Some(ts(5)), Some(43.0)),
+      (Some(1L), None, Some(99.0)),       // NULL right time never matches
+      (Option.empty[Long], Some(ts(1)), Some(77.0))) // NULL right key never matches
+      .toDF("qkey", "qts", "px")
+    val got = AsofJoin.asofNative(l, r, "key", "qkey", "ts", "qts")
+      .select($"tag", $"px").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("exact" -> Some(43.0), "tie" -> Some(43.0),
+      "nullkey" -> None, "nullts" -> None))
+  }
+
+  test("native asof join equals the composed union+window asof on events") {
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"), $"ts".as("cts"))
+    val composed = AsofJoin.asof(purchases, clicks, "user_id", "ts", Seq("click_id", "cts"))
+      .select($"event_id", $"matched_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val clicksR = clicks.select($"user_id".as("c_user_id"), $"cts", $"click_id")
+    val native = AsofJoin.asofNative(purchases, clicksR, "user_id", "c_user_id", "ts", "cts")
+      .select($"event_id", $"click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("native asof join plan shuffles both sides on the key exactly once") {
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user_id"), $"ts".as("cts"), $"event_id".as("click_id"))
+    val plan = AsofJoin.asofNative(l, r, "user_id", "c_user_id", "ts", "cts")
+      .queryExecution.executedPlan
+    val s = plan.toString
+    // physical nodes print without the Exec suffix
+    assert(s.contains("AsofJoin ["), s)
+    assert(s.linesIterator.count(_.contains("Exchange")) == 2, s)
+  }
+
   test("salted join equals plain join") {
     val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
     val o = Tables.t(spark, "/root/testdata/sf0.001", "orders")
