@@ -345,6 +345,28 @@ object RelationalQueries {
              |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
              |WHERE rn <= 10 ORDER BY c_mktsegment, rn""".stripMargin)),
 
+    // Per-group top-k with ONLY row_number + filter: unlike win_rank (whose
+    // ntile needs the whole partition), this shape triggers Catalyst's
+    // InferWindowGroupLimit — a partial WindowGroupLimit prunes each map
+    // partition to k rows per group BEFORE the shuffle, so shuffle volume is
+    // O(groups·k) instead of O(rows). PlanQualitySpec asserts the pushdown.
+    QueryDef("win_group_topk",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(row_number() OVER (PARTITION BY o_custkey
+             |              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
     QueryDef("fn_string",
       (s, d) => T(s, d, "customer")
         .select(
@@ -410,6 +432,23 @@ object RelationalQueries {
     // value(p) = v[lo]*(1-frac) + v[lo+1]*frac at pos = p*(n-1), NULLs
     // excluded (the isNotNull filter below — percentile and quantile_cont
     // both ignore NULLs).
+    // median()/mode() aggregates — both engines native. mode(l_linenumber)
+    // is deterministic on this data: linenumber counts decrease strictly
+    // from 1 (TPC-H-ish 1..7 per-order lines), so the max is unique.
+    QueryDef("rel_median_mode",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          median(col("l_extendedprice")).as("med_price"),
+          mode(col("l_linenumber")).as("mode_line"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       median(l_quantity) AS med_qty,
+             |       median(l_extendedprice) AS med_price,
+             |       mode(l_linenumber) AS mode_line
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("rel_percentiles",
       (s, d) => {
         // Unpivot the measured columns so ONE window pass ranks both.

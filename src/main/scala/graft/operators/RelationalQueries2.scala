@@ -145,6 +145,25 @@ object RelationalQueries2 {
              |       string_split(p_name, ' ')[1] AS first_word
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Regex function family: anchored extract, global replace (Spark's
+    // default; DuckDB needs the 'g' flag), boolean rlike, and match count.
+    QueryDef("fn_regexp",
+      (s, d) => T(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          col("p_name").rlike("r.ng").as("has_ring"),
+          expr("regexp_count(p_name, '[aeiou]')").cast("bigint").as("vowels"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             |       regexp_matches(p_name, 'r.ng') AS has_ring,
+             |       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS vowels,
+             |       regexp_extract(p_type, '^(\w+)', 1) AS type_head
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     QueryDef("fn_bitwise",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") < 1000)

@@ -133,6 +133,42 @@ object TextQueries {
              |SELECT doc_id, word, tf, df,
              |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
              |FROM tf JOIN df USING (word) CROSS JOIN n
-             |ORDER BY doc_id, word""".stripMargin))
+             |ORDER BY doc_id, word""".stripMargin)),
+
+    // End-to-end training-data curation pipeline in one declarative plan:
+    // quality-score → filter (tokens >= 5, stopword ratio >= 5%) → exact
+    // dedup among survivors (min doc_id per text) → corpus summary. At
+    // scale this is one scan + one groupBy(text-hash) shuffle + a scalar
+    // agg — each stage is a pipeline stage Catalyst fuses, nothing
+    // materializes between them.
+    QueryDef("tx_pipeline_e2e",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val q = TextAnalysis.quality(docs)
+        val kept = docs.select("doc_id", "text")
+          .join(q.filter(col("n_tokens") >= 5 && col("stopword_ratio") >= 0.05)
+            .select("doc_id", "n_tokens"), "doc_id")
+        val deduped = kept.groupBy("text")
+          .agg(min("doc_id").as("doc_id"), max("n_tokens").as("n_tokens"))
+        deduped.agg(
+          count(lit(1)).as("unique_kept"),
+          sum("n_tokens").as("tokens_kept"),
+          round(avg("n_tokens"), 4).as("avg_tokens"))
+          .crossJoin(docs.agg(count(lit(1)).as("total_docs")))
+          .crossJoin(kept.agg(count(lit(1)).as("quality_kept")))
+          .select("total_docs", "quality_kept", "unique_kept", "tokens_kept", "avg_tokens")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, text, $tk AS t FROM documents),
+             |q AS (SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+             |        round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / len(t), 4) AS sr
+             |      FROM tt),
+             |kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND sr >= 0.05),
+             |dedup AS (SELECT min(doc_id) AS doc_id, max(n_tokens) AS n_tokens FROM kept GROUP BY text)
+             |SELECT (SELECT count(*) FROM documents) AS total_docs,
+             |       (SELECT count(*) FROM kept) AS quality_kept,
+             |       count(*) AS unique_kept,
+             |       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+             |       round(avg(n_tokens), 4) AS avg_tokens
+             |FROM dedup""".stripMargin))
   )
 }

@@ -33,6 +33,22 @@ class FormatsSpec extends AnyFunSuite {
       sample.orderBy("id").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows, types, and pushes filters") {
+    val dir = Files.createTempDirectory("orc").toString + "/out"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    li.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    val filtered = back.filter($"l_quantity" > 40.0)
+    assert(filtered.count() == li.filter($"l_quantity" > 40.0).count())
+    // ORC scans take pushed filters just like parquet
+    val p = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity,40.0)"), p)
+  }
+
   test("bucketed tables join on the bucket key without any exchange") {
     import graft.sources.BucketedSink
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -34,6 +34,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("tx_wordcount").contains("partial_count"))
   }
 
+  test("per-group top-k prunes map-side via partial WindowGroupLimit") {
+    val p = plan("win_group_topk")
+    // Partial mode runs before the shuffle (map-side k-per-group prune),
+    // Final after — shuffle volume is O(groups·k), not O(rows).
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial") && p.contains("Final"), p)
+  }
+
   test("minhash signature is a codegen partial_min battery, not ObjectHashAggregate") {
     // The full query materializes this stage eagerly (localCheckpoint), so
     // assert the aggregate shape on the signature pipeline itself: 128 min
