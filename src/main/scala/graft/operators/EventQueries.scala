@@ -194,6 +194,38 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p_event_id""".stripMargin)),
 
+    // Bounded-interval join via time-bucketed equi-join (IntervalJoin):
+    // clicks within 30 minutes after each purchase, counted per purchase.
+    // Oracle is the naive inequality LEFT JOIN; the Spark plan is the
+    // scale path — explode intervals into 10-minute buckets, hash-join on
+    // (user, bucket), refine exactly. PlanQualitySpec asserts no
+    // nested-loop join survives.
+    QueryDef("ts_interval_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            col("ts").as("p_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+            col("event_id").as("c_event_id"))
+        val matched = IntervalJoin.pointInInterval(purchases, clicks,
+          "user_id", "c_user_id", "p_ts", "p_end", "c_ts", bucketSeconds = 600L)
+          .groupBy("p_event_id").agg(count(lit(1)).as("n_clicks"))
+        purchases.select("p_event_id", "user_id")
+          .join(matched, Seq("p_event_id"), "left")
+          .select(col("p_event_id"), col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("p_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             |       count(c.event_id) AS n_clicks
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     QueryDef("fn_datetime",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") < 500)

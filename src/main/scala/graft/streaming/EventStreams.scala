@@ -53,6 +53,22 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(dedupCol)
 
+  /** Stream-stream bounded-interval join: clicks within `maxSpan` after
+    * each purchase, per user — the streaming twin of
+    * [[graft.operators.IntervalJoin]]'s batch bucketed plan. Structured
+    * Streaming handles the binning itself: the time-range conjunct plus
+    * watermarks on BOTH sides bound each side's join state (a purchase can
+    * stop waiting once the click watermark passes p_ts + maxSpan), so
+    * state is O(events inside the watermark horizon), not unbounded.
+    * Expects columns (p_id, user_id, p_ts) and (c_id, c_user_id, c_ts).
+    */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   maxSpan: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_ts", watermark)
+      .join(clicks.withWatermark("c_ts", watermark),
+        expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"))
+
   /** Running per-user totals via arbitrary stateful processing
     * (`mapGroupsWithState`) — the custom-state surface for logic that
     * windowed aggregation can't express. State is one (count, sum) pair per

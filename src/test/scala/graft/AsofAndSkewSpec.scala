@@ -89,6 +89,39 @@ class AsofAndSkewSpec extends AnyFunSuite {
     assert(s.linesIterator.count(_.contains("Exchange")) == 2, s)
   }
 
+  test("bucketed interval join equals the naive inequality join") {
+    import graft.operators.IntervalJoin
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+        ($"ts" + expr("INTERVAL 30 MINUTES")).as("p_end"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user_id"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val bucketed = IntervalJoin.pointInInterval(purchases, clicks,
+      "user_id", "c_user_id", "p_ts", "p_end", "c_ts", bucketSeconds = 600L)
+      .select($"p_id", $"c_id").as[(Long, Long)].collect().toSet
+    val naive = purchases.join(clicks,
+      $"user_id" === $"c_user_id" && $"c_ts" >= $"p_ts" && $"c_ts" <= $"p_end")
+      .select($"p_id", $"c_id").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(bucketed == naive)
+  }
+
+  test("bucketed interval join plans as an equi-join, not a nested loop") {
+    import graft.operators.IntervalJoin
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+        ($"ts" + expr("INTERVAL 30 MINUTES")).as("p_end"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user_id"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val p = IntervalJoin.pointInInterval(purchases, clicks,
+      "user_id", "c_user_id", "p_ts", "p_end", "c_ts", bucketSeconds = 600L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("salted join equals plain join") {
     val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
     val o = Tables.t(spark, "/root/testdata/sf0.001", "orders")

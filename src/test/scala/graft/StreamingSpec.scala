@@ -64,6 +64,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the span, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pIn.toDF().toDF("p_id", "user_id", "p_ts")
+    val clicks = cIn.toDF().toDF("c_id", "c_user_id", "c_ts")
+    val q = EventStreams.intervalJoin(purchases, clicks)
+      .select($"p_id", $"c_id")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      pIn.addData((100L, 1L, ts(5)), (101L, 2L, ts(5)))
+      cIn.addData(
+        (200L, 1L, ts(10)),  // user 1, 5 min after purchase -> match
+        (201L, 1L, ts(40)),  // user 1, 35 min after -> outside 30-min span
+        (202L, 2L, ts(4)),   // user 2, before the purchase -> no match
+        (203L, 3L, ts(6)))   // user 3 never purchased -> no match
+      q.processAllAvailable()
+      val got = spark.table("ij").as[(Long, Long)].collect().toSet
+      assert(got == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
