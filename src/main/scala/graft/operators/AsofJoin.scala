@@ -36,10 +36,20 @@ object AsofJoin {
       Seq(col(key), col(ts), lit(1).as("__side"), lit(null).cast(
         right.select(payload).schema.head.dataType.sql).as("__r")) ++
         leftCols.filterNot(c => c == key || c == ts).map(col): _*)
-    val r = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__r")) ++
-        leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // SQL join semantics: a NULL-keyed or NULL-timed right row can never be
+    // anyone's match — drop them before the union. (Unfiltered, a NULL key
+    // would still group with NULL-keyed left rows in the window partition,
+    // and a NULL ts would sort NULLS FIRST and be carried as a bogus
+    // "preceding" match.) Left rows with NULL key/ts then fall out
+    // unmatched for free: their partition holds no right rows / no right
+    // row precedes them. AsofPropertySpec pins this against the native
+    // operator and an in-Scala reference on randomized null-heavy data.
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(
+        Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__r")) ++
+          leftCols.filterNot(c => c == key || c == ts)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // __r as the final sort key: among right rows sharing (key, ts), ties
     // are broken by the payload struct's field-wise order, so the carried
     // match is deterministic (the max payload) instead of partition-order

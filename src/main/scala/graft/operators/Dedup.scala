@@ -60,11 +60,26 @@ object Dedup {
   /** Materialize a frame that the downstream DAG consumes more than once.
     * Spark recomputes a DataFrame per use; for the dedup operators the
     * shared shingle/signature intermediates feed 2-3 consumers, so one
-    * explicit materialization beats re-running the pipeline. localCheckpoint
-    * is the local-mode stand-in for `persist(StorageLevel.DISK_ONLY)` +
-    * checkpointing on a cluster (same pattern, executor-local storage).
+    * explicit materialization beats re-running the pipeline.
+    *
+    * The strategy is session-configurable via `spark.graft.materialize`:
+    *  - `localCheckpoint` (default): eager, executor-local, truncates
+    *    lineage — fastest and plan-stable, right for single-JVM/local mode,
+    *    but a lost executor at cluster scale fails the job instead of
+    *    recomputing.
+    *  - `checkpoint`: reliable checkpoint to `spark.checkpoint.dir` —
+    *    the fault-tolerant cluster setting (survives executor loss).
+    *  - `persist`: DISK_ONLY cache, lineage kept — recomputable on
+    *    executor loss without a checkpoint dir, at the cost of carrying
+    *    the full lineage through planning.
     */
-  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.materialize")
+      .getOrElse("localCheckpoint") match {
+      case "checkpoint" => df.checkpoint()
+      case "persist"    => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case _            => df.localCheckpoint()
+    }
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ). Pair
     * generation via shingle equi-join (only docs sharing a shingle are ever

@@ -123,6 +123,52 @@ object RelationalQueries {
              |       TRUE AS orders_within_band
              |FROM lineitem""".stripMargin)),
 
+    // Mergeable sketches — THE re-aggregation pattern at 100 TB: build one
+    // HLL sketch per shard (nation), then roll shards up to region by
+    // sketch UNION, never re-touching the raw rows. The estimate is gated
+    // with the same 15% band-boolean trick as rel_approx_distinct (exact
+    // counts come along for the oracle hash).
+    QueryDef("rel_hll_merge",
+      (s, d) => {
+        val nation = T(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+        val perNation = T(s, d, "customer")
+          .groupBy("c_nationkey")
+          .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+        val est = perNation
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_regionkey")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = T(s, d, "customer")
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_regionkey")
+          .agg(count_distinct(col("c_custkey")).as("exact_custs"))
+        exact.join(est, Seq("n_regionkey"))
+          .select(col("n_regionkey"), col("exact_custs"),
+            (abs(col("est") - col("exact_custs")) <=
+              col("exact_custs").cast("double") * 0.15).as("within_band"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(DISTINCT c_custkey) AS exact_custs,
+             |       TRUE AS within_band
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // approx_percentile (positional-error quantile sketch) banded against
+    // the exact median: |approx - exact| must stay within 2% of exact.
+    QueryDef("rel_approx_quantile",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          median(col("l_extendedprice")).as("exact_med"),
+          (abs(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            - median(col("l_extendedprice")))
+            <= median(col("l_extendedprice")) * 0.02).as("within_band"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, median(l_extendedprice) AS exact_med,
+             |       TRUE AS within_band
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Broadcast-hash join: dimension tables are tiny at every SF.
     QueryDef("rel_join_broadcast",
       (s, d) => T(s, d, "customer")

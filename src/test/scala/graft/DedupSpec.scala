@@ -35,6 +35,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((3L, 100L), (7L, 101L), (5L, 102L)))
   }
 
+  test("materialize strategies (persist/checkpoint) give identical results") {
+    val expected = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    try {
+      spark.conf.set("spark.graft.materialize", "persist")
+      assert(Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet == expected)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      spark.conf.set("spark.graft.materialize", "checkpoint")
+      assert(Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet == expected)
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
+
   test("minhash LSH recovers the same pairs as exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
