@@ -78,6 +78,7 @@ object AsofJoin {
     import org.apache.spark.sql.graft.bridge
     val spark = left.sparkSession
     bridge.ensureStrategy(spark, new graft.plans.AsofJoinStrategy)
+    bridge.ensureOptimizerRule(spark, graft.plans.PushFilterThroughAsofJoin)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =

@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
@@ -45,6 +46,37 @@ case class AsofJoin(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: push deterministic left-side-only filter conjuncts
+  * through the [[AsofJoin]] node into its left child. Catalyst's own
+  * pushdown rules stop at unknown logical nodes, so without this a
+  * `result.filter(...)` above an as-of join would scan the full left table.
+  * Safe because the join is left-outer row-preserving: each left row yields
+  * exactly one output row whose left-side columns are untouched, so
+  * filtering left rows before or after the join is identical. Right-side
+  * conjuncts are NOT pushable (they see post-match nullable columns) and
+  * stay above. Once below, FileSourceStrategy carries the filter into the
+  * scan's PushedFilters as usual (asserted in PlanQualitySpec).
+  */
+object PushFilterThroughAsofJoin extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other     => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoin) =>
+      val (push, keep) = conjuncts(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Planner strategy mapping the logical [[AsofJoin]] to [[AsofJoinExec]]. */

@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the native as-of join ([[AsofJoinStrategy]]) — sessions built without
     // extensions get it lazily via AsofJoin.asofNative's ensureStrategy
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
     ext.injectFunction((FunctionIdentifier("rhp_table_keys"),
       info("rhp_table_keys",
         "rhp_table_keys(vec, dim, bitsPerTable, tables) - multi-table RHP-LSH bucket keys"),

@@ -29,4 +29,14 @@ object bridge {
     if (!exp.extraStrategies.exists(_.getClass == strategy.getClass))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Ensure an optimizer rule is active in this session (idempotent) —
+    * same lazy-registration path as [[ensureStrategy]].
+    */
+  def ensureOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.exists(_.getClass == rule.getClass))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }

@@ -42,6 +42,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("left-side filters push through the native asof join into the scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AsofJoin
+    val ev = Tables.t(spark, sf, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val p = AsofJoin.asofNative(l, r, "user_id", "c_user_id", "ts", "cts")
+      .filter(col("event_id") < 100) // above the custom node
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // PushFilterThroughAsofJoin moved it below; FileSourceStrategy then
+    // carried it into the parquet scan
+    assert(p.contains("LessThan(event_id,100)"), p)
+  }
+
   test("minhash signature is a codegen partial_min battery, not ObjectHashAggregate") {
     // The full query materializes this stage eagerly (localCheckpoint), so
     // assert the aggregate shape on the signature pipeline itself: 128 min
