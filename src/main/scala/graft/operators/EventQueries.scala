@@ -245,6 +245,28 @@ object EventQueries {
              |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
              |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
 
+    // Date arithmetic family: interval add, month add (end-of-month clamped
+    // in BOTH engines), last_day, quarter, ISO weekday, month truncation.
+    QueryDef("fn_datetime2",
+      (s, d) => T(s, d, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          date_add(col("ts").cast("date"), 30).as("plus_30d"),
+          add_months(col("ts").cast("date"), 2).as("plus_2mo"),
+          last_day(col("ts").cast("date")).as("month_end"),
+          quarter(col("ts")).cast("bigint").as("qtr"),
+          (weekday(col("ts")) + lit(1)).cast("bigint").as("isodow"),
+          trunc(col("ts").cast("date"), "MM").as("month_start"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       CAST(ts AS DATE) + INTERVAL 30 DAY AS plus_30d,
+             |       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+             |       last_day(CAST(ts AS DATE)) AS month_end,
+             |       quarter(ts) AS qtr,
+             |       isodow(ts) AS isodow,
+             |       CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start
+             |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)),
+
     QueryDef("fn_json",
       (s, d) => T(s, d, "events")
         .select(col("event_id"),

@@ -135,6 +135,29 @@ object TextQueries {
              |FROM tf JOIN df USING (word) CROSS JOIN n
              |ORDER BY doc_id, word""".stripMargin)),
 
+    // Corpus bigram frequencies (top 50): adjacent-token pairs via
+    // zip_with over two slices of the SAME materialized token array (the
+    // tokenizer runs once per doc, not per element), explode + groupBy.
+    // Deterministic top-k via (cnt DESC, bigram) total order.
+    QueryDef("tx_bigram_freq",
+      (s, d) => T(s, d, "documents")
+        .select(TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50),
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w,
+             |               unnest(generate_series(1, len(t))) AS i FROM tt),
+             |bg AS (SELECT a.w || ' ' || b.w AS bigram
+             |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+             |SELECT bigram, count(*) AS cnt FROM bg
+             |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
+
     // End-to-end training-data curation pipeline in one declarative plan:
     // quality-score → filter (tokens >= 5, stopword ratio >= 5%) → exact
     // dedup among survivors (min doc_id per text) → corpus summary. At
