@@ -194,6 +194,31 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p_event_id""".stripMargin)),
 
+    // Inner as-of semantics (DuckDB's default ASOF JOIN): the left-outer
+    // native operator + a not-null filter on the matched key — Catalyst
+    // evaluates the filter on the join output, so unmatched purchases drop
+    // exactly as the inner join would drop them.
+    QueryDef("ts_asof_inner",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"))
+        AsofJoin.asofNative(purchases, clicks, "user_id", "c_user_id", "ts", "cts")
+          .filter(col("click_id").isNotNull)
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            col("click_id").as("click_event_id"))
+          .orderBy("p_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             |       c.event_id AS click_event_id
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p_event_id""".stripMargin)),
+
     // Bounded-interval join via time-bucketed equi-join (IntervalJoin):
     // clicks within 30 minutes after each purchase, counted per purchase.
     // Oracle is the naive inequality LEFT JOIN; the Spark plan is the

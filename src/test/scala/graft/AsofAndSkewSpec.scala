@@ -59,6 +59,17 @@ class AsofAndSkewSpec extends AnyFunSuite {
       "nullkey" -> None, "nullts" -> None))
   }
 
+  test("native asof join handles empty sides") {
+    val l = Seq((1L, ts(5), "t1")).toDF("key", "ts", "trade")
+    val emptyR = Seq.empty[(Long, Timestamp, Double)].toDF("qkey", "qts", "px")
+    val got = AsofJoin.asofNative(l, emptyR, "key", "qkey", "ts", "qts")
+      .select($"trade", $"px").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("t1" -> None))
+    val emptyL = Seq.empty[(Long, Timestamp, String)].toDF("key", "ts", "trade")
+    val r = Seq((1L, ts(4), 100.0)).toDF("qkey", "qts", "px")
+    assert(AsofJoin.asofNative(emptyL, r, "key", "qkey", "ts", "qts").count() == 0)
+  }
+
   test("native asof join equals the composed union+window asof on events") {
     val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
     val purchases = ev.filter($"event_type" === "purchase")
