@@ -167,18 +167,30 @@ object TextQueries {
     QueryDef("tx_pipeline_e2e",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val q = TextAnalysis.quality(docs)
-        val kept = docs.select("doc_id", "text")
-          .join(q.filter(col("n_tokens") >= 5 && col("stopword_ratio") >= 0.05)
-            .select("doc_id", "n_tokens"), "doc_id")
-        val deduped = kept.groupBy("text")
-          .agg(min("doc_id").as("doc_id"), max("n_tokens").as("n_tokens"))
-        deduped.agg(
+        // quality columns computed inline on the scan (same formulas as
+        // TextAnalysis.quality) — NOT via a join back to the quality()
+        // output, which would shuffle the corpus on doc_id for columns the
+        // scan can carry along. Single pass: scan → filter → groupBy(text).
+        val stop = Seq("the", "a", "of", "to", "and")
+        val kept = docs
+          .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"),
+            size(col("toks")).cast("bigint").as("n_tokens"),
+            round(size(filter(col("toks"), x => x.isin(stop.map(s => s: Any): _*)))
+              .cast("double") / size(col("toks")), 4).as("stopword_ratio"))
+          .filter(col("n_tokens") >= 5 && col("stopword_ratio") >= 0.05)
+        // One grouped pass yields every post-filter stat: per-text copy
+        // counts roll up to quality_kept (sum), unique_kept (group count),
+        // and token totals — the corpus is tokenized exactly once. Only
+        // total_docs needs a second (count-only, column-less) scan.
+        val grouped = kept.groupBy("text")
+          .agg(count(lit(1)).as("copies"), max("n_tokens").as("n_tokens"))
+        grouped.agg(
+          sum("copies").as("quality_kept"),
           count(lit(1)).as("unique_kept"),
           sum("n_tokens").as("tokens_kept"),
           round(avg("n_tokens"), 4).as("avg_tokens"))
           .crossJoin(docs.agg(count(lit(1)).as("total_docs")))
-          .crossJoin(kept.agg(count(lit(1)).as("quality_kept")))
           .select("total_docs", "quality_kept", "unique_kept", "tokens_kept", "avg_tokens")
       },
       Some(s"""WITH tt AS (SELECT doc_id, text, $tk AS t FROM documents),
