@@ -168,6 +168,31 @@ object PipelineQueries {
              |JOIN nrm nv ON nv.vec_id = d.vec_id
              |ORDER BY cos_sim DESC, d.vec_id LIMIT 10""".stripMargin)),
 
+    // Batched top-k: 5 query vectors scored in one corpus scan, per-query
+    // top-10 via row_number (map-side WindowGroupLimit prune — shuffle is
+    // O(queries*k), not O(corpus)).
+    QueryDef("sim_batch_topk",
+      (s, d) => Similarity.batchTopK(T(s, d, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |         GROUP BY 1, 2),
+             |scored AS (SELECT q_id, dots.vec_id AS vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |           FROM dots
+             |           JOIN nrm nq ON nq.vec_id = dots.q_id
+             |           JOIN nrm nv ON nv.vec_id = dots.vec_id),
+             |ranked AS (SELECT q_id, vec_id, cos_sim,
+             |                  CAST(row_number() OVER (PARTITION BY q_id
+             |                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+             |           FROM scored)
+             |SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 10
+             |ORDER BY q_id, rn""".stripMargin)),
+
     QueryDef("sim_ivf_topk",
       (s, d) => Similarity.ivfTopK(T(s, d, "embeddings"), queryId = 0L, k = 5),
       Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -20,6 +20,31 @@ object Similarity {
   /** Exact brute-force cosine top-k against a single query vector (row
     * `queryId` of the same table). One corpus scan + TakeOrderedAndProject.
     */
+  /** Batched top-k: score a whole batch of query vectors in ONE corpus
+    * scan — the realistic serving/eval workload (single-query top-k wastes
+    * a full scan per query). Queries broadcast; each corpus row scores
+    * against every query via the fused codegen cosine; the per-query top-k
+    * is a row_number-only window filter, so Catalyst's WindowGroupLimit
+    * prunes each map partition to k rows per query BEFORE the shuffle —
+    * shuffle volume O(queries·k), independent of corpus size (asserted in
+    * PlanQualitySpec). Ties at the rounded score break on vec_id, keeping
+    * results deterministic for the oracle.
+    */
+  def batchTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val ids = queryIds.map(l => l: Any)
+    val qs = broadcast(embs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    embs.filter(!col("vec_id").isin(ids: _*))
+      .crossJoin(qs)
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   def bruteForceTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embs.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))

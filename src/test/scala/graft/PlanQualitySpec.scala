@@ -42,6 +42,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Partial") && p.contains("Final"), p)
   }
 
+  test("batched similarity top-k prunes map-side per query") {
+    val p = plan("sim_batch_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("float_cosine"), p)
+  }
+
   test("left-side filters push through the native asof join into the scan") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AsofJoin
