@@ -7,10 +7,12 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 /** Multimodal column handling: opaque `binary` payloads with typed metadata,
   * plus a decode/feature-extract stage.
   *
-  * Two decode paths: [[decodeWav]] is a REAL decoder (RIFF/WAV PCM-16 is
-  * parseable with pure JVM byte arithmetic — no codec library); formats that
-  * do need external codecs (JPEG/MP3/...) go through `fakeDecode`, a
-  * clearly-marked deterministic STUB (the container has no codec libraries).
+  * Three decode paths: [[decodeWav]] is a REAL audio decoder (RIFF/WAV
+  * PCM-16 via pure JVM byte arithmetic); [[decodeImage]] is a REAL image
+  * decoder (PNG/BMP/GIF/JPEG through the JDK's own javax.imageio — no
+  * external library); formats that genuinely need external codecs
+  * (MP3/H.264/...) go through `fakeDecode`, a clearly-marked deterministic
+  * STUB (the container has no codec libraries).
   * Either way the Spark-side plumbing — binary column, metadata struct,
   * partition-iterator batch shape, output schema — is real and is what
   * matters at scale: decode runs per-partition (no shuffle), and the binary
@@ -130,6 +132,89 @@ object Multimodal {
         val wRow = if (w == null) null
           else Row(w.sample_rate, w.n_channels, w.n_samples, w.duration_s, w.mean_abs_amplitude)
         Row.fromSeq(r.toSeq :+ wRow)
+      }
+    }
+  }
+
+  /** Decoded image metadata + luma statistics. */
+  case class ImageInfo(width: Int, height: Int, n_pixels: Long, mean_luma: Double)
+
+  private def luma(rgb: Int): Double = {
+    val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+    0.2126 * r + 0.7152 * g + 0.0722 * b
+  }
+
+  /** REAL image decode for the formats the JDK ships codecs for (PNG, BMP,
+    * GIF, JPEG via javax.imageio — no external library, headless-safe):
+    * returns the pixel raster plus [[ImageInfo]] metadata, or None for
+    * payloads ImageIO cannot parse. Like [[decodeWav]], this retires the
+    * [[fakeDecode]] stub for another whole modality; the stub now stands in
+    * only for genuinely codec-bound formats (MP3, H.264, ...).
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, ImageInfo)] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += luma(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      Some((img, ImageInfo(img.getWidth, img.getHeight, n, sum / n)))
+    }
+  }
+
+  /** Resize + feature-extract: scale the image to a gw x gh thumbnail
+    * (bilinear) and emit the normalized luma of each cell, row-major — the
+    * classic cheap perceptual embedding (and the "resize" op of the brief).
+    */
+  private[graft] def imageGridLuma(img: java.awt.image.BufferedImage,
+                                   gw: Int, gh: Int): Array[Float] = {
+    import java.awt.image.BufferedImage
+    val small = new BufferedImage(gw, gh, BufferedImage.TYPE_INT_RGB)
+    val g2 = small.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(img, 0, 0, gw, gh, null)
+    g2.dispose()
+    val out = new Array[Float](gw * gh)
+    var i = 0
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) { out(i) = (luma(small.getRGB(x, y)) / 255.0).toFloat; i += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Image decode + resize-grid features over a binary payload column via
+    * mapPartitions (same per-partition batch shape as [[extractFeatures]]
+    * and [[decodeWavColumn]]); appends an `img` struct and an
+    * `img_features: array<float>` column, both null for non-image payloads.
+    */
+  def decodeImageColumn(df: DataFrame, payloadCol: String = "content",
+                        gridW: Int = 4, gridH: Int = 4): DataFrame = {
+    val schema = df.schema
+      .add("img", org.apache.spark.sql.Encoders.product[ImageInfo].schema)
+      .add("img_features", ArrayType(FloatType, containsNull = false))
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        decodeImage(r.getAs[Array[Byte]](idx)) match {
+          case Some((img, info)) =>
+            Row.fromSeq(r.toSeq :+
+              Row(info.width, info.height, info.n_pixels, info.mean_luma) :+
+              imageGridLuma(img, gridW, gridH).toSeq)
+          case None => Row.fromSeq(r.toSeq :+ null :+ null)
+        }
       }
     }
   }

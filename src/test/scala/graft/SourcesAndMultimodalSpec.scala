@@ -74,6 +74,39 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(out(2)._2.isEmpty) // non-WAV payload -> null struct, no exception
   }
 
+  test("image decode parses real PNG/BMP bytes: dims, luma, resize-grid features") {
+    // synthesize images through the JDK's own encoder (no external codec):
+    // an 8x4 two-tone (left black, right white) and a uniform mid-gray BMP
+    def img(w: Int, h: Int, rgbAt: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => bi.setRGB(x, y, rgbAt(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos))
+      bos.toByteArray
+    }
+    val twoTone = img(8, 4, (x, _) => if (x < 4) 0x000000 else 0xFFFFFF, "png")
+    val gray = img(5, 5, (_, _) => 0x808080, "bmp")
+    val df = Seq((1L, twoTone), (2L, gray), (3L, "not an image".getBytes("US-ASCII")))
+      .toDF("id", "content")
+    val out = Multimodal.decodeImageColumn(df, gridW = 2, gridH = 2)
+      .select("id", "img.width", "img.height", "img.n_pixels", "img.mean_luma",
+        "img_features")
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Double], Option[Seq[Float]])]
+      .collect().sortBy(_._1)
+    // two-tone: 8x4, mean luma = 255/2; 2x2 grid = [dark, light, dark, light]
+    assert(out(0)._2 == Some(8) && out(0)._3 == Some(4) && out(0)._4 == Some(32L))
+    assert(math.abs(out(0)._5.get - 127.5) < 0.51)
+    val f = out(0)._6.get
+    assert(f.length == 4 && f(0) < 0.25 && f(1) > 0.75 && f(2) < 0.25 && f(3) > 0.75, f)
+    // uniform gray BMP: every grid cell equals the global luma
+    assert(out(1)._2 == Some(5) && out(1)._3 == Some(5))
+    val g = out(1)._6.get
+    assert(g.forall(v => math.abs(v - g(0)) < 1e-6) &&
+      math.abs(g(0) * 255.0 - out(1)._5.get) < 0.51, g)
+    assert(out(2)._2.isEmpty && out(2)._6.isEmpty) // non-image -> nulls, no exception
+  }
+
   test("frame sampling emits every Nth frame index without a shuffle") {
     val vids = Seq((1L, 10), (2L, 3), (3L, 1), (4L, 0)).toDF("vid_id", "n_frames")
     val out = Multimodal.sampleFrames(vids, "n_frames", stride = 4)
