@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import java.sql.Timestamp
 
@@ -90,5 +90,37 @@ object EventStreams {
           state.update((n, s))
           UserTotals(user, n, math.round(s * 100).toDouble / 100)
       }
+  }
+
+  /** The same running totals on the transformWithState API (Spark 4's
+    * successor to mapGroupsWithState: typed state handles, timers, TTL,
+    * RocksDB-backed). Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` on the session — the new operator
+    * only runs on the RocksDB provider. StreamingSpec asserts it produces
+    * exactly the mapGroupsWithState results across multi-batch input.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserTotals] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[UserTotals] = {
+      val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator.single(UserTotals(user, n, math.round(s * 100).toDouble / 100))
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[(Long, Double)]): Dataset[UserTotals] = {
+    implicit val outEnc = Encoders.product[UserTotals]
+    events
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (RocksDB) reproduces the mapGroupsWithState totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.runningUserTotalsTws(input.toDS())
+      .writeStream.format("memory").queryName("totals_tws").outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 3.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("totals_tws")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 3L, 10.0), (2L, 1L, 1.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-source stream over the events parquet matches batch results") {
     // a real file stream source (not MemoryStream): the sf0.001 events
     // parquet read as a one-batch stream, through the same windowedCounts
