@@ -48,6 +48,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("float_cosine"), p)
   }
 
+  test("native asof join propagates partitioning: downstream key-agg adds no exchange") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.operators.AsofJoin
+    val ev = Tables.t(spark, sf, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val p = AsofJoin.asofNative(l, r, "user_id", "c_user_id", "ts", "cts")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    // AsofJoinExec.outputPartitioning = left child's hash(user_id), so the
+    // groupBy reuses it: exactly the join's two exchanges, none for the agg
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2, p)
+  }
+
   test("left-side filters push through the native asof join into the scan") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AsofJoin
