@@ -352,6 +352,66 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star edge
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — converges in O(log n) rounds regardless of component
+    * DIAMETER, unlike [[connectedComponents]]'s one-hop-per-round label
+    * propagation (O(diameter) rounds, which a 10^6-long near-dup chain
+    * would never finish). Per round:
+    *   large-star(u): m = min(u ∪ Γ(u)); rewire every neighbor v > u to m.
+    *   small-star(u): over neighbors v < u, m = min; rewire the rest of
+    *     them and u itself to m.
+    * Both preserve connectivity and never create self-loops; at the
+    * fixpoint every component is a star on its minimum id, read off as the
+    * (id, comp) labels. CcPropertySpec checks the result against an exact
+    * union-find and the propagation variant on random graphs; the
+    * dd_cc_dedup oracle (recursive-CTE transitive closure) gates it
+    * end-to-end.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // canonical store: s > d (every edge points larger -> smaller)
+    var edges = materialize(pairs
+      .select(greatest(col("a_id"), col("b_id")).as("s"),
+        least(col("a_id"), col("b_id")).as("d"))
+      .filter(col("s") =!= col("d")).distinct())
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val sym = edges.union(edges.select(col("d").as("s"), col("s").as("d")))
+      // large-star: m(u) = min(u, min Γ(u)); emit (v, m(u)) for v > u
+      val lsMin = sym.groupBy("s").agg(least(min(col("d")), col("s")).as("m"))
+      val ls = sym.join(lsMin, "s")
+        .filter(col("d") > col("s"))
+        .select(col("d").as("s"), col("m").as("d"))
+        .distinct()
+      // small-star over strictly-smaller neighborhoods: m = min Γ<(u);
+      // emit (v, m) for the other small neighbors and (u, m)
+      val dir = ls.union(ls.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("d") < col("s"))
+      val ssMin = dir.groupBy("s").agg(min(col("d")).as("m"))
+      val withM = dir.join(ssMin, "s")
+      val next = materialize(
+        withM.filter(col("d") =!= col("m"))
+          .select(col("d").as("s"), col("m").as("d"))
+          .union(ssMin.select(col("s"), col("m").as("d")))
+          .distinct())
+      // fixpoint: the canonical edge set stopped changing (both directions
+      // of except, early-exit on first witness)
+      converged =
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "at O(log n) rounds this needs a graph of > 2^maxIter nodes; raise maxIter")
+    // fixpoint edges are (member, root) stars; roots label themselves
+    edges.select(col("s").as("id"), col("d").as("comp"))
+      .union(edges.select(col("d").as("id"), col("d").as("comp")))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= minCos).
     * Brute-force pair comparison with the codegen'd dot product — the
     * correctness BASELINE (O(n^2) pairs, a scale-killer at 100 TB);

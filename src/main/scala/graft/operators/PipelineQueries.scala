@@ -272,7 +272,9 @@ object PipelineQueries {
     QueryDef("dd_cc_dedup",
       (s, d) => {
         val docs = T(s, d, "documents")
-        val labels = Dedup.connectedComponents(
+        // star variant: O(log n) rounds regardless of component diameter
+        // (the propagation variant stays as the property-test reference)
+        val labels = Dedup.connectedComponentsStar(
           minhashPairs(s, d).select("a_id", "b_id"))
         val dups = labels.filter(col("comp") < col("id")).select(col("id").as("doc_id"))
         val surv = docs.join(dups, Seq("doc_id"), "left_anti")
