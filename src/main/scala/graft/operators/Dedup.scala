@@ -385,9 +385,10 @@ object Dedup {
         .select(col("d").as("s"), col("m").as("d"))
         .distinct()
       // small-star over strictly-smaller neighborhoods: m = min Γ<(u);
-      // emit (v, m) for the other small neighbors and (u, m)
-      val dir = ls.union(ls.select(col("d").as("s"), col("s").as("d")))
-        .filter(col("d") < col("s"))
+      // emit (v, m) for the other small neighbors and (u, m). ls rows are
+      // already larger->smaller (v > u >= m), so they ARE the directed
+      // smaller-neighborhood edges — no re-symmetrization needed.
+      val dir = ls
       val ssMin = dir.groupBy("s").agg(min(col("d")).as("m"))
       val withM = dir.join(ssMin, "s")
       val next = materialize(
