@@ -76,6 +76,16 @@ object AsofJoin {
                  leftKey: String, rightKey: String,
                  leftTs: String, rightTs: String): DataFrame = {
     import org.apache.spark.sql.graft.bridge
+    // fail fast on precondition violations that would otherwise produce
+    // silently wrong results: a shared column name means a duplicate
+    // exprId in the join output (the projection would bind the right-side
+    // occurrence to the left ordinal), and mismatched time types would
+    // compare raw physical values (micros vs days)
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"asofNative requires disjoint column names; shared: $shared (pre-rename one side)")
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"time column types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
     val spark = left.sparkSession
     bridge.ensureStrategy(spark, new graft.plans.AsofJoinStrategy)
     bridge.ensureOptimizerRule(spark, graft.plans.PushFilterThroughAsofJoin)

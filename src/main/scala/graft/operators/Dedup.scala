@@ -73,13 +73,23 @@ object Dedup {
     *    executor loss without a checkpoint dir, at the cost of carrying
     *    the full lineage through planning.
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.materialize")
       .getOrElse("localCheckpoint") match {
       case "checkpoint" => df.checkpoint()
       case "persist"    => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       case _            => df.localCheckpoint()
     }
+
+  /** Release a frame produced by [[materialize]] once fully superseded —
+    * iterative operators call this on the previous round's intermediate so
+    * long runs don't accumulate one cached/checkpointed copy per round.
+    * Callers must only pass frames they will never touch again (after a
+    * localCheckpoint the lineage is gone, so a later access could not
+    * recompute).
+    */
+  private def release(df: DataFrame): Unit =
+    if (df != null) df.unpersist(blocking = false)
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ). Pair
     * generation via shingle equi-join (only docs sharing a shingle are ever
@@ -331,6 +341,7 @@ object Dedup {
       edges.select(col("s").as("id")).distinct().select(col("id"), col("id").as("comp")))
     var changed = 1L
     var it = 0
+    var prevMat: DataFrame = null
     while (changed > 0 && it < maxIter) {
       val viaNbr = edges
         .join(labels.select(col("id").as("d"), col("comp")), "d")
@@ -342,6 +353,10 @@ object Dedup {
           col("comp").as("oldc")))
       changed = updated.filter(col("comp") < col("oldc")).count()
       labels = updated.select("id", "comp")
+      // the previous round's materialization is fully superseded now that
+      // `updated` is computed — release it instead of leaking one copy/round
+      release(prevMat)
+      prevMat = updated
       it += 1
     }
     if (changed > 0)
@@ -400,6 +415,7 @@ object Dedup {
       // of except, early-exit on first witness)
       converged =
         next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      release(edges) // superseded once the convergence check has read it
       edges = next
       it += 1
     }

@@ -155,7 +155,11 @@ object Multimodal {
     if (bytes == null) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: the JDK's imageio plugins throw
+      // RuntimeExceptions (AIOOBE, NegativeArraySize, IllegalArgument) on
+      // truncated/fuzzed payloads — on 100 TB of dirty data those must map
+      // to "not an image", never to a task-killing escape
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       var sum = 0.0
@@ -207,6 +211,9 @@ object Multimodal {
     implicit val enc = Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
+      // payloads are already in memory — skip ImageIO's default per-read
+      // disk-cache temp file (JVM-global flag, idempotent per executor)
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         decodeImage(r.getAs[Array[Byte]](idx)) match {
           case Some((img, info)) =>

@@ -36,7 +36,10 @@ object PipelineQueries {
 
   private def minhashPairs(s: SparkSession, d: String) =
     minhashPairCache.getOrElseUpdate((s, d),
-      Dedup.minhashLshPairs(T(s, d, "documents")).localCheckpoint())
+      // through Dedup.materialize so spark.graft.materialize governs this
+      // too — a cluster configured for reliable checkpointing must not get
+      // a lineage-truncating localCheckpoint smuggled in by the cache
+      Dedup.materialize(Dedup.minhashLshPairs(T(s, d, "documents"))))
 
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every

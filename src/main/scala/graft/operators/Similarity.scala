@@ -17,9 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact brute-force cosine top-k against a single query vector (row
-    * `queryId` of the same table). One corpus scan + TakeOrderedAndProject.
-    */
   /** Batched top-k: score a whole batch of query vectors in ONE corpus
     * scan — the realistic serving/eval workload (single-query top-k wastes
     * a full scan per query). Queries broadcast; each corpus row scores
@@ -45,6 +42,9 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Exact brute-force cosine top-k against a single query vector (row
+    * `queryId` of the same table). One corpus scan + TakeOrderedAndProject.
+    */
   def bruteForceTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embs.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))

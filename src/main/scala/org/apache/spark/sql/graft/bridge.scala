@@ -25,18 +25,29 @@ object bridge {
     * covers ad-hoc sessions built without GraftExtensions.
     */
   def ensureStrategy(spark: SparkSession, strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.exists(_.getClass == strategy.getClass))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    // planner.strategies covers built-ins, experimental.extraStrategies AND
+    // extension-injected strategies — without the full check, a session
+    // built with GraftExtensions would get the strategy registered twice
+    if (!cs.sessionState.planner.strategies.exists(_.getClass == strategy.getClass))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
 
   /** Ensure an optimizer rule is active in this session (idempotent) —
-    * same lazy-registration path as [[ensureStrategy]].
+    * same lazy-registration path as [[ensureStrategy]]. Checks both the
+    * extension-injected rules and experimental.extraOptimizations so the
+    * rule never runs twice per optimization pass.
     */
   def ensureOptimizerRule(spark: SparkSession,
       rule: org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraOptimizations.exists(_.getClass == rule.getClass))
-      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val injected = cs.sessionState.optimizer match {
+      case o: org.apache.spark.sql.execution.SparkOptimizer =>
+        o.extendedOperatorOptimizationRules.exists(_.getClass == rule.getClass)
+      case _ => false
+    }
+    if (!injected &&
+        !cs.experimental.extraOptimizations.exists(_.getClass == rule.getClass))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
   }
 }
