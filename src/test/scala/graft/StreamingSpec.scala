@@ -153,6 +153,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once (no duplicate output)") {
+    // end-to-end readStream -> transform -> writeStream with a durable
+    // checkpoint: stop the query, add more input, restart with the SAME
+    // checkpoint dir — the committed first batch must not be re-emitted
+    val inDir = java.nio.file.Files.createTempDirectory("ckin")
+    val outDir = java.nio.file.Files.createTempDirectory("ckout").toString + "/out"
+    val ckDir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
+    def write(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage")
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, inDir.resolve(name))
+    }
+    def start() = spark.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("doubled", $"v" * 2)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir).outputMode("append").start()
+    write("b1.parquet", Seq((1L, 1.0), (2L, 2.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    write("b2.parquet", Seq((3L, 3.0)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir).select($"id", $"doubled")
+      .as[(Long, Double)].collect().toSet
+    // exactly one output row per input row across the restart
+    assert(out == Set((1L, 2.0), (2L, 4.0), (3L, 6.0)))
+  }
+
   test("streaming dedup keeps first occurrence, bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
