@@ -278,6 +278,28 @@ object RelationalQueries2 {
              |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Correlated LATERAL subquery in the FROM clause (per-customer top
+    // order) — Catalyst decorrelates it into a join + per-key aggregate,
+    // so "loop-shaped" SQL still executes as one shuffled plan, not N
+    // subqueries. Same SQL text runs on both engines.
+    QueryDef("rel_lateral",
+      (s, d) => {
+        Seq("orders", "customer").foreach(t =>
+          graft.Tables.t(s, d, t).createOrReplaceTempView(s"lat_$t"))
+        s.sql("""SELECT c_custkey, o.top_price, o.top_order
+                |FROM lat_customer,
+                |LATERAL (SELECT o_totalprice AS top_price, o_orderkey AS top_order
+                |         FROM lat_orders WHERE o_custkey = c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+                |WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o.top_price, o.top_order
+             |FROM customer,
+             |LATERAL (SELECT o_totalprice AS top_price, o_orderkey AS top_order
+             |         FROM orders WHERE o_custkey = c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+             |WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin)),
+
     // Deterministic listagg: sorted collect_list joined to one string.
     QueryDef("rel_listagg",
       (s, d) => T(s, d, "nation")
