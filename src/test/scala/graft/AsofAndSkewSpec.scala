@@ -59,6 +59,19 @@ class AsofAndSkewSpec extends AnyFunSuite {
       "nullkey" -> None, "nullts" -> None))
   }
 
+  test("native asof join fails fast on shared columns or mismatched time types") {
+    val l = Seq((1L, ts(5), "t1")).toDF("key", "ts", "trade")
+    val sharedName = Seq((1L, ts(4), 1.0)).toDF("qkey", "ts", "px") // "ts" collides
+    val e1 = intercept[IllegalArgumentException](
+      AsofJoin.asofNative(l, sharedName, "key", "qkey", "ts", "ts"))
+    assert(e1.getMessage.contains("disjoint"))
+    val dateTime = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("qkey", "qts", "px") // DATE vs TIMESTAMP
+    val e2 = intercept[IllegalArgumentException](
+      AsofJoin.asofNative(l, dateTime, "key", "qkey", "ts", "qts"))
+    assert(e2.getMessage.contains("time column types differ"))
+  }
+
   test("native asof join handles empty sides") {
     val l = Seq((1L, ts(5), "t1")).toDF("key", "ts", "trade")
     val emptyR = Seq.empty[(Long, Timestamp, Double)].toDF("qkey", "qts", "px")
