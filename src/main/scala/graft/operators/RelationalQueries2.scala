@@ -278,6 +278,27 @@ object RelationalQueries2 {
              |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // FILTER-clause aggregates: per-group conditional aggregation without
+    // CASE-wrapping every argument; one scan, one shuffle, N conditions.
+    QueryDef("rel_agg_filter",
+      (s, d) => {
+        graft.Tables.t(s, d, "lineitem").createOrReplaceTempView("af_lineitem")
+        s.sql("""SELECT l_returnflag,
+                |       count(*) AS n_all,
+                |       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+                |       count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+                |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                |            FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_price
+                |FROM af_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |       count(*) AS n_all,
+             |       count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+             |       count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |            FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Correlated LATERAL subquery in the FROM clause (per-customer top
     // order) — Catalyst decorrelates it into a join + per-key aggregate,
     // so "loop-shaped" SQL still executes as one shuffled plan, not N
