@@ -58,6 +58,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line grows with the inventory (80+ queries) and the
+    // driver's tail capture can truncate its FRONT, losing the total field.
+    // Repeat the headline on a short trailing line so it always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
