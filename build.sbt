@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's one-line JSON from sbt output; the default
+// LoggedOutput strategy prefixes every forked-run line with "[info] ", which
+// breaks a line-is-JSON parse. Inherit the parent stdout instead (raw lines).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
