@@ -91,14 +91,20 @@ object PipelineQueries {
       (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
-    // SimHash with maxHam = 7, exactly the 8x8-bit pigeonhole recall bound
-    // (every pair at hamming <= 7 shares a chunk, so candidate recall is 1
-    // at this threshold). Output is still hash-dependent — a 7-bit simhash
-    // radius is not the same pair set as Jaccard >= 0.8 — so it gets a
-    // rows-only check; the recall-at-the-bound property itself is asserted
-    // in DedupSpec. (MinHash above is the oracle-checked recall-1 path.)
+    // SimHash with maxHam = 7 in its SCALE configuration: 16-bit chunks +
+    // 1-bit multi-probe — the same hamming<=7 pigeonhole recall bound as the
+    // 8x8 default (2c-1 with c=4 chunks) at ~30x fewer random chunk
+    // collisions (~n^2/964 vs ~n^2/32 candidates; see simhashPairs scaladoc),
+    // so the benched plan is the one you would run at 100 TB. DedupSpec
+    // asserts the two configs produce the SAME verified pair set at this
+    // bound, and that the scale config generates no more candidates.
+    // Output is still hash-dependent — a 7-bit simhash radius is not the
+    // same pair set as Jaccard >= 0.8 — so it gets a rows-only check; the
+    // recall-at-the-bound property itself is asserted in DedupSpec.
+    // (MinHash above is the oracle-checked recall-1 path.)
     QueryDef("dd_simhash",
-      (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 7).orderBy("a_id", "b_id"),
+      (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 7,
+        chunkBits = 16, multiProbe = true).orderBy("a_id", "b_id"),
       None),
 
     QueryDef("dd_embedding_cosine",

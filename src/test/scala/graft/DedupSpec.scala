@@ -142,6 +142,22 @@ class DedupSpec extends AnyFunSuite {
       s"configs disagree (missing=${small -- scale}, extra=${scale -- small})")
   }
 
+  test("simhash scale config generates no more candidates than 8x8") {
+    // The cost side of the config dial: with maxHam = 63 the hamming filter
+    // is a no-op, so the verified output enumerates every distinct
+    // chunk-collision pair — the candidate volume each config pays to
+    // verify. The 16-bit+multiProbe config exists to cut random collisions
+    // (~n^2/964 vs ~n^2/32 expected); assert it never costs MORE than the
+    // 8x8 default on this corpus (both counts are hash-deterministic).
+    def candidates(chunkBits: Int, multiProbe: Boolean) =
+      Dedup.simhashPairs(corpus, maxHam = 63, minJ = 0.0,
+        chunkBits = chunkBits, multiProbe = multiProbe).count()
+    val c8 = candidates(8, multiProbe = false)
+    val c16mp = candidates(16, multiProbe = true)
+    assert(c8 > 0)
+    assert(c16mp <= c8, s"scale config generated MORE candidates: $c16mp > $c8")
+  }
+
   test("connected components: throws instead of returning non-converged labels") {
     // chain of diameter 9 cannot converge in 3 one-hop iterations — the
     // operator must fail loudly, never silently return split components
