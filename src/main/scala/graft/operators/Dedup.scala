@@ -411,10 +411,15 @@ object Dedup {
           .select(col("d").as("s"), col("m").as("d"))
           .union(ssMin.select(col("s"), col("m").as("d")))
           .distinct())
-      // fixpoint: the canonical edge set stopped changing (both directions
-      // of except, early-exit on first witness)
-      converged =
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint: the canonical edge set stopped changing. Both sides are
+      // distinct sets, so set equality == empty symmetric difference; one
+      // full-outer join finds any witness in a single job (early exit) where
+      // the two-sided exceptAll formulation cost two jobs per round.
+      converged = next.select(col("s"), col("d"), lit(1).as("__n"))
+        .join(edges.select(col("s"), col("d"), lit(1).as("__e")),
+          Seq("s", "d"), "full_outer")
+        .filter(col("__n").isNull || col("__e").isNull)
+        .isEmpty
       release(edges) // superseded once the convergence check has read it
       edges = next
       it += 1
