@@ -72,9 +72,15 @@ object AsofJoin {
     * scale comparison). Column names must be disjoint across the two sides
     * (pre-rename the right side); the strategy is auto-registered.
     */
+  /** @param toleranceMicros optional max lookback (raw long units — micros
+    *   for timestamp columns): match only right rows with
+    *   `lts - rts <= toleranceMicros`, the practical bounded-staleness
+    *   time-series variant (a quote older than the bound is no quote).
+    */
   def asofNative(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
-                 leftTs: String, rightTs: String): DataFrame = {
+                 leftTs: String, rightTs: String,
+                 toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graft.bridge
     // fail fast on precondition violations that would otherwise produce
     // silently wrong results: a shared column name means a duplicate
@@ -96,6 +102,6 @@ object AsofJoin {
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     bridge.ofRows(spark, graft.plans.AsofJoin(lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTs), attr(rp, rightTs)))
+      attr(lp, leftTs), attr(rp, rightTs), toleranceMicros))
   }
 }

@@ -219,6 +219,34 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p_event_id""".stripMargin)),
 
+    // Tolerance-bounded as-of join: the latest preceding click counts only
+    // if it is at most 10 minutes stale — the practical time-series lookup
+    // (a stale quote is no quote). Runs through the native operator's
+    // tolerance parameter; the oracle is DuckDB's unbounded ASOF JOIN with
+    // the gap bound applied to the match (equivalent: the latest preceding
+    // row is the ONLY candidate — any earlier row is staler).
+    QueryDef("ts_asof_tol",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("cts"),
+            col("event_id").as("click_id"))
+        AsofJoin.asofNative(purchases, clicks, "user_id", "c_user_id", "ts", "cts",
+            toleranceMicros = Some(600L * 1000000))
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            col("click_id").as("click_event_id"))
+          .orderBy("p_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+             |            THEN c.event_id END AS click_event_id
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p_event_id""".stripMargin)),
+
     // Bounded-interval join via time-bucketed equi-join (IntervalJoin):
     // clicks within 30 minutes after each purchase, counted per purchase.
     // Oracle is the naive inequality LEFT JOIN; the Spark plan is the

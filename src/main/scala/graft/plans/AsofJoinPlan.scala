@@ -39,8 +39,16 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
+  // The tolerance gap is computed on the raw physical long (micros for
+  // TimestampType), so it is only defined for long-backed time columns.
+  require(tolerance.isEmpty || {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    Seq(LongType, TimestampType, TimestampNTZType).contains(leftTime.dataType)
+  }, s"tolerance requires a long-backed time column, got ${leftTime.dataType}")
+  require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,8 +90,8 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] {
 /** Planner strategy mapping the logical [[AsofJoin]] to [[AsofJoinExec]]. */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -92,10 +100,18 @@ class AsofJoinStrategy extends SparkStrategy {
   * (keys, time) — the right side additionally by its orderable payload
   * columns, so the "last right row seen" tie-break is deterministic.
   */
+/** @param tolerance optional max lookback on the raw long time value
+  *                   (micros for TimestampType): a right row matches only if
+  *                   `leftTime - rightTime <= tolerance`. Checked at emit on
+  *                   the LATEST preceding row only — any earlier row has a
+  *                   strictly larger gap, so none can be within tolerance
+  *                   when the latest is not.
+  */
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -139,6 +155,9 @@ case class AsofJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val outAttrs = output
+    // gap check on raw long time values; MaxValue == unbounded (gap >= 0
+    // always, so the comparison cannot overflow)
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -155,9 +174,11 @@ case class AsofJoinExec(
         private var rRow: InternalRow = _
         private var rKey: UnsafeRow = _
         private var rTimeRow: UnsafeRow = _
-        // last right row consumed with key == current left key (copied)
+        // last right row consumed with key == current left key (copied),
+        // plus its raw long time for the tolerance gap check
         private var mRow: InternalRow = _
         private var mKey: UnsafeRow = _
+        private var mTime: Long = _
         advanceRight()
 
         private def advanceRight(): Unit = {
@@ -193,11 +214,15 @@ case class AsofJoinExec(
             val kc = keyOrd.compare(rKey, lKey)
             if (kc < 0) advanceRight()
             else if (kc == 0 && timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
-              if (!rKey.anyNull) { mRow = rRow.copy(); mKey = rKey.copy() }
+              if (!rKey.anyNull) {
+                mRow = rRow.copy(); mKey = rKey.copy()
+                mTime = rTimeRow.getLong(0)
+              }
               advanceRight()
             } else advancing = false
           }
-          resultProj(joined(lRow, if (mRow != null) mRow else nullRight))
+          val matched = mRow != null && lTimeRow.getLong(0) - mTime <= tol
+          resultProj(joined(lRow, if (matched) mRow else nullRight))
         }
       }
     }

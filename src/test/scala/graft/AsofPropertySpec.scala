@@ -68,4 +68,49 @@ class AsofPropertySpec extends AnyFunSuite {
       assert(native == exp, s"native != reference at seed $i")
     }
   }
+
+  test("tolerance-bounded native as-of equals unbounded with stale matches nulled") {
+    // Exact equivalence, not approximation: the latest preceding right row
+    // is the ONLY tolerance candidate (earlier rows are staler), so the
+    // bounded join must equal the unbounded join with matches whose gap
+    // exceeds the bound dropped to null. Also checks the in-Scala reference
+    // with the gap bound applied directly.
+    val tolMin = 5
+    (0 until 5).foreach { i =>
+      val l = sample(leftGen, 3000L + i)
+      val r = sample(rightGen, 4000L + i)
+      val lDf = l.map { case (k, t, id) => (k, t.map(ts), id) }.toDF("key", "ts", "id")
+      val rDf = r.map { case (k, t, px, rid) => (k, t.map(ts), px, rid) }
+        .toDF("qkey", "qts", "px", "rid")
+
+      // reference with the bound: match survives iff gap <= tol minutes
+      val lTimes = l.map { case (_, t, id) => id -> t }.toMap
+      val rTimes = r.map { case (_, t, _, rid) => rid -> t }.toMap
+      val exp = reference(l, r).map { case (id, m) =>
+        id -> m.filter { case (_, rid) =>
+          (for { lt <- lTimes(id); rt <- rTimes(rid) } yield lt - rt <= tolMin)
+            .getOrElse(false)
+        }
+      }
+
+      val bounded = AsofJoin.asofNative(lDf, rDf, "key", "qkey", "ts", "qts",
+          toleranceMicros = Some(tolMin * 60L * 1000000))
+        .select($"id", $"px", $"rid")
+        .as[(Long, Option[Double], Option[Long])].collect()
+        .map { case (id, px, rid) => id -> px.zip(rid).headOption }.toMap
+
+      val unboundedNulled = AsofJoin.asofNative(lDf, rDf, "key", "qkey", "ts", "qts")
+        .select($"id", $"px", $"rid", $"ts", $"qts")
+        .as[(Long, Option[Double], Option[Long], Option[Timestamp], Option[Timestamp])]
+        .collect()
+        .map { case (id, px, rid, lt, rt) =>
+          val within = (for { a <- lt; b <- rt }
+            yield a.getTime - b.getTime <= tolMin * 60L * 1000).getOrElse(false)
+          id -> (if (within) px.zip(rid).headOption else None)
+        }.toMap
+
+      assert(bounded == exp, s"bounded != reference at seed $i")
+      assert(bounded == unboundedNulled, s"bounded != nulled-unbounded at seed $i")
+    }
+  }
 }
