@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.streaming.{EventStreams, StreamGate}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming inventory: the EventStreams transforms executed THROUGH the
+  * Structured Streaming engine (file stream source → watermarked stateful
+  * operator → append-mode parquet sink, `Trigger.AvailableNow`) and gated by
+  * the same DuckDB SQL as their batch twins — see [[graft.streaming.StreamGate]].
+  *
+  * Append-mode horizon semantics: with a 0-second watermark delay the final
+  * watermark is max(ts), so the emitted rows are exactly the windows/sessions
+  * whose END is <= max(ts); the oracles replay that cut with a predicate
+  * against `(SELECT max(ts) FROM events)`. Windows still open at end-of-input
+  * are state, not output — on an unbounded stream they would emit once the
+  * watermark passes them.
+  */
+object StreamingQueries {
+
+  /** events schema under nanosAsLong (ts arrives as raw nanos BIGINT). */
+  private def eventsSchema(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/events.parquet").schema
+
+  private def toTs(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour counts through the streaming engine; same SQL shape as
+    // ts_tumbling_window restricted to watermark-closed windows.
+    QueryDef("st_windowed_counts",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.windowedCounts(toTs(df), watermark = "0 seconds"),
+          "st_win")
+        emitted.select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hr"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hr", "event_type")
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.mx
+             |GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
+
+    // Gap-based sessionization through the streaming engine (session_window
+    // state merged by gap, emitted once the watermark passes session end =
+    // last event + gap). Same sessionization SQL as ts_session_window with
+    // the horizon cut on max(ts).
+    QueryDef("st_session_counts",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.sessionCounts(toTs(df), gap = "30 minutes",
+            watermark = "0 seconds"),
+          "st_sess")
+        emitted.select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+             |g AS (SELECT user_id, ts,
+             |        CASE WHEN lag(ts) OVER w IS NULL
+             |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |             THEN 1 ELSE 0 END AS new_sess
+             |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |se AS (SELECT user_id, ts,
+             |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |                            ROWS UNBOUNDED PRECEDING) AS sid
+             |       FROM g)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n_events
+             |FROM se, m
+             |GROUP BY user_id, sid, m.mx
+             |HAVING max(ts) + INTERVAL 30 MINUTE <= m.mx
+             |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

@@ -153,6 +153,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamGate append emissions equal the batch twin cut at the watermark horizon") {
+    // The inventory's st_windowed_counts path: run the real streaming
+    // engine (file source -> watermark -> window agg -> parquet sink,
+    // AvailableNow) and check the emitted set equals the BATCH windowed
+    // counts restricted to windows closed by the final watermark
+    // (window end <= max event time). StreamGate itself asserts
+    // StreamingQueryProgress recorded processed rows.
+    val d = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val streamed = graft.streaming.StreamGate.runAppendToParquet(
+        spark, s"$d/events.parquet", schema,
+        df => EventStreams.windowedCounts(
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+          watermark = "0 seconds"),
+        "spec_win")
+      .select($"window_start", $"event_type", $"n", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val events = Tables.t(spark, d, "events")
+    val mx = events.agg(max($"ts")).as[Timestamp].head()
+    val batch = EventStreams.windowedCounts(events)
+      .filter($"window_start" + expr("INTERVAL 1 HOUR") <= lit(mx))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("parquet sink + checkpoint: restart resumes exactly-once (no duplicate output)") {
     // end-to-end readStream -> transform -> writeStream with a durable
     // checkpoint: stop the query, add more input, restart with the SAME
