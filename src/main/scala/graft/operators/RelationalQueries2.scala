@@ -333,6 +333,30 @@ object RelationalQueries2 {
              |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
              |       count(*) AS n
              |FROM nation JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Dynamic partition pruning: the fact side is the DATE-PARTITIONED
+    // events layout (graft.sources.PartitionedView — one directory per
+    // date, the canonical 100 TB fact layout); the dim side is a date
+    // dimension filtered on a non-partition attribute (Mondays). The
+    // filter's surviving dates are only known at RUNTIME, so Catalyst
+    // injects a dynamicpruning# subquery into the fact scan's
+    // PartitionFilters (reusing the dim's broadcast) and the scan never
+    // opens ~6/7 of the partitions. PlanQualitySpec asserts the
+    // dynamicpruning filter is present in the executed plan.
+    QueryDef("rel_dpp",
+      (s, d) => {
+        val base = graft.sources.PartitionedView.eventsByDate(s, d)
+        val fact = s.read.parquet(s"$base/events_by_date")
+        val mondays = s.read.parquet(s"$base/date_dim").filter(col("dow") === 1)
+        fact.join(mondays, Seq("d"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events
+             |WHERE isodow(CAST(ts AS DATE)) = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

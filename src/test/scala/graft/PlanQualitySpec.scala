@@ -135,6 +135,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("partial_sum"))
   }
 
+  test("date-partitioned join scan is pruned dynamically (DPP)") {
+    // rel_dpp joins the date-partitioned events layout against a filtered
+    // date dim: the surviving dates are runtime values, so the fact scan
+    // must carry a dynamicpruning# subquery in its PartitionFilters —
+    // without it, a 100 TB date-partitioned fact table would be scanned in
+    // full for a one-weekday query.
+    val p = plan("rel_dpp")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
