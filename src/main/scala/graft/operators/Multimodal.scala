@@ -70,6 +70,75 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PCM-16 WAV payload for doc `id` — a test-fixture ENCODER
+    * whose sample values are a closed-form function of (id, index), so a SQL
+    * oracle can recompute the decoded statistics independently. The DECODE
+    * side ([[decodeWav]]) is the real RIFF parser; only the payload content
+    * is synthetic (the container ships no media fixtures).
+    * Samples: s_i = (id*131 + i*17) mod 2001 - 1000, n = 64 + id mod 50,
+    * mono 8 kHz.
+    */
+  private[graft] def synthWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 50).toInt
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1)          // PCM, mono
+    buf.putInt(8000); buf.putInt(8000 * 2)    // rate, byte rate
+    buf.putShort(2); buf.putShort(16)         // block align, bits
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort(((id * 131 + i * 17) % 2001 - 1000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic RGB PNG payload for doc `id` — fixture encoder twin of
+    * [[synthWav]] for the image modality (PNG written by the JDK's own
+    * ImageIO; lossless, so the real [[decodeImage]] recovers the exact
+    * pixels). Channel values are closed-form in (id, x, y):
+    * r = (id*7 + x*13 + y*31) mod 256, g = (id*11 + x*3 + y*17) mod 256,
+    * b = (id*5 + x*23 + y*29) mod 256, w = 8 + id mod 9, h = 6 + id mod 5.
+    */
+  private[graft] def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (6 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + x * 3 + y * 17) % 256).toInt
+        val b = ((id * 5 + x * 23 + y * 29) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Append a synthetic media payload column (same mapPartitions batch shape
+    * as the decoders; `make` is [[synthWav]] or [[synthPng]]).
+    */
+  def withSynthPayload(docs: DataFrame, make: Long => Array[Byte],
+                       idCol: String = "doc_id"): DataFrame = {
+    val schema = docs.schema.add("content",
+      org.apache.spark.sql.types.BinaryType)
+    implicit val enc = Encoders.row(schema)
+    val idx = docs.schema.fieldIndex(idCol)
+    docs.mapPartitions(it => it.map(r => Row.fromSeq(r.toSeq :+ make(r.getLong(idx)))))
+  }
+
   /** Decoded WAV metadata + amplitude features. */
   case class WavInfo(sample_rate: Int, n_channels: Int, n_samples: Long,
                      duration_s: Double, mean_abs_amplitude: Double)

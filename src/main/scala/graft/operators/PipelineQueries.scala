@@ -333,13 +333,60 @@ object PipelineQueries {
              |FROM documents JOIN embeddings ON doc_id = vec_id
              |ORDER BY doc_id""".stripMargin)),
 
-    // Decode stub output is deterministic but derives from a Scala byte-level
-    // hash — not SQL-expressible; rows-only check.
-    QueryDef("mm_decode_stub",
-      (s, d) => Multimodal.extractFeatures(Multimodal.withPayload(T(s, d, "documents")))
-        .select(col("doc_id"), size(col("features")).cast("bigint").as("dim"),
-          round(element_at(col("features"), 1), 6).as("f0"))
+    // REAL audio decode under the oracle: each doc gets a deterministic
+    // PCM-16 WAV payload whose samples are a closed-form function of
+    // (doc_id, i) — Multimodal.synthWav — decoded by the real RIFF parser
+    // (decodeWavColumn, mapPartitions, no shuffle). DuckDB recomputes the
+    // decoded stats from the same closed form with generate_series, so the
+    // gate checks byte-level encode->parse->aggregate fidelity, replacing
+    // the former rows-only mm_decode_stub (the fakeDecode stub now stands
+    // in only for genuinely codec-bound formats and stays spec-tested).
+    QueryDef("mm_wav_stats",
+      (s, d) => Multimodal.decodeWavColumn(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav))
+        .select(col("doc_id"),
+          col("wav.sample_rate").cast("bigint").as("sample_rate"),
+          col("wav.n_channels").cast("bigint").as("n_channels"),
+          col("wav.n_samples").as("n_samples"),
+          round(col("wav.mean_abs_amplitude"), 6).as("mean_abs"))
         .orderBy("doc_id"),
-      None)
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |samp AS (SELECT doc_id, n,
+             |           list_transform(generate_series(0, n - 1),
+             |             i -> abs((doc_id * 131 + i * 17) % 2001 - 1000)) AS vals
+             |         FROM s)
+             |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+             |       CAST(1 AS BIGINT) AS n_channels,
+             |       CAST(n AS BIGINT) AS n_samples,
+             |       round(list_sum(vals) / n / 32768.0, 6) AS mean_abs
+             |FROM samp ORDER BY doc_id""".stripMargin)),
+
+    // REAL image decode under the oracle, same pattern: deterministic RGB
+    // PNG (Multimodal.synthPng; PNG is lossless so the pixels round-trip
+    // exactly), decoded by the real javax.imageio path, luma aggregated in
+    // the same row-major order the oracle's generate_series replays.
+    QueryDef("mm_image_stats",
+      (s, d) => Multimodal.decodeImageColumn(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthPng))
+        .select(col("doc_id"),
+          col("img.width").cast("bigint").as("width"),
+          col("img.height").cast("bigint").as("height"),
+          col("img.n_pixels").as("n_pixels"),
+          round(col("img.mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+             |              FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |         list_transform(generate_series(0, w * h - 1),
+             |           i -> 0.2126 * ((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256)
+             |              + 0.7152 * ((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256)
+             |              + 0.0722 * ((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256)) AS lumas
+             |       FROM dims)
+             |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |       CAST(w * h AS BIGINT) AS n_pixels,
+             |       round(list_sum(lumas) / (w * h), 6) AS mean_luma
+             |FROM px ORDER BY doc_id""".stripMargin))
   )
 }

@@ -169,6 +169,42 @@ object RelationalQueries {
              |       TRUE AS within_band
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // MERGEABLE quantile sketches — the re-aggregation story for quantiles
+    // at 100 TB, completing what rel_hll_merge does for distinct counts:
+    // one bounded KLL-style sketch per shard (return flag), shards rolled up
+    // by sketch MERGE (graft.functions.QuantileSketch — Spark has
+    // approx_percentile but no mergeable quantile state pair), estimates
+    // read off the merged sketch. Gated with a RANK band: each estimate
+    // must land between the exact (q-2%) and (q+2%) percentiles — the
+    // sketch's observed rank error is <1% (AggregatorsSpec), so the gate
+    // has 2x headroom while still catching gross regressions. The exact
+    // median comes along for the oracle hash.
+    QueryDef("rel_quantile_merge",
+      (s, d) => {
+        import graft.functions.QuantileSketch.{sketch_agg, sketch_merge_agg, sketch_quantile}
+        val li = T(s, d, "lineitem")
+        val qs = Seq(25, 50, 75)
+        val merged = li.groupBy("l_returnflag")
+          .agg(sketch_agg(col("l_extendedprice")).as("sk"))
+          .agg(sketch_merge_agg(col("sk")).as("sk"))
+          .select(qs.map(q =>
+            sketch_quantile(col("sk"), q / 100.0).as(s"est_p$q")): _*)
+        val exactCols =
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact_med") +:
+            qs.flatMap(q => Seq(
+              percentile(col("l_extendedprice"), lit(q / 100.0 - 0.02)).as(s"lo_p$q"),
+              percentile(col("l_extendedprice"), lit(q / 100.0 + 0.02)).as(s"hi_p$q")))
+        val exact = li.agg(exactCols.head, exactCols.tail: _*)
+        merged.crossJoin(exact)
+          .select(col("exact_med") +: qs.map(q =>
+            (col(s"est_p$q") >= col(s"lo_p$q") && col(s"est_p$q") <= col(s"hi_p$q"))
+              .as(s"p${q}_within_band")): _*)
+      },
+      Some("""SELECT quantile_cont(l_extendedprice, 0.5) AS exact_med,
+             |       TRUE AS p25_within_band, TRUE AS p50_within_band,
+             |       TRUE AS p75_within_band
+             |FROM lineitem""".stripMargin)),
+
     // Broadcast-hash join: dimension tables are tiny at every SF.
     QueryDef("rel_join_broadcast",
       (s, d) => T(s, d, "customer")

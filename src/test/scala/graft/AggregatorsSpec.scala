@@ -25,6 +25,54 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(idx == Map("cat" -> Seq("d0", "d1"), "dog" -> Seq("d2")))
   }
 
+  test("quantile sketch: weight invariant, accuracy, and merge associativity") {
+    import graft.functions.QuantileSketch
+    import graft.functions.QuantileSketch.{Sketch, add, empty, merge, quantile, totalWeight}
+    // deterministic pseudo-random stream (no test flakiness)
+    def stream(seed: Long, n: Int): Seq[Double] = {
+      var x = seed
+      (0 until n).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 11).toDouble / (1L << 53).toDouble) * 1000.0
+      }
+    }
+    val data = stream(42L, 100000)
+    val sk = data.foldLeft(empty())(add)
+    assert(sk.count == data.size)
+    assert(totalWeight(sk) == data.size)           // pair-collapse preserves weight
+    val sorted = data.sorted
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val est = quantile(sk, q)
+      // rank error: position of the estimate in the exact order must be
+      // within 1% of the requested rank
+      val rank = sorted.count(_ <= est).toDouble / data.size
+      assert(math.abs(rank - q) <= 0.01, s"q=$q est=$est rank=$rank")
+    }
+
+    // merge associativity: shard three ways, merge in both association
+    // orders — counts/weights must agree EXACTLY, estimates within band
+    val Seq(a, b, c) = Seq(1L, 2L, 3L).map(s => stream(s, 30000).foldLeft(empty())(add))
+    val m1 = merge(merge(a, b), c)
+    val m2 = merge(a, merge(b, c))
+    assert(m1.count == m2.count && m1.count == 90000L)
+    assert(totalWeight(m1) == totalWeight(m2))
+    val all = (stream(1L, 30000) ++ stream(2L, 30000) ++ stream(3L, 30000)).sorted
+    for (m <- Seq(m1, m2); q <- Seq(0.1, 0.5, 0.9)) {
+      val rank = all.count(_ <= quantile(m, q)).toDouble / all.size
+      assert(math.abs(rank - q) <= 0.01, s"merged q=$q rank=$rank")
+    }
+  }
+
+  test("sketch aggregators: per-shard sketches roll up through Spark aggregation") {
+    import graft.functions.QuantileSketch._
+    val df = (1 to 20000).map(i => (i % 7, i.toDouble)).toDF("shard", "x")
+    val perShard = df.groupBy("shard").agg(sketch_agg(col("x")).as("sk"))
+    val est = perShard.agg(sketch_merge_agg(col("sk")).as("sk"))
+      .select(sketch_quantile(col("sk"), 0.5).as("med"))
+      .as[Double].head()
+    assert(math.abs(est - 10000.0) <= 200.0, s"merged median estimate $est")
+  }
+
   test("float_cosine fused expression equals the composed dot/norm form") {
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
       .withColumn("a", col("a").cast("array<float>"))

@@ -129,4 +129,23 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), col("features")).as[(Long, Seq[Float])].collect().toMap
     assert(f == again)                     // deterministic
   }
+
+  test("synthetic WAV/PNG fixtures round-trip through the REAL decoders") {
+    // in-Scala check of the closed forms the mm_wav_stats / mm_image_stats
+    // oracles recompute in SQL
+    val id = 37L
+    val w = Multimodal.decodeWav(Multimodal.synthWav(id))
+    val n = (64 + id % 50).toInt
+    val expSum = (0 until n).map(i => math.abs((id * 131 + i * 17) % 2001 - 1000)).sum
+    assert(w.sample_rate == 8000 && w.n_channels == 1 && w.n_samples == n)
+    assert(math.abs(w.mean_abs_amplitude - expSum.toDouble / n / 32768.0) < 1e-12)
+
+    val Some((img, info)) = Multimodal.decodeImage(Multimodal.synthPng(id))
+    assert(info.width == (8 + id % 9) && info.height == (6 + id % 5))
+    // PNG is lossless: every channel value must round-trip exactly
+    assert((img.getRGB(2, 3) & 0xFFFFFF) ==
+      ((((id * 7 + 2 * 13 + 3 * 31) % 256).toInt << 16) |
+       (((id * 11 + 2 * 3 + 3 * 17) % 256).toInt << 8) |
+        ((id * 5 + 2 * 23 + 3 * 29) % 256).toInt))
+  }
 }
