@@ -44,14 +44,20 @@ object Bench {
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map(i => (if (repeat == 1) name else s"$name#$i") -> fn)
     }.map { case (name, fn) =>
+      // Best-effort hygiene BEFORE the clock starts: promotes dead
+      // broadcast/shuffle refs from earlier queries for cleanup so this
+      // query neither pays their GC debt nor has the pause land adjacent to
+      // its own t0. Not a guarantee — ContextCleaner drains asynchronously —
+      // but it removed observed 3-4x inflation late in long runs.
+      System.gc()
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Best-effort hygiene between queries: promotes dead broadcast/shuffle
-      // refs for cleanup so later queries carry less of earlier queries' GC
-      // debt. Not a guarantee — ContextCleaner drains asynchronously — but
-      // it removed observed 3-4x inflation late in long runs.
-      System.gc()
+      // One short JSONL line per query, emitted as it completes: the
+      // driver's tail capture truncates the FRONT of long lines, so a
+      // single aggregated per-query map loses ~30% of the inventory's
+      // history; short individual lines all survive.
+      println(s"""{"q":"$name","sec":$dt}""")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -26,8 +26,7 @@ class AggregatorsSpec extends AnyFunSuite {
   }
 
   test("quantile sketch: weight invariant, accuracy, and merge associativity") {
-    import graft.functions.QuantileSketch
-    import graft.functions.QuantileSketch.{Sketch, add, empty, merge, quantile, totalWeight}
+    import graft.functions.QuantileSketch.{newBuffer, quantile, totalWeight}
     // deterministic pseudo-random stream (no test flakiness)
     def stream(seed: Long, n: Int): Seq[Double] = {
       var x = seed
@@ -36,10 +35,12 @@ class AggregatorsSpec extends AnyFunSuite {
         ((x >>> 11).toDouble / (1L << 53).toDouble) * 1000.0
       }
     }
+    def build(xs: Seq[Double]) = { val b = newBuffer(); xs.foreach(b.add); b }
     val data = stream(42L, 100000)
-    val sk = data.foldLeft(empty())(add)
-    assert(sk.count == data.size)
+    val sk = build(data)
+    assert(sk.totalCount == data.size)
     assert(totalWeight(sk) == data.size)           // pair-collapse preserves weight
+    assert(totalWeight(sk.toSketch) == data.size)  // immutable view agrees
     val sorted = data.sorted
     for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
       val est = quantile(sk, q)
@@ -51,16 +52,22 @@ class AggregatorsSpec extends AnyFunSuite {
 
     // merge associativity: shard three ways, merge in both association
     // orders — counts/weights must agree EXACTLY, estimates within band
-    val Seq(a, b, c) = Seq(1L, 2L, 3L).map(s => stream(s, 30000).foldLeft(empty())(add))
-    val m1 = merge(merge(a, b), c)
-    val m2 = merge(a, merge(b, c))
-    assert(m1.count == m2.count && m1.count == 90000L)
+    val Seq(a, b, c) = Seq(1L, 2L, 3L).map(s => build(stream(s, 30000)))
+    val m1 = a.copy().merge(b.copy()).merge(c.copy())
+    val m2 = a.copy().merge(b.copy().merge(c.copy()))
+    assert(m1.totalCount == m2.totalCount && m1.totalCount == 90000L)
     assert(totalWeight(m1) == totalWeight(m2))
     val all = (stream(1L, 30000) ++ stream(2L, 30000) ++ stream(3L, 30000)).sorted
     for (m <- Seq(m1, m2); q <- Seq(0.1, 0.5, 0.9)) {
       val rank = all.count(_ <= quantile(m, q)).toDouble / all.size
       assert(math.abs(rank - q) <= 0.01, s"merged q=$q rank=$rank")
     }
+
+    // wire format round-trip: versioned binary encoding is lossless
+    import graft.functions.QuantileSketch.{deser, ser}
+    val rt = deser(ser(m1))
+    assert(rt.totalCount == m1.totalCount && totalWeight(rt) == totalWeight(m1))
+    for (q <- Seq(0.1, 0.5, 0.9)) assert(quantile(rt, q) == quantile(m1, q))
   }
 
   test("sketch aggregators: per-shard sketches roll up through Spark aggregation") {
