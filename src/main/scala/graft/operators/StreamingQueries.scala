@@ -80,6 +80,56 @@ object StreamingQueries {
              |FROM se, m
              |GROUP BY user_id, sid, m.mx
              |HAVING max(ts) + INTERVAL 30 MINUTE <= m.mx
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Watermarked streaming dedup (dropDuplicatesWithinWatermark) through
+    // the engine: emits the FIRST occurrence of each (user_id, event_type)
+    // and evicts seen-keys past the watermark horizon — the bounded-state
+    // ingest-dedup shape. Only the dedup KEY columns are kept, so the
+    // emitted set is exactly the distinct keys regardless of which copy of
+    // a key's row happened to arrive first.
+    QueryDef("st_dedup",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.streamingDedup(toTs(df),
+            dedupCols = Seq("user_id", "event_type"), watermark = "0 seconds")
+            .select("user_id", "event_type"),
+          "st_dedup")
+        emitted.orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // transformWithState (Spark 4's typed-state successor to
+    // mapGroupsWithState) through the engine, on the RocksDB state-store
+    // provider the operator requires. Update-mode emissions go through the
+    // foreachBatch gate; the input is one AvailableNow batch, so each user's
+    // single emitted row IS its final running total — which the batch
+    // aggregate oracle replays exactly.
+    QueryDef("st_twstate",
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val emitted = StreamGate.runUpdateToParquet(
+            s, s"$d/events.parquet", eventsSchema(s, d),
+            df => {
+              import s.implicits._
+              EventStreams.runningUserTotalsTws(
+                df.select(col("user_id"), col("value")).as[(Long, Double)]).toDF()
+            },
+            "st_tws")
+          emitted.orderBy("user_id")
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None    => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       round(sum(value), 2) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

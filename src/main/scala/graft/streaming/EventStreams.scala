@@ -47,11 +47,11 @@ object EventStreams {
     * older than the horizon — a plain dropDuplicates would grow state
     * forever on an unbounded corpus stream).
     */
-  def streamingDedup(docs: DataFrame, dedupCol: String = "text",
+  def streamingDedup(docs: DataFrame, dedupCols: Seq[String] = Seq("text"),
                      watermark: String = "1 hour"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(dedupCol)
+      .dropDuplicatesWithinWatermark(dedupCols)
 
   /** Stream-stream bounded-interval join: clicks within `maxSpan` after
     * each purchase, per user — the streaming twin of

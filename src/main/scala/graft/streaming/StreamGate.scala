@@ -1,15 +1,17 @@
 package graft.streaming
 
 import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
 
 /** Bridge that puts Structured Streaming executions under the batch oracle
   * gate: read a bounded parquet table as a FILE STREAM, run a streaming
-  * transform to completion with `Trigger.AvailableNow`, sink the APPEND-mode
-  * output to parquet, and hand the emitted rows back as a DataFrame.
+  * transform to completion with `Trigger.AvailableNow`, sink the output to
+  * parquet, and hand the emitted rows back as a DataFrame.
   *
   * This is the production backfill shape — the same code path (source →
   * watermark → stateful operator → sink, checkpointed, exactly-once) that an
@@ -23,17 +25,68 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamGate {
 
-  /** FileStreamSource lists a directory; the testdata tables are single
-    * parquet FILES. Stage via symlink (fallback: copy) into a temp dir.
+  /** Temp dirs created by the gate, deleted recursively on JVM exit so
+    * repeated driver/bench runs don't accumulate staged copies under /tmp.
     */
-  private def stageDir(srcParquet: String, tag: String): String = {
-    val dir = Files.createTempDirectory(s"graft_${tag}_in")
-    val target = dir.resolve(Paths.get(srcParquet).getFileName)
-    try Files.createSymbolicLink(target, Paths.get(srcParquet))
-    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      Files.copy(Paths.get(srcParquet), target)
-    }
-    dir.toString
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val tempRoots = TrieMap.empty[String, Unit]
+
+  private def tracked(p: Path): Path = {
+    tempRoots.put(p.toString, ())
+    if (cleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        tempRoots.keys.foreach { root =>
+          try Files.walk(Paths.get(root)).sorted(Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          catch { case _: Throwable => () }
+        }))
+    p
+  }
+
+  /** FileStreamSource lists a directory; the testdata tables are single
+    * parquet FILES. Stage via symlink (fallback: copy) into a temp dir —
+    * cached per source path, so the four st_* queries (and bench repeats)
+    * share one staging instead of re-staging per query.
+    */
+  private val staged = TrieMap.empty[String, String]
+
+  private def stageDir(srcParquet: String): String =
+    staged.getOrElseUpdate(srcParquet, {
+      val dir = tracked(Files.createTempDirectory("graft_stream_in"))
+      val target = dir.resolve(Paths.get(srcParquet).getFileName)
+      try Files.createSymbolicLink(target, Paths.get(srcParquet))
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(Paths.get(srcParquet), target)
+      }
+      dir.toString
+    })
+
+  /** Run one streaming query to completion and read back the parquet sink.
+    * The sink is read with the transform's OWN output schema: a query whose
+    * windows are all still open at end-of-input legitimately emits zero
+    * rows, and a schema-less read of the empty sink dir would throw
+    * "unable to infer schema" instead of returning the empty result.
+    */
+  private def execute(spark: SparkSession, srcParquet: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      transform: DataFrame => DataFrame, tag: String,
+                      sink: (DataFrame, String) => org.apache.spark.sql.streaming.DataStreamWriter[Row])
+      : DataFrame = {
+    val in = stageDir(srcParquet)
+    val out = tracked(Files.createTempDirectory(s"graft_${tag}_out")).toString
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val transformed = transform(stream)
+    val dataDir = s"$out/data"
+    Files.createDirectories(Paths.get(dataDir))
+    val q = sink(transformed, dataDir)
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    require(inputRows > 0,
+      s"stream $tag reported no processed rows — not a streaming execution?")
+    spark.read.schema(transformed.schema).parquet(dataDir)
   }
 
   /** Run `transform` over a parquet file stream to completion and return
@@ -42,23 +95,27 @@ object StreamGate {
     * a batch shortcut could not produce `recentProgress`).
     */
   def runAppendToParquet(spark: SparkSession, srcParquet: String,
-                         schema: StructType,
+                         schema: org.apache.spark.sql.types.StructType,
                          transform: DataFrame => DataFrame,
-                         tag: String): DataFrame = {
-    val in = stageDir(srcParquet, tag)
-    val out = Files.createTempDirectory(s"graft_${tag}_out").toString
-    val stream = spark.readStream.schema(schema).parquet(in)
-    val q = transform(stream).writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val inputRows = q.recentProgress.map(_.numInputRows).sum
-    require(inputRows > 0,
-      s"stream $tag reported no processed rows — not a streaming execution?")
-    spark.read.parquet(s"$out/data")
-  }
+                         tag: String): DataFrame =
+    execute(spark, srcParquet, schema, transform, tag,
+      (df, dataDir) => df.writeStream
+        .format("parquet").option("path", dataDir).outputMode("append"))
+
+  /** The update-mode twin for stateful operators the parquet sink can't
+    * take directly (FileStreamSink is append-only): each micro-batch's
+    * update-mode output is appended to the sink parquet via `foreachBatch` —
+    * the standard production sink shape for update-mode pipelines
+    * (transformWithState running totals, etc.). Still a real streaming
+    * execution: same source, checkpoint, trigger, and progress proof.
+    */
+  def runUpdateToParquet(spark: SparkSession, srcParquet: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         transform: DataFrame => DataFrame,
+                         tag: String): DataFrame =
+    execute(spark, srcParquet, schema, transform, tag,
+      (df, dataDir) => df.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dataDir))
+        .outputMode("update"))
 }
