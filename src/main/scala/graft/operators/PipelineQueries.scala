@@ -69,6 +69,48 @@ object PipelineQueries {
       |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** DuckDB replay of [[Similarity.lshTopK]]'s exact semantics. The RHP
+    * planes ([[graft.functions.VectorFns.rhpPlanes]]) are deterministic
+    * functions of (table, bit, dim), so their float coefficients are inlined
+    * as literal VALUES (Scala's Double.toString round-trips, and DuckDB
+    * parses to the identical double); DuckDB then recomputes per-vector
+    * sign-bit keys per probe table, finds the vectors sharing a bucket with
+    * the query in any table, and ranks those candidates by exact cosine.
+    * Sign convention matches RhpTableKeys: bit set iff dot >= 0.
+    */
+  private def lshAnnOracleSql(queryId: Long, k: Int, nBits: Int, tables: Int,
+                              dim: Int): String = {
+    val planeRows = graft.functions.VectorFns.rhpPlanes(dim, nBits, tables)
+      .zipWithIndex.flatMap { case (pl, pi) =>
+        val (t, b) = (pi / nBits, pi % nBits)
+        pl.zipWithIndex.map { case (w, i) => s"($t,$b,${i + 1},${w.toDouble})" }
+      }.mkString(", ")
+    s"""WITH planes(t, b, i, w) AS (VALUES $planeRows),
+       |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |              unnest(generate_series(1, len(embedding))) AS i
+       |       FROM embeddings),
+       |pdots AS (SELECT e.vec_id, p.t, p.b, sum(e.x * p.w) AS dp
+       |          FROM ex e JOIN planes p ON e.i = p.i GROUP BY 1, 2, 3),
+       |keys AS (SELECT vec_id, t,
+       |                CAST(sum(CASE WHEN dp >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS key
+       |         FROM pdots GROUP BY 1, 2),
+       |qk AS (SELECT t, key FROM keys WHERE vec_id = $queryId),
+       |cand AS (SELECT DISTINCT kk.vec_id FROM keys kk
+       |         JOIN qk ON kk.t = qk.t AND kk.key = qk.key
+       |         WHERE kk.vec_id <> $queryId),
+       |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+       |dots AS (SELECT b.vec_id, sum(a.x * b.x) AS dp
+       |         FROM ex a JOIN ex b ON a.i = b.i
+       |         WHERE a.vec_id = $queryId
+       |           AND b.vec_id IN (SELECT vec_id FROM cand)
+       |         GROUP BY 1)
+       |SELECT d.vec_id AS vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+       |FROM dots d
+       |JOIN nrm nq ON nq.vec_id = $queryId
+       |JOIN nrm nv ON nv.vec_id = d.vec_id
+       |ORDER BY cos_sim DESC, d.vec_id LIMIT $k""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("dd_exact_stats",
@@ -312,14 +354,18 @@ object PipelineQueries {
              |              count(DISTINCT comp) AS n_clusters FROM comp)
              |SELECT * FROM surv CROSS JOIN cc""".stripMargin)),
 
-    // ANN via multi-table random-hyperplane LSH: hash-dependent candidate
-    // set (recall < 1 by design) -> rows-only check. Quality gate:
-    // SimilaritySpec measures recall@10 vs sim_topk_bruteforce at exactly
-    // this (nBits=2, tables=8) config and asserts the bound.
+    // ANN via multi-table random-hyperplane LSH. The oracle replays the
+    // ALGORITHM, not a recall approximation: the hyperplanes are
+    // deterministic pure functions of (table, bit, dim), so their exact
+    // coefficients are embedded as literals and DuckDB recomputes the
+    // sign-bit bucket keys, the query's bucket collisions, and the top-k
+    // among true candidates — recall < 1 is part of the checked semantics
+    // rather than a reason to skip checking. SimilaritySpec still measures
+    // recall@10 vs brute force at this (nBits=2, tables=8) config.
     QueryDef("sim_lsh_ann",
       (s, d) => Similarity.lshTopK(T(s, d, "embeddings"), queryId = 0L, k = 5,
         nBits = 2, tables = 8),
-      None),
+      Some(lshAnnOracleSql(queryId = 0L, k = 5, nBits = 2, tables = 8, dim = 64))),
 
     QueryDef("mm_multimodal_join",
       (s, d) => Multimodal.multimodalJoin(T(s, d, "documents"), T(s, d, "embeddings"))
