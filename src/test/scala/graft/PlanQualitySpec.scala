@@ -145,6 +145,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("DPP skips ~6/7 of the fact partitions (metric level)") {
+    // The plan-string check above proves the dynamicpruning filter is
+    // PLANNED; this proves it FIRED: after execution, the fact scan's
+    // driver metrics must show partitions-read ~= the Monday fraction of
+    // the date-partitioned layout, not the full partition count.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val df = SparkEntry.queries("rel_dpp")(spark, sf)
+    df.collect()
+    // the DPP'd scan is the one carrying static-vs-dynamic file metrics
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.metrics.contains("staticFilesNum"))
+      .getOrElse(fail("no scan with dynamic-pruning metrics in the executed plan"))
+    val totalDates = spark.read
+      .parquet(s"${graft.sources.PartitionedView.eventsByDate(spark, sf)}/date_dim")
+      .count()
+    val readParts = scan.metrics("numPartitions").value
+    assert(readParts >= 1, "scan read no partitions")
+    assert(readParts * 4 <= totalDates,
+      s"DPP did not prune: read $readParts of $totalDates date partitions")
+    assert(scan.metrics("numFiles").value < scan.metrics("staticFilesNum").value,
+      "dynamic file count not below the static (pre-pruning) count")
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
