@@ -415,6 +415,10 @@ object Dedup {
       // distinct sets, so set equality == empty symmetric difference; one
       // full-outer join finds any witness in a single job (early exit) where
       // the two-sided exceptAll formulation cost two jobs per round.
+      // INVARIANT: s/d are non-null by construction (callers drop null ids
+      // before edge formation, and every derived edge is a min over those) —
+      // required because this join matches on plain key equality, so a NULL
+      // edge would never equal itself and the loop could not converge.
       converged = next.select(col("s"), col("d"), lit(1).as("__n"))
         .join(edges.select(col("s"), col("d"), lit(1).as("__e")),
           Seq("s", "d"), "full_outer")

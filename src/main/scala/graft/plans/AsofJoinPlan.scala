@@ -42,18 +42,33 @@ case class AsofJoin(
     leftTime: Expression, rightTime: Expression,
     tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
-  // The tolerance gap is computed on the raw physical long (micros for
-  // TimestampType), so it is only defined for long-backed time columns.
-  require(tolerance.isEmpty || {
-    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
-    Seq(LongType, TimestampType, TimestampNTZType).contains(leftTime.dataType)
-  }, s"tolerance requires a long-backed time column, got ${leftTime.dataType}")
-  require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
+  AsofJoin.validateTimes(leftTime, rightTime, tolerance)
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+  /** Shared validation for the logical node AND [[AsofJoinExec]] (a directly
+    * constructed exec must not skip it): the merge compares left/right times
+    * with one natural ordering, so the types must agree; the tolerance gap is
+    * computed on the raw physical long (micros for TimestampType), so it is
+    * only defined when BOTH time columns are long-backed.
+    */
+  private[plans] def validateTimes(leftTime: Expression, rightTime: Expression,
+                                   tolerance: Option[Long]): Unit = {
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time type mismatch: ${leftTime.dataType} vs ${rightTime.dataType}")
+    require(tolerance.isEmpty || {
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+      Seq(LongType, TimestampType, TimestampNTZType).contains(leftTime.dataType) &&
+        Seq(LongType, TimestampType, TimestampNTZType).contains(rightTime.dataType)
+    }, s"tolerance requires long-backed time columns, got " +
+       s"${leftTime.dataType}/${rightTime.dataType}")
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
+  }
 }
 
 /** Optimizer rule: push deterministic left-side-only filter conjuncts
@@ -112,6 +127,7 @@ case class AsofJoinExec(
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
     tolerance: Option[Long] = None) extends BinaryExecNode {
+  AsofJoin.validateTimes(leftTime, rightTime, tolerance)
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -155,8 +171,10 @@ case class AsofJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val outAttrs = output
-    // gap check on raw long time values; MaxValue == unbounded (gap >= 0
-    // always, so the comparison cannot overflow)
+    // Gap check on raw long time values, gated on tolerance being set: the
+    // raw getLong reads are only meaningful for long-backed time columns
+    // (validateTimes enforces that exactly when tolerance is defined).
+    val hasTol = tolerance.isDefined
     val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -216,12 +234,13 @@ case class AsofJoinExec(
             else if (kc == 0 && timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
               if (!rKey.anyNull) {
                 mRow = rRow.copy(); mKey = rKey.copy()
-                mTime = rTimeRow.getLong(0)
+                if (hasTol) mTime = rTimeRow.getLong(0)
               }
               advanceRight()
             } else advancing = false
           }
-          val matched = mRow != null && lTimeRow.getLong(0) - mTime <= tol
+          val matched = mRow != null &&
+            (!hasTol || lTimeRow.getLong(0) - mTime <= tol)
           resultProj(joined(lRow, if (matched) mRow else nullRight))
         }
       }

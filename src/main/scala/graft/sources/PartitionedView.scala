@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -20,16 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedView {
 
+  // Keyed on the SOURCE DIR only: the layout's content is a pure function
+  // of the input table, so a recreated session reuses it (and the cache
+  // never pins a SparkSession object). JVM-exit cleanup via [[TempDirs]].
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Returns a base dir containing `events_by_date/` (parquet partitioned by
     * the `d = to_date(ts)` column, ~30 partitions on the test data) and
     * `date_dim/` (one row per date: d, dow with ISO Monday=1).
     */
   def eventsByDate(s: SparkSession, sfDir: String): String =
-    cache.getOrElseUpdate((s, sfDir), {
-      val base = Files.createTempDirectory("graft_part_events").toString
+    cache.getOrElseUpdate(sfDir, {
+      val base = TempDirs.create("graft_part_events").toString
       val ev = Tables.t(s, sfDir, "events")
       ev.withColumn("d", to_date(col("ts")))
         .write.partitionBy("d").mode("overwrite")

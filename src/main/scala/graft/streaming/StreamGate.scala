@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import scala.collection.concurrent.TrieMap
 
@@ -25,34 +24,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamGate {
 
-  /** Temp dirs created by the gate, deleted recursively on JVM exit so
-    * repeated driver/bench runs don't accumulate staged copies under /tmp.
-    */
-  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private val tempRoots = TrieMap.empty[String, Unit]
-
-  private def tracked(p: Path): Path = {
-    tempRoots.put(p.toString, ())
-    if (cleanupRegistered.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        tempRoots.keys.foreach { root =>
-          try Files.walk(Paths.get(root)).sorted(Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-          catch { case _: Throwable => () }
-        }))
-    p
-  }
-
   /** FileStreamSource lists a directory; the testdata tables are single
     * parquet FILES. Stage via symlink (fallback: copy) into a temp dir —
     * cached per source path, so the four st_* queries (and bench repeats)
-    * share one staging instead of re-staging per query.
+    * share one staging instead of re-staging per query. Temp dirs are
+    * JVM-exit-cleaned via [[graft.sources.TempDirs]].
     */
   private val staged = TrieMap.empty[String, String]
 
   private def stageDir(srcParquet: String): String =
     staged.getOrElseUpdate(srcParquet, {
-      val dir = tracked(Files.createTempDirectory("graft_stream_in"))
+      val dir = graft.sources.TempDirs.create("graft_stream_in")
       val target = dir.resolve(Paths.get(srcParquet).getFileName)
       try Files.createSymbolicLink(target, Paths.get(srcParquet))
       catch { case _: UnsupportedOperationException | _: java.io.IOException =>
@@ -73,7 +55,7 @@ object StreamGate {
                       sink: (DataFrame, String) => org.apache.spark.sql.streaming.DataStreamWriter[Row])
       : DataFrame = {
     val in = stageDir(srcParquet)
-    val out = tracked(Files.createTempDirectory(s"graft_${tag}_out")).toString
+    val out = graft.sources.TempDirs.create(s"graft_${tag}_out").toString
     val stream = spark.readStream.schema(schema).parquet(in)
     val transformed = transform(stream)
     val dataDir = s"$out/data"
