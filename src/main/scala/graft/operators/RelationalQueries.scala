@@ -210,6 +210,41 @@ object RelationalQueries {
              |       TRUE AS p75_within_band
              |FROM lineitem""".stripMargin)),
 
+    // Mergeable FREQUENCY sketches (Count-Min) — the third of the mergeable
+    // sketch family (HLL: rel_hll_merge, KLL: rel_quantile_merge): one CMS
+    // per shard (return flag) over the supplier key, shards rolled up by
+    // cell-wise MERGE (graft.functions.FrequencySketch — Spark ships the
+    // sketch but no merge aggregate), per-key frequencies estimated off the
+    // merged sketch. Gated with the CMS one-sided guarantee: estimate >=
+    // exact, and <= exact + ceil(eps * N); exact probe counts come along
+    // for the oracle hash. Deterministic given (eps, confidence, seed).
+    QueryDef("rel_cms_merge",
+      (s, d) => {
+        import graft.functions.FrequencySketch.{cms_agg, cms_estimate, cms_merge_agg, cms_total, DefaultEps}
+        val li = T(s, d, "lineitem")
+        val probes = Seq(1L, 2L, 3L)
+        val merged = li.groupBy("l_returnflag")
+          .agg(cms_agg(col("l_suppkey")).as("sk"))
+          .agg(cms_merge_agg(col("sk")).as("sk"))
+          .select(probes.map(k => cms_estimate(col("sk"), k).as(s"est_$k"))
+            :+ cms_total(col("sk")).as("n"): _*)
+        val exactCols = probes.map(k =>
+          sum(when(col("l_suppkey") === k, 1L).otherwise(0L)).as(s"cnt_$k"))
+        val exact = li.agg(exactCols.head, exactCols.tail: _*)
+        merged.crossJoin(exact)
+          .select(probes.map(k => col(s"cnt_$k")) ++ probes.map(k =>
+            (col(s"est_$k") >= col(s"cnt_$k") &&
+              col(s"est_$k") <= col(s"cnt_$k")
+                + ceil(lit(DefaultEps) * col("n")).cast("bigint"))
+              .as(s"k${k}_within_band")): _*)
+      },
+      Some("""SELECT CAST(sum(CASE WHEN l_suppkey = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_1,
+             |       CAST(sum(CASE WHEN l_suppkey = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_2,
+             |       CAST(sum(CASE WHEN l_suppkey = 3 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_3,
+             |       TRUE AS k1_within_band, TRUE AS k2_within_band,
+             |       TRUE AS k3_within_band
+             |FROM lineitem""".stripMargin)),
+
     // Broadcast-hash join: dimension tables are tiny at every SF.
     QueryDef("rel_join_broadcast",
       (s, d) => T(s, d, "customer")

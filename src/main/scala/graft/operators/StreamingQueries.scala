@@ -130,6 +130,60 @@ object StreamingQueries {
       },
       Some("""SELECT user_id, count(*) AS n_events,
              |       round(sum(value), 2) AS total_value
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // mapGroupsWithState running totals through the engine (the classic
+    // arbitrary-stateful API; st_twstate covers its transformWithState
+    // successor). Same one-batch = final-totals reasoning as st_twstate.
+    QueryDef("st_mgstate",
+      (s, d) => {
+        val emitted = StreamGate.runUpdateToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => {
+            import s.implicits._
+            EventStreams.runningUserTotals(
+              df.select(col("user_id"), col("value")).as[(Long, Double)]).toDF()
+          },
+          "st_mgs")
+        emitted.orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       round(sum(value), 2) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Stream-stream bounded-interval join through the engine: purchases and
+    // clicks are two filters of the SAME file stream (a streaming
+    // self-join); the time-range conjunct + both watermarks bound each
+    // side's join state. An INNER stream-stream join emits matches as they
+    // are found, so the one-batch AvailableNow run emits exactly the
+    // complete inner join — no horizon cut needed in the oracle. Output is
+    // the (purchase, click) id pairs, which are deterministic.
+    QueryDef("st_interval_join",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => {
+            val ev = toTs(df)
+            val purchases = ev.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("p_id"), col("user_id"),
+                col("ts").as("p_ts"))
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("c_id"),
+                col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+            EventStreams.intervalJoin(purchases, clicks,
+              maxSpan = "30 minutes", watermark = "0 seconds")
+              .select("p_id", "c_id")
+          },
+          "st_ij")
+        emitted.orderBy("p_id", "c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+             |ORDER BY p_id, c_id""".stripMargin))
   )
 }

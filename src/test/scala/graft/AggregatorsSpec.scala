@@ -80,6 +80,20 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(math.abs(est - 10000.0) <= 200.0, s"merged median estimate $est")
   }
 
+  test("count-min sketch: shard sketches merge exactly, estimate is bounded") {
+    import graft.functions.FrequencySketch._
+    // 20000 keys, k = i % 100 -> every key value appears exactly 200 times
+    val df = (1 to 20000).map(i => (i % 7, (i % 100).toLong)).toDF("shard", "k")
+    val (est, n) = df.groupBy("shard").agg(cms_agg(col("k")).as("sk"))
+      .agg(cms_merge_agg(col("sk")).as("sk"))
+      .select(cms_estimate(col("sk"), 5L).as("e"), cms_total(col("sk")).as("n"))
+      .as[(Long, Long)].head()
+    assert(n == 20000L) // merge preserves total count exactly
+    // one-sided CMS guarantee: never under, over by at most ceil(eps * N)
+    assert(est >= 200L && est <= 200L + math.ceil(DefaultEps * n).toLong,
+      s"estimate $est outside band")
+  }
+
   test("float_cosine fused expression equals the composed dot/norm form") {
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
       .withColumn("a", col("a").cast("array<float>"))
