@@ -154,6 +154,55 @@ object RelationalQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    // Corpus-overlap estimation by HLL inclusion-exclusion: |A∩B| ≈
+    // est(A) + est(B) − est(A∪B), with the union estimated by sketch
+    // UNION — the standard "how much do these two shards overlap" answer
+    // at 100 TB (estimating the distinct overlap of two corpora without
+    // ever joining them; the sketches are the only thing exchanged). Gated
+    // with a 5%-or-10 absolute band against the exact INTERSECT count.
+    QueryDef("rel_hll_intersect",
+      (s, d) => {
+        val li = T(s, d, "lineitem")
+        def shard(flag: String, as: String) =
+          li.filter(col("l_returnflag") === flag)
+            .agg(hll_sketch_agg(col("l_suppkey")).as(as))
+        val est = shard("R", "ska").crossJoin(shard("N", "skb"))
+          .select((hll_sketch_estimate(col("ska"))
+            + hll_sketch_estimate(col("skb"))
+            - hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+            .as("est_inter"))
+        def keys(flag: String) =
+          li.filter(col("l_returnflag") === flag).select("l_suppkey").distinct()
+        val exact = keys("R").intersect(keys("N"))
+          .agg(count(lit(1)).as("exact_inter"))
+        exact.crossJoin(est)
+          .select(col("exact_inter"),
+            (abs(col("est_inter") - col("exact_inter")) <=
+              greatest(col("exact_inter").cast("double") * 0.05, lit(10.0)))
+              .as("within_band"))
+      },
+      Some("""SELECT (SELECT count(*) FROM
+             |          (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+             |           INTERSECT
+             |           SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'N')
+             |       ) AS exact_inter,
+             |       TRUE AS within_band""".stripMargin)),
+
+    // Fixed-bound histogram: clamp-bucketed floor arithmetic (bounds are
+    // constants, so the bucketing is a pure projection — no sampling pass)
+    // with a dense per-bucket count. The all-shards-to-20-buckets shuffle
+    // is O(buckets) after map-side partial aggregation.
+    QueryDef("rel_histogram",
+      (s, d) => T(s, d, "lineitem")
+        .select(least(greatest(floor(col("l_extendedprice") / 5500.0), lit(0L)),
+          lit(19L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(least(greatest(floor(l_extendedprice / 5500.0), 0), 19) AS BIGINT) AS bucket,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // approx_percentile (positional-error quantile sketch) banded against
     // the exact median: |approx - exact| must stay within 2% of exact.
     QueryDef("rel_approx_quantile",

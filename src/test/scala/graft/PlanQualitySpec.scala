@@ -175,6 +175,33 @@ class PlanQualitySpec extends AnyFunSuite {
       "dynamic file count not below the static (pre-pruning) count")
   }
 
+  test("runtime row-level Bloom filter injects on a selective shuffle join") {
+    // The row-level sibling of DPP: when a shuffle join's build side is
+    // selective, Catalyst plants a bloom_filter_agg on it and a
+    // might_contain pre-filter on the probe side's scan leg — at 100 TB
+    // this drops most probe rows BEFORE the shuffle. Thresholds are tuned
+    // for test-scale data (the optimization is size-gated in production).
+    import org.apache.spark.sql.functions._
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val supp = Tables.t(spark, sf, "supplier").filter(col("s_acctbal") > 9000)
+      val j = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg"), "no bloom filter creation side:\n" + p)
+      assert(p.contains("might_contain"), "no probe-side might_contain filter:\n" + p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
