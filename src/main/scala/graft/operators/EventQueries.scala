@@ -194,6 +194,67 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p_event_id""".stripMargin)),
 
+    // FORWARD as-of (earliest right row at or after the left time) by time
+    // negation over the same native operator: backward-asof on (-t) finds
+    // max(-rt) <= -lt, i.e. min(rt) >= lt — no second operator needed, the
+    // merge stays one pass. Output carries the forward gap (a deterministic
+    // scalar even when several clicks tie on the minimal time), oracled by
+    // a LEFT JOIN + min() replay.
+    QueryDef("ts_asof_forward",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .withColumn("nts", -unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("cts"))
+          .withColumn("ncts", -unix_micros(col("cts")))
+        AsofJoin.asofNative(purchases, clicks, "user_id", "c_user_id", "nts", "ncts")
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            (unix_timestamp(col("cts")) - unix_timestamp(col("ts"))).as("fwd_gap_s"))
+          .orderBy("p_event_id")
+      },
+      Some("""SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+             |       CAST(floor(epoch(min(c.ts))) - floor(epoch(p.ts)) AS BIGINT) AS fwd_gap_s
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND c.ts >= p.ts
+             |GROUP BY p.event_id, p.user_id, p.ts
+             |ORDER BY p_event_id""".stripMargin)),
+
+    // Gap-filled hourly series: generate the full hour spine between the
+    // corpus bounds (sequence + explode — the spine is O(hours), a
+    // dimension-sized frame) and left-join the sparse per-hour aggregate
+    // onto it, zero-filling the holes — the standard resample shape for
+    // time-series features.
+    QueryDef("ts_gapfill",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val hourly = ev.filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        val spine = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+        spine.join(hourly, Seq("hr"), "left")
+          .select(date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("hr")
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |                  date_trunc('hour', max(ts)) AS hi FROM events),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+             |h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n,
+             |             round(sum(value), 2) AS sum_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT strftime(spine.hr, '%Y-%m-%d %H:%M') AS hr,
+             |       coalesce(h.n, 0) AS n, coalesce(h.sum_value, 0.0) AS sum_value
+             |FROM spine LEFT JOIN h ON spine.hr = h.hr
+             |ORDER BY hr""".stripMargin)),
+
     // Inner as-of semantics (DuckDB's default ASOF JOIN): the left-outer
     // native operator + a not-null filter on the matched key — Catalyst
     // evaluates the filter on the join output, so unmatched purchases drop
