@@ -21,6 +21,10 @@ object Bench {
       // their timed run and pay a multi-second janino recompile. Size the
       // cache to hold the whole inventory.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
+      // temp warehouse, not ./spark-warehouse in the repo
+      .config("spark.sql.warehouse.dir",
+        graft.sources.TempDirs.create("graft_warehouse").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -19,6 +19,10 @@ object Verify {
       // See Bench.scala: the inventory outgrows the default 100-entry
       // codegen cache, and recompiles of the widest classes cost seconds.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
+      // temp warehouse, not ./spark-warehouse in the repo
+      .config("spark.sql.warehouse.dir",
+        graft.sources.TempDirs.create("graft_warehouse").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -116,6 +116,29 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** Shingle-containment near-dup pairs (a < b, |A∩B| / min(|A|,|B|) >=
+    * minC): the asymmetric companion to [[ngramJaccardPairs]] — catches a
+    * short document embedded verbatim in a longer one, which Jaccard misses
+    * because the union is dominated by the longer side. Same pair
+    * generation (shingle equi-join, intersections counted from the join, no
+    * n² materialization), different score.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, minC: Double = 0.9): DataFrame = {
+    val ex = materialize(shingleHashRows(docs, n)) // consumed by sz + both join sides
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.select(col("doc_id").as("a_id"), col("hraw"))
+      .join(ex.select(col("doc_id").as("b_id"), col("hraw")), Seq("hraw"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
+      .filter(col("containment") >= minC)
+  }
+
   /** MinHash + LSH candidate pairs, verified by exact Jaccard on the shingle
     * sets. With k=128, 32 bands x 4 rows, P(candidate | J=0.8) ~ 1 - (1 -
     * 0.8^4)^32 ~= 1.0, so verified output equals the exact >=minJ pair set —

@@ -340,6 +340,115 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Hourly OHLC bars per event type — the classic downsampling shape for
+    // metric/tick streams. Open/close are pure SELECTIONS (row_number = 1
+    // under (ts, event_id) asc/desc) rather than arithmetic, so every
+    // output value is bit-exact in both engines; high/low/count are
+    // order-independent aggregates. Two windows + one groupBy over the
+    // same hour partition — one shuffle total, windows and final aggregate
+    // share the (hr, event_type) partitioning.
+    QueryDef("ts_ohlc",
+      (s, d) => {
+        val hr = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+        val part = Window.partitionBy("hr", "event_type")
+        val asc = part.orderBy(col("ts"), col("event_id"))
+        val desc = part.orderBy(col("ts").desc, col("event_id").desc)
+        T(s, d, "events")
+          .select(hr.as("hr"), col("event_type"), col("ts"), col("event_id"), col("value"))
+          .withColumn("rn", row_number().over(asc))
+          .withColumn("rd", row_number().over(desc))
+          .groupBy("hr", "event_type")
+          .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy("hr", "event_type")
+      },
+      Some("""WITH e AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+             |                  event_type, ts, event_id, value FROM events),
+             |r AS (SELECT *,
+             |             row_number() OVER (PARTITION BY hr, event_type
+             |                                ORDER BY ts, event_id) AS rn,
+             |             row_number() OVER (PARTITION BY hr, event_type
+             |                                ORDER BY ts DESC, event_id DESC) AS rd
+             |      FROM e)
+             |SELECT hr, event_type,
+             |       max(CASE WHEN rn = 1 THEN value END) AS open,
+             |       max(value) AS high,
+             |       min(value) AS low,
+             |       max(CASE WHEN rd = 1 THEN value END) AS close,
+             |       count(*) AS n
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered conversion funnel (view -> click -> purchase): each stage's
+    // entry time is the user's first qualifying event STRICTLY AFTER the
+    // previous stage's entry. Stage frontiers are tiny per-user aggregates
+    // (one row per user), so each refinement is a broadcast-sized join onto
+    // the next stage's filtered scan — at 100 TB the event table is only
+    // read once per stage, pre-filtered to that stage's type, and the
+    // min-aggregates combine map-side.
+    QueryDef("ts_funnel",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        def stage(evType: String, prev: org.apache.spark.sql.DataFrame,
+                  prevT: String, tName: String) =
+          ev.filter(col("event_type") === evType)
+            .join(prev, "user_id")
+            .filter(col("ts") > col(prevT))
+            .groupBy("user_id").agg(min(col("ts")).as(tName))
+        val viewed = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val clicked = stage("click", viewed, "t_view", "t_click")
+        val purchased = stage("purchase", clicked, "t_click", "t_purchase")
+        val one = (df: org.apache.spark.sql.DataFrame, nm: String) =>
+          df.agg(count(lit(1)).as(nm))
+        one(viewed, "n_view")
+          .crossJoin(one(clicked, "n_view_click"))
+          .crossJoin(one(purchased, "n_full_funnel"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |       (SELECT count(*) FROM c) AS n_view_click,
+             |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin)),
+
+    // Weekly retention cohorts: users grouped by the ISO week of their
+    // first event; each later event lands in a (cohort_week, week offset)
+    // cell counted by distinct users. One small per-user aggregate (the
+    // cohort map) re-joined to the event scan — the standard cohort shape;
+    // distinct-user counting per cell is the only wide aggregation.
+    QueryDef("ts_retention",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val firsts = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        ev.join(firsts, "user_id")
+          .select(col("cohort_week"),
+            floor(datediff(col("ts").cast("date"), col("cohort_week")) / 7)
+              .as("week_offset"), col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count_distinct(col("user_id")).as("active_users"))
+          .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |                  CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+             |           FROM events GROUP BY 1)
+             |SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+             |       CAST(floor(date_diff('day', f.cw, CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+             |         AS week_offset,
+             |       count(DISTINCT e.user_id) AS active_users
+             |FROM events e JOIN f ON e.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("fn_datetime",
       (s, d) => T(s, d, "events")
         .filter(col("event_id") < 500)

@@ -133,6 +133,20 @@ object PipelineQueries {
       (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
+    // Asymmetric containment (|A∩B| / min(|A|,|B|)): the "short doc quoted
+    // inside a long doc" detector — same shingle CTE chain as the Jaccard
+    // oracle, different score.
+    QueryDef("dd_containment",
+      (s, d) => Dedup.containmentPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      Some(s"""WITH $jaccardCtes
+             |SELECT a_id, b_id,
+             |       round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+             |FROM inter
+             |JOIN sz sa ON sa.doc_id = a_id
+             |JOIN sz sb ON sb.doc_id = b_id
+             |WHERE round(c * 1.0 / least(sa.n, sb.n), 4) >= 0.9
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // SimHash with maxHam = 7 in its SCALE configuration: 16-bit chunks +
     // 1-bit multi-probe — the same hamming<=7 pigeonhole recall bound as the
     // 8x8 default (2c-1 with c=4 chunks) at ~30x fewer random chunk
@@ -243,6 +257,27 @@ object PipelineQueries {
              |           FROM scored)
              |SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 10
              |ORDER BY q_id, rn""".stripMargin)),
+
+    // Radius (range) search: all corpus vectors within a cosine radius of
+    // each query — the thresholded twin of sim_batch_topk (the synthetic
+    // corpus tops out near cosine 0.5, so the radius is 0.3).
+    QueryDef("sim_range_search",
+      (s, d) => Similarity.rangeSearch(T(s, d, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), minSim = 0.3),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |         GROUP BY 1, 2)
+             |SELECT q_id, dots.vec_id AS vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |FROM dots
+             |JOIN nrm nq ON nq.vec_id = dots.q_id
+             |JOIN nrm nv ON nv.vec_id = dots.vec_id
+             |WHERE round(dp / (nq.n * nv.n), 3) >= 0.3
+             |ORDER BY q_id, dots.vec_id""".stripMargin)),
 
     QueryDef("sim_ivf_topk",
       (s, d) => Similarity.ivfTopK(T(s, d, "embeddings"), queryId = 0L, k = 5),

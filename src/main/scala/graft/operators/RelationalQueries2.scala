@@ -393,6 +393,105 @@ object RelationalQueries2 {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events
              |WHERE isodow(CAST(ts AS DATE)) = 1
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Join over PRE-BUCKETED storage (graft.sources.BucketedView): both
+    // sides were hashed into the same bucket count on their join key at
+    // write time, so the sort-merge join plans with NO Exchange on either
+    // side (asserted in PlanQualitySpec) — the fact-to-fact join layout
+    // you land once at ingest instead of re-shuffling 100 TB per run. The
+    // merge hint keeps the demo honest at test scale, where tiny orders
+    // would otherwise broadcast.
+    QueryDef("rel_join_bucketed",
+      (s, d) => {
+        val (orders, li) = graft.sources.BucketedView.tables(s, d)
+        li.hint("merge").join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bivariate statistics battery: correlation, covariance (pop/samp), the
+    // OLS regression family, and population skewness/kurtosis. All are
+    // single-pass partial+final aggregates (map-side moment accumulation —
+    // the 100 TB shape; no second pass over the data). Spark's skewness /
+    // kurtosis are POPULATION moments while DuckDB's are sample-corrected,
+    // so the oracle derives the population forms from raw power sums.
+    // Rounding: ratio-valued stats (corr, r2, slope, skew, kurt) are O(1)
+    // and rounded at 6; covariances/intercept carry the price magnitude
+    // (~1e4..1e6) and are rounded at 3, far above double noise.
+    QueryDef("rel_agg_corr",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 3).as("covp_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("covs_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          round(skewness(col("l_quantity")), 6).as("skew_q"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_q"))
+        .orderBy("l_returnflag"),
+      Some("""WITH p AS (SELECT l_returnflag,
+             |                  count(*) AS n,
+             |                  corr(l_quantity, l_extendedprice) AS c,
+             |                  covar_pop(l_quantity, l_extendedprice) AS cp,
+             |                  covar_samp(l_quantity, l_extendedprice) AS cs,
+             |                  regr_slope(l_extendedprice, l_quantity) AS sl,
+             |                  regr_intercept(l_extendedprice, l_quantity) AS ic,
+             |                  regr_r2(l_extendedprice, l_quantity) AS r2,
+             |                  avg(l_quantity) AS m1,
+             |                  avg(l_quantity * l_quantity) AS p2,
+             |                  avg(l_quantity * l_quantity * l_quantity) AS p3,
+             |                  avg(l_quantity * l_quantity * l_quantity * l_quantity) AS p4
+             |           FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |       round(c, 6) AS corr_qp,
+             |       round(cp, 3) AS covp_qp,
+             |       round(cs, 3) AS covs_qp,
+             |       round(sl, 6) AS slope,
+             |       round(ic, 3) AS intercept,
+             |       round(r2, 6) AS r2,
+             |       round((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1)
+             |             / pow(p2 - m1 * m1, 1.5), 6) AS skew_q,
+             |       round((p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
+             |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
+             |FROM p ORDER BY l_returnflag""".stripMargin)),
+
+    // Windowed DISTINCT count — Spark's window aggregates reject DISTINCT,
+    // so the idiomatic form is size(collect_set() OVER w) on a whole-
+    // partition frame. The oracle states the same thing relationally (a
+    // per-group distinct count joined back), which is exactly what the
+    // whole-partition frame computes.
+    QueryDef("win_distinct",
+      (s, d) => {
+        val wf = Window.partitionBy("l_orderkey")
+        T(s, d, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            size(collect_set(col("l_suppkey")).over(wf)).cast("bigint").as("n_supp"),
+            size(collect_set(col("l_partkey")).over(wf)).cast("bigint").as("n_part"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+             |       g.n_supp, g.n_part
+             |FROM lineitem l
+             |JOIN (SELECT l_orderkey,
+             |             count(DISTINCT l_suppkey) AS n_supp,
+             |             count(DISTINCT l_partkey) AS n_part
+             |      FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1) g
+             |  ON l.l_orderkey = g.l_orderkey
+             |WHERE l.l_orderkey < 2000
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin))
   )
 }

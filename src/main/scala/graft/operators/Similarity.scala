@@ -124,6 +124,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cosine range search: every (query, corpus) pair at or above `minSim` —
+    * the radius-query twin of [[batchTopK]] (dedup thresholding, recall
+    * evaluation, near-duplicate retrieval all want "everything within a
+    * radius", not a fixed k). Same scale shape: queries broadcast, ONE
+    * corpus scan with the fused codegen cosine, and because the predicate is
+    * a plain filter the output shuffle is only the qualifying pairs — no
+    * window, no sort until the final (small) result ordering.
+    */
+  def rangeSearch(embs: DataFrame, queryIds: Seq[Long], minSim: Double): DataFrame = {
+    val ids = queryIds.map(l => l: Any)
+    val qs = broadcast(embs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    embs.filter(!col("vec_id").isin(ids: _*))
+      .crossJoin(qs)
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("q_id", "vec_id")
+  }
+
   /** Single-table RHP bucket key (compat/spec surface over
     * [[VectorFns.rhpKeys]]): sign bits of dot products with deterministic
     * pseudo-random hyperplanes. Vectors of any dimension hash (planes are

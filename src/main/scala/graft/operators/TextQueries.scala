@@ -158,6 +158,86 @@ object TextQueries {
              |SELECT bigram, count(*) AS cnt FROM bg
              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Zipf's-law fit: OLS slope of ln(freq) against ln(rank) over the top
+    // 1000 words (a Zipfian corpus sits near slope -1). The global
+    // row_number window runs over the VOCABULARY (Zipf ⇒ ≪ corpus — the
+    // corpus-wide shuffle already happened in the word count), so the
+    // single-partition window is bounded; ties rank deterministically via
+    // (cnt DESC, word).
+    QueryDef("tx_zipf",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("word"))
+        TextAnalysis.wordCount(T(s, d, "documents"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 1000)
+          .agg(count(lit(1)).as("n_words"),
+            round(regr_slope(log(col("cnt")), log(col("rnk"))), 4).as("zipf_slope"),
+            round(regr_r2(log(col("cnt")), log(col("rnk"))), 4).as("zipf_r2"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest($tk) AS word FROM documents),
+             |wc AS (SELECT word, count(*) AS cnt FROM toks
+             |       WHERE length(word) > 0 GROUP BY 1),
+             |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+             |       FROM wc)
+             |SELECT count(*) AS n_words,
+             |       round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+             |       round(regr_r2(ln(cnt), ln(rnk)), 4) AS zipf_r2
+             |FROM rk WHERE rnk <= 1000""".stripMargin)),
+
+    // Collocation mining via pointwise mutual information: PMI(a,b) =
+    // ln(P(a,b) / (P(a)P(b))) over adjacent-token pairs. Unigram and bigram
+    // count tables are plain explode+groupBy aggregates; the two corpus
+    // totals are scalar aggregates broadcast into the scoring join, and the
+    // unigram table joins in twice (a- and b-side) — at 100 TB both are
+    // fine: the word table is vocabulary-sized (Zipf ⇒ ≪ corpus), the
+    // totals are single rows. The >= 20 support floor keeps PMI out of the
+    // noisy low-count regime. Identical double-expression association on
+    // both sides; round(4) clears the 1-ulp libm gap between engines.
+    QueryDef("tx_pmi",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(TextFns.tokens(col("text")).as("toks"))
+        val words = toks.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val pairs = toks.filter(size(col("toks")) >= 2)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w_a"), b.as("w_b")))).as("bg"))
+          .select(col("bg.w_a").as("w_a"), col("bg.w_b").as("w_b"))
+          .groupBy("w_a", "w_b").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 20)
+        val nTok = words.agg(sum(col("cw")).as("n_tok"))
+        val nBig = toks.filter(size(col("toks")) >= 2)
+          .agg(sum(size(col("toks")) - 1).as("n_big"))
+        pairs
+          .join(words.select(col("w").as("w_a"), col("cw").as("ca")), "w_a")
+          .join(words.select(col("w").as("w_b"), col("cw").as("cb")), "w_b")
+          .crossJoin(broadcast(nTok))
+          .crossJoin(broadcast(nBig))
+          .select(col("w_a"), col("w_b"), col("cnt"),
+            round(log(col("cnt").cast("double") * col("n_tok") * col("n_tok")
+              / (col("n_big").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
+          .orderBy("w_a", "w_b")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w,
+             |               unnest(generate_series(1, len(t))) AS i FROM tt),
+             |w AS (SELECT w, count(*) AS cw FROM pos GROUP BY 1),
+             |bg AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS cnt
+             |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |       GROUP BY 1, 2 HAVING count(*) >= 20),
+             |tot AS (SELECT sum(cw) AS n_tok FROM w),
+             |mb AS (SELECT sum(len(t) - 1) AS n_big FROM tt WHERE len(t) >= 2)
+             |SELECT bg.w_a, bg.w_b, bg.cnt,
+             |       round(ln(CAST(bg.cnt AS DOUBLE) * n_tok * n_tok
+             |             / (CAST(n_big AS DOUBLE) * wa.cw * wb.cw)), 4) AS pmi
+             |FROM bg
+             |JOIN w wa ON wa.w = bg.w_a
+             |JOIN w wb ON wb.w = bg.w_b, tot, mb
+             |ORDER BY bg.w_a, bg.w_b""".stripMargin)),
+
     // End-to-end training-data curation pipeline in one declarative plan:
     // quality-score → filter (tokens >= 5, stopword ratio >= 5%) → exact
     // dedup among survivors (min doc_id per text) → corpus summary. At

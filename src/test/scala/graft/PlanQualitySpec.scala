@@ -202,6 +202,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join plans with no exchange on either side") {
+    // Both inputs were bucketed on their join key at write time
+    // (graft.sources.BucketedView) — the sort-merge join must read the
+    // bucketed scans directly. The only allowed Exchange is the one AFTER
+    // the join, feeding the small groupBy; the join's own children must
+    // contain none. Localize the check to the SMJ subtree.
+    val p = SparkEntry.queries("rel_join_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // No exchange may partition on either JOIN key — the bucketed layout
+    // already satisfies the join's distribution. (The post-join groupBy's
+    // o_orderpriority exchange is expected and allowed.)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
