@@ -97,7 +97,17 @@ object Dedup {
     * full n^2 space, but still O(sum of per-shingle doc-count^2): the
     * correctness baseline; MinHash below is the scale path.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.8): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.8): DataFrame =
+    jaccardFromStats(shinglePairStats(docs, n), minJ)
+
+  /** Shared pair-statistics table (a_id < b_id, intersection size, both set
+    * sizes) behind every exact set-overlap score: Jaccard and containment
+    * are pure projections over it, so callers scoring a corpus both ways
+    * (the realistic dedup audit) compute the expensive shingle equi-join
+    * ONCE and derive each score for free (PipelineQueries caches this frame
+    * across the dd_* queries).
+    */
+  def shinglePairStats(docs: DataFrame, n: Int = 3): DataFrame = {
     // Join on the 8-byte shingle hash, not the shingle string: cheaper
     // shuffle + comparisons; per-doc set sizes join in afterwards against the
     // (much smaller) pair table. AQE handles hot-shingle skew.
@@ -111,10 +121,19 @@ object Dedup {
     inter
       .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
+  }
+
+  /** Jaccard score + threshold over a [[shinglePairStats]] frame. */
+  def jaccardFromStats(stats: DataFrame, minJ: Double): DataFrame =
+    stats.select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJ)
-  }
+
+  /** Containment score + threshold over a [[shinglePairStats]] frame. */
+  def containmentFromStats(stats: DataFrame, minC: Double): DataFrame =
+    stats.select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
+      .filter(col("containment") >= minC)
 
   /** Shingle-containment near-dup pairs (a < b, |A∩B| / min(|A|,|B|) >=
     * minC): the asymmetric companion to [[ngramJaccardPairs]] — catches a
@@ -123,21 +142,8 @@ object Dedup {
     * generation (shingle equi-join, intersections counted from the join, no
     * n² materialization), different score.
     */
-  def containmentPairs(docs: DataFrame, n: Int = 3, minC: Double = 0.9): DataFrame = {
-    val ex = materialize(shingleHashRows(docs, n)) // consumed by sz + both join sides
-    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = ex.select(col("doc_id").as("a_id"), col("hraw"))
-      .join(ex.select(col("doc_id").as("b_id"), col("hraw")), Seq("hraw"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(col("inter").cast("double") / least(col("na"), col("nb")), 4).as("containment"))
-      .filter(col("containment") >= minC)
-  }
+  def containmentPairs(docs: DataFrame, n: Int = 3, minC: Double = 0.9): DataFrame =
+    containmentFromStats(shinglePairStats(docs, n), minC)
 
   /** MinHash + LSH candidate pairs, verified by exact Jaccard on the shingle
     * sets. With k=128, 32 bands x 4 rows, P(candidate | J=0.8) ~ 1 - (1 -

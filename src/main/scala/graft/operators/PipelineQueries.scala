@@ -41,6 +41,18 @@ object PipelineQueries {
       // a lineage-truncating localCheckpoint smuggled in by the cache
       Dedup.materialize(Dedup.minhashLshPairs(T(s, d, "documents"))))
 
+  /** Shared exact pair-overlap statistics (Dedup.shinglePairStats): the
+    * Jaccard and containment queries are projections over the same shingle
+    * equi-join, so the expensive pair generation runs once per (session,
+    * sfDir) — the same family-cache pattern as the MinHash pair set above.
+    */
+  private val pairStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def pairStats(s: SparkSession, d: String) =
+    pairStatsCache.getOrElseUpdate((s, d),
+      Dedup.materialize(Dedup.shinglePairStats(T(s, d, "documents"))))
+
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every
     * oracle that needs it (change the shingle definition here only).
@@ -126,7 +138,8 @@ object PipelineQueries {
              |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
     QueryDef("dd_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      (s, d) => Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+        .orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
     QueryDef("dd_minhash_lsh",
@@ -137,7 +150,8 @@ object PipelineQueries {
     // inside a long doc" detector — same shingle CTE chain as the Jaccard
     // oracle, different score.
     QueryDef("dd_containment",
-      (s, d) => Dedup.containmentPairs(T(s, d, "documents")).orderBy("a_id", "b_id"),
+      (s, d) => Dedup.containmentFromStats(pairStats(s, d), minC = 0.9)
+        .orderBy("a_id", "b_id"),
       Some(s"""WITH $jaccardCtes
              |SELECT a_id, b_id,
              |       round(c * 1.0 / least(sa.n, sb.n), 4) AS containment

@@ -35,6 +35,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((3L, 100L), (7L, 101L), (5L, 102L)))
   }
 
+  test("containment: finds the short-doc-inside-long-doc pair Jaccard misses") {
+    // doc 200 = first 12 tokens of doc 2, verbatim: every shingle of 200 is
+    // in 2, so containment = 1.0, while Jaccard ~ 10/28 is far below 0.8.
+    val sub = (200L, (0 until 12).map(j => s"w2_$j").mkString(" "))
+    val docs = corpus.union(Seq(sub).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(docs, minC = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(cont.contains((2L, 200L)))
+    val jac = Dedup.ngramJaccardPairs(docs, minJ = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((2L, 200L)))
+  }
+
+  test("containment >= jaccard on every shared pair (set inequality)") {
+    val j = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard")).as[(Long, Long, Double)]
+      .collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    val c = Dedup.containmentPairs(corpus, minC = 0.5)
+      .select(col("a_id"), col("b_id"), col("containment")).as[(Long, Long, Double)]
+      .collect().map { case (a, b, v) => (a, b) -> v }.toMap
+    // |A∩B|/min >= |A∩B|/union, so every Jaccard pair appears with >= score
+    assert(j.keySet.subsetOf(c.keySet))
+    j.foreach { case (k, jv) => assert(c(k) >= jv - 1e-9, s"$k: ${c(k)} < $jv") }
+  }
+
   test("materialize strategies (persist/checkpoint) give identical results") {
     val expected = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

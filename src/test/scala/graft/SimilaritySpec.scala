@@ -162,6 +162,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(frac <= 0.35, s"clustered-regime scan fraction too high: $frac")
   }
 
+  test("range search equals batch top-k scores filtered at the radius") {
+    val qs = Seq(0L)
+    val topk = Similarity.batchTopK(vecs, qs, k = 10)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+      .filter(_._3 >= 0.5).toSet
+    val range = Similarity.rangeSearch(vecs, qs, minSim = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(range == topk)
+    // and the anti-parallel vector is excluded at any positive radius
+    assert(!range.exists(_._2 == 4L))
+  }
+
   test("operators tolerate empty inputs") {
     val empty = vecs.filter($"vec_id" < 0)
     assert(Similarity.bruteForceTopK(empty, 0L, 3).count() == 0)
