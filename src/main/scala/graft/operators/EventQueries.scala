@@ -340,6 +340,33 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Point-in-time snapshot: each user's latest event at or before T — the
+    // feature-store / training-cutoff shape (no future leakage). Filter
+    // pushes T into the scan, then one window pass keeps row_number = 1
+    // under a deterministic (ts, event_id) DESC order; Catalyst's
+    // WindowGroupLimit prunes to one row per user map-side.
+    QueryDef("ts_snapshot",
+      (s, d) => {
+        val cutoff = "2024-01-15 00:00:00"
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        T(s, d, "events")
+          .filter(col("ts") <= lit(cutoff).cast("timestamp"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_type"),
+            round(col("value"), 2).as("last_value"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_type AS last_type,
+             |       round(value, 2) AS last_value,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |                ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Hourly OHLC bars per event type — the classic downsampling shape for
     // metric/tick streams. Open/close are pure SELECTIONS (row_number = 1
     // under (ts, event_id) asc/desc) rather than arithmetic, so every

@@ -152,7 +152,12 @@ object Multimodal {
     * chunk carries audio_format(16) channels(22) sample_rate(24); the "data"
     * chunk carries the PCM samples.
     */
-  private[graft] def decodeWav(bytes: Array[Byte]): WavInfo = {
+  /** Raw decoded PCM: header fields + all 16-bit samples, channel-
+    * interleaved in file order. null for payloads that are not PCM-16 WAV.
+    */
+  private[graft] final case class WavPcm(rate: Int, channels: Int, samples: Array[Int])
+
+  private[graft] def decodeWavPcm(bytes: Array[Byte]): WavPcm = {
     def u8(i: Int) = bytes(i) & 0xFF
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
@@ -174,16 +179,70 @@ object Multimodal {
     }
     if (rate <= 0 || channels <= 0 || fmt != 1 || dataOff < 0) return null
     val end = math.min(bytes.length.toLong, dataOff + dataLen).toInt
-    val nSamples = (end - dataOff) / 2 / channels
-    var sum = 0.0
-    var i = dataOff
-    while (i + 1 < end) {
-      sum += math.abs((le16(i) << 16) >> 16) // sign-extend 16-bit sample
-      i += 2
+    val nVals = math.max(0, (end - dataOff) / 2)
+    val samples = new Array[Int](nVals)
+    var i = 0
+    while (i < nVals) {
+      samples(i) = (le16(dataOff + 2 * i) << 16) >> 16 // sign-extend 16-bit
+      i += 1
     }
-    val nVals = (end - dataOff) / 2
-    WavInfo(rate, channels, nSamples, nSamples.toDouble / rate,
+    WavPcm(rate, channels, samples)
+  }
+
+  private[graft] def decodeWav(bytes: Array[Byte]): WavInfo = {
+    val pcm = decodeWavPcm(bytes)
+    if (pcm == null) return null
+    val nVals = pcm.samples.length
+    val nSamples = nVals / pcm.channels
+    var sum = 0.0
+    var i = 0
+    while (i < nVals) { sum += math.abs(pcm.samples(i)); i += 1 }
+    WavInfo(pcm.rate, pcm.channels, nSamples, nSamples.toDouble / pcm.rate,
       if (nVals == 0) 0.0 else sum / nVals / 32768.0)
+  }
+
+  /** Per-frame RMS energy over decoded PCM — the feature-extraction step of
+    * an audio curation pipeline (silence trimming, energy filtering), one
+    * output row per `frame`-sample window. Same mapPartitions shape as the
+    * other decoders: decode + window entirely inside the partition, no
+    * shuffle; output volume is samples/frame rows. Frame sums are integer
+    * squares (exactly representable), so RMS is bit-reproducible in any
+    * summation order — the oracle replays it in SQL.
+    */
+  def wavFrameEnergy(df: DataFrame, payloadCol: String = "content",
+                     frame: Int = 16): DataFrame = {
+    require(frame > 0, "frame must be positive")
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("frame_no", org.apache.spark.sql.types.IntegerType)
+      .add("n", org.apache.spark.sql.types.IntegerType)
+      .add("rms", org.apache.spark.sql.types.DoubleType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        val pcm = decodeWavPcm(r.getAs[Array[Byte]](idx))
+        if (pcm == null) Iterator.empty
+        else {
+          val nVals = pcm.samples.length
+          val nFrames = (nVals + frame - 1) / frame
+          (0 until nFrames).iterator.map { f =>
+            val from = f * frame
+            val until = math.min(from + frame, nVals)
+            var sumSq = 0.0
+            var i = from
+            while (i < until) {
+              val v = pcm.samples(i).toDouble
+              sumSq += v * v
+              i += 1
+            }
+            val cnt = until - from
+            Row.fromSeq(keep :+ f :+ cnt :+ math.sqrt(sumSq / cnt) / 32768.0)
+          }
+        }
+      }
+    }
   }
 
   /** WAV decode over a binary payload column via mapPartitions (same batch

@@ -457,6 +457,27 @@ object PipelineQueries {
              |       round(list_sum(vals) / n / 32768.0, 6) AS mean_abs
              |FROM samp ORDER BY doc_id""".stripMargin)),
 
+    // Windowed audio feature extraction under the oracle: decode PCM,
+    // 16-sample frame RMS (Multimodal.wavFrameEnergy, one partition-local
+    // pass, no shuffle). Frame sums are integer squares, so the energies
+    // are bit-reproducible and DuckDB replays them from the synthWav
+    // closed form.
+    QueryDef("mm_wav_energy",
+      (s, d) => Multimodal.wavFrameEnergy(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav))
+        .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+          col("n").cast("bigint").as("n"), round(col("rms"), 6).as("rms"))
+        .orderBy("doc_id", "frame_no"),
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |i AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM s),
+             |x AS (SELECT doc_id, i // 16 AS frame_no,
+             |             CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS DOUBLE) AS v
+             |      FROM i)
+             |SELECT doc_id, frame_no, count(*) AS n,
+             |       round(sqrt(sum(v * v) / count(*)) / 32768.0, 6) AS rms
+             |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // REAL image decode under the oracle, same pattern: deterministic RGB
     // PNG (Multimodal.synthPng; PNG is lossless so the pixels round-trip
     // exactly), decoded by the real javax.imageio path, luma aggregated in

@@ -468,6 +468,26 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // Predicate aggregates: bool_and / bool_or / count_if — data-quality
+    // assertions as single-pass grouped aggregation (all-rows-valid,
+    // any-row-flagged, violation counts).
+    QueryDef("rel_agg_bool",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") < 51).as("all_qty_ok"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_disc"),
+          count_if(col("l_tax") > 0.04).as("n_high_tax"),
+          count_if(col("l_discount") === 0).as("n_no_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       bool_and(l_quantity < 51) AS all_qty_ok,
+             |       bool_or(l_discount > 0.09) AS any_deep_disc,
+             |       CAST(count_if(l_tax > 0.04) AS BIGINT) AS n_high_tax,
+             |       CAST(count_if(l_discount = 0) AS BIGINT) AS n_no_disc,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Windowed DISTINCT count — Spark's window aggregates reject DISTINCT,
     // so the idiomatic form is size(collect_set() OVER w) on a whole-
     // partition frame. The oracle states the same thing relationally (a

@@ -158,6 +158,66 @@ object TextQueries {
              |SELECT bigram, count(*) AS cnt FROM bg
              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    // URL parsing battery (web-corpus curation: host-level dedup, path
+    // bucketing, tracking-param extraction). The URL is constructed from
+    // table columns, so the oracle re-derives every component from the same
+    // parts — Spark's parse_url (java.net.URI semantics) is gated against
+    // ground truth rather than a second URL parser's opinions.
+    QueryDef("fn_url",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("?lang="), col("lang"), lit("&n="), col("n_chars"))
+        T(s, d, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+            parse_url(col("url"), lit("QUERY"), lit("n")).cast("bigint").as("n_param"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       'https' AS proto,
+             |       source || '.example.com' AS host,
+             |       '/docs/' || doc_id AS path,
+             |       lang AS lang_param,
+             |       n_chars AS n_param
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Rule-based suffix stemming (normalization before counting/dedup):
+    // one suffix stripped per token, longest-first, only on tokens long
+    // enough to keep a 2+-char stem. Expressed as CASE + LIKE + substr —
+    // identical literal semantics in both engines (regex alternation order
+    // is engine-lore; CASE is not). Top-50 stems, deterministic tiebreak.
+    QueryDef("tx_stem",
+      (s, d) => {
+        val stem = """CASE
+          | WHEN length(w) > 4 AND w LIKE '%ing' THEN substr(w, 1, length(w) - 3)
+          | WHEN length(w) > 4 AND w LIKE '%ed' THEN substr(w, 1, length(w) - 2)
+          | WHEN length(w) > 4 AND w LIKE '%ly' THEN substr(w, 1, length(w) - 2)
+          | WHEN length(w) > 4 AND w LIKE '%es' THEN substr(w, 1, length(w) - 2)
+          | WHEN length(w) > 4 AND w LIKE '%s'  THEN substr(w, 1, length(w) - 1)
+          | ELSE w END""".stripMargin
+        T(s, d, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .select(expr(stem).as("stem"))
+          .groupBy("stem").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("stem"))
+          .limit(50)
+      },
+      Some(s"""WITH toks AS (SELECT unnest($tk) AS w FROM documents),
+             |st AS (SELECT CASE
+             |         WHEN length(w) > 4 AND w LIKE '%ing' THEN substr(w, 1, length(w) - 3)
+             |         WHEN length(w) > 4 AND w LIKE '%ed' THEN substr(w, 1, length(w) - 2)
+             |         WHEN length(w) > 4 AND w LIKE '%ly' THEN substr(w, 1, length(w) - 2)
+             |         WHEN length(w) > 4 AND w LIKE '%es' THEN substr(w, 1, length(w) - 2)
+             |         WHEN length(w) > 4 AND w LIKE '%s'  THEN substr(w, 1, length(w) - 1)
+             |         ELSE w END AS stem
+             |       FROM toks)
+             |SELECT stem, count(*) AS cnt FROM st
+             |GROUP BY stem ORDER BY cnt DESC, stem LIMIT 50""".stripMargin)),
+
     // Zipf's-law fit: OLS slope of ln(freq) against ln(rank) over the top
     // 1000 words (a Zipfian corpus sits near slope -1). The global
     // row_number window runs over the VOCABULARY (Zipf ⇒ ≪ corpus — the
