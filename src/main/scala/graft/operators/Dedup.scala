@@ -107,11 +107,16 @@ object Dedup {
     * ONCE and derive each score for free (PipelineQueries caches this frame
     * across the dd_* queries).
     */
-  def shinglePairStats(docs: DataFrame, n: Int = 3): DataFrame = {
-    // Join on the 8-byte shingle hash, not the shingle string: cheaper
-    // shuffle + comparisons; per-doc set sizes join in afterwards against the
-    // (much smaller) pair table. AQE handles hot-shingle skew.
-    val ex = materialize(shingleHashRows(docs, n)) // consumed by sz + both join sides
+  def shinglePairStats(docs: DataFrame, n: Int = 3): DataFrame =
+    // materialized because ex is consumed by sz + both join sides
+    pairStatsFrom(materialize(shingleHashRows(docs, n)))
+
+  /** Pair statistics over an already-materialized (doc_id, hraw) shingle
+    * frame. Join on the 8-byte shingle hash, not the shingle string: cheaper
+    * shuffle + comparisons; per-doc set sizes join in afterwards against the
+    * (much smaller) pair table. AQE handles hot-shingle skew.
+    */
+  private def pairStatsFrom(ex: DataFrame): DataFrame = {
     val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.select(col("doc_id").as("a_id"), col("hraw"))
       .join(ex.select(col("doc_id").as("b_id"), col("hraw")), Seq("hraw"))
@@ -121,6 +126,19 @@ object Dedup {
     inter
       .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+  }
+
+  /** [[shinglePairStats]] materialized for reuse across several scorings,
+    * with the shingle-row intermediate released once the stats frame is
+    * pinned — callers holding the result long-term (the PipelineQueries
+    * family cache) keep only the O(near-dup pairs) table resident, not the
+    * O(corpus) shingle rows.
+    */
+  def materializedPairStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ex = materialize(shingleHashRows(docs, n))
+    val stats = materialize(pairStatsFrom(ex))
+    release(ex)
+    stats
   }
 
   /** Jaccard score + threshold over a [[shinglePairStats]] frame. */

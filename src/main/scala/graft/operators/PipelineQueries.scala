@@ -51,7 +51,10 @@ object PipelineQueries {
 
   private def pairStats(s: SparkSession, d: String) =
     pairStatsCache.getOrElseUpdate((s, d),
-      Dedup.materialize(Dedup.shinglePairStats(T(s, d, "documents"))))
+      // materializedPairStats releases its shingle-row intermediate once the
+      // (far smaller) stats frame is pinned — only the pair table stays
+      // resident for the family's lifetime.
+      Dedup.materializedPairStats(T(s, d, "documents")))
 
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every

@@ -202,6 +202,24 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot prunes per-user map-side (WindowGroupLimit)") {
+    val p = plan("ts_snapshot")
+    // the rn=1 window shape must trigger the group-limit prune: one row per
+    // user survives the map side, so the shuffle is O(users) not O(events).
+    // (The cutoff filter itself cannot reach THIS testdata's parquet reader
+    // because events.ts is derived from the nanos-as-long conversion in
+    // Tables.t; on a production TIMESTAMP column it pushes like
+    // rel_filter_project's.)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("funnel stage refinements broadcast the per-user frontier") {
+    // each stage's per-user min-ts frontier is tiny relative to the event
+    // scan — it must join in as the broadcast side, never shuffling events
+    assert(plan("ts_funnel").contains("BroadcastHashJoin"), plan("ts_funnel"))
+  }
+
   test("bucketed join plans with no exchange on either side") {
     // Both inputs were bucketed on their join key at write time
     // (graft.sources.BucketedView) — the sort-merge join must read the
