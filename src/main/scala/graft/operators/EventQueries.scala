@@ -340,6 +340,34 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Forward-fill imputation (LOCF — last observation carried forward):
+    // null out a deterministic subset (error events carry no reading), then
+    // carry the last non-null value forward per user in event-time order via
+    // last_value(IGNORE NULLS) over a growing frame — the standard
+    // time-series gap-patching operator. One window pass, one shuffle on
+    // user_id.
+    QueryDef("ts_ffill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, d, "events")
+          .filter(col("event_id") < 2000)
+          .withColumn("reading",
+            when(col("event_type") =!= "error", col("value")))
+          .select(col("event_id"), col("user_id"),
+            round(coalesce(last(col("reading"), ignoreNulls = true).over(w),
+              lit(0.0)), 2).as("filled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       round(coalesce(
+             |         last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         0.0), 2) AS filled
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
     // Point-in-time snapshot: each user's latest event at or before T — the
     // feature-store / training-cutoff shape (no future leakage). Filter
     // pushes T into the scan, then one window pass keeps row_number = 1

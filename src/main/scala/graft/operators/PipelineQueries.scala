@@ -149,6 +149,59 @@ object PipelineQueries {
       (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
+    // Sparse-vector document similarity: TF-IDF weighted cosine over the
+    // token equi-join — the text twin of embedding cosine, computed without
+    // ever densifying vectors. The scale lever is the document-frequency
+    // cap (2 <= df <= 50): stop-tokens (df ~ corpus size) would reduce the
+    // token join to all-pairs, so they carry ~zero IDF AND are dropped
+    // outright — pair volume is O(Σ df² over kept tokens), the same
+    // bounded-join shape as the shingle pipeline. Weight/norm/dot
+    // expressions are associated identically in both engines; round(3)
+    // clears summation-order noise.
+    QueryDef("dd_tfidf_cosine",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+        val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 50))
+        val nd = toks.agg(count_distinct(col("doc_id")).as("nd"))
+        val kept = tf.join(df, "w").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("w"),
+            (col("tf") * log(col("nd") * lit(1.0) / col("df"))).as("wt"))
+        val nrm = kept.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nr"))
+        val dots = kept.select(col("doc_id").as("a_id"), col("w"), col("wt").as("wa"))
+          .join(kept.select(col("doc_id").as("b_id"), col("w"), col("wt").as("wb")), Seq("w"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dp"))
+        dots
+          .join(nrm.select(col("doc_id").as("a_id"), col("nr").as("na")), "a_id")
+          .join(nrm.select(col("doc_id").as("b_id"), col("nr").as("nb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            round(col("dp") / (col("na") * col("nb")), 3).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.9)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, unnest(${graft.functions.TextFns.tokensSqlDuckDB("text")}) AS w
+             |            FROM documents),
+             |n AS (SELECT count(DISTINCT doc_id) AS nd FROM tt),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tt GROUP BY 1, 2),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+             |       HAVING count(*) BETWEEN 2 AND 50),
+             |kept AS (SELECT tf.doc_id, tf.w, tf.tf * ln(nd * 1.0 / df.df) AS wt
+             |         FROM tf JOIN df USING (w), n),
+             |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nr FROM kept GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dp
+             |         FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+             |         GROUP BY 1, 2)
+             |SELECT a_id, b_id, round(dp / (na.nr * nb.nr), 3) AS cos_sim
+             |FROM dots
+             |JOIN nrm na ON na.doc_id = a_id
+             |JOIN nrm nb ON nb.doc_id = b_id
+             |WHERE round(dp / (na.nr * nb.nr), 3) >= 0.9
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // Asymmetric containment (|A∩B| / min(|A|,|B|)): the "short doc quoted
     // inside a long doc" detector — same shingle CTE chain as the Jaccard
     // oracle, different score.

@@ -468,6 +468,47 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // The third equi-join strategy: shuffled-hash (build a hash map per
+    // partition instead of sorting both sides — wins when one side is much
+    // smaller per partition but too big to broadcast). PlanQualitySpec
+    // asserts ShuffledHashJoin is actually chosen.
+    QueryDef("rel_join_shufflehash",
+      (s, d) => T(s, d, "lineitem")
+        .hint("shuffle_hash")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Theta (non-equi) join against a tiny banding dimension: BETWEEN-style
+    // range predicates broadcast the dim and evaluate as a nested-loop over
+    // 3 rows per record — the price-band / bucketing-dim shape. (For
+    // range joins against LARGE interval sets, IntervalJoin's bucketed
+    // equi-join is the scale path; this is the broadcast-dim form.)
+    QueryDef("rel_join_theta",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(("low", 0.0, 935.0), ("mid", 935.0, 965.0),
+          ("high", 965.0, 1e9)).toDF("band", "lo", "hi")
+        T(s, d, "part")
+          .join(broadcast(bands),
+            col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg(col("p_retailprice")), 2).as("avg_price"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+             |FROM part
+             |JOIN (VALUES ('low', 0.0, 935.0), ('mid', 935.0, 965.0),
+             |             ('high', 965.0, 1e9)) b(band, lo, hi)
+             |  ON p_retailprice >= lo AND p_retailprice < hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Predicate aggregates: bool_and / bool_or / count_if — data-quality
     // assertions as single-pass grouped aggregation (all-rows-valid,
     // any-row-flagged, violation counts).

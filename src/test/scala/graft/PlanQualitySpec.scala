@@ -220,6 +220,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("ts_funnel").contains("BroadcastHashJoin"), plan("ts_funnel"))
   }
 
+  test("shuffle_hash hint yields a ShuffledHashJoin, theta join broadcasts the band dim") {
+    assert(plan("rel_join_shufflehash").contains("ShuffledHashJoin"),
+      plan("rel_join_shufflehash"))
+    assert(plan("rel_join_theta").contains("BroadcastNestedLoopJoin"),
+      plan("rel_join_theta"))
+  }
+
   test("bucketed join plans with no exchange on either side") {
     // Both inputs were bucketed on their join key at write time
     // (graft.sources.BucketedView) — the sort-merge join must read the

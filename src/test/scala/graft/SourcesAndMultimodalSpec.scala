@@ -148,4 +148,27 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
        (((id * 11 + 2 * 3 + 3 * 17) % 256).toInt << 8) |
         ((id * 5 + 2 * 23 + 3 * 29) % 256).toInt))
   }
+
+  test("binaryFile source ingests raw media files straight into the decode path") {
+    // the production multimodal ingest shape: a directory of opaque media
+    // files read as (path, content) rows by Spark's binaryFile source, then
+    // decoded by the same mapPartitions decoders the table-column queries
+    // use — no staging conversion step.
+    val dir = Files.createTempDirectory("graft_bin")
+    val ids = Seq(3L, 17L, 42L)
+    ids.foreach(id =>
+      Files.write(dir.resolve(s"clip_$id.wav"), Multimodal.synthWav(id)))
+    try {
+      val df = spark.read.format("binaryFile").load(dir.toString)
+      val decoded = Multimodal.decodeWavColumn(df, payloadCol = "content")
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1).cast("long").as("id"),
+          col("wav.n_samples").as("n_samples"))
+        .as[(Long, Long)].collect().toMap
+      assert(decoded.keySet == ids.toSet)
+      ids.foreach(id => assert(decoded(id) == 64 + id % 50, s"id $id"))
+    } finally {
+      Files.list(dir).forEach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(dir)
+    }
+  }
 }
