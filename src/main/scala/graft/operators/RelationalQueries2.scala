@@ -468,6 +468,52 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // Deterministic per-group uniform sample via hash-priority bottom-k:
+    // rank rows by md5 of their unique key and keep the k smallest per
+    // group — a reproducible distributed reservoir (same sample on every
+    // run/engine, no RNG state). The row_number-only shape map-side prunes
+    // via WindowGroupLimit, so the shuffle carries O(groups·k) rows: this
+    // is how you sample 100 TB without a global sort or driver RNG.
+    QueryDef("rel_sample_bottomk",
+      (s, d) => {
+        val prio = md5(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")))
+        val w = Window.partitionBy("l_returnflag").orderBy(prio, col("l_orderkey"))
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("l_returnflag", "rn")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber,
+             |         CAST(row_number() OVER (PARTITION BY l_returnflag
+             |           ORDER BY md5(l_orderkey || '-' || l_linenumber), l_orderkey) AS INT) AS rn
+             |  FROM lineitem)
+             |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin)),
+
+    // Argmax/argmin as single-pass aggregates: max over a (measure, key)
+    // struct compares lexicographically, so the carried key IS the argmax
+    // (ties resolved by the key itself — deterministic). No window, no
+    // second scan; partial+final like any other aggregate.
+    QueryDef("rel_agg_maxby",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          max(struct(col("l_extendedprice").as("p"), col("l_orderkey").as("k")))
+            .getField("k").as("top_order"),
+          min(struct(col("l_extendedprice").as("p"), col("l_orderkey").as("k")))
+            .getField("k").as("bottom_order"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_extendedprice")).as("min_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       (max({'p': l_extendedprice, 'k': l_orderkey})).k AS top_order,
+             |       (min({'p': l_extendedprice, 'k': l_orderkey})).k AS bottom_order,
+             |       max(l_extendedprice) AS max_price,
+             |       min(l_extendedprice) AS min_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The third equi-join strategy: shuffled-hash (build a hash map per
     // partition instead of sorting both sides — wins when one side is much
     // smaller per partition but too big to broadcast). PlanQualitySpec
