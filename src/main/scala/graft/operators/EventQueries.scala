@@ -340,6 +340,40 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Gaps-and-islands: maximal runs of consecutive same-type events per
+    // user (sessionization by ATTRIBUTE CHANGE, vs time-gap session_window).
+    // The classic difference-of-row_numbers trick: rn(user) - rn(user,type)
+    // is constant exactly within a run, so islands fall out of one groupBy —
+    // two window passes + one aggregate, all sharing the user_id shuffle.
+    QueryDef("ts_islands",
+      (s, d) => {
+        val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wTyp = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("rt", row_number().over(wTyp))
+          .groupBy(col("user_id"), col("event_type"), (col("rn") - col("rt")).as("island"))
+          .agg(count(lit(1)).as("run_len"),
+            min(col("event_id")).as("first_event"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("run_start"))
+          .select("user_id", "event_type", "run_len", "first_event", "run_start")
+          .orderBy("user_id", "first_event")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts, event_id) AS rn,
+             |         row_number() OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY ts, event_id) AS rt
+             |  FROM events WHERE user_id < 20)
+             |SELECT user_id, event_type, count(*) AS run_len,
+             |       min(event_id) AS first_event,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS run_start
+             |FROM r GROUP BY user_id, event_type, rn - rt
+             |ORDER BY user_id, first_event""".stripMargin)),
+
     // Forward-fill imputation (LOCF — last observation carried forward):
     // null out a deterministic subset (error events carry no reading), then
     // carry the last non-null value forward per user in event-time order via

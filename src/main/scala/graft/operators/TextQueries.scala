@@ -158,6 +158,36 @@ object TextQueries {
              |SELECT bigram, count(*) AS cnt FROM bg
              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Character n-gram profile per language — the TRAINING side of n-gram
+    // language-ID (tx_langid applies such profiles): top character trigrams
+    // per lang by frequency. Trigram explosion is per-row (sequence +
+    // substr, no shuffle); the per-lang top-k is the WindowGroupLimit
+    // row_number shape, so the shuffle after counting carries O(langs·k).
+    QueryDef("tx_char_ngrams",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("cnt").desc, col("trigram"))
+        T(s, d, "documents")
+          .select(col("lang"),
+            explode(expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))"))
+              .as("trigram"))
+          .groupBy("lang", "trigram").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .orderBy("lang", "rnk")
+      },
+      Some("""WITH tg AS (SELECT lang,
+             |                   unnest(list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+             |                          i -> substr(text, i, 3))) AS trigram
+             |            FROM documents),
+             |c AS (SELECT lang, trigram, count(*) AS cnt FROM tg GROUP BY 1, 2),
+             |r AS (SELECT lang, trigram, cnt,
+             |             CAST(row_number() OVER (PARTITION BY lang
+             |                  ORDER BY cnt DESC, trigram) AS INT) AS rnk
+             |      FROM c)
+             |SELECT lang, trigram, cnt, rnk FROM r WHERE rnk <= 10
+             |ORDER BY lang, rnk""".stripMargin)),
+
     // URL parsing battery (web-corpus curation: host-level dedup, path
     // bucketing, tracking-param extraction). The URL is constructed from
     // table columns, so the oracle re-derives every component from the same
