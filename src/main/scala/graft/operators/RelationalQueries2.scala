@@ -468,6 +468,45 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // Error-safe expression surface: try_divide / try_cast / try_element_at
+    // return NULL where the strict forms throw (or where ANSI off yields
+    // engine-lore) — the dirty-data posture a 100 TB ingest runs with. The
+    // oracle states each fallback explicitly (CASE / TRY_CAST / OOB index).
+    QueryDef("fn_try",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          round(expr("try_divide(n_chars, doc_id % 5)"), 4).as("chars_per"),
+          expr("try_cast(lang AS INT)").as("lang_int"),
+          expr("try_element_at(split(text, ' '), 1000)").as("tok1000"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       round(CASE WHEN doc_id % 5 = 0 THEN NULL
+             |                  ELSE n_chars / (doc_id % 5) END, 4) AS chars_per,
+             |       TRY_CAST(lang AS INT) AS lang_int,
+             |       string_split(text, ' ')[1000] AS tok1000
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // grouping()/grouping_id() disambiguate "aggregated away" from "the
+    // value was NULL" in cube output — without them rollup rows are
+    // unreadable on nullable dimensions. Bit conventions agree across
+    // engines (tested: grand total = 3 for two dims in both).
+    QueryDef("rel_grouping_id",
+      (s, d) => T(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+          grouping_id().as("gid"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |       sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // Deterministic per-group uniform sample via hash-priority bottom-k:
     // rank rows by md5 of their unique key and keep the k smallest per
     // group — a reproducible distributed reservoir (same sample on every

@@ -202,6 +202,56 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces over-partitioned shuffles at runtime") {
+    // 64 shuffle partitions for a 5-group aggregate at sf0.001 is the
+    // misconfigured-cluster shape; AQE must fold the near-empty partitions
+    // into a few (AQEShuffleRead "coalesced") instead of running 64 tasks.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = Tables.t(spark, sf, "lineitem")
+        .groupBy("l_returnflag").count()
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"), p)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // 99% of rows share one join key; with test-scale thresholds AQE must
+    // mark the sort-merge join skew=true and split the hot partition,
+    // instead of one straggler task processing 99% of the data — the
+    // AUTOMATIC sibling of the manual salting in rel_join_salted.
+    import org.apache.spark.sql.functions._
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // repartition(8) gives the skewed shuffle several MAP tasks: AQE
+      // splits a hot reduce partition along mapper output blocks, so a
+      // single-mapper shuffle (one small parquet file) is categorically
+      // unsplittable — the subtle precondition this test documents.
+      val skewed = Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+        .repartition(8)
+        .select(when(col("l_orderkey") % 100 < 99, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val dim = spark.range(0, 8000).select(col("id").as("k"),
+        (col("id") % 7).as("grp"))
+      val j = skewed.join(dim, "k").groupBy("grp").agg(sum("l_quantity"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("snapshot prunes per-user map-side (WindowGroupLimit)") {
     val p = plan("ts_snapshot")
     // the rn=1 window shape must trigger the group-limit prune: one row per
