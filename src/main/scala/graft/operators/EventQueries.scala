@@ -222,6 +222,67 @@ object EventQueries {
              |GROUP BY p.event_id, p.user_id, p.ts
              |ORDER BY p_event_id""".stripMargin)),
 
+    // NEAREST as-of (closest right row in either direction): the backward
+    // and forward passes of the SAME native operator combined on the left
+    // key — ties in whole seconds break toward the backward match
+    // (deterministic; stated identically in the oracle's CASE). Completes
+    // the as-of family: backward / forward / tolerance-bounded / nearest.
+    QueryDef("ts_asof_nearest",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("cts"))
+        val back = AsofJoin.asofNative(
+            purchases.withColumn("uts", unix_micros(col("ts"))),
+            clicks.withColumn("ucts", unix_micros(col("cts"))),
+            "user_id", "c_user_id", "uts", "ucts")
+          .select(col("event_id"),
+            (unix_timestamp(col("ts")) - unix_timestamp(col("cts"))).as("gb"))
+        val fwd = AsofJoin.asofNative(
+            purchases.withColumn("nts", -unix_micros(col("ts"))),
+            clicks.withColumn("ncts", -unix_micros(col("cts"))),
+            "user_id", "c_user_id", "nts", "ncts")
+          .select(col("event_id"), col("user_id"),
+            (unix_timestamp(col("cts")) - unix_timestamp(col("ts"))).as("gf"))
+        fwd.join(back, Seq("event_id"))
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            when(col("gb").isNull && col("gf").isNull, lit(null))
+              .when(col("gf").isNull, col("gb"))
+              .when(col("gb").isNull, col("gf"))
+              .otherwise(least(col("gb"), col("gf"))).as("nearest_gap_s"),
+            when(col("gb").isNull && col("gf").isNull, lit(null))
+              .when(col("gf").isNull, lit("back"))
+              .when(col("gb").isNull, lit("fwd"))
+              .when(col("gb") <= col("gf"), lit("back"))
+              .otherwise(lit("fwd")).as("dir"))
+          .orderBy("p_event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+             |b AS (SELECT p.event_id,
+             |             CAST(floor(epoch(p.ts)) - floor(epoch(max(c.ts))) AS BIGINT) AS gb
+             |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+             |      GROUP BY p.event_id, p.ts),
+             |f AS (SELECT p.event_id,
+             |             CAST(floor(epoch(min(c.ts))) - floor(epoch(p.ts)) AS BIGINT) AS gf
+             |      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+             |      GROUP BY p.event_id, p.ts)
+             |SELECT p.event_id AS p_event_id, p.user_id,
+             |       CASE WHEN gb IS NULL AND gf IS NULL THEN NULL
+             |            WHEN gf IS NULL THEN gb
+             |            WHEN gb IS NULL THEN gf
+             |            ELSE least(gb, gf) END AS nearest_gap_s,
+             |       CASE WHEN gb IS NULL AND gf IS NULL THEN NULL
+             |            WHEN gf IS NULL THEN 'back'
+             |            WHEN gb IS NULL THEN 'fwd'
+             |            WHEN gb <= gf THEN 'back'
+             |            ELSE 'fwd' END AS dir
+             |FROM p JOIN b ON b.event_id = p.event_id
+             |JOIN f ON f.event_id = p.event_id
+             |ORDER BY p_event_id""".stripMargin)),
+
     // Gap-filled hourly series: generate the full hour spine between the
     // corpus bounds (sequence + explode — the spine is O(hours), a
     // dimension-sized frame) and left-join the sparse per-hour aggregate
