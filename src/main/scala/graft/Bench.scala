@@ -37,9 +37,14 @@ object Bench {
     // widest aggregates).
     val warmDir = "/root/testdata/sf0.001"
     // Optional args = subset of query names to bench (debug aid).
+    // NAME-SORTED execution: Map iteration order shifts whenever the
+    // inventory grows, silently reassigning which family member pays a
+    // shared-cache materialization (minhash pairs, pair stats, streaming
+    // emissions) — sorted order keeps per-query times comparable
+    // round-over-round.
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-      else SparkEntry.queries
+      (if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+       else SparkEntry.queries).toSeq.sortBy(_._1)
     selected.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
@@ -73,7 +78,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // The per-query line grows with the inventory (80+ queries) and the
     // driver's tail capture can truncate its FRONT, losing the total field.
