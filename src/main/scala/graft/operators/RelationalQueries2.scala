@@ -468,6 +468,31 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // Aggregate functions as WINDOW aggregates over a whole-partition
+    // frame: each row carries its group's exact median and mean — the
+    // "compare me to my cohort" projection without a join in the user's
+    // query (the engine's whole-partition frame IS the relational
+    // group-join, which is how the oracle states it).
+    QueryDef("win_median",
+      (s, d) => {
+        val wf = Window.partitionBy("c_mktsegment")
+        T(s, d, "customer")
+          .filter(col("c_custkey") < 500)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            round(median(col("c_acctbal")).over(wf), 4).as("seg_median"),
+            round(avg(col("c_acctbal")).over(wf), 4).as("seg_avg"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, g.seg_median, g.seg_avg
+             |FROM customer c
+             |JOIN (SELECT c_mktsegment,
+             |             round(median(c_acctbal), 4) AS seg_median,
+             |             round(avg(c_acctbal), 4) AS seg_avg
+             |      FROM customer WHERE c_custkey < 500 GROUP BY 1) g
+             |  ON c.c_mktsegment = g.c_mktsegment
+             |WHERE c.c_custkey < 500
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // Error-safe expression surface: try_divide / try_cast / try_element_at
     // return NULL where the strict forms throw (or where ANSI off yields
     // engine-lore) — the dirty-data posture a 100 TB ingest runs with. The

@@ -135,6 +135,36 @@ object TextQueries {
              |FROM tf JOIN df USING (word) CROSS JOIN n
              |ORDER BY doc_id, word""".stripMargin)),
 
+    // Keyword extraction: each document's top-3 terms by TF-IDF — the
+    // summarization/tagging pipeline step, composed directly over the
+    // gated tfidf table. Ranking uses the ROUNDED score both sides (that
+    // is the oracled column), word tie-break; WindowGroupLimit prunes to 3
+    // rows per doc map-side.
+    QueryDef("tx_keywords",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+        TextAnalysis.tfidf(T(s, d, "documents"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("word"), col("tfidf"), col("rnk"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH pairs AS (
+             |  SELECT doc_id, unnest($tk) AS word FROM documents),
+             |tf AS (SELECT doc_id, word, count(*) AS tf FROM pairs WHERE length(word) > 0 GROUP BY 1, 2),
+             |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM pairs WHERE length(word) > 0 GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, word,
+             |              round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+             |       FROM tf JOIN df USING (word) CROSS JOIN n),
+             |r AS (SELECT doc_id, word, tfidf,
+             |             CAST(row_number() OVER (PARTITION BY doc_id
+             |                  ORDER BY tfidf DESC, word) AS INT) AS rnk
+             |      FROM sc)
+             |SELECT doc_id, word, tfidf, rnk FROM r WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
     // Corpus bigram frequencies (top 50): adjacent-token pairs via
     // zip_with over two slices of the SAME materialized token array (the
     // tokenizer runs once per doc, not per element), explode + groupBy.
