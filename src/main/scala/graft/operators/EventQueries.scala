@@ -401,6 +401,32 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Z-score anomaly detection: events whose value sits far from their
+    // type's mean in population-stddev units — the outlier-filtering /
+    // monitoring shape (data-quality gates run exactly this before
+    // training ingest). Group moments ride a whole-partition window frame
+    // (single shuffle on event_type); the filter applies to the ROUNDED
+    // score so both engines cut the same set.
+    QueryDef("ts_anomaly",
+      (s, d) => {
+        val wf = Window.partitionBy("event_type")
+        val z = (col("value") - avg(col("value")).over(wf)) /
+          stddev_pop(col("value")).over(wf)
+        T(s, d, "events")
+          .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
+            round(z, 3).as("zscore"))
+          .filter(abs(col("zscore")) >= 2.5)
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+             |       round((e.value - g.m) / g.sd, 3) AS zscore
+             |FROM events e
+             |JOIN (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+             |      FROM events GROUP BY 1) g
+             |  ON e.event_type = g.event_type
+             |WHERE abs(round((e.value - g.m) / g.sd, 3)) >= 2.5
+             |ORDER BY e.event_id""".stripMargin)),
+
     // Gaps-and-islands: maximal runs of consecutive same-type events per
     // user (sessionization by ATTRIBUTE CHANGE, vs time-gap session_window).
     // The classic difference-of-row_numbers trick: rn(user) - rn(user,type)
