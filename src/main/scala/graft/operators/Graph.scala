@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph scoring over pair tables (companion to the
+  * connected-components keeper selection in [[Dedup]]): PageRank with a
+  * fixed iteration count — duplicate-cluster centrality ("which document is
+  * the canonical one"), reference-graph scoring, influence ranking.
+  *
+  * Scale shape (100 TB): each iteration is one equi-join of the edge table
+  * with the rank vector plus one groupBy — the textbook distributed
+  * formulation. Both shuffles key on the same node id, so a cluster run
+  * co-partitions edges and ranks once and every iteration reuses that
+  * partitioning; ranks are O(nodes), edges O(degree sum). A FIXED iteration
+  * count (not a convergence test) keeps the result a pure deterministic
+  * function of the graph — what the SQL oracle replays by unrolling.
+  */
+object Graph {
+
+  /** PageRank on the undirected graph given as (a_id, b_id) pairs; returns
+    * (id, rank). Symmetrized edges mean no dangling nodes (every node in
+    * play has degree >= 1), so no dangling-mass redistribution term is
+    * needed. Lazy plan: `iters` join+agg rounds chained — callers at scale
+    * should checkpoint every few rounds (see Dedup.materialize); at
+    * inventory scale the chain compiles and runs in one job.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    var ranks = deg.select(col("src").as("id")).crossJoin(nn)
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("contrib"))
+      ranks = deg.select(col("src").as("id")).crossJoin(nn)
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) / col("n")
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+}

@@ -84,6 +84,33 @@ object PipelineQueries {
       |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Unrolled-iteration PageRank oracle: a FIXED 10-round rank recurrence
+    * is a pure function of the graph, so the oracle states each round as
+    * its own CTE (generated here — aggregation inside a recursive CTE term
+    * is not portable SQL). Same formula association as [[Graph.pageRank]].
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""p$k AS (SELECT dd.s AS id, 0.15/nn.n + 0.85*coalesce(ct.contrib, 0) AS pr
+         |       FROM deg dd CROSS JOIN nn
+         |       LEFT JOIN (SELECT e.d AS id, sum(p.pr/dg.dg) AS contrib
+         |                  FROM e JOIN deg dg ON dg.s = e.s
+         |                  JOIN p${k - 1} p ON p.id = e.s GROUP BY 1) ct
+         |         ON ct.id = dd.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+       |prs AS (SELECT a_id, b_id FROM inter
+       |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+       |e AS (SELECT a_id AS s, b_id AS d FROM prs
+       |      UNION SELECT b_id, a_id FROM prs),
+       |deg AS (SELECT s, count(*) AS dg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |p0 AS (SELECT s AS id, 1.0/nn.n AS pr FROM deg CROSS JOIN nn),
+       |$rounds
+       |SELECT id, round(pr, 6) AS pr FROM p$iters ORDER BY id""".stripMargin
+  }
+
   /** DuckDB replay of [[Similarity.lshTopK]]'s exact semantics. The RHP
     * planes ([[graft.functions.VectorFns.rhpPlanes]]) are deterministic
     * functions of (table, bit, dim), so their float coefficients are inlined
@@ -148,6 +175,18 @@ object PipelineQueries {
     QueryDef("dd_minhash_lsh",
       (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
+
+    // Iterative graph scoring: 10-round PageRank over the exact near-dup
+    // pair graph — duplicate-cluster centrality ("which doc is canonical").
+    // Rank magnitudes are O(1/nodes); round(6) sits far above the 1e-15
+    // per-iteration summation-order noise.
+    QueryDef("gr_pagerank",
+      (s, d) => Graph.pageRank(
+          Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+            .select("a_id", "b_id"), iters = 10)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id"),
+      Some(pagerankOracleSql(10))),
 
     // Sparse-vector document similarity: TF-IDF weighted cosine over the
     // token equi-join — the text twin of embedding cosine, computed without
