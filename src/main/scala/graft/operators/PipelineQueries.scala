@@ -176,6 +176,34 @@ object PipelineQueries {
       (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
+    // Per-cluster dedup detail: the component labels joined back to the
+    // docs — cluster sizes and reclaimable bytes per duplicate group (the
+    // report a dedup audit actually reads; dd_cc_dedup is its corpus-level
+    // rollup). comp is the cluster's minimum doc_id (its keeper).
+    QueryDef("dd_cc_clusters",
+      (s, d) => {
+        val labels = Dedup.connectedComponentsStar(
+          minhashPairs(s, d).select("a_id", "b_id"))
+        labels
+          .join(T(s, d, "documents").select(col("doc_id").as("id"), col("n_chars")), "id")
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS d FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION
+             |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+             |comp AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s)
+             |SELECT comp, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM comp JOIN documents ON doc_id = id
+             |GROUP BY comp ORDER BY comp""".stripMargin)),
+
     // Iterative graph scoring: 10-round PageRank over the exact near-dup
     // pair graph — duplicate-cluster centrality ("which doc is canonical").
     // Rank magnitudes are O(1/nodes); round(6) sits far above the 1e-15

@@ -468,6 +468,60 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // Binary/text encodings: base64 + hex + a decode round-trip proved in
+    // the result itself (storage keys, content addressing, wire formats).
+    QueryDef("fn_encode",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"),
+          base64(substring(col("text"), 1, 24).cast("binary")).as("b64"),
+          hex(col("doc_id")).as("id_hex"),
+          (decode(unbase64(base64(substring(col("text"), 1, 24).cast("binary"))), "UTF-8")
+            === substring(col("text"), 1, 24)).as("roundtrip"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       base64(encode(substr(text, 1, 24))) AS b64,
+             |       to_hex(doc_id) AS id_hex,
+             |       decode(from_base64(base64(encode(substr(text, 1, 24)))))
+             |         = substr(text, 1, 24) AS roundtrip
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // CDC upsert (MERGE shape without a table format): a change set
+    // full-outer-joined onto the base on the key, every column resolved as
+    // coalesce(update, base) — inserts, updates, and untouched rows in one
+    // declarative pass. At scale both sides shuffle once on the key (or
+    // zero times if the base is bucketed on it, per rel_join_bucketed);
+    // the change set is simulated deterministically from orders.
+    QueryDef("rel_upsert",
+      (s, d) => {
+        val base = T(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        // change set: every 7th order re-priced + closed, plus one insert
+        // reprice in DECIMAL: double*1.1 rounds ties differently per engine
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("u_key"), lit("X").as("u_status"),
+            round(col("o_totalprice").cast("decimal(18,2)")
+              * lit(1.1).cast("decimal(2,1)"), 2).cast("double").as("u_price"))
+          .unionAll(s.range(1).select(lit(900000001L).as("u_key"),
+            lit("X").as("u_status"), lit(42.0).as("u_price")))
+        base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+          .select(coalesce(col("o_orderkey"), col("u_key")).as("o_orderkey"),
+            coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+            coalesce(col("u_price"), col("o_totalprice")).as("price"),
+            col("u_key").isNotNull.as("changed"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH u AS (SELECT o_orderkey AS u_key, 'X' AS u_status,
+             |                  CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+             |                             * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS u_price
+             |           FROM orders WHERE o_orderkey % 7 = 0
+             |           UNION ALL SELECT 900000001, 'X', 42.0)
+             |SELECT coalesce(o_orderkey, u_key) AS o_orderkey,
+             |       coalesce(u_status, o_orderstatus) AS status,
+             |       coalesce(u_price, o_totalprice) AS price,
+             |       u_key IS NOT NULL AS changed
+             |FROM orders FULL OUTER JOIN u ON o_orderkey = u_key
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Aggregate functions as WINDOW aggregates over a whole-partition
     // frame: each row carries its group's exact median and mean — the
     // "compare me to my cohort" projection without a join in the user's
