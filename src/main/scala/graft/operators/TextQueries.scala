@@ -20,6 +20,31 @@ object TextQueries {
     */
   private val tk = TextFns.tokensSqlDuckDB("text")
 
+  /** Shared lang-ID scoring SQL (per-doc marker scores + the same arg-max
+    * CASE chain as TextAnalysis.langId, in ListMap order) — the per-doc
+    * gate (tx_langid) and the confusion matrix (tx_lang_confusion) both
+    * wrap it, so the classifier is stated once.
+    */
+  private val langidSqlCore: String = {
+    val markers = TextFns.langMarkers
+    val langs = markers.keys.toSeq
+    val scoreCols = langs.map { l =>
+      val in = markers(l).map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($in))) AS BIGINT) AS s_$l"
+    }.mkString(",\n       ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH tt AS (SELECT doc_id, lang AS actual_lang, $tk AS t FROM documents),
+       |scored AS (
+       |  SELECT doc_id, actual_lang,
+       |       $scoreCols
+       |  FROM tt)
+       |SELECT doc_id, $pred AS pred_lang, actual_lang, ${langs.map(l => s"s_$l").mkString(", ")}
+       |FROM scored""".stripMargin
+  }
+
   /** Shared oracle for the word-count shape: used by both the DataFrame plan
     * and the typed facade (they must agree with each other AND the oracle).
     */
@@ -79,26 +104,19 @@ object TextQueries {
 
     QueryDef("tx_langid",
       (s, d) => TextAnalysis.langId(T(s, d, "documents")).orderBy("doc_id"),
-      Some {
-        val markers = TextFns.langMarkers
-        val langs = markers.keys.toSeq
-        val scoreCols = langs.map { l =>
-          val in = markers(l).map(m => s"'$m'").mkString(", ")
-          s"CAST(len(list_filter(t, x -> x IN ($in))) AS BIGINT) AS s_$l"
-        }.mkString(",\n       ")
-        // same arg-max CASE chain as TextAnalysis.langId, in ListMap order
-        val pred = langs.init.zipWithIndex.map { case (l, i) =>
-          val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $ge THEN '$l'"
-        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-        s"""WITH tt AS (SELECT doc_id, lang AS actual_lang, $tk AS t FROM documents),
-           |scored AS (
-           |  SELECT doc_id, actual_lang,
-           |       $scoreCols
-           |  FROM tt)
-           |SELECT doc_id, $pred AS pred_lang, actual_lang, ${langs.map(l => s"s_$l").mkString(", ")}
-           |FROM scored ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"$langidSqlCore ORDER BY doc_id")),
+
+    // Language-ID evaluation: confusion matrix of predicted vs actual lang
+    // — the quality report for the classifier above, one grouped count over
+    // its (shared) scoring SQL.
+    QueryDef("tx_lang_confusion",
+      (s, d) => TextAnalysis.langId(T(s, d, "documents"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual_lang", "pred_lang"),
+      Some(s"""SELECT actual_lang, pred_lang, count(*) AS n
+             |FROM ($langidSqlCore)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef("tx_quality",
       (s, d) => TextAnalysis.quality(T(s, d, "documents")).orderBy("doc_id"),
