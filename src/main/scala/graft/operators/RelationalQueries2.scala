@@ -468,6 +468,37 @@ object RelationalQueries2 {
              |             / pow(p2 - m1 * m1, 2) - 3, 6) AS kurt_q
              |FROM p ORDER BY l_returnflag""".stripMargin)),
 
+    // 2-D skyline (Pareto front): parts not dominated on (maximize
+    // retailprice, minimize size). The classic O(n²) dominance anti-join
+    // collapses to ONE running-min pass when sorted by the first objective:
+    // a point is on the front iff its size beats the minimum of everything
+    // with better-or-equal price — O(n log n) total, the multi-objective
+    // data-selection shape (quality vs cost curves). The unpartitioned
+    // window funnels rows to one task at THIS scale; the 100 TB form is the
+    // same algebra two-pass: range-partition by price, per-partition local
+    // running min, then broadcast the per-partition prefix minima (a
+    // partition-count-sized frame) to finish — the skyline itself is
+    // typically tiny.
+    QueryDef("rel_skyline",
+      (s, d) => {
+        val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T(s, d, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .withColumn("min_prev", min(col("p_size")).over(w))
+          .filter(col("min_prev").isNull || col("p_size") < col("min_prev"))
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM (
+             |  SELECT p_partkey, p_retailprice, p_size,
+             |         min(p_size) OVER (ORDER BY p_retailprice DESC, p_partkey
+             |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS min_prev
+             |  FROM part)
+             |WHERE min_prev IS NULL OR p_size < min_prev
+             |ORDER BY p_partkey""".stripMargin)),
+
     // Binary/text encodings: base64 + hex + a decode round-trip proved in
     // the result itself (storage keys, content addressing, wire formats).
     QueryDef("fn_encode",
