@@ -56,6 +56,20 @@ object PipelineQueries {
       // resident for the family's lifetime.
       Dedup.materializedPairStats(T(s, d, "documents")))
 
+  /** Connected-component labels over the MinHash pair graph, computed once
+    * per (session, sfDir): the iterative fixpoint is the expensive part of
+    * both dd_cc_dedup (corpus rollup) and dd_cc_clusters (per-cluster
+    * detail) — same family-cache pattern as the pair sets above. The label
+    * table is O(near-dup docs).
+    */
+  private val ccLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def ccLabels(s: SparkSession, d: String) =
+    ccLabelCache.getOrElseUpdate((s, d),
+      Dedup.materialize(Dedup.connectedComponentsStar(
+        minhashPairs(s, d).select("a_id", "b_id"))))
+
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every
     * oracle that needs it (change the shingle definition here only).
@@ -182,9 +196,7 @@ object PipelineQueries {
     // rollup). comp is the cluster's minimum doc_id (its keeper).
     QueryDef("dd_cc_clusters",
       (s, d) => {
-        val labels = Dedup.connectedComponentsStar(
-          minhashPairs(s, d).select("a_id", "b_id"))
-        labels
+        ccLabels(s, d)
           .join(T(s, d, "documents").select(col("doc_id").as("id"), col("n_chars")), "id")
           .groupBy("comp")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -496,9 +508,9 @@ object PipelineQueries {
       (s, d) => {
         val docs = T(s, d, "documents")
         // star variant: O(log n) rounds regardless of component diameter
-        // (the propagation variant stays as the property-test reference)
-        val labels = Dedup.connectedComponentsStar(
-          minhashPairs(s, d).select("a_id", "b_id"))
+        // (the propagation variant stays as the property-test reference);
+        // labels shared with dd_cc_clusters via the family cache
+        val labels = ccLabels(s, d)
         val dups = labels.filter(col("comp") < col("id")).select(col("id").as("doc_id"))
         val surv = docs.join(dups, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("surviving_docs"),
