@@ -203,6 +203,32 @@ object RelationalQueries {
              |       count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Equi-DEPTH companion to rel_histogram's equi-width buckets: deciles
+    // by ntile over a deterministic total order, per-bucket count + bounds.
+    // The global ntile funnels one sort at THIS scale; the 100 TB form
+    // computes the 9 cutpoints with approx_percentile (one aggregate) and
+    // buckets by comparison — same output schema, no global window.
+    QueryDef("rel_histogram_eqdepth",
+      (s, d) => {
+        val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+        T(s, d, "lineitem")
+          .select(col("l_extendedprice"),
+            ntile(10).over(w).cast("bigint").as("decile"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("decile")
+      },
+      Some("""SELECT decile, count(*) AS n, min(l_extendedprice) AS lo,
+             |       max(l_extendedprice) AS hi
+             |FROM (SELECT l_extendedprice,
+             |             CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+             |                  l_linenumber) AS BIGINT) AS decile
+             |      FROM lineitem)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // approx_percentile (positional-error quantile sketch) banded against
     // the exact median: |approx - exact| must stay within 2% of exact.
     QueryDef("rel_approx_quantile",

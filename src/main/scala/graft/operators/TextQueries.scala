@@ -153,6 +153,22 @@ object TextQueries {
              |FROM tf JOIN df USING (word) CROSS JOIN n
              |ORDER BY doc_id, word""".stripMargin)),
 
+    // Ordinal tokenization (posexplode): (doc, position, token) rows — the
+    // layout sequence models train on, where position IS data (n-gram
+    // windows, positional encodings, span labels). Pure per-row explode,
+    // no shuffle; oracle via unnest WITH ORDINALITY semantics
+    // (generate_series zip).
+    QueryDef("tx_posexplode",
+      (s, d) => T(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"), col("token"))
+        .orderBy("doc_id", "pos"),
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, CAST(unnest(generate_series(1, len(t))) AS BIGINT) AS pos,
+             |       unnest(t) AS token
+             |FROM tt ORDER BY doc_id, pos""".stripMargin)),
+
     // Keyword extraction: each document's top-3 terms by TF-IDF — the
     // summarization/tagging pipeline step, composed directly over the
     // gated tfidf table. Ranking uses the ROUNDED score both sides (that
