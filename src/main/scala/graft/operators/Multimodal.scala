@@ -302,6 +302,43 @@ object Multimodal {
     }
   }
 
+  /** Per-image red-channel histogram over the decoded raster: one output
+    * row per (image, 64-wide bucket) with pixel counts — the
+    * color-distribution feature a vision-data curation pass computes
+    * (exposure/tint filtering). Integer bucket counts are exactly
+    * replayable from the fixture's closed form, so the REAL decode path is
+    * oracle-gated at histogram granularity, not just the mean.
+    */
+  def imageChannelHist(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("bucket", org.apache.spark.sql.types.IntegerType)
+      .add("n_px", org.apache.spark.sql.types.LongType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        decodeImage(r.getAs[Array[Byte]](idx)) match {
+          case None => Iterator.empty
+          case Some((img, _)) =>
+            val counts = new Array[Long](4)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val red = (img.getRGB(x, y) >> 16) & 0xFF
+                counts(red >> 6) += 1
+                x += 1
+              }
+              y += 1
+            }
+            (0 until 4).iterator.map(b => Row.fromSeq(keep :+ b :+ counts(b)))
+        }
+      }
+    }
+  }
+
   /** Resize + feature-extract: scale the image to a gw x gh thumbnail
     * (bilinear) and emit the normalized luma of each cell, row-major — the
     * classic cheap perceptual embedding (and the "resize" op of the brief).

@@ -613,6 +613,30 @@ object PipelineQueries {
              |       round(sqrt(sum(v * v) / count(*)) / 32768.0, 6) AS rms
              |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Per-image channel histogram under the oracle: the REAL javax.imageio
+    // decode gated at histogram granularity (4 red-channel buckets per
+    // image, zero buckets included) — DuckDB replays the counts from the
+    // synthPng closed form. Integer counts: exact in any engine.
+    QueryDef("mm_image_hist",
+      (s, d) => Multimodal.imageChannelHist(
+          Multimodal.withSynthPayload(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+        .select(col("doc_id"), col("bucket"), col("n_px"))
+        .orderBy("doc_id", "bucket"),
+      Some("""WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+             |           FROM documents WHERE doc_id < 200),
+             |px AS (SELECT doc_id, w, unnest(generate_series(0, w * h - 1)) AS i FROM s),
+             |b AS (SELECT doc_id,
+             |             CAST(((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) // 64 AS INT)
+             |               AS bucket
+             |      FROM px),
+             |c AS (SELECT doc_id, bucket, count(*) AS n_px FROM b GROUP BY 1, 2),
+             |sp AS (SELECT doc_id, CAST(unnest([0, 1, 2, 3]) AS INT) AS bucket
+             |       FROM documents WHERE doc_id < 200)
+             |SELECT sp.doc_id, sp.bucket, CAST(coalesce(c.n_px, 0) AS BIGINT) AS n_px
+             |FROM sp LEFT JOIN c ON c.doc_id = sp.doc_id AND c.bucket = sp.bucket
+             |ORDER BY 1, 2""".stripMargin)),
+
     // REAL image decode under the oracle, same pattern: deterministic RGB
     // PNG (Multimodal.synthPng; PNG is lossless so the pixels round-trip
     // exactly), decoded by the real javax.imageio path, luma aggregated in

@@ -312,6 +312,40 @@ object TextQueries {
              |SELECT stem, count(*) AS cnt FROM st
              |GROUP BY stem ORDER BY cnt DESC, stem LIMIT 50""".stripMargin)),
 
+    // Vocabulary growth curve (Heaps' law — Zipf's companion): cumulative
+    // distinct-word count as the corpus is consumed in doc_id order. A
+    // cumulative DISTINCT is not windowable directly; the identity is:
+    // each word counts once, at its FIRST document — so new-words-per-doc
+    // is a min-aggregate per word, and the curve is its running sum. One
+    // corpus aggregate + a spine-sized window.
+    QueryDef("tx_vocab_growth",
+      (s, d) => {
+        val firstDoc = T(s, d, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+          .groupBy("first_doc").agg(count(lit(1)).as("new_words"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        T(s, d, "documents").select(col("doc_id"))
+          .join(firstDoc, col("doc_id") === col("first_doc"), "left")
+          .select(col("doc_id"), coalesce(col("new_words"), lit(0L)).as("new_words"))
+          .withColumn("vocab_size", sum(col("new_words")).over(w))
+          .filter(col("doc_id") < 100)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, unnest($tk) AS w FROM documents),
+             |fd AS (SELECT w, min(doc_id) AS first_doc FROM tt GROUP BY 1),
+             |nw AS (SELECT first_doc, count(*) AS new_words FROM fd GROUP BY 1),
+             |curve AS (SELECT d.doc_id,
+             |                 CAST(coalesce(nw.new_words, 0) AS BIGINT) AS new_words,
+             |                 CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY d.doc_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |                   AS vocab_size
+             |          FROM documents d LEFT JOIN nw ON d.doc_id = nw.first_doc)
+             |SELECT doc_id, new_words, vocab_size FROM curve
+             |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
     // Zipf's-law fit: OLS slope of ln(freq) against ln(rank) over the top
     // 1000 words (a Zipfian corpus sits near slope -1). The global
     // row_number window runs over the VOCABULARY (Zipf ⇒ ≪ corpus — the
