@@ -499,6 +499,48 @@ object RelationalQueries2 {
              |WHERE min_prev IS NULL OR p_size < min_prev
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Trigonometric / transcendental battery (geo math, positional
+    // encodings): both engines call libm; round(6) clears the 1-ulp gap.
+    QueryDef("fn_trig",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+          round(sin(col("l_quantity")), 6).as("sin_q"),
+          round(cos(col("l_quantity")), 6).as("cos_q"),
+          round(atan2(col("l_quantity"), col("l_discount") + 0.01), 6).as("atan2_qd"),
+          round(degrees(col("l_discount")), 6).as("deg_d"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(expr("log(2.0, l_quantity)"), 6).as("log2_q"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       round(sin(l_quantity), 6) AS sin_q,
+             |       round(cos(l_quantity), 6) AS cos_q,
+             |       round(atan2(l_quantity, l_discount + 0.01), 6) AS atan2_qd,
+             |       round(degrees(l_discount), 6) AS deg_d,
+             |       round(exp(l_discount), 6) AS exp_d,
+             |       round(ln(l_quantity) / ln(2.0), 6) AS log2_q
+             |FROM lineitem WHERE l_orderkey < 300
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // printf-style formatting + padding + repetition + character mapping —
+    // key construction and report formatting.
+    QueryDef("fn_format",
+      (s, d) => T(s, d, "nation")
+        .select(col("n_nationkey"),
+          format_string("key-%05d", col("n_nationkey")).as("padded_key"),
+          lpad(col("n_name"), 12, ".").as("lpadded"),
+          rpad(col("n_name"), 12, "_").as("rpadded"),
+          expr("repeat('ab', 3)").as("repeated"),
+          translate(col("n_name"), "aeiou", "AEIOU").as("vowels_up"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |       printf('key-%05d', n_nationkey) AS padded_key,
+             |       lpad(n_name, 12, '.') AS lpadded,
+             |       rpad(n_name, 12, '_') AS rpadded,
+             |       repeat('ab', 3) AS repeated,
+             |       translate(n_name, 'aeiou', 'AEIOU') AS vowels_up
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // Binary/text encodings: base64 + hex + a decode round-trip proved in
     // the result itself (storage keys, content addressing, wire formats).
     QueryDef("fn_encode",
