@@ -91,6 +91,34 @@ object StreamingQueries {
              |SELECT hr, event_type, n, rnk FROM r WHERE rnk <= 2
              |ORDER BY hr, rnk""".stripMargin)),
 
+    // SLIDING (hopping) windows through the streaming engine: each event
+    // lands in 4 overlapping 1-hour windows on a 15-minute hop — the
+    // stateful shape whose state is windows/slide × keys. Horizon cut as
+    // ever: only windows whose END clears the final watermark emit.
+    QueryDef("st_sliding_counts",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.windowedCounts(toTs(df), watermark = "0 seconds",
+            slide = Some("15 minutes")),
+          "st_slide")
+        emitted.select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+             |e AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS t15,
+             |             event_type, value
+             |      FROM events),
+             |ks AS (SELECT unnest(generate_series(0, 3)) AS k),
+             |w AS (SELECT make_timestamp((t15 - k * 900) * 1000000) AS ws, event_type, value
+             |      FROM e CROSS JOIN ks)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start, event_type,
+             |       count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM w, m WHERE ws + INTERVAL 1 HOUR <= m.mx
+             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
     // Gap-based sessionization through the streaming engine (session_window
     // state merged by gap, emitted once the watermark passes session end =
     // last event + gap). Same sessionization SQL as ts_session_window with
