@@ -401,6 +401,35 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Inter-arrival time distribution: per-user gaps between consecutive
+    // events, bucketed on a log2 scale — the traffic-shape fingerprint
+    // (burstiness, bot detection, session-gap calibration for
+    // ts_session_window's 30-minute choice). lag + floor(log2): one
+    // user_id shuffle, then an O(buckets) aggregate.
+    QueryDef("ts_interarrival",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap_s",
+            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .filter(col("gap_s").isNotNull)
+          // EXACT integer log2 (binary-digit count): float log2 sits a ulp
+          // from integral exactly at the bucket boundaries (gap+1 = 2^k),
+          // where engines' libm may disagree and flip the floor
+          .select((length(bin(col("gap_s") + 1)) - 1).cast("bigint").as("log2_gap"))
+          .groupBy("log2_gap").agg(count(lit(1)).as("n"))
+          .orderBy("log2_gap")
+      },
+      Some("""WITH g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT)
+             |                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+             |                         ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+             |           FROM events)
+             |SELECT CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS log2_gap,
+             |       count(*) AS n
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Z-score anomaly detection: events whose value sits far from their
     // type's mean in population-stddev units — the outlier-filtering /
     // monitoring shape (data-quality gates run exactly this before
