@@ -373,6 +373,49 @@ object TextQueries {
              |       round(regr_r2(ln(cnt), ln(rnk)), 4) AS zipf_r2
              |FROM rk WHERE rnk <= 1000""".stripMargin)),
 
+    // Bigram language model head: each frequent word's most likely
+    // successor with its conditional probability P(b|a) = c(a,b)/c(a) —
+    // the next-token table a count-based LM serves. Unigram/bigram counts
+    // are the usual explode aggregates; the per-word argmax is the
+    // WindowGroupLimit row_number shape; probability is an exact integer
+    // ratio rounded at 4.
+    QueryDef("tx_nextword",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(TextFns.tokens(col("text")).as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+          .filter(col("cw") >= 50)
+        val bi = toks.filter(size(col("toks")) >= 2)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w"), b.as("nxt")))).as("bg"))
+          .select(col("bg.w").as("w"), col("bg.nxt").as("nxt"))
+          .groupBy("w", "nxt").agg(count(lit(1)).as("cab"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("w").orderBy(col("cab").desc, col("nxt"))
+        bi.join(uni, "w")
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") === 1)
+          .select(col("w"), col("nxt"),
+            round(col("cab").cast("double") / col("cw"), 4).as("p_next"))
+          .orderBy("w")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w,
+             |               unnest(generate_series(1, len(t))) AS i FROM tt),
+             |uni AS (SELECT w, count(*) AS cw FROM pos GROUP BY 1 HAVING count(*) >= 50),
+             |bi AS (SELECT a.w AS w, b.w AS nxt, count(*) AS cab
+             |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |       GROUP BY 1, 2),
+             |r AS (SELECT bi.w, bi.nxt, bi.cab, uni.cw,
+             |             row_number() OVER (PARTITION BY bi.w
+             |                                ORDER BY bi.cab DESC, bi.nxt) AS rn
+             |      FROM bi JOIN uni ON uni.w = bi.w)
+             |SELECT w, nxt, round(CAST(cab AS DOUBLE) / cw, 4) AS p_next
+             |FROM r WHERE rn = 1 ORDER BY w""".stripMargin)),
+
     // Collocation mining via pointwise mutual information: PMI(a,b) =
     // ln(P(a,b) / (P(a)P(b))) over adjacent-token pairs. Unigram and bigram
     // count tables are plain explode+groupBy aggregates; the two corpus
