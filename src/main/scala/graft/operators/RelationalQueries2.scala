@@ -499,6 +499,29 @@ object RelationalQueries2 {
              |WHERE min_prev IS NULL OR p_size < min_prev
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Ratio-to-report: each group's share of the total — a window over an
+    // AGGREGATED result (the aggregate output is groups-sized, so the
+    // unpartitioned share window is a trivial frame however large the
+    // input). Exact decimal revenue; share rounded at 6.
+    QueryDef("rel_share_of_total",
+      (s, d) => {
+        val wAll = Window.partitionBy()
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+          .select(col("l_returnflag"), col("revenue"),
+            round(col("revenue") / sum(col("revenue")).over(wAll), 6).as("share"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag,
+             |                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |                    AS revenue
+             |           FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, revenue,
+             |       round(revenue / sum(revenue) OVER (), 6) AS share
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
+
     // Trigonometric / transcendental battery (geo math, positional
     // encodings): both engines call libm; round(6) clears the 1-ulp gap.
     QueryDef("fn_trig",
