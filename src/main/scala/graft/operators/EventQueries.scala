@@ -401,6 +401,23 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Hour-of-day load profile: per-hour median and tail (p95) of event
+    // value plus volume — the capacity-planning / diurnal-pattern readout.
+    // Exact interpolated percentiles (both engines linear-interpolate), 24
+    // groups after map-side partials.
+    QueryDef("ts_hourly_profile",
+      (s, d) => T(s, d, "events")
+        .select(hour(col("ts")).cast("bigint").as("hr"), col("value"))
+        .groupBy("hr")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("hr"),
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.95), 4) AS p95
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Inter-arrival time distribution: per-user gaps between consecutive
     // events, bucketed on a log2 scale — the traffic-shape fingerprint
     // (burstiness, bot detection, session-gap calibration for

@@ -281,6 +281,28 @@ object PipelineQueries {
              |WHERE round(dp / (na.nr * nb.nr), 3) >= 0.9
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Threshold calibration sweep: near-dup pair counts at several Jaccard
+    // cutoffs in ONE pass over the shared pair-statistics frame (each pair
+    // joins the tiny threshold dim where it qualifies) — the tuning curve
+    // you read before committing a dedup threshold at 100 TB.
+    QueryDef("dd_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("t")
+        Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.0)
+          .join(broadcast(ts), col("jaccard") >= col("t"))
+          .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("t")
+      },
+      Some(s"""WITH $jaccardCtes,
+             |j AS (SELECT round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             |      FROM inter
+             |      JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
+             |SELECT t, count(*) AS n_pairs
+             |FROM j JOIN (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)
+             |  ON jaccard >= t
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Asymmetric containment (|A∩B| / min(|A|,|B|)): the "short doc quoted
     // inside a long doc" detector — same shingle CTE chain as the Jaccard
     // oracle, different score.
