@@ -429,6 +429,32 @@ object PipelineQueries {
              |SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 10
              |ORDER BY q_id, rn""".stripMargin)),
 
+    // K-means assignment (E-step) under the oracle: assign every vector to
+    // its nearest label-centroid, report cluster sizes + inertia. With
+    // centroids DERIVED from the labels, a correct assignment largely
+    // reproduces the labeling — the oracle replays distances from the same
+    // per-label means. Struct-min argmin; label tie-break stated both sides.
+    QueryDef("sim_kmeans_assign",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        Similarity.kmeansAssign(embs, Similarity.centroids(embs))
+          .orderBy("cluster")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d AS (SELECT ex.vec_id, cent.c_label,
+             |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |      FROM ex JOIN cent ON ex.i = cent.i
+             |      GROUP BY 1, 2),
+             |a AS (SELECT vec_id,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster,
+             |             (min({'d2': d2, 'c_label': c_label})).d2 AS d2
+             |      FROM d GROUP BY 1)
+             |SELECT cluster, count(*) AS n_assigned, round(sum(d2), 3) AS inertia
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Radius (range) search: all corpus vectors within a cosine radius of
     // each query — the thresholded twin of sim_batch_topk (the synthetic
     // corpus tops out near cosine 0.5, so the radius is 0.3).

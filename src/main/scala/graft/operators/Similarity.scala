@@ -144,6 +144,29 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** K-means ASSIGNMENT step (the E-step of distributed k-means, and the
+    * IVF index-build assignment): each vector goes to its nearest centroid
+    * by squared euclidean distance; returns per-cluster sizes and inertia
+    * (within-cluster sum of squares). Centroids are a tiny broadcast frame;
+    * the corpus is scanned once; argmin is a (dist², label) struct-min —
+    * an ordinary partial+final aggregate, no window. Iterating this with
+    * [[centroids]] on the assignment IS Lloyd's algorithm at scale.
+    */
+  def kmeansAssign(embs: DataFrame, cents: DataFrame): DataFrame = {
+    val dist2 = aggregate(
+      zip_with(col("embedding").cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    embs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents.select(col("label").as("c_label"), col("centroid"))))
+      .select(col("vec_id"), col("c_label"), dist2.as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("best.c_label").as("cluster"), col("best.d2").as("d2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_assigned"), round(sum(col("d2")), 3).as("inertia"))
+  }
+
   /** Single-table RHP bucket key (compat/spec surface over
     * [[VectorFns.rhpKeys]]): sign bits of dot products with deterministic
     * pseudo-random hyperplanes. Vectors of any dimension hash (planes are
