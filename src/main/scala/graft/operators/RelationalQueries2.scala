@@ -499,6 +499,37 @@ object RelationalQueries2 {
              |WHERE min_prev IS NULL OR p_size < min_prev
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Gini coefficient per group — the inequality readout for value
+    // distributions (revenue concentration, token-frequency skew). Uses
+    // the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over an ascending
+    // in-group rank; ranking windows are PARTITIONED by the group, so no
+    // global sort appears at any scale. round(6) sits far above the 1e-14
+    // relative summation noise.
+    QueryDef("rel_gini",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("i", row_number().over(w))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(lit(2.0) * sum(col("i") * col("l_extendedprice"))
+              / (count(lit(1)) * sum(col("l_extendedprice")))
+              - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+             |                  row_number() OVER (PARTITION BY l_returnflag
+             |                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS i
+             |           FROM lineitem)
+             |SELECT l_returnflag, count(*) AS n,
+             |       round(2.0 * sum(i * l_extendedprice)
+             |             / (count(*) * sum(l_extendedprice))
+             |             - (count(*) + 1.0) / count(*), 6) AS gini
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Ratio-to-report: each group's share of the total — a window over an
     // AGGREGATED result (the aggregate output is groups-sized, so the
     // unpartitioned share window is a trivial frame however large the
