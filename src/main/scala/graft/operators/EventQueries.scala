@@ -401,6 +401,30 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // Local-maximum (peak) detection: rows whose value strictly exceeds
+    // both time-neighbors within their type — alert/spike extraction with
+    // one lag + one lead over a single (event_type) shuffle. Endpoint rows
+    // (null neighbor) are not peaks, stated identically in both engines.
+    QueryDef("ts_peaks",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+          .withColumn("prev_v", lag(col("value"), 1).over(w))
+          .withColumn("next_v", lead(col("value"), 1).over(w))
+          .filter(col("value") > col("prev_v") && col("value") > col("next_v"))
+          .filter(col("event_id") < 3000)
+          .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, round(value, 2) AS value FROM (
+             |  SELECT event_id, event_type, value,
+             |         lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+             |WHERE value > prev_v AND value > next_v AND event_id < 3000
+             |ORDER BY event_id""".stripMargin)),
+
     // Hour-of-day load profile: per-hour median and tail (p95) of event
     // value plus volume — the capacity-planning / diurnal-pattern readout.
     // Exact interpolated percentiles (both engines linear-interpolate), 24

@@ -685,6 +685,32 @@ object PipelineQueries {
              |FROM sp LEFT JOIN c ON c.doc_id = sp.doc_id AND c.bucket = sp.bucket
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Silence-ratio curation metric over the decoded frames: fraction of
+    // 16-sample windows whose RMS sits below a cutoff — the audio twin of
+    // text quality filtering (trim/drop mostly-silent clips). Composes
+    // wavFrameEnergy; the ratio is an exact count quotient rounded at 4.
+    QueryDef("mm_wav_silence",
+      (s, d) => Multimodal.wavFrameEnergy(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          round(count_if(col("rms") < 0.015).cast("double") / count(lit(1)), 4)
+            .as("silence_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |i AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM s),
+             |x AS (SELECT doc_id, i // 16 AS frame_no,
+             |             CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS DOUBLE) AS v
+             |      FROM i),
+             |f AS (SELECT doc_id, frame_no,
+             |             sqrt(sum(v * v) / count(*)) / 32768.0 AS rms
+             |      FROM x GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_frames,
+             |       round(CAST(count_if(rms < 0.015) AS DOUBLE) / count(*), 4)
+             |         AS silence_ratio
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // REAL image decode under the oracle, same pattern: deterministic RGB
     // PNG (Multimodal.synthPng; PNG is lossless so the pixels round-trip
     // exactly), decoded by the real javax.imageio path, luma aggregated in
