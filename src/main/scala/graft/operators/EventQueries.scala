@@ -531,6 +531,44 @@ object EventQueries {
              |FROM r GROUP BY user_id, event_type, rn - rt
              |ORDER BY user_id, first_event""".stripMargin)),
 
+    // Longest same-type streak per user: the gaps-and-islands runs reduced
+    // to each user's maximum, with the streak's type carried through a
+    // (len, type, first_event) struct-max — engagement/addiction metrics'
+    // canonical shape. Ties break toward the lexicographically larger
+    // (type, first_event), stated identically in both engines.
+    QueryDef("ts_longest_streak",
+      (s, d) => {
+        val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wTyp = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("rt", row_number().over(wTyp))
+          .groupBy(col("user_id"), col("event_type"), (col("rn") - col("rt")).as("island"))
+          .agg(count(lit(1)).as("len"), min(col("event_id")).as("first_event"))
+          .groupBy("user_id")
+          .agg(max(struct(col("len"), col("event_type"), col("first_event"))).as("best"))
+          .select(col("user_id"), col("best.len").as("streak_len"),
+            col("best.event_type").as("streak_type"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts, event_id) AS rn,
+             |         row_number() OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY ts, event_id) AS rt
+             |  FROM events),
+             |runs AS (SELECT user_id, event_type, count(*) AS len,
+             |                min(event_id) AS first_event
+             |         FROM r GROUP BY user_id, event_type, rn - rt)
+             |SELECT user_id,
+             |       (max({'len': len, 'event_type': event_type,
+             |             'first_event': first_event})).len AS streak_len,
+             |       (max({'len': len, 'event_type': event_type,
+             |             'first_event': first_event})).event_type AS streak_type
+             |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Forward-fill imputation (LOCF — last observation carried forward):
     // null out a deterministic subset (error events carry no reading), then
     // carry the last non-null value forward per user in event-time order via

@@ -312,6 +312,26 @@ object TextQueries {
              |SELECT stem, count(*) AS cnt FROM st
              |GROUP BY stem ORDER BY cnt DESC, stem LIMIT 50""".stripMargin)),
 
+    // Type-token ratio (lexical diversity): distinct / total tokens per
+    // document — the repetitiveness signal quality filters cut on (low TTR
+    // = boilerplate/spam). Pure per-row array math, no shuffle at all.
+    QueryDef("tx_ttr",
+      (s, d) => {
+        val t = TextFns.tokens(col("text"))
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            size(t).cast("bigint").as("n_tokens"),
+            size(array_distinct(t)).cast("bigint").as("n_types"))
+          .withColumn("ttr",
+            round(col("n_types").cast("double") / col("n_tokens"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents)
+             |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+             |       round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS ttr
+             |FROM tt ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary growth curve (Heaps' law — Zipf's companion): cumulative
     // distinct-word count as the corpus is consumed in doc_id order. A
     // cumulative DISTINCT is not windowable directly; the identity is:
