@@ -401,6 +401,29 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // First-order Markov transition counts of user behavior: (previous
+    // event type → current) frequencies — the sequence statistic behind
+    // behavioral models and next-action prediction. One lag over the
+    // user_id shuffle, then a 25-cell aggregate.
+    QueryDef("ts_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""SELECT prev_type, event_type, count(*) AS n FROM (
+             |  SELECT event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |                               ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Local-maximum (peak) detection: rows whose value strictly exceeds
     // both time-neighbors within their type — alert/spike extraction with
     // one lag + one lead over a single (event_type) shuffle. Endpoint rows

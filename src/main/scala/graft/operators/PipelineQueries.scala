@@ -281,6 +281,21 @@ object PipelineQueries {
              |WHERE round(dp / (na.nr * nb.nr), 3) >= 0.9
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Prefix-duplicate groups: documents sharing their first 120 characters
+    // — catches truncated copies and templated boilerplate that exact
+    // full-text dedup misses and shingle methods dilute. A plain
+    // groupBy(prefix) HAVING count > 1: one shuffle on a short key.
+    QueryDef("dd_prefix_dups",
+      (s, d) => T(s, d, "documents")
+        .groupBy(substring(col("text"), 1, 120).as("prefix"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") > 1)
+        .select(col("keeper"), col("n_docs"))
+        .orderBy("keeper"),
+      Some("""SELECT min(doc_id) AS keeper, count(*) AS n_docs
+             |FROM documents GROUP BY substr(text, 1, 120)
+             |HAVING count(*) > 1 ORDER BY keeper""".stripMargin)),
+
     // Threshold calibration sweep: near-dup pair counts at several Jaccard
     // cutoffs in ONE pass over the shared pair-statistics frame (each pair
     // joins the tiny threshold dim where it qualifies) — the tuning curve

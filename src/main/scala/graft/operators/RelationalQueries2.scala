@@ -499,6 +499,24 @@ object RelationalQueries2 {
              |WHERE min_prev IS NULL OR p_size < min_prev
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Benford first-digit profile of order totals — the classic
+    // fabricated-data / anomaly screen. The leading digit comes from the
+    // integer's decimal string (exact; float log10 sits a ulp from
+    // integral exactly at the power-of-ten boundaries).
+    QueryDef("rel_benford",
+      (s, d) => T(s, d, "orders")
+        // explicit floor: Spark's double->bigint cast truncates while
+        // DuckDB's ROUNDS — floor() states the same integer in both
+        .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+          .as("first_digit"))
+        .groupBy("first_digit")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("first_digit"),
+      Some("""SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+             |         AS first_digit,
+             |       count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Gini coefficient per group — the inequality readout for value
     // distributions (revenue concentration, token-frequency skew). Uses
     // the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over an ascending
