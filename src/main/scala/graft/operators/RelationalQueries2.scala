@@ -499,6 +499,32 @@ object RelationalQueries2 {
              |WHERE min_prev IS NULL OR p_size < min_prev
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Median absolute deviation (robust spread — outliers move stddev but
+    // not MAD): two exact median passes, the group medians re-joined as a
+    // tiny broadcast frame onto the scan for the deviation pass.
+    QueryDef("rel_mad",
+      (s, d) => {
+        val med = T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(median(col("l_extendedprice")).as("med"))
+        T(s, d, "lineitem")
+          .join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"), abs(col("l_extendedprice") - col("med")).as("dev"),
+            col("med"))
+          .groupBy("l_returnflag")
+          .agg(round(first(col("med")), 4).as("med"),
+            round(median(col("dev")), 4).as("mad"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag, median(l_extendedprice) AS med
+             |           FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, round(any_value(m.med), 4) AS med,
+             |       round(median(abs(l.l_extendedprice - m.med)), 4) AS mad,
+             |       count(*) AS n
+             |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Benford first-digit profile of order totals — the classic
     // fabricated-data / anomaly screen. The leading digit comes from the
     // integer's decimal string (exact; float log10 sits a ulp from

@@ -312,6 +312,23 @@ object TextQueries {
              |SELECT stem, count(*) AS cnt FROM st
              |GROUP BY stem ORDER BY cnt DESC, stem LIMIT 50""".stripMargin)),
 
+    // Hapax legomena: words occurring exactly once, and their share of the
+    // vocabulary — the OOV/tail-mass estimate that sizes tokenizer vocab
+    // and smoothing. One aggregate over the word-count table.
+    QueryDef("tx_hapax",
+      (s, d) => TextAnalysis.wordCount(T(s, d, "documents"))
+        .agg(count_if(col("cnt") === 1).as("n_hapax"),
+          count(lit(1)).as("vocab"),
+          round(count_if(col("cnt") === 1).cast("double") / count(lit(1)), 4)
+            .as("hapax_share")),
+      Some(s"""WITH toks AS (SELECT unnest($tk) AS word FROM documents),
+             |wc AS (SELECT word, count(*) AS cnt FROM toks
+             |       WHERE length(word) > 0 GROUP BY 1)
+             |SELECT CAST(count_if(cnt = 1) AS BIGINT) AS n_hapax,
+             |       count(*) AS vocab,
+             |       round(CAST(count_if(cnt = 1) AS DOUBLE) / count(*), 4) AS hapax_share
+             |FROM wc""".stripMargin)),
+
     // Type-token ratio (lexical diversity): distinct / total tokens per
     // document — the repetitiveness signal quality filters cut on (low TTR
     // = boilerplate/spam). Pure per-row array math, no shuffle at all.
