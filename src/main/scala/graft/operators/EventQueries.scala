@@ -401,6 +401,37 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // DAU / trailing-7-day WAU / stickiness per day — the canonical growth
+    // metric. The trailing-window DISTINCT cannot ride a window frame, so
+    // the day spine joins the per-(user, day) activity table over a
+    // 7-day band: the activity table is users×days-sized (≪ events), the
+    // spine is days-sized, so the band join is dimension-scale however
+    // large the raw event log is.
+    QueryDef("ts_dau_wau",
+      (s, d) => {
+        val active = T(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val days = active.select(col("day").as("spine_day")).distinct()
+        val wau = days.join(active,
+            col("day") > date_sub(col("spine_day"), 7) && col("day") <= col("spine_day"))
+          .groupBy("spine_day").agg(count_distinct(col("user_id")).as("wau"))
+        val dau = active.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+        dau.join(wau, col("day") === col("spine_day"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |days AS (SELECT DISTINCT day AS spine_day FROM a),
+             |wau AS (SELECT spine_day, count(DISTINCT user_id) AS wau
+             |        FROM days JOIN a ON a.day > spine_day - 7 AND a.day <= spine_day
+             |        GROUP BY 1),
+             |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY 1)
+             |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+             |       round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+             |FROM dau JOIN wau ON dau.day = wau.spine_day
+             |ORDER BY day""".stripMargin)),
+
     // First-order Markov transition counts of user behavior: (previous
     // event type → current) frequencies — the sequence statistic behind
     // behavioral models and next-action prediction. One lag over the
