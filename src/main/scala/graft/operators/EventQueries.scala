@@ -432,6 +432,69 @@ object EventQueries {
              |FROM dau JOIN wau ON dau.day = wau.spine_day
              |ORDER BY day""".stripMargin)),
 
+    // Cumulative distinct users by day via the FIRST-SEEN trick: a running
+    // count-distinct is O(n·days) if computed per frame, but each user
+    // contributes exactly once — at their min date — so one groupBy(user)
+    // plus a running sum over the tiny per-day table gives the exact curve.
+    // The only full-data pass is the user-keyed aggregate; the window runs
+    // over O(days) rows. This is THE scalable form of "users to date".
+    QueryDef("ts_cume_users",
+      (s, d) => {
+        val first = T(s, d, "events")
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d0"))
+          .groupBy("d0").agg(count(lit(1)).as("new_users"))
+        val cum = Window.orderBy("d0")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        first
+          .select(date_format(col("d0"), "yyyy-MM-dd").as("day"),
+            col("new_users"),
+            sum(col("new_users")).over(cum).cast("bigint").as("cume_users"))
+          .orderBy("day")
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+             |n AS (SELECT d0, count(*) AS new_users FROM f GROUP BY 1)
+             |SELECT strftime(d0, '%Y-%m-%d') AS day, new_users,
+             |       CAST(sum(new_users) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users
+             |FROM n ORDER BY day""".stripMargin)),
+
+    // Exponentially weighted moving average of daily event volume
+    // (alpha = 1/2, adjust-style normalization): ewma_n =
+    // sum(x_i * 2^i) / sum(2^i) over i <= n. Weights are EXACT powers of
+    // two anchored at the LAST day (exponent i - N <= 0), so scaling never
+    // rounds, days beyond the ~1075-day double range underflow to exact 0
+    // (a self-windowing tail, no overflow at any history length), and the
+    // two running sums accumulate in the same ORDER BY order on both
+    // engines — the ratio is bit-reproducible. O(days) rows after the
+    // one date aggregate.
+    QueryDef("ts_ewma",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("d0")
+        val all = Window.orderBy("d0")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val cum = Window.orderBy("d0")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("wt",
+            pow(lit(2.0), (row_number().over(w) - count(lit(1)).over(all)).cast("double")))
+          .select(date_format(col("d0"), "yyyy-MM-dd").as("day"),
+            col("n").as("n_events"),
+            round(sum(col("n") * col("wt")).over(cum) / sum(col("wt")).over(cum), 4)
+              .as("ewma"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d0, count(*) AS n FROM events GROUP BY 1),
+             |wtd AS (SELECT d0, n,
+             |               pow(2.0, CAST(row_number() OVER (ORDER BY d0)
+             |                             - count(*) OVER () AS DOUBLE)) AS wt
+             |        FROM daily)
+             |SELECT strftime(d0, '%Y-%m-%d') AS day, n AS n_events,
+             |       round(sum(n * wt) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING)
+             |             / sum(wt) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING), 4) AS ewma
+             |FROM wtd ORDER BY day""".stripMargin)),
+
     // First-order Markov transition counts of user behavior: (previous
     // event type → current) frequencies — the sequence statistic behind
     // behavioral models and next-action prediction. One lag over the

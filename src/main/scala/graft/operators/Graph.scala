@@ -47,4 +47,31 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle count + global clustering coefficient over an oriented pair
+    * table (a_id < b_id). A triangle x<y<z is one row in the self-join
+    * e(x,y) ⋈ e(y,z) ⋈ e(x,z); wedges come from plain degree counts, and
+    * the coefficient is 3·triangles / wedges.
+    *
+    * Scale shape: the two equi-joins key on node ids — co-partitionable,
+    * no all-pairs step. The id orientation already bounds the join: each
+    * edge pairs only with its endpoints' id-greater neighbors. The classic
+    * further lever at 100 TB is to re-orient edges by DEGREE (low-degree
+    * endpoint first) so a hub's O(deg²) wedge fan-out lands on its
+    * low-degree neighbors instead — same plan, one extra degree join.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg((sum(col("dg") * (col("dg") - 1)) / 2).cast("bigint").as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        round(when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 4).as("clustering"))
+  }
 }

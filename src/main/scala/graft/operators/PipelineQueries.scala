@@ -228,6 +228,32 @@ object PipelineQueries {
         .orderBy("id"),
       Some(pagerankOracleSql(10))),
 
+    // Triangle count + global clustering coefficient over the same near-dup
+    // pair graph: how CLIQUISH the duplicate structure is (pure pairwise
+    // dups vs. fully-connected template families). Two id-keyed self-joins
+    // — no all-pairs step; Graph.triangleStats' scaladoc gives the
+    // degree-orientation lever for hub-heavy graphs at scale.
+    QueryDef("gr_triangles",
+      (s, d) => Graph.triangleStats(
+        Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+          .select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |e AS (SELECT a_id AS a, b_id AS b FROM inter
+             |      JOIN sz sa ON sa.doc_id = a_id
+             |      JOIN sz sb ON sb.doc_id = b_id
+             |      WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |tri AS (SELECT count(*) AS n_triangles
+             |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |deg AS (SELECT id, count(*) AS dg
+             |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+             |        GROUP BY 1),
+             |w AS (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg)
+             |SELECT n_triangles, n_wedges,
+             |       round(CASE WHEN n_wedges = 0 THEN 0.0
+             |                  ELSE 3.0 * n_triangles / n_wedges END, 4) AS clustering
+             |FROM tri CROSS JOIN w""".stripMargin)),
+
     // Sparse-vector document similarity: TF-IDF weighted cosine over the
     // token equi-join — the text twin of embedding cosine, computed without
     // ever densifying vectors. The scale lever is the document-frequency
@@ -470,6 +496,40 @@ object PipelineQueries {
              |SELECT cluster, count(*) AS n_assigned, round(sum(d2), 3) AS inertia
              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K-means UPDATE (M-step) under the oracle: recompute each cluster's
+    // centroid as the mean of its assigned vectors — size, new-centroid
+    // norm, drift from the seed centroid. E+M is one Lloyd iteration;
+    // both steps are partial+final aggregates (see Similarity.kmeansUpdate
+    // scaladoc for the two-shuffle scale shape). The oracle replays the
+    // assignment CTE then regroups the component means.
+    QueryDef("sim_kmeans_update",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        Similarity.kmeansUpdate(embs, Similarity.centroids(embs))
+          .orderBy("cluster")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d AS (SELECT ex.vec_id, cent.c_label,
+             |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |      FROM ex JOIN cent ON ex.i = cent.i
+             |      GROUP BY 1, 2),
+             |a AS (SELECT vec_id,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster
+             |      FROM d GROUP BY 1),
+             |sz AS (SELECT cluster, count(*) AS n_assigned FROM a GROUP BY 1),
+             |upd AS (SELECT a.cluster, ex.i, avg(ex.x) AS ux
+             |        FROM ex JOIN a USING (vec_id) GROUP BY 1, 2)
+             |SELECT u.cluster, sz.n_assigned,
+             |       round(sqrt(sum(u.ux * u.ux)), 3) AS norm,
+             |       round(sqrt(sum((u.ux - c.cx) * (u.ux - c.cx))), 3) AS drift
+             |FROM upd u
+             |JOIN cent c ON c.c_label = u.cluster AND c.i = u.i
+             |JOIN sz ON sz.cluster = u.cluster
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // Radius (range) search: all corpus vectors within a cosine radius of
     // each query — the thresholded twin of sim_batch_topk (the synthetic
     // corpus tops out near cosine 0.5, so the radius is 0.3).
@@ -654,6 +714,31 @@ object PipelineQueries {
              |       CAST(n AS BIGINT) AS n_samples,
              |       round(list_sum(vals) / n / 32768.0, 6) AS mean_abs
              |FROM samp ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling under the oracle (the video-pipeline shape): decode →
+    // frame count → every stride-th frame index via Multimodal.sampleFrames
+    // (explode(sequence(...)), planned without a shuffle; the per-frame
+    // byte extraction then runs in the same per-partition decoder pass).
+    // 8-sample frames, stride 3; the oracle replays the synthWav closed
+    // form (n_samples = 64 + doc_id % 50) with generate_series.
+    QueryDef("mm_frame_sample",
+      (s, d) => {
+        val framed = Multimodal.decodeWavColumn(
+            Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+              Multimodal.synthWav))
+          .select(col("doc_id"),
+            ceil(col("wav.n_samples") / lit(8.0)).cast("int").as("n_frames"))
+        Multimodal.sampleFrames(framed, "n_frames", stride = 3)
+          .select(col("doc_id"), col("n_frames").cast("bigint").as("n_frames"),
+            col("frame_idx").cast("bigint").as("frame_idx"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |                  CAST(ceil((64 + doc_id % 50) / 8.0) AS INT) AS n_frames
+             |           FROM documents)
+             |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+             |       CAST(unnest(generate_series(0, n_frames - 1, 3)) AS BIGINT) AS frame_idx
+             |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Windowed audio feature extraction under the oracle: decode PCM,
     // 16-sample frame RMS (Multimodal.wavFrameEnergy, one partition-local

@@ -888,6 +888,24 @@ object RelationalQueries2 {
              |      FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1) g
              |  ON l.l_orderkey = g.l_orderkey
              |WHERE l.l_orderkey < 2000
-             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin))
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // EXACT distinct counting that rolls up: count(DISTINCT) re-shuffles raw
+    // keys at every regrouping, and HLL (rel_hll_merge) is approximate —
+    // bitmap aggregation is the exact MERGEABLE middle. Keys land in
+    // fixed-width bucket bitmaps (bitmap_bucket_number / bitmap_bit_position),
+    // partial aggregates OR bit-vectors instead of holding key sets, and the
+    // per-(group, bucket) bitmap is a pre-aggregate any coarser rollup can
+    // re-OR without touching raw data — the datamart shape for exact
+    // distincts over 100 TB. Oracle: plain count(DISTINCT).
+    QueryDef("rel_bitmap_distinct",
+      (s, d) => T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_suppkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").as("bm"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("n_supp"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

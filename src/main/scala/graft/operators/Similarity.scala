@@ -152,7 +152,15 @@ object Similarity {
     * an ordinary partial+final aggregate, no window. Iterating this with
     * [[centroids]] on the assignment IS Lloyd's algorithm at scale.
     */
-  def kmeansAssign(embs: DataFrame, cents: DataFrame): DataFrame = {
+  def kmeansAssign(embs: DataFrame, cents: DataFrame): DataFrame =
+    assignVectors(embs, cents)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_assigned"), round(sum(col("d2")), 3).as("inertia"))
+
+  /** Per-vector nearest-centroid rows (vec_id, cluster, d2) — the E-step
+    * detail [[kmeansAssign]] rolls up and [[kmeansUpdate]] regroups on.
+    */
+  def assignVectors(embs: DataFrame, cents: DataFrame): DataFrame = {
     val dist2 = aggregate(
       zip_with(col("embedding").cast("array<double>"), col("centroid"),
         (a, b) => (a - b) * (a - b)),
@@ -163,8 +171,32 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("c_label"))).as("best"))
       .select(col("vec_id"), col("best.c_label").as("cluster"), col("best.d2").as("d2"))
+  }
+
+  /** K-means UPDATE step (the M-step): recompute each cluster's centroid as
+    * the mean of its assigned vectors, reporting cluster size, the new
+    * centroid's norm, and its drift from the seed centroid. Assignment +
+    * component-mean are both plain partial+final aggregates keyed on
+    * (cluster, component) — E then M is two shuffles per Lloyd iteration
+    * regardless of corpus size, and the per-cluster output is O(k·dim).
+    */
+  def kmeansUpdate(embs: DataFrame, cents: DataFrame): DataFrame = {
+    val assign = assignVectors(embs, cents).select("vec_id", "cluster")
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n_assigned"))
+    val comp = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .join(assign, "vec_id")
+      .groupBy("cluster", "i")
+      .agg(avg(col("x")).as("ux"))
+    val old = cents.select(col("label").as("cluster"),
+      posexplode(col("centroid")).as(Seq("i", "cx")))
+    comp.join(old, Seq("cluster", "i"))
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n_assigned"), round(sum(col("d2")), 3).as("inertia"))
+      .agg(round(sqrt(sum(col("ux") * col("ux"))), 3).as("norm"),
+        round(sqrt(sum((col("ux") - col("cx")) * (col("ux") - col("cx")))), 3).as("drift"))
+      .join(sizes, "cluster")
+      .select(col("cluster"), col("n_assigned"), col("norm"), col("drift"))
   }
 
   /** Single-table RHP bucket key (compat/spec surface over

@@ -28,4 +28,25 @@ class GraphSpec extends AnyFunSuite {
     // leaves are symmetric: identical ranks
     assert(leaves.distinct.size == 1, r)
   }
+
+  test("triangleStats counts one triangle + a dangling edge (clustering 3/5)") {
+    // triangle 1-2-3 plus pendant 3-4: wedges = C(2,2)+C(2,2)+C(3,2)+0 = 5
+    val df = Graph.triangleStats(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a_id", "b_id"))
+    val (tri, wed, cc) = df.as[(Long, Long, Double)].head()
+    assert(tri == 1L && wed == 5L && math.abs(cc - 0.6) < 1e-9, (tri, wed, cc))
+  }
+
+  test("triangleStats is zero-triangle on a path, full on K4") {
+    val path = Graph.triangleStats(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id"))
+      .as[(Long, Long, Double)].head()
+    assert(path._1 == 0L && path._3 == 0.0, path)
+    // K4: 4 triangles, degrees all 3 -> wedges 12, clustering 3*4/12 = 1
+    val k4 = Graph.triangleStats(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("a_id", "b_id"))
+      .as[(Long, Long, Double)].head()
+    assert(k4._1 == 4L && k4._2 == 12L && k4._3 == 1.0, k4)
+  }
 }

@@ -63,6 +63,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c0.head - 0.95) < 1e-6)
   }
 
+  test("kmeansUpdate: label-seeded centroids are a fixed point (zero drift)") {
+    // On this corpus every vector's nearest label-centroid IS its label
+    // cluster, so the M-step recomputes the same means: drift == 0 for all
+    // clusters and sizes match the label histogram.
+    val upd = Similarity.kmeansUpdate(vecs, Similarity.centroids(vecs))
+      .orderBy("cluster")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(upd.map(_._1).toSeq == Seq(0, 1, 2), upd.toSeq)
+    assert(upd.map(_._2).toSeq == Seq(2L, 2L, 1L), upd.toSeq)
+    assert(upd.forall(_._4 == 0.0), upd.toSeq)
+    // new centroid norms are the seed centroid norms
+    val n0 = math.sqrt(0.95 * 0.95 + 0.05 * 0.05)
+    assert(math.abs(upd.head._3 - BigDecimal(n0).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, upd.head)
+  }
+
   test("IVF with nprobe=2 searches two clusters") {
     val top = Similarity.ivfTopK(vecs, queryId = 0L, k = 5, nprobe = 2)
       .select("vec_id").as[Long].collect().toSet
