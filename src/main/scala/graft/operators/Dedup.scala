@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFns, VectorFns}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -542,5 +542,32 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Train/test overlap detection (decontamination): flags every non-test
+    * ("train") document sharing at least one word n-gram with a held-out
+    * test split — the n-gram decontamination step that keeps benchmark
+    * answers out of a training corpus. Returns
+    * (doc_id, n_test_docs, n_shared) per contaminated train doc.
+    *
+    * Scale shape: one shingle explode per side + an equi-join ON the
+    * shingle — the same bounded-join form as the Jaccard pipeline, with the
+    * test side (benchmarks, tiny vs. the corpus) as the natural build side.
+    * At 100 TB: hash shingles to 64-bit before the join (shingleHashRows
+    * does this for the dedup paths), and distinct-per-doc first (done here)
+    * so one repeated phrase can't multiply join rows within a doc.
+    */
+  def decontaminate(docs: DataFrame, isTest: Column, n: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), n)).as("sh"))
+      .distinct()
+    val test = sh.filter(isTest)
+      .select(col("doc_id").as("test_id"), col("sh"))
+    sh.filter(!isTest)
+      .join(test, "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("test_id")).as("n_test_docs"),
+        count(lit(1)).as("n_shared"))
   }
 }

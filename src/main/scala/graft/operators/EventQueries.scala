@@ -495,6 +495,42 @@ object EventQueries {
              |             / sum(wt) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING), 4) AS ewma
              |FROM wtd ORDER BY day""".stripMargin)),
 
+    // 7-day rolling Pearson correlation between two daily event-volume
+    // series (click vs. view) — the co-movement diagnostic behind metric
+    // dashboards and anomaly root-causing. corr as a WINDOW aggregate over
+    // the tiny per-day frame (O(days) rows after one full-data aggregate);
+    // only complete 7-row windows are emitted, so the statistic is always
+    // well-defined on both engines.
+    QueryDef("ts_rolling_corr",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(to_date(col("ts")).as("d0"))
+          .agg(count(when(col("event_type") === "click", 1)).cast("double").as("c"),
+            count(when(col("event_type") === "view", 1)).cast("double").as("v"))
+        val w7 = Window.orderBy("d0").rowsBetween(-6, Window.currentRow)
+        val wrn = Window.orderBy("d0")
+        daily
+          .withColumn("rn", row_number().over(wrn))
+          .withColumn("corr7", round(corr(col("c"), col("v")).over(w7), 3))
+          .filter(col("rn") >= 7)
+          .select(date_format(col("d0"), "yyyy-MM-dd").as("day"),
+            col("c").cast("bigint").as("n_click"),
+            col("v").cast("bigint").as("n_view"),
+            col("corr7"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d0,
+             |                      count(*) FILTER (WHERE event_type = 'click') AS c,
+             |                      count(*) FILTER (WHERE event_type = 'view') AS v
+             |               FROM events GROUP BY 1),
+             |r AS (SELECT d0, c, v,
+             |             row_number() OVER (ORDER BY d0) AS rn,
+             |             round(corr(c, v) OVER (ORDER BY d0 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 3) AS corr7
+             |      FROM daily)
+             |SELECT strftime(d0, '%Y-%m-%d') AS day, CAST(c AS BIGINT) AS n_click,
+             |       CAST(v AS BIGINT) AS n_view, corr7
+             |FROM r WHERE rn >= 7 ORDER BY day""".stripMargin)),
+
     // First-order Markov transition counts of user behavior: (previous
     // event type → current) frequencies — the sequence statistic behind
     // behavioral models and next-action prediction. One lag over the

@@ -254,6 +254,31 @@ object PipelineQueries {
              |                  ELSE 3.0 * n_triangles / n_wedges END, 4) AS clustering
              |FROM tri CROSS JOIN w""".stripMargin)),
 
+    // Train/test decontamination: train docs sharing any 8-gram with the
+    // held-out split (doc_id % 10 = 7 models the benchmark set). See
+    // Dedup.decontaminate for the bounded-join scale shape; the oracle
+    // replays the 8-gram shingle join.
+    QueryDef("dd_decontaminate",
+      (s, d) => Dedup.decontaminate(T(s, d, "documents"),
+          isTest = col("doc_id") % 10 === 7, n = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH tt AS (SELECT doc_id,
+             |                    ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t
+             |             FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(generate_series(1, len(t) - 7),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |                          t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+             |                          t[i+6] || ' ' || t[i+7])) AS s
+             |       FROM tt),
+             |test AS (SELECT doc_id AS test_id, s FROM sh WHERE doc_id % 10 = 7),
+             |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 7)
+             |SELECT train.doc_id AS doc_id,
+             |       count(DISTINCT test_id) AS n_test_docs,
+             |       count(*) AS n_shared
+             |FROM train JOIN test ON train.s = test.s
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sparse-vector document similarity: TF-IDF weighted cosine over the
     // token equi-join — the text twin of embedding cosine, computed without
     // ever densifying vectors. The scale lever is the document-frequency

@@ -129,6 +129,36 @@ object TextQueries {
              |       CAST(len(regexp_extract_all(text, '[^a-z ]')) AS BIGINT) AS n_nonalpha
              |FROM tt ORDER BY doc_id""".stripMargin)),
 
+    // Quality FILTER rollup (the step after per-doc scoring): per-source
+    // pass rates under a token-count + stopword-ratio gate — what a corpus
+    // curator reads to decide which sources to keep, re-crawl, or drop.
+    // One doc-keyed join of the scored frame back to its source attribute,
+    // then an O(sources) aggregate. Thresholds (>= 40 tokens, >= 0.04
+    // stopword ratio) sit at this corpus's quartiles so the gate actually
+    // separates (pass rates land strictly between 0 and 1).
+    QueryDef("tx_quality_filter",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val q = TextAnalysis.quality(docs).select("doc_id", "n_tokens", "stopword_ratio")
+        docs.select(col("doc_id"), col("source"))
+          .join(q, "doc_id")
+          .withColumn("pass",
+            (col("n_tokens") >= 40 && col("stopword_ratio") >= 0.04).cast("bigint"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pass")).cast("bigint").as("n_pass"),
+            round(avg(col("pass")), 4).as("pass_rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, source, $tk AS t FROM documents),
+             |q AS (SELECT doc_id, source, len(t) AS n_tokens,
+             |             round(CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / len(t), 4) AS r
+             |      FROM tt)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN n_tokens >= 40 AND r >= 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |       round(avg(CASE WHEN n_tokens >= 40 AND r >= 0.04 THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("tx_fingerprint",
       (s, d) => TextAnalysis.fingerprint(T(s, d, "documents")).orderBy("doc_id"),
       Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),

@@ -29,6 +29,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!kept.contains(102L))
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-gram with the test split") {
+    // test split = docs 3 and 5 (bases of planted dups); their dups live in
+    // the "train" side and share long runs; disjoint vocabularies keep every
+    // other train doc clean.
+    val hits = Dedup.decontaminate(corpus,
+        isTest = col("doc_id").isin(3L, 5L), n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(_._1).toSeq == Seq(100L, 102L), hits.toSeq)
+    // exact dup shares every one of its 23 8-gram shingles with doc 5
+    val exactHit = hits.find(_._1 == 102L).get
+    assert(exactHit._2 == 1L && exactHit._3 == 23L, exactHit)
+  }
+
   test("exact ngram jaccard finds exactly the planted near-dups (J>=0.8)") {
     val pairs = Dedup.ngramJaccardPairs(corpus, minJ = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
