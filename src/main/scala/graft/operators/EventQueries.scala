@@ -655,6 +655,59 @@ object EventQueries {
     // The classic difference-of-row_numbers trick: rn(user) - rn(user,type)
     // is constant exactly within a run, so islands fall out of one groupBy —
     // two window passes + one aggregate, all sharing the user_id shuffle.
+    // Type-2 slowly-changing-dimension build: version each user's observed
+    // state (event_type) into [valid_from, valid_to) intervals with a
+    // current-row flag — the warehouse-dimension shape rel_upsert's CDC
+    // feeds. Runs come from the ts_islands gaps-and-islands identity; the
+    // interval close is one lead() over the per-user RUN table (tiny), so
+    // the only O(events) work is the two row_number windows.
+    QueryDef("ts_scd2",
+      (s, d) => {
+        val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wTyp = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val runs = T(s, d, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("rt", row_number().over(wTyp))
+          .groupBy(col("user_id"), col("event_type").as("state"),
+            (col("rn") - col("rt")).as("island"))
+          .agg(min(col("ts")).as("from_ts"),
+            min(col("event_id")).as("first_event"),
+            count(lit(1)).as("n_events"))
+        val wv = Window.partitionBy("user_id").orderBy(col("from_ts"), col("first_event"))
+        runs
+          .withColumn("to_ts", lead(col("from_ts"), 1).over(wv))
+          .select(col("user_id"), col("state"), col("first_event"),
+            date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            coalesce(date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss"),
+              lit("9999-12-31 00:00:00")).as("valid_to"),
+            col("to_ts").isNull.cast("int").as("is_current"),
+            col("n_events"))
+          .orderBy("user_id", "first_event")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts, event_id) AS rn,
+             |         row_number() OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY ts, event_id) AS rt
+             |  FROM events WHERE user_id < 20),
+             |runs AS (SELECT user_id, event_type AS state, rn - rt AS island,
+             |                min(ts) AS from_ts, min(event_id) AS first_event,
+             |                count(*) AS n_events
+             |         FROM r GROUP BY 1, 2, 3),
+             |v AS (SELECT user_id, state, first_event, from_ts, n_events,
+             |             lead(from_ts) OVER (PARTITION BY user_id
+             |                                 ORDER BY from_ts, first_event) AS to_ts
+             |      FROM runs)
+             |SELECT user_id, state, first_event,
+             |       strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |       coalesce(strftime(to_ts, '%Y-%m-%d %H:%M:%S'),
+             |                '9999-12-31 00:00:00') AS valid_to,
+             |       CAST(to_ts IS NULL AS INT) AS is_current, n_events
+             |FROM v ORDER BY user_id, first_event""".stripMargin)),
+
     QueryDef("ts_islands",
       (s, d) => {
         val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -216,6 +216,44 @@ object PipelineQueries {
              |FROM comp JOIN documents ON doc_id = id
              |GROUP BY comp ORDER BY comp""".stripMargin)),
 
+    // Near-dup resolution the way a curation pipeline actually does it:
+    // keep the BEST doc per connected cluster (longest by tokens, min id on
+    // ties) rather than the min-id doc dd_cc_dedup keeps. One struct-max
+    // aggregate over the shared CC labels joined to a token count — the
+    // same argmax-by-quality shape works for any scoring column.
+    QueryDef("dd_cluster_keeper",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        ccLabels(s, d)
+          .join(toks, col("id") === col("doc_id"))
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"),
+              col("doc_id").as("kid"))).as("best"))
+          .select(col("comp"), col("n_docs"),
+            col("best.kid").as("keeper_id"),
+            col("best.n_tokens").as("keeper_tokens"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS d FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION
+             |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+             |comp AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s),
+             |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tt)
+             |SELECT comp, count(*) AS n_docs,
+             |       (max({'t': n_tokens, 'n': -doc_id, 'id': doc_id})).id AS keeper_id,
+             |       (max({'t': n_tokens, 'n': -doc_id, 'id': doc_id})).t AS keeper_tokens
+             |FROM comp JOIN tok ON tok.doc_id = comp.id
+             |GROUP BY comp ORDER BY comp""".stripMargin)),
+
     // Iterative graph scoring: 10-round PageRank over the exact near-dup
     // pair graph — duplicate-cluster centrality ("which doc is canonical").
     // Rank magnitudes are O(1/nodes); round(6) sits far above the 1e-15

@@ -252,6 +252,47 @@ object TextQueries {
              |SELECT bigram, count(*) AS cnt FROM bg
              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Per-document cross-entropy / perplexity under the corpus's own bigram
+    // model — the LM-flavored quality signal (template boilerplate scores
+    // low, anomalous token sequences score high). p(w2|w1) = c(w1 w2)/c(w1·)
+    // with counts from the full corpus, so every in-corpus bigram has mass
+    // and no smoothing is needed. The two count tables are vocab-sized
+    // (broadcast-joinable at any corpus scale); the doc-keyed aggregate is
+    // the only O(corpus) shuffle. avg ordering differs across engines only
+    // in the 1e-15 tail — round(3) clears it.
+    QueryDef("tx_perplexity",
+      (s, d) => {
+        val bgd = T(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        val cb = bgd.groupBy("bigram").agg(count(lit(1)).as("cb"))
+        val cw = bgd.groupBy("w1").agg(count(lit(1)).as("cw"))
+        bgd.join(cb, "bigram").join(cw, "w1")
+          .withColumn("lg", log2(col("cb") * lit(1.0) / col("cw")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(col("lg")), 3).as("xent"),
+            round(pow(lit(2.0), -avg(col("lg"))), 3).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w,
+             |               unnest(generate_series(1, len(t))) AS i FROM tt),
+             |bg AS (SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS bigram
+             |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |cb AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+             |cw AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       round(-avg(log2(cb * 1.0 / cw)), 3) AS xent,
+             |       round(pow(2.0, -avg(log2(cb * 1.0 / cw))), 3) AS ppl
+             |FROM bg JOIN cb USING (bigram) JOIN cw USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Character n-gram profile per language — the TRAINING side of n-gram
     // language-ID (tx_langid applies such profiles): top character trigrams
     // per lang by frequency. Trigram explosion is per-row (sequence +
