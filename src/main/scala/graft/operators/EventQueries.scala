@@ -994,6 +994,37 @@ object EventQueries {
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Map-typed column battery: construct, extract, merge, keys/values,
+    // entry iteration — the metadata-bag shape (typed per-record key/value
+    // attributes) multimodal and feature-store schemas carry. The ORACLE
+    // needs no maps at all: every output is a scalar whose value is known
+    // from the source columns, so DuckDB recomputes them directly — the
+    // point under test is Spark's map surface, not map SQL portability.
+    QueryDef("fn_map",
+      (s, d) => {
+        val m = map(lit("qty"), col("l_quantity"),
+          lit("price"), col("l_extendedprice"))
+        T(s, d, "lineitem")
+          .filter(col("l_orderkey") < 200)
+          .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+            element_at(m, "qty").as("qty"),
+            size(m).cast("bigint").as("n_keys"),
+            concat_ws(",", array_sort(map_keys(m))).as("keys"),
+            element_at(map_concat(m, map(lit("disc"), col("l_discount"))), "disc")
+              .as("disc"),
+            aggregate(map_values(map_filter(m, (k, _) => k =!= "price")),
+              lit(0.0), (a, x) => a + x).as("qty_again"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       l_quantity AS qty,
+             |       CAST(2 AS BIGINT) AS n_keys,
+             |       'price,qty' AS keys,
+             |       l_discount AS disc,
+             |       l_quantity AS qty_again
+             |FROM lineitem WHERE l_orderkey < 200
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     QueryDef("fn_array",
       (s, d) => {
         val t = split(col("text"), " ")

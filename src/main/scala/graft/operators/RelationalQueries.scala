@@ -519,6 +519,32 @@ object RelationalQueries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // Relative-position window battery: percent_rank and cume_dist — the
+    // normalized complements of win_rank's ordinal functions. Both are
+    // RATIOS of the same integers on both engines ((rank-1)/(n-1), n_le/n),
+    // so the doubles are identical before the defensive round(6). Thinned
+    // to every-100th customer to keep the artifact small; the window itself
+    // runs over the full partition either way.
+    QueryDef("win_cume",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        T(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .filter(col("c_custkey") % 100 === 0)
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |         round(percent_rank() OVER w, 6) AS pct_rank,
+             |         round(cume_dist() OVER w, 6) AS cume
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+             |WHERE c_custkey % 100 = 0
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
     QueryDef("win_rank",
       (s, d) => {
         val w = Window.partitionBy(col("c_mktsegment"))

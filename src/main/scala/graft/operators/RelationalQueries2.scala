@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -662,6 +662,32 @@ object RelationalQueries2 {
     // declarative pass. At scale both sides shuffle once on the key (or
     // zero times if the base is bucketed on it, per rel_join_bucketed);
     // the change set is simulated deterministically from orders.
+    // Incremental aggregate maintenance: a "materialized" base aggregate
+    // (days before the cutoff) merged with a delta aggregate (days after)
+    // must equal the full recompute — WHICH IS THE ORACLE. The merge is a
+    // full-outer join on the group key with coalesced partial sums/counts;
+    // this works because sum/count are commutative monoids, the property
+    // that lets a 100 TB pipeline maintain daily rollups by merging each
+    // new partition's partial aggregate instead of rescanning history.
+    QueryDef("rel_incr_agg",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val cut = lit("2024-01-20").cast("date")
+        def agg(df: DataFrame, nc: String, sc: String) =
+          df.groupBy("event_type")
+            .agg(count(lit(1)).as(nc), sum(col("value")).as(sc))
+        val base = agg(ev.filter(to_date(col("ts")) < cut), "n0", "s0")
+        val delta = agg(ev.filter(to_date(col("ts")) >= cut), "n1", "s1")
+        base.join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n"),
+            round(coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)), 2)
+              .as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("rel_upsert",
       (s, d) => {
         val base = T(s, d, "orders")
