@@ -294,6 +294,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("bitmap distinct aggregates partial bitmaps, never raw key sets") {
+    val p = plan("rel_bitmap_distinct")
+    // map-side partial bitmap_construct_agg before the (group, bucket)
+    // shuffle — the mergeability that makes the rollup exact at any scale
+    assert(p.contains("partial_bitmap_construct_agg"), p)
+    assert(!p.contains("distinct"), p) // no expand/distinct fallback
+  }
+
+  test("decontamination joins shingles hash-to-hash, no nested-loop") {
+    val p = plan("dd_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental aggregate merge keeps both partials map-side") {
+    val p = plan("rel_incr_agg")
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
