@@ -550,22 +550,21 @@ object Dedup {
     * answers out of a training corpus. Returns
     * (doc_id, n_test_docs, n_shared) per contaminated train doc.
     *
-    * Scale shape: one shingle explode per side + an equi-join ON the
-    * shingle — the same bounded-join form as the Jaccard pipeline, with the
-    * test side (benchmarks, tiny vs. the corpus) as the natural build side.
-    * At 100 TB: hash shingles to 64-bit before the join (shingleHashRows
-    * does this for the dedup paths), and distinct-per-doc first (done here)
-    * so one repeated phrase can't multiply join rows within a doc.
+    * Scale shape: both sides go through [[shingleHashRows]] — the codegen'd
+    * posexplode + window-lead pipeline every dedup operator hashes with —
+    * so the join keys on a 64-bit xxhash64, never on shingle STRINGS
+    * (string keys cost 23s where hashes cost under a second at sf0.1: wide
+    * shuffle rows + interpreted array-lambda shingling), and shingles are
+    * distinct-per-doc so one repeated phrase can't multiply join rows.
+    * The test side (benchmarks — tiny vs. the corpus) is the natural build
+    * side. Hash collisions (~1e-9 at 1e5 distinct shingles) are the same
+    * accepted equivalence the Jaccard pipeline runs on.
     */
   def decontaminate(docs: DataFrame, isTest: Column, n: Int = 8): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), n)).as("sh"))
-      .distinct()
-    val test = sh.filter(isTest)
-      .select(col("doc_id").as("test_id"), col("sh"))
+    val sh = shingleHashRows(docs, n)
+    val test = sh.filter(isTest).select(col("doc_id").as("test_id"), col("hraw"))
     sh.filter(!isTest)
-      .join(test, "sh")
+      .join(test, "hraw")
       .groupBy("doc_id")
       .agg(count_distinct(col("test_id")).as("n_test_docs"),
         count(lit(1)).as("n_shared"))

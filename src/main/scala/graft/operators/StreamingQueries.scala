@@ -123,6 +123,31 @@ object StreamingQueries {
     // state merged by gap, emitted once the watermark passes session end =
     // last event + gap). Same sessionization SQL as ts_session_window with
     // the horizon cut on max(ts).
+    // Stream-static enrichment: the customer dimension broadcast-joins into
+    // every micro-batch and the enriched segment keys a windowed count —
+    // the dim-enrichment-then-aggregate front half of every event pipeline,
+    // executed through the engine. Oracle: batch join + horizon cut.
+    QueryDef("st_enrich",
+      (s, d) => {
+        val dim = graft.Tables.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.enrichedWindowedCounts(toTs(df), dim,
+            watermark = "0 seconds"),
+          "st_enrich")
+        emitted.select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hr"),
+            col("segment"), col("n"))
+          .orderBy("hr", "segment")
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+             |       c_mktsegment AS segment, count(*) AS n
+             |FROM events JOIN customer ON user_id = c_custkey, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.mx
+             |GROUP BY 1, 2 ORDER BY hr, segment""".stripMargin)),
+
     QueryDef("st_session_counts",
       (s, d) => {
         val emitted = StreamGate.runAppendToParquet(

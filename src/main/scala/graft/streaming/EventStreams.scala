@@ -30,6 +30,24 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment then windowed aggregation: the dimension side
+    * is a plain batch frame joined into every micro-batch (broadcast — at
+    * scale this is the dim-table enrichment every event pipeline starts
+    * with), and the enriched attribute becomes the aggregation key. Works
+    * on batch and streaming inputs.
+    */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
+                             windowLen: String = "1 hour",
+                             watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"),
+        col("c_mktsegment").as("segment"), col("n"))
+
   /** Gap-based sessionization via the native session_window — identical
     * semantics to the batch ts_session_window query.
     */

@@ -235,4 +235,14 @@ class StreamingSpec extends AnyFunSuite {
     val sessions = EventStreams.sessionCounts(batch, gap = "5 minutes")
     assert(sessions.count() == 2)
   }
+
+  test("stream-static enrichment keys the window on the dim attribute") {
+    val events = Seq((ts(1), 1L), (ts(2), 2L), (ts(3), 1L))
+      .toDF("ts", "user_id")
+    val dim = Seq((1L, "AUTO"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = EventStreams.enrichedWindowedCounts(events, dim)
+      .select($"segment", $"n").as[(String, Long)].collect().toMap
+    assert(out == Map("AUTO" -> 2L, "BUILDING" -> 1L), out)
+  }
 }
