@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-6 pipeline operators against independent
+  * in-Scala references: decontamination (hashed-shingle join == string-set
+  * intersection), triangle counting (self-join == brute-force enumeration),
+  * and EWMA (the closed-form window identity == the textbook recursive
+  * definition).
+  */
+class PipelinePropertySpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  // --- decontaminate -------------------------------------------------------
+
+  /** Random corpora over a tiny vocabulary so shingle collisions are COMMON
+    * (the interesting regime for an overlap detector).
+    */
+  private def corpusGen(nDocs: Int): Gen[List[(Long, String)]] =
+    Gen.listOfN(nDocs,
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def sampleCorpus(seed: Long, nDocs: Int = 14): List[(Long, String)] =
+    corpusGen(nDocs).apply(Gen.Parameters.default, rng.Seed(seed)).get
+
+  private def shingleSet(text: String, n: Int): Set[String] =
+    text.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSet
+
+  test("decontaminate == in-Scala shingle-set intersection on random corpora") {
+    for (seed <- 1L to 8L; n <- Seq(3, 5)) {
+      val corpus = sampleCorpus(seed)
+      val isTest: Long => Boolean = _ % 3 == 0
+      val expected = (for {
+        (trainId, trainText) <- corpus if !isTest(trainId)
+        trainSh = shingleSet(trainText, n)
+        hits = corpus.collect {
+          case (testId, testText) if isTest(testId) =>
+            (testId, (trainSh & shingleSet(testText, n)).size)
+        }.filter(_._2 > 0)
+        if hits.nonEmpty
+      } yield trainId -> ((hits.size.toLong, hits.map(_._2.toLong).sum))).toMap
+      val got = Dedup.decontaminate(corpus.toDF("doc_id", "text"),
+          isTest = col("doc_id") % 3 === 0, n = n)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, nt, ns) => id -> ((nt, ns)) }.toMap
+      assert(got == expected, s"seed=$seed n=$n")
+    }
+  }
+
+  // --- triangleStats -------------------------------------------------------
+
+  private def graphGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+
+  test("triangleStats == brute-force enumeration on random graphs") {
+    for (seed <- 1L to 8L) {
+      val edges = graphGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
+      val es = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val expTri = (for {
+        x <- nodes; y <- nodes if y > x && es((x, y))
+        z <- nodes if z > y && es((y, z)) && es((x, z))
+      } yield 1).size.toLong
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size.toLong)
+      val expWedges = deg.map(d => d * (d - 1) / 2).sum
+      val (tri, wed, cc) = Graph.triangleStats(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long, Double)].head()
+      assert(tri == expTri && wed == expWedges, s"seed=$seed got=($tri,$wed) exp=($expTri,$expWedges)")
+      val expCc = if (expWedges == 0) 0.0 else 3.0 * expTri / expWedges
+      assert(math.abs(cc - BigDecimal(expCc).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"seed=$seed")
+    }
+  }
+
+  // --- EWMA ----------------------------------------------------------------
+
+  test("window closed form equals the recursive adjust-normalized EWMA") {
+    // recursive adjust=true EWMA with alpha=1/2: num_k = x_k + (1-a)*num_{k-1},
+    // den_k = 1 + (1-a)*den_{k-1}, ewma_k = num_k/den_k — must match the
+    // 2^i-weighted cumulative-ratio identity the ts_ewma query computes.
+    val xs = Seq(4.0, 9.0, 1.0, 16.0, 2.0, 7.5, 3.25)
+    var (num, den) = (0.0, 0.0)
+    val expected = xs.map { x =>
+      num = x + 0.5 * num; den = 1.0 + 0.5 * den
+      num / den
+    }
+    val n = xs.length
+    val got = xs.indices.map { k =>
+      val w = (0 to k).map(i => math.pow(2.0, (i + 1 - n).toDouble))
+      (0 to k).map(i => xs(i) * w(i)).sum / w.sum
+    }
+    expected.zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-12, s"$e vs $g")
+    }
+  }
+}
