@@ -495,6 +495,37 @@ object EventQueries {
              |             / sum(wt) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING), 4) AS ewma
              |FROM wtd ORDER BY day""".stripMargin)),
 
+    // Time-weighted average per user: each observation holds until the next
+    // one, so its weight is the interval it covered — THE correct mean for
+    // irregularly-sampled series (a sensor that reports hourly then
+    // minutely would otherwise over-count the chatty period; plain_avg is
+    // emitted alongside to show the skew). Gaps are exact integer
+    // microseconds (unix_micros/epoch_us agree); one lead + one keyed
+    // aggregate.
+    QueryDef("ts_twa",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("gap",
+            (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+              .cast("double"))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            round(sum(col("value") * col("gap")) / sum(col("gap")), 4).as("twa"),
+            round(avg(col("value")), 4).as("plain_avg"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, value,
+             |  CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             |       - epoch_us(ts) AS DOUBLE) AS gap
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_intervals,
+             |       round(sum(value * gap) / sum(gap), 4) AS twa,
+             |       round(avg(value), 4) AS plain_avg
+             |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // 7-day rolling Pearson correlation between two daily event-volume
     // series (click vs. view) — the co-movement diagnostic behind metric
     // dashboards and anomaly root-causing. corr as a WINDOW aggregate over

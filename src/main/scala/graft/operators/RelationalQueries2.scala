@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -915,6 +915,58 @@ object RelationalQueries2 {
              |  ON l.l_orderkey = g.l_orderkey
              |WHERE l.l_orderkey < 2000
              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // Data profiling (the SUMMARIZE shape): one row per column with row
+    // count, null count, exact distinct count, and min/max — the first
+    // query anyone runs against an unfamiliar 100 TB table. ONE aggregate
+    // pass computes every column's statistics simultaneously (no
+    // per-column rescans); stack() unpivots the single wide row. Numeric
+    // extremes are rounded before the string cast so both engines print
+    // identically.
+    QueryDef("rel_profile",
+      (s, d) => {
+        def prof(c: String, minMax: Column => Column = identity) = Seq(
+          sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+          count_distinct(col(c)).as(s"${c}_nd"),
+          minMax(min(col(c))).cast("string").as(s"${c}_min"),
+          minMax(max(col(c))).cast("string").as(s"${c}_max"))
+        val cols = Seq("event_id", "user_id", "event_type").flatMap(prof(_)) ++
+          prof("value", round(_, 2))
+        T(s, d, "events")
+          .agg(count(lit(1)).as("n_rows"), cols: _*)
+          .selectExpr("n_rows",
+            """stack(4,
+              |'event_id', event_id_nulls, event_id_nd, event_id_min, event_id_max,
+              |'event_type', event_type_nulls, event_type_nd, event_type_min, event_type_max,
+              |'user_id', user_id_nulls, user_id_nd, user_id_min, user_id_max,
+              |'value', value_nulls, value_nd, value_min, value_max
+              |) AS (col_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_nulls,
+             |  count(DISTINCT event_id) AS id_nd,
+             |  CAST(min(event_id) AS VARCHAR) AS id_min, CAST(max(event_id) AS VARCHAR) AS id_max,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS et_nulls,
+             |  count(DISTINCT event_type) AS et_nd,
+             |  CAST(min(event_type) AS VARCHAR) AS et_min, CAST(max(event_type) AS VARCHAR) AS et_max,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u_nulls,
+             |  count(DISTINCT user_id) AS u_nd,
+             |  CAST(min(user_id) AS VARCHAR) AS u_min, CAST(max(user_id) AS VARCHAR) AS u_max,
+             |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nulls,
+             |  count(DISTINCT value) AS v_nd,
+             |  CAST(round(min(value), 2) AS VARCHAR) AS v_min,
+             |  CAST(round(max(value), 2) AS VARCHAR) AS v_max
+             |  FROM events)
+             |SELECT n_rows, 'event_id' AS col_name, id_nulls AS n_nulls, id_nd AS n_distinct,
+             |       id_min AS min_val, id_max AS max_val FROM a
+             |UNION ALL
+             |SELECT n_rows, 'event_type', et_nulls, et_nd, et_min, et_max FROM a
+             |UNION ALL
+             |SELECT n_rows, 'user_id', u_nulls, u_nd, u_min, u_max FROM a
+             |UNION ALL
+             |SELECT n_rows, 'value', v_nulls, v_nd, v_min, v_max FROM a
+             |ORDER BY col_name""".stripMargin)),
 
     // EXACT distinct counting that rolls up: count(DISTINCT) re-shuffles raw
     // keys at every regrouping, and HLL (rel_hll_merge) is approximate —
