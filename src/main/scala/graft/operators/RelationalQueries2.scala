@@ -918,11 +918,14 @@ object RelationalQueries2 {
 
     // Data profiling (the SUMMARIZE shape): one row per column with row
     // count, null count, exact distinct count, and min/max — the first
-    // query anyone runs against an unfamiliar 100 TB table. ONE aggregate
-    // pass computes every column's statistics simultaneously (no
-    // per-column rescans); stack() unpivots the single wide row. Numeric
-    // extremes are rounded before the string cast so both engines print
-    // identically.
+    // query anyone runs against an unfamiliar 100 TB table. ONE scan
+    // computes every column's statistics (no per-column rescans;
+    // PlanQualitySpec asserts the single FileScan); stack() unpivots the
+    // wide row. The exact multi-distinct does cost Catalyst's Expand (one
+    // duplicated row stream per distinct column) — at 100 TB swap
+    // count_distinct for approx_count_distinct and the Expand disappears,
+    // same single-scan shape. Numeric extremes are rounded before the
+    // string cast so both engines print identically.
     QueryDef("rel_profile",
       (s, d) => {
         def prof(c: String, minMax: Column => Column = identity) = Seq(

@@ -312,6 +312,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count") && p.contains("partial_sum"), p)
   }
 
+  test("profiling reads the table once (single scan under the multi-distinct Expand)") {
+    val p = plan("rel_profile")
+    // one FileScan (details list one Location per scan node), partial
+    // aggregation before the exchange; the Expand row-multiplication per
+    // distinct column is expected and documented on the query
+    assert(p.linesIterator.count(_.trim.startsWith("Location:")) == 1, p)
+    assert(p.contains("Expand") && p.contains("partial_"), p)
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
