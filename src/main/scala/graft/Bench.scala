@@ -55,6 +55,7 @@ object Bench {
     // the one-time write (which the warmup only triggers for warmDir).
     graft.sources.PartitionedView.eventsByDate(spark, sfDir)
     graft.sources.BucketedView.ordersLineitem(spark, sfDir)
+    graft.sources.IvfView.embeddingsByLabel(spark, sfDir)
     // SPARK_GRAFT_REPEAT=N: time each query N times (tail-latency hunting).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = selected.flatMap { case (name, fn) =>

@@ -638,6 +638,39 @@ object PipelineQueries {
              |JOIN nrm nv ON nv.vec_id = d.vec_id
              |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
 
+    // IVF against the PARTITIONED layout: the same routed search executed
+    // over graft.sources.IvfView's label-partitioned parquet landing — the
+    // broadcast probe join prunes the unprobed cluster DIRECTORIES at
+    // runtime (PlanQualitySpec asserts the scan's partition metrics), so
+    // the scan is ~1/k of the corpus at any scale. Same oracle as
+    // sim_ivf_topk: the layout changes the I/O, not the answer.
+    QueryDef("sim_ivf_partitioned",
+      (s, d) => {
+        val layout = s.read.parquet(graft.sources.IvfView.embeddingsByLabel(s, d))
+        Similarity.ivfSearch(layout, T(s, d, "embeddings"), queryId = 0L, k = 5)
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |q AS (SELECT i, x FROM ex WHERE vec_id = 0),
+             |qn AS (SELECT sqrt(sum(x * x)) AS n FROM q),
+             |cn AS (SELECT label, sqrt(sum(cx * cx)) AS n FROM cent GROUP BY 1),
+             |cdot AS (SELECT c.label, sum(c.cx * q.x) AS dp FROM cent c JOIN q ON c.i = q.i GROUP BY 1),
+             |best AS (SELECT cdot.label FROM cdot, qn JOIN cn ON cn.label = cdot.label
+             |         ORDER BY cdot.dp / (qn.n * cn.n) DESC, cdot.label LIMIT 1),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT b.vec_id, b.label, sum(a.x * b.x) AS dp
+             |         FROM (SELECT i, x FROM ex WHERE vec_id = 0) a
+             |         JOIN ex b ON a.i = b.i
+             |         WHERE b.vec_id <> 0 AND b.label IN (SELECT label FROM best)
+             |         GROUP BY 1, 2)
+             |SELECT d.vec_id AS vec_id, CAST(d.label AS BIGINT) AS label, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |FROM dots d
+             |JOIN nrm nq ON nq.vec_id = 0
+             |JOIN nrm nv ON nv.vec_id = d.vec_id
+             |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
+
     // Multi-probe IVF: nprobe=2 widens the scan to the two nearest coarse
     // clusters — the recall/cost dial of IVF search (same oracle pattern as
     // sim_ivf_topk with best-cluster LIMIT 2).

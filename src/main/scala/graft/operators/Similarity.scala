@@ -74,7 +74,18 @@ object Similarity {
     * the only data scanned — the 100 TB path when clusters are storage-
     * partitioned by label.
     */
-  def ivfTopK(embs: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
+  def ivfTopK(embs: DataFrame, queryId: Long, k: Int, nprobe: Int = 1): DataFrame =
+    ivfSearch(embs, embs, queryId, k, nprobe)
+
+  /** [[ivfTopK]] generalized over the SEARCHED corpus: `corpus` may be a
+    * different physical layout of the same vectors — in particular a
+    * label-partitioned parquet landing ([[graft.sources.IvfView]]), where
+    * the broadcast probe-cluster join prunes whole partition DIRECTORIES
+    * at runtime (dynamic partition pruning): the scan never opens the
+    * unprobed clusters, which is what makes IVF sub-linear at 100 TB.
+    */
+  def ivfSearch(corpus: DataFrame, embs: DataFrame, queryId: Long, k: Int,
+                nprobe: Int = 1): DataFrame = {
     val cents = centroids(embs)
     val q = broadcast(embs.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb")))
@@ -89,7 +100,7 @@ object Similarity {
       .orderBy(col("c_sim").desc, col("label"))
       .limit(nprobe)
       .select(col("label"))
-    embs
+    corpus
       .join(broadcast(best), "label")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(q)
