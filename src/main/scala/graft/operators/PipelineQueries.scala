@@ -593,6 +593,47 @@ object PipelineQueries {
              |JOIN sz ON sz.cluster = u.cluster
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // SQ8 scalar quantization (the embedding-compression step of a vector
+    // store: 4x smaller than float32, distances approximated on int8
+    // codes): per-dimension min/max scaling to 256 levels, midpoint
+    // dequantization, per-dimension reconstruction-error report. Exactness
+    // note: min/max are SELECTIONS (bit-exact both engines) and the code is
+    // floor() of identical double arithmetic, so codes are deterministic —
+    // only the error AVERAGES need a defensive round. One posexplode +
+    // one O(dims) broadcast back.
+    QueryDef("sim_quantize",
+      (s, d) => {
+        val comp = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("i0", "x")))
+          .select((col("i0") + 1).cast("bigint").as("i"), col("x"))
+        val stats = comp.groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        comp.join(broadcast(stats), "i")
+          .withColumn("qcode",
+            floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))).cast("int"))
+          .withColumn("deq",
+            col("mn") + (col("qcode") + lit(0.5)) * (col("mx") - col("mn")) / lit(255.0))
+          .groupBy("i")
+          .agg(count_distinct(col("qcode")).as("n_codes"),
+            round(avg(abs(col("x") - col("deq"))), 6).as("avg_err"),
+            round(max(abs(col("x") - col("deq"))), 6).as("max_err"))
+          .orderBy("i")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+             |qq AS (SELECT ex.i, x,
+             |              CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INT) AS qcode,
+             |              mn, mx
+             |       FROM ex JOIN st ON ex.i = st.i),
+             |dq AS (SELECT i, qcode, x,
+             |              mn + (qcode + 0.5) * (mx - mn) / 255.0 AS deq FROM qq)
+             |SELECT i, count(DISTINCT qcode) AS n_codes,
+             |       round(avg(abs(x - deq)), 6) AS avg_err,
+             |       round(max(abs(x - deq)), 6) AS max_err
+             |FROM dq GROUP BY i ORDER BY i""".stripMargin)),
+
     // Radius (range) search: all corpus vectors within a cosine radius of
     // each query — the thresholded twin of sim_batch_topk (the synthetic
     // corpus tops out near cosine 0.5, so the radius is 0.3).

@@ -87,6 +87,37 @@ object RelationalQueries2 {
              |       count(*) FILTER (WHERE event_type = 'error') AS error
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    // TPC-H Q3 shape (top unshipped orders): two co-shuffled fact joins, a
+    // dim filter on each side, revenue aggregate, top-10 by revenue — the
+    // canonical "rank the join" OLAP query. TakeOrderedAndProject caps the
+    // final sort at k rows per partition.
+    QueryDef("rel_join_q3",
+      (s, d) => T(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < "1996-06-01")
+        .join(T(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > "1996-06-01")
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |       o_orderpriority,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1996-06-01'
+             |  AND l_shipdate > TIMESTAMP '1996-06-01'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     // TPC-H Q5-shaped 5-way join: dims broadcast, fact tables co-shuffled.
     QueryDef("rel_join_q5",
       (s, d) => T(s, d, "lineitem")
