@@ -495,6 +495,37 @@ object EventQueries {
              |             / sum(wt) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING), 4) AS ewma
              |FROM wtd ORDER BY day""".stripMargin)),
 
+    // Lag-1 autocorrelation of daily event volume per event type: is
+    // traffic momentum-driven (r > 0), mean-reverting (r < 0), or white
+    // noise? corr over the (x_t, x_{t-1}) pairs of the tiny per-day
+    // aggregate — one full-data pass, then O(days) window work. Counts are
+    // exact integers; the corr division is the only float op, round(3)
+    // clears the cross-engine 1e-15 tail.
+    QueryDef("ts_autocorr",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val w = Window.partitionBy("event_type").orderBy("d0")
+        daily
+          .withColumn("x_prev", lag(col("x"), 1).over(w))
+          .filter(col("x_prev").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(corr(col("x"), col("x_prev")), 3).as("autocorr"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0,
+             |                      CAST(count(*) AS DOUBLE) AS x
+             |               FROM events GROUP BY 1, 2),
+             |lagged AS (SELECT event_type, x,
+             |                  lag(x) OVER (PARTITION BY event_type ORDER BY d0) AS x_prev
+             |           FROM daily)
+             |SELECT event_type, count(*) AS n_pairs,
+             |       round(corr(x, x_prev), 3) AS autocorr
+             |FROM lagged WHERE x_prev IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Time-weighted average per user: each observation holds until the next
     // one, so its weight is the interval it covered — THE correct mean for
     // irregularly-sampled series (a sensor that reports hourly then
