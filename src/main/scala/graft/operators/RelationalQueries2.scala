@@ -947,6 +947,48 @@ object RelationalQueries2 {
              |WHERE l.l_orderkey < 2000
              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
 
+    // Referential-integrity audit: orphan-foreign-key counts for every
+    // fact→dim edge of the schema in one result — the data-quality gate a
+    // warehouse runs after every load. Each edge is a left-anti join
+    // (dims broadcast when small); counts are exact. On this synthetic
+    // schema events.user_id ⊂ customer keys and lineitem ⊂ orders, so a
+    // healthy load reports zeros — the query's value is that a bad load
+    // CAN'T report zeros.
+    QueryDef("rel_ri_audit",
+      (s, d) => {
+        def orphans(edge: String, fact: DataFrame, fk: String,
+                    dim: DataFrame, pk: String) =
+          fact.select(col(fk).as("k"))
+            .join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(edge).as("edge"), col("n_orphans"))
+        orphans("events.user_id->customer", T(s, d, "events"), "user_id",
+            T(s, d, "customer"), "c_custkey")
+          .unionAll(orphans("lineitem.l_orderkey->orders", T(s, d, "lineitem"),
+            "l_orderkey", T(s, d, "orders"), "o_orderkey"))
+          .unionAll(orphans("orders.o_custkey->customer", T(s, d, "orders"),
+            "o_custkey", T(s, d, "customer"), "c_custkey"))
+          .unionAll(orphans("supplier.s_nationkey->nation", T(s, d, "supplier"),
+            "s_nationkey", T(s, d, "nation"), "n_nationkey"))
+          .orderBy("edge")
+      },
+      Some("""SELECT 'events.user_id->customer' AS edge,
+             |       (SELECT count(*) FROM events e WHERE NOT EXISTS
+             |        (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans
+             |UNION ALL
+             |SELECT 'lineitem.l_orderkey->orders',
+             |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |UNION ALL
+             |SELECT 'orders.o_custkey->customer',
+             |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |UNION ALL
+             |SELECT 'supplier.s_nationkey->nation',
+             |       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+             |        (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+             |ORDER BY edge""".stripMargin)),
+
     // Data profiling (the SUMMARIZE shape): one row per column with row
     // count, null count, exact distinct count, and min/max — the first
     // query anyone runs against an unfamiliar 100 TB table. ONE scan
