@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis inventory over the `documents` table: the reference's two
@@ -158,6 +159,45 @@ object TextQueries {
              |       CAST(sum(CASE WHEN n_tokens >= 40 AND r >= 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
              |       round(avg(CASE WHEN n_tokens >= 40 AND r >= 0.04 THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
              |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sequence packing (the batch-assembly step before LLM training):
+    // documents stream into fixed token-budget packs — greedy contiguous
+    // assignment via an exclusive running sum, pack = floor(cum/budget), so
+    // a doc may straddle its boundary (streaming packing with overflow, the
+    // shape a data loader actually uses). Packing runs WITHIN each source
+    // shard (window partitioned by source) — the 100 TB form, where every
+    // shard packs independently and pack ids are (shard, local id); a
+    // single global ordering would serialize the corpus through one task.
+    // All-integer math, so the oracle hash-matches by construction.
+    QueryDef("tx_pack_sequences",
+      (s, d) => {
+        val budget = 256.0
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("pack_id", floor(col("cum_before") / budget).cast("bigint"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+            round(sum(col("n_tokens")) / budget, 4).as("fill_rate"))
+          .orderBy("source", "pack_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, source, CAST(len($tk) AS BIGINT) AS n_tokens
+             |            FROM documents),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |               AS cum_before
+             |      FROM tt)
+             |SELECT source, CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |       round(sum(n_tokens) / 256.0, 4) AS fill_rate
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef("tx_fingerprint",
       (s, d) => TextAnalysis.fingerprint(T(s, d, "documents")).orderBy("doc_id"),
