@@ -316,6 +316,86 @@ object EventQueries {
              |FROM spine LEFT JOIN h ON spine.hr = h.hr
              |ORDER BY hr""".stripMargin)),
 
+    // Linear-interpolation imputation — the numeric sibling of ts_ffill
+    // (LOCF holds a level; lerp estimates a trend between observations):
+    // hourly means of a SPARSE slice on the full calendar spine, gaps
+    // filled by time-weighted interpolation between the bracketing
+    // observations (edges extend flat). The interpolation fraction is a
+    // ratio of exact integer seconds; observed means are rounded before
+    // use so every lerp input is cross-engine identical. Windows run over
+    // the O(hours) spine — at scale this is per-series (add the key to
+    // the window partition).
+    QueryDef("ts_lerp",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val sparse = ev.filter(col("event_type") === "purchase" && col("user_id") < 3)
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          // exact order-independent mean, deliberately UNROUNDED: decimal
+          // sum + integer-count division is one IEEE op on identical
+          // inputs, so v (and everything derived from it) is bit-identical
+          // across engines; quantization happens once at output via
+          // floor(x*1e4) — round() would diverge on exact .00005
+          // boundaries (Spark rounds the decimal string HALF_UP, DuckDB
+          // rounds the binary double; the interpolation's power-of-two
+          // fractions land on such boundaries)
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("v"))
+        val spine = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+        val w = Window.orderBy("hr")
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+        spine.join(sparse, Seq("hr"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+          .withColumn("filled",
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (unix_timestamp(col("hr")) - unix_timestamp(col("ph"))).cast("double") /
+                (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double")))
+          .select(date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
+            col("v").isNotNull.cast("int").as("is_observed"),
+            (floor(col("filled") * 10000) / 10000.0).as("filled"))
+          .orderBy("hr")
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |                  date_trunc('hour', max(ts)) AS hi FROM events),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+             |h AS (SELECT date_trunc('hour', ts) AS hr,
+             |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |               / count(*) AS v
+             |      FROM events WHERE event_type = 'purchase' AND user_id < 3 GROUP BY 1),
+             |j AS (SELECT spine.hr AS hr, h.v FROM spine LEFT JOIN h ON spine.hr = h.hr),
+             |x AS (SELECT hr, v,
+             |        last_value(v IGNORE NULLS) OVER (ORDER BY hr
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+             |          OVER (ORDER BY hr
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             |        first_value(v IGNORE NULLS) OVER (ORDER BY hr
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+             |          OVER (ORDER BY hr
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+             |      FROM j)
+             |SELECT strftime(hr, '%Y-%m-%d %H:%M') AS hr,
+             |       CAST(v IS NOT NULL AS INT) AS is_observed,
+             |       floor((CASE WHEN v IS NOT NULL THEN v
+             |                   WHEN pv IS NULL THEN nv
+             |                   WHEN nv IS NULL THEN pv
+             |                   ELSE pv + (nv - pv) *
+             |                        CAST(epoch(hr) - epoch(ph) AS DOUBLE) /
+             |                        CAST(epoch(nh) - epoch(ph) AS DOUBLE) END) * 10000)
+             |         / 10000.0 AS filled
+             |FROM x ORDER BY hr""".stripMargin)),
+
     // Inner as-of semantics (DuckDB's default ASOF JOIN): the left-outer
     // native operator + a not-null filter on the matched key — Catalyst
     // evaluates the filter on the join output, so unmatched purchases drop
