@@ -123,6 +123,24 @@ object StreamingQueries {
     // state merged by gap, emitted once the watermark passes session end =
     // last event + gap). Same sessionization SQL as ts_session_window with
     // the horizon cut on max(ts).
+    // Complete-mode running totals: an unbounded (no-watermark) aggregate
+    // whose sink is overwritten with the FULL result table every batch —
+    // the live-dashboard output mode, and the third of the three streaming
+    // output modes gated here (append: st_windowed_counts, update:
+    // st_mgstate). After the final batch the sink equals the whole-input
+    // aggregate — exactly the batch oracle.
+    QueryDef("st_complete_totals",
+      (s, d) => {
+        val emitted = StreamGate.runCompleteToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => toTs(df).groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+          "st_complete")
+        emitted.orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stream-static enrichment: the customer dimension broadcast-joins into
     // every micro-batch and the enriched segment keys a windowed count —
     // the dim-enrichment-then-aggregate front half of every event pipeline,

@@ -112,4 +112,20 @@ object StreamGate {
         .foreachBatch((batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(dataDir))
         .outputMode("update"))
+
+  /** The complete-mode third of the output-mode triad: every micro-batch
+    * OVERWRITES the sink with the full recomputed result table (the
+    * dashboard/materialized-view sink shape — unbounded aggregates with no
+    * watermark). After the final batch the sink IS the whole-input
+    * aggregate, which is exactly what the batch oracle states.
+    */
+  def runCompleteToParquet(spark: SparkSession, srcParquet: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           transform: DataFrame => DataFrame,
+                           tag: String): DataFrame =
+    execute(spark, srcParquet, schema, transform, tag,
+      (df, dataDir) => df.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(dataDir))
+        .outputMode("complete"))
 }
