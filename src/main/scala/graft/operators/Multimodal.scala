@@ -391,6 +391,65 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash over RAW pixels (no Java2D resize — its bilinear math
+    * is implementation-defined and could not be replayed by an oracle):
+    * pixels partition into a gw x gh grid by exact integer division, cell
+    * luma accumulates in INTEGER basis points (2126 r + 7152 g + 722 b),
+    * and bit i sets when cell i's mean exceeds the image mean — compared by
+    * integer cross-multiplication, so the hash is exact by construction.
+    * Near-duplicate images differ in few bits (hamming-comparable), the
+    * image twin of SimHash.
+    */
+  private[graft] def imagePHash(img: java.awt.image.BufferedImage,
+                                gw: Int = 4, gh: Int = 4): (Int, Int) = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val li = 2126L * ((rgb >> 16) & 0xFF) + 7152L * ((rgb >> 8) & 0xFF) +
+          722L * (rgb & 0xFF)
+        val c = (y * gh / h) * gw + (x * gw / w)
+        sums(c) += li; cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val ts = sums.sum; val tc = cnts.sum
+    var phash = 0; var nSet = 0; var i = 0
+    while (i < gw * gh) {
+      if (cnts(i) > 0 && sums(i) * tc > ts * cnts(i)) { phash |= 1 << i; nSet += 1 }
+      i += 1
+    }
+    (phash, nSet)
+  }
+
+  /** [[imagePHash]] over a binary payload column via mapPartitions —
+    * appends integer `phash` and `n_set` columns (null on undecodable
+    * payloads). Same per-partition batch shape as [[decodeImageColumn]].
+    */
+  def imagePHashColumn(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    val schema = df.schema
+      .add("phash", org.apache.spark.sql.types.IntegerType)
+      .add("n_set", org.apache.spark.sql.types.IntegerType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        decodeImage(r.getAs[Array[Byte]](idx)) match {
+          case Some((img, _)) =>
+            val (p, n) = imagePHash(img)
+            Row.fromSeq(r.toSeq :+ p :+ n)
+          case None => Row.fromSeq(r.toSeq :+ null :+ null)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: one row per sampled frame index
     * (every `stride`-th frame in [0, n_frames)), declaratively via
     * explode(sequence(...)) so Catalyst plans it without a shuffle; the

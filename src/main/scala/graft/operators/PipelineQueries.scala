@@ -952,6 +952,39 @@ object PipelineQueries {
     // PNG (Multimodal.synthPng; PNG is lossless so the pixels round-trip
     // exactly), decoded by the real javax.imageio path, luma aggregated in
     // the same row-major order the oracle's generate_series replays.
+    // Perceptual image hash (the image twin of SimHash): 4x4 cell-mean
+    // bits over raw pixels with integer-luma cross-multiplied thresholds —
+    // exact by construction, so the oracle replays it bit-for-bit from the
+    // synthPng pixel closed form. See Multimodal.imagePHash.
+    QueryDef("mm_image_phash",
+      (s, d) => Multimodal.imagePHashColumn(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthPng))
+        .select(col("doc_id"), col("phash").cast("bigint").as("phash"),
+          col("n_set").cast("bigint").as("n_set"))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+             |              FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |              unnest(generate_series(0, w * h - 1)) AS i
+             |       FROM dims),
+             |lp AS (SELECT doc_id,
+             |         2126 * ((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256)
+             |       + 7152 * ((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256)
+             |       +  722 * ((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256) AS li,
+             |         ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cell
+             |       FROM px),
+             |cells AS (SELECT doc_id, cell, sum(li) AS cs, count(*) AS cc
+             |          FROM lp GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc FROM cells GROUP BY 1),
+             |bits AS (SELECT cells.doc_id AS doc_id, cell,
+             |                CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS b
+             |         FROM cells JOIN tot ON cells.doc_id = tot.doc_id)
+             |SELECT doc_id,
+             |       CAST(sum(CAST(b AS BIGINT) << cell) AS BIGINT) AS phash,
+             |       CAST(sum(b) AS BIGINT) AS n_set
+             |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("mm_image_stats",
       (s, d) => Multimodal.decodeImageColumn(
           Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
