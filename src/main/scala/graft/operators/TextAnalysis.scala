@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{size => size_}
 
 /** DataFrame-native text analysis over a (docId, text, ...) table.
   *
@@ -131,5 +133,79 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+  }
+
+  /** Repetition signals per document (Gopher/MassiveText-family filters):
+    * the character share of the single most frequent word bigram and the
+    * character share of ALL bigrams occurring more than once. High values
+    * flag boilerplate / templated / looping text that token-level stats
+    * (TTR, stopword ratio) miss.
+    *
+    * Shape: one explode + a doc-keyed window (lead) to form bigrams, then
+    * two doc-keyed aggregates — every shuffle is on doc_id, so at scale the
+    * whole pipeline is one exchange reused across the window and both
+    * groupBys. All intermediates are exact integers; the two ratios are
+    * quantized ONCE with floor(x*1e4)/1e4 (deterministic on identical
+    * doubles — see ts_lerp's boundary lesson). Tie-break for the top
+    * bigram: highest count, then lexicographic (w1, w2).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("i")
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("i", "w")))
+    val bigrams = toksPos
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"),
+        (length(col("w")) + length(col("w2"))).cast("bigint").as("bl"))
+    val counts = bigrams.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("c"), max("bl").as("bl"))
+    val byCount = Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+    val top = counts
+      .withColumn("rn", row_number().over(byCount))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), concat_ws(" ", col("w1"), col("w2")).as("top_bigram"),
+        col("c").as("top_cnt"), (col("c") * col("bl")).as("top_chars"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      coalesce(sum(when(col("c") > 1, col("c") * col("bl"))), lit(0L)).as("dup_chars"))
+    val tokChars = toksPos.groupBy("doc_id")
+      .agg(sum(length(col("w")).cast("bigint")).as("tok_chars"))
+    def share(chars: Column) = floor(chars * lit(10000.0) / col("tok_chars")) / 10000
+    perDoc.join(top, "doc_id").join(tokChars, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram"), col("top_cnt"),
+        share(col("top_chars")).as("top_share"),
+        share(col("dup_chars")).as("dup_share"))
+  }
+
+  /** Overlapping fixed-size token chunking (context-window assembly for
+    * training / embedding): windows of `size` tokens at `stride` steps; the
+    * final chunk is the first one that reaches the end of the document
+    * (shorter than `size` when the tail is short, never a redundant window
+    * wholly contained in its predecessor). Chunk count for n tokens:
+    * 1 + ceil((n - size) / stride) (1 when n <= size).
+    *
+    * Shape: pure per-row flatMap — tokenize once, explode a chunk-index
+    * sequence, slice the token array. No shuffle at all; at 100 TB this
+    * chunks each input split independently, which is exactly how a corpus
+    * prep job wants it.
+    */
+  def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size, s"bad chunk config ($size, $stride)")
+    // integer ceil((n-size)/stride) = floor((n - size + stride - 1) / stride)
+    val lastChunk = greatest(lit(0),
+      floor((col("n") - lit(size - stride + 1)) / lit(stride.toDouble)).cast("int"))
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size_(col("t")).cast("bigint").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        slice(col("t"), col("chunk_id") * stride + 1, lit(size)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size_(col("ct")).cast("bigint").as("n_tok"),
+        concat_ws(" ", col("ct")).as("chunk_text"))
   }
 }

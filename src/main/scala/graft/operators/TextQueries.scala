@@ -663,6 +663,56 @@ object TextQueries {
              |       count(*) AS unique_kept,
              |       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
              |       round(avg(n_tokens), 4) AS avg_tokens
-             |FROM dedup""".stripMargin))
+             |FROM dedup""".stripMargin)),
+
+    // Gopher-style repetition signals: char share of the most frequent word
+    // bigram + char share of all repeated bigrams, per doc. The quality
+    // filter dimension that token-level stats (tx_ttr, tx_quality) miss —
+    // boilerplate and looping text. All-integer intermediates, one floor
+    // quantization; top-bigram tie-break is (count DESC, w1, w2) both sides.
+    QueryDef("tx_repetition",
+      (s, d) => TextAnalysis.repetition(T(s, d, "documents")).orderBy("doc_id"),
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM tt),
+             |big AS (SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),
+             |bc AS (SELECT doc_id, w1, w2, count(*) AS c,
+             |              CAST(length(w1) + length(w2) AS BIGINT) AS bl
+             |       FROM big WHERE w2 IS NOT NULL GROUP BY ALL),
+             |tc AS (SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS tok_chars FROM toks GROUP BY doc_id),
+             |top AS (SELECT doc_id, w1, w2, c, bl,
+             |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w1, w2) AS rn
+             |        FROM bc),
+             |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |               CAST(coalesce(sum(CASE WHEN c > 1 THEN c * bl END), 0) AS BIGINT) AS dup_chars
+             |        FROM bc GROUP BY doc_id)
+             |SELECT a.doc_id, a.n_bigrams,
+             |       t.w1 || ' ' || t.w2 AS top_bigram,
+             |       CAST(t.c AS BIGINT) AS top_cnt,
+             |       floor(t.c * t.bl * 10000.0 / tc.tok_chars) / 10000 AS top_share,
+             |       floor(a.dup_chars * 10000.0 / tc.tok_chars) / 10000 AS dup_share
+             |FROM agg a
+             |JOIN top t ON t.doc_id = a.doc_id AND t.rn = 1
+             |JOIN tc ON tc.doc_id = a.doc_id
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // Overlapping token chunking (64-token windows, stride 48) — the
+    // context-window assembly step of a training pipeline. Shuffle-free
+    // per-row flatMap; the oracle replays the same slice arithmetic with
+    // DuckDB list functions. Final chunk is the first reaching the doc end.
+    QueryDef("tx_chunk",
+      (s, d) => TextAnalysis.chunk(T(s, d, "documents"), size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tt WHERE len(t) > 0),
+             |c AS (SELECT doc_id, t, n,
+             |             unnest(generate_series(0, greatest(0, CAST(floor((n - 17) / 48.0) AS BIGINT)))) AS chunk_id
+             |      FROM n),
+             |sl AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |              t[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)] AS ct
+             |       FROM c)
+             |SELECT doc_id, chunk_id,
+             |       CAST(len(ct) AS BIGINT) AS n_tok,
+             |       array_to_string(ct, ' ') AS chunk_text
+             |FROM sl ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -68,4 +68,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     val got = TextAnalysis.langId(df).select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
     assert(got == Map(0L -> "en", 1L -> "de"))
   }
+
+  test("repetition: hand-computed shares, lexicographic top-bigram tie-break") {
+    // "a b a b c": bigrams (a b)x2, (b a)x1, (b c)x1; tok_chars = 5.
+    // top = "a b" (cnt 2, chars 2*2=4); dup bigrams = {"a b"} -> 4 chars.
+    val df = Seq((0L, "a b a b c"), (1L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df).orderBy("doc_id")
+      .as[(Long, Long, String, Long, Double, Double)].collect()
+    assert(got(0) == ((0L, 4L, "a b", 2L, 0.8, 0.8)))
+    // "x y z": all bigrams unique; tie on count -> lexicographic (x y).
+    assert(got(1) == ((1L, 2L, "x y", 1L, floor(2.0 * 10000 / 3) / 10000, 0.0)))
+  }
+
+  private def floor(x: Double): Double = math.floor(x)
+
+  test("chunk: full coverage, stride overlap, no redundant tail window") {
+    val n = 113 // forces 3 chunks: [0,64), [48,112), [96,113)
+    val text = (0 until n).map(i => s"t$i").mkString(" ")
+    val df = Seq((0L, text), (1L, "only three tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    val d0 = got.filter(_._1 == 0L)
+    assert(d0.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d0.map(_._3).toSeq == Seq(64L, 64L, 17L))
+    assert(d0(0)._4.startsWith("t0 ") && d0(2)._4.endsWith(s" t${n - 1}"))
+    // chunk c starts at token c*48
+    assert(d0(1)._4.startsWith("t48 ") && d0(2)._4.startsWith("t96 "))
+    // short doc: exactly one chunk carrying the whole text
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.toSeq == Seq((1L, 0L, 3L, "only three tokens")))
+  }
 }
