@@ -143,6 +143,97 @@ object RelationalQueries2 {
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    // TPC-H Q10 shape (returned items): revenue lost to returns per
+    // customer, top 20. Aggregate-THEN-join: lineitem⋈orders groups down to
+    // O(customers) rows before the dimension joins, so the big fact join
+    // never carries customer attributes; nation broadcasts. TakeOrdered
+    // caps the driver at 20 rows.
+    QueryDef("rel_join_q10",
+      (s, d) => T(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .groupBy("o_custkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"))
+        .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, n_name, c_acctbal,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY c_custkey, c_name, n_name, c_acctbal
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 shape (promo revenue share by ship month): fact⋈dim join
+    // with a conditional aggregate on the dim attribute. part is a real
+    // (non-broadcast-hinted) join — at 100 TB part shuffles alongside
+    // lineitem on partkey; AQE may still broadcast it at small SF. The
+    // share ratio of two exact decimal sums is quantized once with floor.
+    QueryDef("rel_join_q14",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")
+        T(s, d, "lineitem")
+          .join(T(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("double").as("promo_rev"),
+            sum(rev).cast("double").as("total_rev"))
+          .select(col("ship_month"), col("promo_rev"), col("total_rev"),
+            (floor(col("promo_rev") * lit(1000000.0) / col("total_rev")) / 10000).as("promo_pct"))
+          .orderBy("ship_month")
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             |         CAST(sum(CASE WHEN p_type = 'PROMO'
+             |                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+             |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+             |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1)
+             |SELECT ship_month, promo_rev, total_rev,
+             |       floor(promo_rev * 1000000.0 / total_rev) / 10000 AS promo_pct
+             |FROM m ORDER BY ship_month""".stripMargin)),
+
+    // TPC-H Q18 shape (large orders): HAVING on a fact aggregate, then the
+    // survivors drive the dimension joins. The filtered aggregate is tiny
+    // (~1% of orders at any SF) so it is broadcast INTO orders — the join
+    // order a 100 TB plan wants, never materializing per-order sums wider
+    // than the survivors.
+    QueryDef("rel_join_q18",
+      (s, d) => {
+        val big = T(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        T(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+             |SELECT c_custkey, c_name, o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |       o_totalprice, sum_qty
+             |FROM orders JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
     QueryDef("win_value_fns",
       (s, d) => {
         val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))

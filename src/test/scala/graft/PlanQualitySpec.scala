@@ -346,6 +346,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Expand") && p.contains("partial_"), p)
   }
 
+  test("q18 broadcasts the filtered aggregate into orders; q10 caps with TakeOrdered") {
+    val q18 = plan("rel_join_q18")
+    // the HAVING-filtered per-order sums build a broadcast side — orders is
+    // never shuffled against the full fact aggregate
+    assert(q18.contains("BroadcastHashJoin"), q18)
+    assert(plan("rel_join_q10").contains("TakeOrderedAndProject"))
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
