@@ -80,4 +80,48 @@ object Graph {
         round(when(col("n_wedges") === 0, lit(0.0))
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 4).as("clustering"))
   }
+
+  /** Degree distribution of the undirected graph given as oriented (a_id,
+    * b_id) pairs: (deg, n_nodes) — the first thing anyone plots about a
+    * graph, and the skew diagnostic that decides whether triangle/wedge
+    * work needs degree re-orientation. Two key-local aggregates; the
+    * second one's cardinality is O(distinct degrees), trivially small.
+    */
+  def degreeDistribution(pairs: DataFrame): DataFrame =
+    pairs.select(col("a_id").as("id")).union(pairs.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+
+  /** Common-neighbor link prediction over an oriented (a_id, b_id) pair
+    * table: for every NON-adjacent pair with at least one shared neighbor,
+    * the shared-neighbor count and neighbor-Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — "these two documents never matched
+    * directly, but their duplicate neighborhoods overlap".
+    *
+    * Scale shape: wedge enumeration keyed on the CENTER node (one self-join
+    * of the symmetrized adjacency on id), then a groupBy on the predicted
+    * pair and an anti-join against the existing edges — every step keys on
+    * node/pair ids, no all-pairs scan. Hub fan-out is the same O(deg²)
+    * wedge cost triangleStats documents, with the same degree-orientation
+    * lever.
+    */
+  def commonNeighbors(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    val es = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("id"), col("b").as("nb"))
+    val wedges = es.as("w1")
+      .join(es.as("w2"), col("w1.id") === col("w2.id") && col("w1.nb") < col("w2.nb"))
+      .groupBy(col("w1.nb").as("a_id"), col("w2.nb").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    val deg = es.groupBy("id").agg(count(lit(1)).as("dg"))
+    wedges
+      .join(e, col("a_id") === col("a") && col("b_id") === col("b"), "left_anti")
+      .join(deg.select(col("id").as("a_id"), col("dg").as("da")), "a_id")
+      .join(deg.select(col("id").as("b_id"), col("dg").as("db")), "b_id")
+      .select(col("a_id"), col("b_id"), col("common"),
+        (floor(col("common") * lit(10000.0) / (col("da") + col("db") - col("common"))) / 10000)
+          .as("nj"))
+      .orderBy("a_id", "b_id")
+  }
 }

@@ -292,6 +292,48 @@ object PipelineQueries {
              |                  ELSE 3.0 * n_triangles / n_wedges END, 4) AS clustering
              |FROM tri CROSS JOIN w""".stripMargin)),
 
+    // Degree distribution of the near-dup graph — the skew diagnostic that
+    // decides whether wedge/triangle work needs degree re-orientation.
+    QueryDef("gr_degree_dist",
+      (s, d) => Graph.degreeDistribution(
+        Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+          .select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |e AS (SELECT a_id AS a, b_id AS b FROM inter
+             |      JOIN sz sa ON sa.doc_id = a_id
+             |      JOIN sz sb ON sb.doc_id = b_id
+             |      WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |deg AS (SELECT id, count(*) AS deg
+             |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+             |        GROUP BY 1)
+             |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin)),
+
+    // Common-neighbor link prediction: non-adjacent doc pairs whose
+    // neighborhoods overlap — candidates the pairwise threshold missed
+    // (transitive near-dups). The Jaccard>=0.8 graph is all closed cliques
+    // (exact-duplicate families), so the edge set here is the WEAKER
+    // shares->=3-shingles graph from the same cached pair stats, where open
+    // wedges actually exist. Wedge join keyed on the center node; see
+    // Graph.commonNeighbors for the scale shape.
+    QueryDef("gr_common_neighbors",
+      (s, d) => Graph.commonNeighbors(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |e AS (SELECT a_id AS a, b_id AS b FROM inter WHERE c >= 3),
+             |es AS (SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+             |wed AS (SELECT w1.nb AS a_id, w2.nb AS b_id, count(*) AS common
+             |        FROM es w1 JOIN es w2 ON w1.id = w2.id AND w1.nb < w2.nb
+             |        GROUP BY 1, 2),
+             |deg AS (SELECT id, count(*) AS dg FROM es GROUP BY 1)
+             |SELECT w.a_id, w.b_id, w.common,
+             |       floor(w.common * 10000.0 / (da.dg + db.dg - w.common)) / 10000 AS nj
+             |FROM wed w
+             |LEFT JOIN e ON e.a = w.a_id AND e.b = w.b_id
+             |JOIN deg da ON da.id = w.a_id
+             |JOIN deg db ON db.id = w.b_id
+             |WHERE e.a IS NULL
+             |ORDER BY w.a_id, w.b_id""".stripMargin)),
+
     // Train/test decontamination: train docs sharing any 8-gram with the
     // held-out split (doc_id % 10 = 7 models the benchmark set). See
     // Dedup.decontaminate for the bounded-join scale shape; the oracle

@@ -49,4 +49,28 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].head()
     assert(k4._1 == 4L && k4._2 == 12L && k4._3 == 1.0, k4)
   }
+
+  test("degreeDistribution on a star: one hub of degree n, n leaves of degree 1") {
+    val got = Graph.degreeDistribution(
+      Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 4L -> 1L), got)
+  }
+
+  test("commonNeighbors predicts exactly the non-adjacent wedge endpoints") {
+    // path 1-2-3: the only prediction is (1,3) via center 2; nj = 1/1 = 1.0
+    // (N(1)={2}, N(3)={2}). Adding edge 1-3 closes the wedge -> no rows.
+    val path = Graph.commonNeighbors(Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(path == Seq((1L, 3L, 1L, 1.0)), path)
+    val closed = Graph.commonNeighbors(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a_id", "b_id")).count()
+    assert(closed == 0L)
+    // square 1-2-3-4-1: predictions (1,3) and (2,4), each with 2 common
+    // neighbors out of deg 2+2-2 = 2 -> nj = 1.0
+    val sq = Graph.commonNeighbors(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sq == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), sq)
+  }
 }
