@@ -720,6 +720,82 @@ object EventQueries {
              |WHERE value > prev_v AND value > next_v AND event_id < 3000
              |ORDER BY event_id""".stripMargin)),
 
+    // Day-of-week seasonality index per event type: mean daily volume on
+    // each weekday relative to the type's overall mean daily volume (1.0 =
+    // flat week). The decomposition step before any weekly-seasonal
+    // forecast or anomaly baseline. Index = (dow_sum * n_days) /
+    // (dow_days * total) — a ratio of exact integer products, quantized
+    // once with floor. Two tiny keyed aggregates over the daily rollup.
+    QueryDef("ts_dow_seasonality",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        val byDow = daily
+          .groupBy(col("event_type"), dayofweek(col("d0")).cast("bigint").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum("x").as("dow_sum"))
+        val totals = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("tot_days"), sum("x").as("tot_sum"))
+        byDow.join(totals, "event_type")
+          .select(col("event_type"), col("dow"), col("n_days"), col("dow_sum"),
+            (floor(col("dow_sum") * col("tot_days") * lit(10000.0) /
+              (col("n_days") * col("tot_sum"))) / 10000).as("idx"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |bydow AS (SELECT event_type, CAST(dayofweek(d0) + 1 AS BIGINT) AS dow,
+             |                 count(*) AS n_days, CAST(sum(x) AS BIGINT) AS dow_sum
+             |          FROM daily GROUP BY 1, 2),
+             |tot AS (SELECT event_type, count(*) AS tot_days, CAST(sum(x) AS BIGINT) AS tot_sum
+             |        FROM daily GROUP BY 1)
+             |SELECT b.event_type, b.dow, b.n_days, b.dow_sum,
+             |       floor(b.dow_sum * t.tot_days * 10000.0 / (b.n_days * t.tot_sum)) / 10000 AS idx
+             |FROM bydow b JOIN tot t ON b.event_type = t.event_type
+             |ORDER BY b.event_type, b.dow""".stripMargin)),
+
+    // Two-window mean-shift changepoint detection over the daily volume
+    // series: for each day with k=7 COMPLETE days on both sides, the
+    // before/after mean difference — the distributed form of changepoint
+    // scanning (every candidate day scored in one windowed pass, no
+    // per-candidate re-aggregation). Counts are exact integers; each mean
+    // is (exact sum)/7 and the shift is quantized once with floor, so the
+    // score is bit-identical cross-engine. One (event_type) shuffle.
+    QueryDef("ts_meanshift",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("d0")
+        val pre = w.rowsBetween(-7, -1)
+        val post = w.rowsBetween(1, 7)
+        daily
+          .withColumn("n_pre", count(col("x")).over(pre))
+          .withColumn("n_post", count(col("x")).over(post))
+          .withColumn("s_pre", sum(col("x")).over(pre))
+          .withColumn("s_post", sum(col("x")).over(post))
+          .filter(col("n_pre") === 7 && col("n_post") === 7)
+          .select(col("event_type"), date_format(col("d0"), "yyyy-MM-dd").as("d0"),
+            col("x"),
+            (floor((col("s_post") - col("s_pre")) * lit(10000.0) / 7) / 10000).as("shift"))
+          .orderBy("event_type", "d0")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0,
+             |                      count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |sc AS (SELECT event_type, d0, x,
+             |              count(x) OVER pre AS n_pre, count(x) OVER post AS n_post,
+             |              sum(x) OVER pre AS s_pre, sum(x) OVER post AS s_post
+             |       FROM daily
+             |       WINDOW pre AS (PARTITION BY event_type ORDER BY d0
+             |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+             |            post AS (PARTITION BY event_type ORDER BY d0
+             |                     ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING))
+             |SELECT event_type, strftime(d0, '%Y-%m-%d') AS d0, x,
+             |       floor(CAST(s_post - s_pre AS BIGINT) * 10000.0 / 7) / 10000 AS shift
+             |FROM sc WHERE n_pre = 7 AND n_post = 7
+             |ORDER BY event_type, d0""".stripMargin)),
+
     // Hour-of-day load profile: per-hour median and tail (p95) of event
     // value plus volume — the capacity-planning / diurnal-pattern readout.
     // Exact interpolated percentiles (both engines linear-interpolate), 24

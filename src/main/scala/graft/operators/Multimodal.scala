@@ -201,6 +201,45 @@ object Multimodal {
       if (nVals == 0) 0.0 else sum / nVals / 32768.0)
   }
 
+  /** Near-clipping / peak statistics per clip: max |sample|, the count of
+    * samples at or above `threshold`, and their share — the loudness-
+    * curation twin of the silence ratio (drop clips that spend real time
+    * pinned near full scale). Single decode pass per payload, executor-
+    * local counters, no shuffle; all-integer intermediates with one floor
+    * quantization, so the oracle replays it exactly.
+    */
+  def wavClipStats(df: DataFrame, payloadCol: String = "content",
+                   threshold: Int = 900): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("n_samples", org.apache.spark.sql.types.LongType)
+      .add("peak", org.apache.spark.sql.types.IntegerType)
+      .add("n_over", org.apache.spark.sql.types.LongType)
+      .add("over_ratio", org.apache.spark.sql.types.DoubleType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        val pcm = decodeWavPcm(r.getAs[Array[Byte]](idx))
+        if (pcm == null || pcm.samples.length == 0) Iterator.empty
+        else {
+          var peak = 0; var over = 0L; var i = 0
+          while (i < pcm.samples.length) {
+            val a = math.abs(pcm.samples(i))
+            if (a > peak) peak = a
+            if (a >= threshold) over += 1
+            i += 1
+          }
+          val n = pcm.samples.length.toLong
+          val ratio = math.floor(over * 10000.0 / n) / 10000
+          Iterator.single(Row.fromSeq(keep :+ n :+ peak :+ over :+ ratio))
+        }
+      }
+    }
+  }
+
   /** Per-frame RMS energy over decoded PCM — the feature-extraction step of
     * an audio curation pipeline (silence trimming, energy filtering), one
     * output row per `frame`-sample window. Same mapPartitions shape as the
@@ -334,6 +373,55 @@ object Multimodal {
               y += 1
             }
             (0 until 4).iterator.map(b => Row.fromSeq(keep :+ b :+ counts(b)))
+        }
+      }
+    }
+  }
+
+  /** Dominant quantized color per image: each pixel maps to a 64-cell RGB
+    * cube key ((r>>6)*16 + (g>>6)*4 + (b>>6)); the modal cell, its pixel
+    * count, and its share of the raster come back as one row per image —
+    * the palette feature a vision-curation pass uses for monochrome /
+    * flat-color filtering. Tie-break: highest count, then LOWEST key.
+    *
+    * Single decode pass with a 64-slot count array per image — no shuffle,
+    * the argmax never leaves the executor. Share is quantized once with
+    * floor(x*1e4)/1e4 from exact integer counts.
+    */
+  def imageDominantColor(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("dom_key", org.apache.spark.sql.types.IntegerType)
+      .add("dom_px", org.apache.spark.sql.types.LongType)
+      .add("n_pixels", org.apache.spark.sql.types.LongType)
+      .add("dom_share", org.apache.spark.sql.types.DoubleType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        decodeImage(r.getAs[Array[Byte]](idx)) match {
+          case None => Iterator.empty
+          case Some((img, _)) =>
+            val counts = new Array[Long](64)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val key = (((rgb >> 16) & 0xFF) >> 6) * 16 +
+                  ((((rgb >> 8) & 0xFF) >> 6) << 2) + ((rgb & 0xFF) >> 6)
+                counts(key) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var best = 0; var i = 1
+            while (i < 64) { if (counts(i) > counts(best)) best = i; i += 1 }
+            val n = img.getWidth.toLong * img.getHeight
+            val share = math.floor(counts(best) * 10000.0 / n) / 10000
+            Iterator.single(Row.fromSeq(keep :+ best :+ counts(best) :+ n :+ share))
         }
       }
     }

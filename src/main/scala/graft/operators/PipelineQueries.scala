@@ -894,6 +894,29 @@ object PipelineQueries {
              |       round(list_sum(vals) / n / 32768.0, 6) AS mean_abs
              |FROM samp ORDER BY doc_id""".stripMargin)),
 
+    // Near-clipping stats per clip: peak amplitude + share of samples at or
+    // above the threshold — the loudness-curation twin of mm_wav_silence
+    // (drop clips pinned near full scale). Threshold 900 sits at the 95th
+    // percentile of the synth fixture's ±1000 amplitude range so the ratio
+    // actually separates clips. Decode + count in one executor-local pass.
+    QueryDef("mm_wav_clipping",
+      (s, d) => Multimodal.wavClipStats(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav), threshold = 900)
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |samp AS (SELECT doc_id, n,
+             |           list_transform(generate_series(0, n - 1),
+             |             i -> abs((doc_id * 131 + i * 17) % 2001 - 1000)) AS vals
+             |         FROM s),
+             |st AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             |              CAST(list_max(vals) AS INT) AS peak,
+             |              CAST(len(list_filter(vals, v -> v >= 900)) AS BIGINT) AS n_over
+             |       FROM samp)
+             |SELECT doc_id, n_samples, peak, n_over,
+             |       floor(n_over * 10000.0 / n_samples) / 10000 AS over_ratio
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
     // Frame sampling under the oracle (the video-pipeline shape): decode →
     // frame count → every stride-th frame index via Multimodal.sampleFrames
     // (explode(sequence(...)), planned without a shuffle; the per-frame
@@ -1048,6 +1071,33 @@ object PipelineQueries {
              |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
              |       CAST(w * h AS BIGINT) AS n_pixels,
              |       round(list_sum(lumas) / (w * h), 6) AS mean_luma
-             |FROM px ORDER BY doc_id""".stripMargin))
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // Dominant quantized color per image (64-cell RGB cube, modal cell +
+    // share): the palette feature for monochrome/flat-color curation. Real
+    // javax.imageio decode with an executor-local argmax (no shuffle); the
+    // oracle replays the synth raster's closed form per channel. Tie-break
+    // (count DESC, key ASC) stated identically on both sides.
+    QueryDef("mm_image_dominant",
+      (s, d) => Multimodal.imageDominantColor(
+          Multimodal.withSynthPayload(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+             |              FROM documents WHERE doc_id < 200),
+             |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+             |k AS (SELECT doc_id, w, h,
+             |        (((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) // 64) * 16
+             |        + (((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256) // 64) * 4
+             |        + (((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256) // 64) AS key
+             |      FROM px),
+             |c AS (SELECT doc_id, w, h, key, count(*) AS n FROM k GROUP BY ALL),
+             |r AS (SELECT doc_id, w, h, key, n,
+             |             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, key) AS rn
+             |      FROM c)
+             |SELECT doc_id, CAST(key AS INT) AS dom_key, CAST(n AS BIGINT) AS dom_px,
+             |       CAST(w * h AS BIGINT) AS n_pixels,
+             |       floor(n * 10000.0 / (w * h)) / 10000 AS dom_share
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -234,6 +234,31 @@ object RelationalQueries2 {
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ntile bucketing: account-balance quartiles within each market segment
+    // + per-bucket stats — the windowed analogue of the equi-depth
+    // histogram (rel_histogram_eqdepth) when buckets must respect a group
+    // key. One (segment)-keyed window then an O(segments*4) aggregate;
+    // deterministic bucket assignment via the (acctbal, custkey) total
+    // order inside the window.
+    QueryDef("win_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        T(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_acctbal"),
+            ntile(4).over(w).cast("bigint").as("quartile"))
+          .groupBy("c_mktsegment", "quartile")
+          .agg(count(lit(1)).as("n"),
+            min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+          .orderBy("c_mktsegment", "quartile")
+      },
+      Some("""SELECT c_mktsegment, quartile, count(*) AS n,
+             |       min(c_acctbal) AS lo, max(c_acctbal) AS hi
+             |FROM (SELECT c_mktsegment, c_acctbal,
+             |             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+             |                                 ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+             |      FROM customer)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("win_value_fns",
       (s, d) => {
         val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))

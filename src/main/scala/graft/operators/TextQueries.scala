@@ -695,6 +695,34 @@ object TextQueries {
              |JOIN tc ON tc.doc_id = a.doc_id
              |ORDER BY a.doc_id""".stripMargin)),
 
+    // Character-level Shannon entropy per doc — the gibberish / compression
+    // detector quality filters pair with repetition stats (low entropy =
+    // repeated chars/boilerplate, near-log2(alphabet) = random noise).
+    // H = (ln n - Σ k·ln k / n) / ln 2 over exact integer char counts; the
+    // engines sum the k·ln k terms in different orders (~1e-9 noise after
+    // /n), so round(3) — the same precedent as fn_trig's ln-based log2.
+    QueryDef("tx_char_entropy",
+      (s, d) => T(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id").agg(
+          sum("k").as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("k") * log(col("k"))).as("s"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          round((log(col("n")) - col("s") / col("n")) / log(lit(2.0)), 3)
+            .as("entropy_bits"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+             |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY ALL),
+             |agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+             |               count(*) AS n_distinct,
+             |               sum(k * ln(k)) AS s
+             |        FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, n, n_distinct,
+             |       round((ln(n) - s / n) / ln(2.0), 3) AS entropy_bits
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // Overlapping token chunking (64-token windows, stride 48) — the
     // context-window assembly step of a training pipeline. Shuffle-free
     // per-row flatMap; the oracle replays the same slice arithmetic with

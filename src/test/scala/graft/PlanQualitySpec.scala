@@ -354,6 +354,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("rel_join_q10").contains("TakeOrderedAndProject"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB lever beyond DPP: a selective filter on the dim side of a
+    // SHUFFLE join injects a bloom-filter semi-filter into the fact scan,
+    // dropping non-joining rows before the exchange. Local thresholds are
+    // sized for 10 GB+ scans, so the test pins them down to demonstrate the
+    // injection; a cluster config leaves them at defaults.
+    import org.apache.spark.sql.functions.{col, sum}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Tables.t(spark, sf, "lineitem")
+        .join(Tables.t(spark, sf, "part").filter(col("p_size") < 3),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_size").agg(sum("l_quantity"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("whole-stage codegen is active in hot paths") {
     // AQE assigns codegen ids only once stages execute — run, then inspect
     // the final adaptive plan ("*(n)" marks codegen'd spans).
