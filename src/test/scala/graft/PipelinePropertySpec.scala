@@ -79,6 +79,82 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("commonNeighbors == brute-force wedge endpoints on random graphs") {
+    for (seed <- 11L to 18L) {
+      val edges = graphGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val es = edges.toSet
+      val nodes = adj.keys.toSeq.sorted
+      val expected = (for {
+        a <- nodes; b <- nodes if b > a && !es((a, b))
+        common = (adj(a) & adj(b)).size if common > 0
+      } yield {
+        val union = (adj(a) | adj(b)).size
+        (a, b, common.toLong, math.floor(common * 10000.0 / union) / 10000)
+      }).toList
+      val got = Graph.commonNeighbors(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(got == expected, s"seed=$seed got=$got exp=$expected")
+    }
+  }
+
+  // --- chunk / repetition --------------------------------------------------
+
+  private def docGen(nDocs: Int): Gen[List[(Long, String)]] =
+    Gen.listOfN(nDocs, Gen.choose(1, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd")).map(_.mkString(" "))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("chunk: slices reconstruct the token stream exactly on random docs") {
+    for (seed <- 1L to 4L; (size, stride) <- Seq((64, 48), (16, 16), (10, 3))) {
+      val docs = docGen(8).apply(Gen.Parameters.default, rng.Seed(seed)).get
+      val chunks = operators.TextAnalysis.chunk(docs.toDF("doc_id", "text"), size, stride)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val got = chunks(id)
+        // chunk c is exactly tokens [c*stride, c*stride+size)
+        got.foreach { case (_, c, n, ct) =>
+          val exp = toks.slice((c * stride).toInt, (c * stride).toInt + size)
+          assert(ct.split(" ").toSeq == exp && n == exp.length, s"doc $id chunk $c")
+        }
+        // the last chunk reaches the end; no chunk starts at/after the end
+        assert(got.last._2 * stride + got.last._3 == toks.length, s"doc $id tail")
+        assert(got.forall(_._2 * stride < toks.length), s"doc $id overhang")
+        // consecutive chunks leave no gap (stride <= size by require)
+        assert(got.map(_._2).toSeq == (0L until got.length.toLong).toSeq, s"doc $id ids")
+      }
+    }
+  }
+
+  test("repetition == brute-force bigram accounting on random docs") {
+    for (seed <- 5L to 8L) {
+      val docs = docGen(8).apply(Gen.Parameters.default, rng.Seed(seed)).get
+      val got = operators.TextAnalysis.repetition(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, String, Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.length >= 2) {
+          val bigrams = toks.sliding(2).map(p => (p(0), p(1))).toSeq
+          val counts = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+          val top = counts.toSeq.minBy { case ((w1, w2), c) => (-c, w1, w2) }
+          val tokChars = toks.map(_.length).sum.toLong
+          val topChars = top._2 * (top._1._1.length + top._1._2.length)
+          val dupChars = counts.collect { case ((w1, w2), c) if c > 1 =>
+            c * (w1.length + w2.length) }.sum
+          val (_, nBig, topBig, topCnt, topShare, dupShare) = got(id)
+          assert(nBig == bigrams.length.toLong, s"doc $id n_bigrams")
+          assert(topBig == s"${top._1._1} ${top._1._2}" && topCnt == top._2, s"doc $id top")
+          assert(topShare == math.floor(topChars * 10000.0 / tokChars) / 10000, s"doc $id ts")
+          assert(dupShare == math.floor(dupChars * 10000.0 / tokChars) / 10000, s"doc $id ds")
+        } else assert(!got.contains(id), s"doc $id should have no bigrams")
+      }
+    }
+  }
+
   // --- EWMA ----------------------------------------------------------------
 
   test("window closed form equals the recursive adjust-normalized EWMA") {
