@@ -37,6 +37,31 @@ object Dedup {
     docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** Incremental-ingest exact dedup: which of `incoming`'s docs already
+    * exist (by text) in `corpus` — the shape of every production ingest
+    * tick, where the landed corpus is orders of magnitude larger than the
+    * batch. Joins on xxhash64(text) with a text-equality verify (at 100 TB
+    * the 8-byte key, not the document body, pays the shuffle; the verify
+    * column makes hash collisions harmless), then a per-source rollup.
+    */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    // distinct (hash, text) PAIRS: each incoming row matches at most one
+    // pair even under a hash collision, so the flag is deterministic
+    val corpusKeys = corpus
+      .select(xxhash64(col("text")).as("ch"), col("text").as("corpus_text"))
+      .distinct()
+    incoming
+      .select(col("source"), col("text"), xxhash64(col("text")).as("h"))
+      .join(corpusKeys,
+        col("h") === col("ch") && col("text") === col("corpus_text"), "left")
+      .withColumn("dup", col("corpus_text").isNotNull.cast("bigint"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(col("dup")).as("n_dup"),
+        (count(lit(1)) - sum(col("dup"))).as("n_new"))
+      .orderBy("source")
+  }
+
   /** Distinct word-n-gram shingle hashes per doc as rows: (doc_id, hraw).
     * Built with posexplode + window lead — whole-stage-codegen'd end to end
     * (an array-lambda formulation would drop to interpreted HOF eval on the

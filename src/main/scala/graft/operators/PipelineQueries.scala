@@ -181,6 +181,26 @@ object PipelineQueries {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Incremental-ingest dedup: docs arriving this tick (doc_id % 5 = 0
+    // models the batch) checked by text against the already-landed corpus,
+    // rolled up per source. Hash-join + verify — see Dedup.incrementalDedup
+    // for why the 8-byte key is what shuffles at 100 TB. The oracle joins
+    // on the text itself (values, not mechanism).
+    QueryDef("dd_incremental",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0))
+      },
+      Some("""WITH inc AS (SELECT source, text FROM documents WHERE doc_id % 5 = 0),
+             |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0)
+             |SELECT source, count(*) AS n_incoming,
+             |       CAST(sum(CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |       CAST(count(*) - sum(CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+             |FROM inc LEFT JOIN corpus c ON inc.text = c.text
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef("dd_ngram_jaccard",
       (s, d) => Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
         .orderBy("a_id", "b_id"),

@@ -665,6 +665,39 @@ object TextQueries {
              |       round(avg(n_tokens), 4) AS avg_tokens
              |FROM dedup""".stripMargin)),
 
+    // Deterministic 90/5/5 train/val/test assignment by multiplicative hash
+    // of doc_id (the dataset-split assembly step — reproducible across
+    // runs, engines, and partitionings, unlike randomSplit). Same
+    // Knuth-hash construction as rel_sample_hash (31-bit mask keeps the
+    // product exact in signed 64); per-(source, split) doc and token
+    // rollup is what the mixture report reads.
+    QueryDef("tx_split_assign",
+      (s, d) => {
+        val u = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
+          lit(4294967296L))
+        def cut(f: Double) = lit((f * 4294967296L).toLong)
+        T(s, d, "documents")
+          .select(col("source"),
+            when(u < cut(0.90), "train").when(u < cut(0.95), "val")
+              .otherwise("test").as("split"),
+            size(TextFns.tokens(col("text"))).cast("bigint").as("n_tok"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT source,
+             |         CASE WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296
+             |                   < CAST(0.90 * 4294967296 AS BIGINT) THEN 'train'
+             |              WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296
+             |                   < CAST(0.95 * 4294967296 AS BIGINT) THEN 'val'
+             |              ELSE 'test' END AS split,
+             |         CAST(len($tk) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT source, split, count(*) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS tokens
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Gopher-style repetition signals: char share of the most frequent word
     // bigram + char share of all repeated bigrams, per doc. The quality
     // filter dimension that token-level stats (tx_ttr, tx_quality) miss —

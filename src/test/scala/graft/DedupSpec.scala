@@ -221,6 +221,19 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0)).count() == 0)
   }
 
+  test("incrementalDedup flags exactly the batch docs whose text is landed") {
+    val corpus = Seq((1L, "w1", "the cat sat"), (2L, "w1", "dogs bark loud"))
+      .toDF("doc_id", "source", "text")
+    val incoming = Seq(
+      (10L, "w1", "the cat sat"),    // dup of corpus doc 1
+      (11L, "w1", "fresh new text"), // new
+      (12L, "w2", "dogs bark loud")) // dup of corpus doc 2
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.incrementalDedup(incoming, corpus)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("w1", 2L, 1L, 1L), ("w2", 1L, 1L, 0L)), got)
+  }
+
   test("dedup is idempotent: no pairs among deduplicated docs") {
     val deduped = corpus.join(
       Dedup.ngramJaccardPairs(corpus, minJ = 0.5).select($"b_id".as("doc_id")),
