@@ -621,6 +621,29 @@ object PipelineQueries {
              |SELECT cluster, count(*) AS n_assigned, round(sum(d2), 3) AS inertia
              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Product quantization: each 16-dim subvector coded to its nearest
+    // label-seeded sub-codebook entry; per-(subspace, code) population +
+    // distortion — the PQ compression step of a disk-resident ANN index
+    // (vector-quantization companion to sim_quantize's SQ8). The oracle
+    // replays codebook build + assignment per subspace.
+    QueryDef("sim_pq_encode",
+      (s, d) => Similarity.pqEncode(T(s, d, "embeddings"), subDim = 16),
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |e2 AS (SELECT vec_id, label, x, i, CAST((i - 1) // 16 AS BIGINT) AS ss FROM ex),
+             |cent AS (SELECT label AS c_label, ss, i, avg(x) AS cx FROM e2 GROUP BY 1, 2, 3),
+             |d AS (SELECT e2.vec_id, e2.ss, cent.c_label,
+             |             sum((e2.x - cent.cx) * (e2.x - cent.cx)) AS d2
+             |      FROM e2 JOIN cent ON e2.i = cent.i AND e2.ss = cent.ss
+             |      GROUP BY 1, 2, 3),
+             |a AS (SELECT vec_id, ss,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS code,
+             |             (min({'d2': d2, 'c_label': c_label})).d2 AS err
+             |      FROM d GROUP BY 1, 2)
+             |SELECT ss, code, count(*) AS n_vecs, round(sum(err), 3) AS sse
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // K-means UPDATE (M-step) under the oracle: recompute each cluster's
     // centroid as the mean of its assigned vectors — size, new-centroid
     // norm, drift from the seed centroid. E+M is one Lloyd iteration;

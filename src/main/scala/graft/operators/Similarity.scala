@@ -210,6 +210,40 @@ object Similarity {
       .select(col("cluster"), col("n_assigned"), col("norm"), col("drift"))
   }
 
+  /** Product-quantization encode: split each vector into dim/subDim
+    * contiguous subspaces, quantize each subvector to its nearest
+    * label-seeded sub-codebook entry (the PQ compression step of a
+    * disk-resident ANN index — the vector-quantization companion to SQ8's
+    * scalar path in [[quantizeSq8]]). Emits the per-(subspace, code)
+    * population and sum of squared quantization error — the codebook-health
+    * report (dead codes, unbalanced cells, distortion per subspace).
+    *
+    * Scale shape: component rows fan out only against the BROADCAST
+    * sub-codebook (k·dim rows), then two keyed aggregates — the same
+    * two-shuffle E-step shape as [[kmeansAssign]], O(vectors·dim·k)
+    * compute with nothing resident but the codebook. Argmin tie-break is
+    * the (d2, label) struct order on both engines.
+    */
+  def pqEncode(embs: DataFrame, subDim: Int = 16): DataFrame = {
+    require(subDim > 0, "subDim must be positive")
+    val ex = embs.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / subDim).cast("bigint").as("ss"), col("i"), col("x"))
+    val cents = ex.groupBy(col("label").as("c_label"), col("ss"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+    val d2 = ex.join(broadcast(cents), Seq("ss", "i"))
+      .groupBy(col("vec_id"), col("ss"), col("c_label"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    d2.groupBy("vec_id", "ss")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("ss"),
+        col("best.c_label").as("code"), col("best.d2").as("err"))
+      .groupBy("ss", "code")
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("err")), 3).as("sse"))
+      .orderBy("ss", "code")
+  }
+
   /** Single-table RHP bucket key (compat/spec surface over
     * [[VectorFns.rhpKeys]]): sign bits of dot products with deterministic
     * pseudo-random hyperplanes. Vectors of any dimension hash (planes are

@@ -79,6 +79,29 @@ class SimilaritySpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, upd.head)
   }
 
+  test("pqEncode: separable subspaces code to their own label with zero error") {
+    // 4-dim vectors, subDim=2 -> 2 subspaces. All vectors of a label are
+    // identical, so each sub-codebook entry IS the subvector: every vector
+    // codes to its own label in every subspace with err 0.
+    val embs = Seq(
+      (0L, Array(1f, 0f, 5f, 5f), 0), (1L, Array(1f, 0f, 5f, 5f), 0),
+      (2L, Array(0f, 9f, -3f, 1f), 1), (3L, Array(0f, 9f, -3f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.pqEncode(embs, subDim = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0, 2L, 0.0), (0L, 1, 2L, 0.0),
+      (1L, 0, 2L, 0.0), (1L, 1, 2L, 0.0)), got)
+  }
+
+  test("pqEncode partitions every vector into every subspace exactly once") {
+    val got = Similarity.pqEncode(vecs, subDim = 1)
+    // 3 subspaces x 5 vectors: per-subspace populations sum to 5
+    val perSs = got.groupBy("ss").agg(sum("n_vecs").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(perSs == Map(0L -> 5L, 1L -> 5L, 2L -> 5L), perSs)
+  }
+
   test("IVF with nprobe=2 searches two clusters") {
     val top = Similarity.ivfTopK(vecs, queryId = 0L, k = 5, nprobe = 2)
       .select("vec_id").as[Long].collect().toSet
