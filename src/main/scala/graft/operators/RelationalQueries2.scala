@@ -786,6 +786,40 @@ object RelationalQueries2 {
              |       translate(n_name, 'aeiou', 'AEIOU') AS vowels_up
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // CSV ingest with malformed-record handling: serialize order columns to
+    // CSV text, corrupt a deterministic 2% (key % 50 = 0 gets a non-numeric
+    // price), parse back with from_csv in PERMISSIVE mode — the bad field
+    // comes back NULL instead of failing the job, the production contract
+    // for dirty feeds. The double→text→double round-trip is exact, so the
+    // parsed-price sum is decimal-gateable; the oracle knows the corrupt
+    // set closed-form.
+    QueryDef("fn_csv",
+      (s, d) => {
+        val line = when(col("o_orderkey") % 50 === 0,
+            concat_ws(",", col("o_orderkey"), lit("notanumber"), col("o_orderstatus")))
+          .otherwise(
+            concat_ws(",", col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        T(s, d, "orders")
+          .select(col("o_orderkey"),
+            from_csv(line,
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "k BIGINT, price DOUBLE, status STRING"),
+              Map("mode" -> "PERMISSIVE")).as("p"))
+          .select(col("p.status").as("o_orderstatus"),
+            col("p.price").isNull.cast("bigint").as("bad"),
+            col("p.price"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bad")).as("n_malformed"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price_parsed"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+             |       CAST(sum(CASE WHEN o_orderkey % 50 <> 0
+             |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price_parsed
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Binary/text encodings: base64 + hex + a decode round-trip proved in
     // the result itself (storage keys, content addressing, wire formats).
     QueryDef("fn_encode",
