@@ -720,6 +720,44 @@ object EventQueries {
              |WHERE value > prev_v AND value > next_v AND event_id < 3000
              |ORDER BY event_id""".stripMargin)),
 
+    // Seasonal-naive forecast backtest: predict each day's volume as the
+    // same weekday's volume one week earlier (lag 7 on the daily series),
+    // score MAE and signed bias per event type — the baseline every real
+    // forecaster must beat, evaluated in one windowed pass over the
+    // grouped series. Exact integer errors; two floor quantizations (floor
+    // is toward -inf on BOTH engines, so the signed bias is safe).
+    QueryDef("ts_naive_backtest",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("d0")
+        daily
+          .withColumn("f", lag(col("x"), 7).over(w))
+          .filter(col("f").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("x") - col("f"))).as("abs_err"),
+            sum(col("x") - col("f")).as("sgn_err"))
+          .select(col("event_type"), col("n_eval"),
+            (floor(col("abs_err") * lit(10000.0) / col("n_eval")) / 10000).as("mae"),
+            (floor(col("sgn_err") * lit(10000.0) / col("n_eval")) / 10000).as("bias"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, x,
+             |             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d0) AS f
+             |      FROM daily),
+             |e AS (SELECT event_type, count(*) AS n_eval,
+             |             CAST(sum(abs(x - f)) AS BIGINT) AS abs_err,
+             |             CAST(sum(x - f) AS BIGINT) AS sgn_err
+             |      FROM l WHERE f IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n_eval,
+             |       floor(abs_err * 10000.0 / n_eval) / 10000 AS mae,
+             |       floor(sgn_err * 10000.0 / n_eval) / 10000 AS bias
+             |FROM e ORDER BY event_type""".stripMargin)),
+
     // Day-of-week seasonality index per event type: mean daily volume on
     // each weekday relative to the type's overall mean daily volume (1.0 =
     // flat week). The decomposition step before any weekly-seasonal

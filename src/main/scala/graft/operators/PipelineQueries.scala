@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline inventory: dedup (exact / n-gram Jaccard / MinHash LSH /
@@ -643,6 +644,52 @@ object PipelineQueries {
              |      FROM d GROUP BY 1, 2)
              |SELECT ss, code, count(*) AS n_vecs, round(sum(err), 3) AS sse
              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Cluster purity: per k-means cluster, the share of members carrying
+    // its most common TRUE label (the standard external clustering-quality
+    // metric — how well unsupervised structure recovers known classes).
+    // Composes the E-step assignment with a per-(cluster, label) count and
+    // an argmax; all-integer until one floor quantization. With label-
+    // seeded centroids the assignment is near-self-consistent, so purity
+    // lands high but not degenerate.
+    QueryDef("sim_cluster_purity",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val assign = Similarity.assignVectors(embs, Similarity.centroids(embs))
+          .select("vec_id", "cluster")
+        val byLabel = assign.join(embs.select("vec_id", "label"), "vec_id")
+          .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("cluster").orderBy(col("c").desc, col("label"))
+        byLabel
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_members", sum(col("c")).over(Window.partitionBy("cluster")))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("n_members"),
+            col("label").as("top_label"), col("c").as("n_top"),
+            (floor(col("c") * lit(10000.0) / col("n_members")) / 10000).as("purity"))
+          .orderBy("cluster")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d AS (SELECT ex.vec_id, cent.c_label,
+             |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |      FROM ex JOIN cent ON ex.i = cent.i
+             |      GROUP BY 1, 2),
+             |a AS (SELECT vec_id,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster
+             |      FROM d GROUP BY 1),
+             |bl AS (SELECT a.cluster, e.label, count(*) AS c
+             |       FROM a JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e USING (vec_id)
+             |       GROUP BY 1, 2),
+             |r AS (SELECT cluster, label, c,
+             |             row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rn,
+             |             CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+             |      FROM bl)
+             |SELECT cluster, n_members, label AS top_label, c AS n_top,
+             |       floor(c * 10000.0 / n_members) / 10000 AS purity
+             |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin)),
 
     // K-means UPDATE (M-step) under the oracle: recompute each cluster's
     // centroid as the mean of its assigned vectors — size, new-centroid
