@@ -1250,6 +1250,42 @@ object EventQueries {
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // VariantType battery (Spark 4's semi-structured column type — the
+    // schema-on-read replacement for stringly JSON): try_parse_json over a
+    // closed-form JSON doc with a deterministic 2.5% corrupt slice,
+    // variant_get typed path extraction (incl. a nested path), and
+    // try_variant_get on a missing path. A failed parse yields a NULL
+    // variant whose extractions are all NULL — the dirty-feed contract.
+    // The oracle replays every value from the source columns.
+    QueryDef("fn_variant",
+      (s, d) => {
+        val js = concat(lit("{\"id\":"), col("event_id"),
+          lit(",\"t\":\""), col("event_type"),
+          lit("\",\"n\":{\"u\":"), col("user_id"), lit("}}"))
+        // corruption = an UNTERMINATED string: rejected by any JSON parser
+        // (a trailing-garbage suffix turned out to be tolerated by the
+        // variant parser's first-value read)
+        val dirty = when(col("event_id") % 40 === 0,
+          concat(lit("{\"id\":"), col("event_id"), lit(",\"t\":\"broken"))).otherwise(js)
+        T(s, d, "events")
+          .filter(col("event_id") < 2000)
+          .select(col("event_id"), try_parse_json(dirty).as("v"))
+          .select(col("event_id"),
+            col("v").isNull.cast("bigint").as("bad"),
+            variant_get(col("v"), "$.id", "bigint").as("id_v"),
+            variant_get(col("v"), "$.t", "string").as("t_v"),
+            variant_get(col("v"), "$.n.u", "bigint").as("u_v"),
+            try_variant_get(col("v"), "$.nope", "bigint").as("miss"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |       CAST(CASE WHEN event_id % 40 = 0 THEN 1 ELSE 0 END AS BIGINT) AS bad,
+             |       CASE WHEN event_id % 40 = 0 THEN NULL ELSE event_id END AS id_v,
+             |       CASE WHEN event_id % 40 = 0 THEN NULL ELSE event_type END AS t_v,
+             |       CASE WHEN event_id % 40 = 0 THEN NULL ELSE user_id END AS u_v,
+             |       CAST(NULL AS BIGINT) AS miss
+             |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)),
+
     // Map-typed column battery: construct, extract, merge, keys/values,
     // entry iteration — the metadata-bag shape (typed per-record key/value
     // attributes) multimodal and feature-store schemas carry. The ORACLE

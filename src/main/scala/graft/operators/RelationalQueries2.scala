@@ -820,6 +820,27 @@ object RelationalQueries2 {
              |                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price_parsed
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // XML ingest: from_xml over closed-form records with both an ATTRIBUTE
+    // (the `_`-prefixed field convention) and nested elements — the legacy-
+    // feed twin of fn_csv/fn_variant. Values replayed from source columns.
+    QueryDef("fn_xml",
+      (s, d) => {
+        val xml = concat(lit("<r id=\""), col("o_orderkey"),
+          lit("\"><s>"), col("o_orderstatus"),
+          lit("</s><c><k>"), col("o_custkey"), lit("</k></c></r>"))
+        T(s, d, "orders")
+          .filter(col("o_orderkey") < 5000)
+          .select(col("o_orderkey"),
+            from_xml(xml, org.apache.spark.sql.types.StructType.fromDDL(
+              "_id BIGINT, s STRING, c STRUCT<k: BIGINT>")).as("p"))
+          .select(col("o_orderkey"), col("p._id").as("id_attr"),
+            col("p.s").as("status"), col("p.c.k").as("custkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderkey AS id_attr, o_orderstatus AS status,
+             |       o_custkey AS custkey
+             |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin)),
+
     // Binary/text encodings: base64 + hex + a decode round-trip proved in
     // the result itself (storage keys, content addressing, wire formats).
     QueryDef("fn_encode",
