@@ -1103,6 +1103,70 @@ object PipelineQueries {
              |         AS silence_ratio
              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Multimodal curation end-to-end: one pass decides which (text, audio,
+    // image) records survive ALL three modality gates — token count (text
+    // quality), silence ratio (audio), dominant-color share (image
+    // flatness) — rolled up per source. The full curation job in one plan:
+    // three doc_id-keyed feature frames (each a real decoder output) joined
+    // on the same key, so at scale the three decodes run in parallel over
+    // the same partitioning and the join adds one co-keyed shuffle.
+    // Thresholds sit at each feature's corpus median so the gate actually
+    // separates. doc_id < 200 bounds the oracle's pixel replay.
+    QueryDef("mm_pipeline_e2e",
+      (s, d) => {
+        val ids = T(s, d, "documents").filter(col("doc_id") < 200)
+        val aud = Multimodal.wavFrameEnergy(
+            Multimodal.withSynthPayload(ids.select("doc_id"), Multimodal.synthWav))
+          .groupBy("doc_id")
+          .agg(round(count_if(col("rms") < 0.015).cast("double") / count(lit(1)), 4)
+            .as("silence_ratio"))
+        val img = Multimodal.imageDominantColor(
+            Multimodal.withSynthPayload(ids.select("doc_id"), Multimodal.synthPng))
+          .select("doc_id", "dom_share")
+        val txt = ids.select(col("doc_id"), col("source"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
+        txt.join(aud, "doc_id").join(img, "doc_id")
+          .withColumn("keep",
+            (col("n_tokens") >= 40 && col("silence_ratio") < 0.45 &&
+              col("dom_share") < 0.1124).cast("bigint"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"),
+            (floor(sum(col("keep")) * lit(10000.0) / count(lit(1))) / 10000).as("keep_rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ids AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 200),
+             |sw AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM ids),
+             |si AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM sw),
+             |sx AS (SELECT doc_id, i // 16 AS frame_no,
+             |              CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS DOUBLE) AS v
+             |       FROM si),
+             |sf AS (SELECT doc_id, frame_no,
+             |              sqrt(sum(v * v) / count(*)) / 32768.0 AS rms
+             |       FROM sx GROUP BY 1, 2),
+             |aud AS (SELECT doc_id,
+             |               round(CAST(count_if(rms < 0.015) AS DOUBLE) / count(*), 4) AS silence_ratio
+             |        FROM sf GROUP BY 1),
+             |dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM ids),
+             |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+             |k AS (SELECT doc_id, w, h,
+             |        (((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) // 64) * 16
+             |        + (((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256) // 64) * 4
+             |        + (((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256) // 64) AS key
+             |      FROM px),
+             |kc AS (SELECT doc_id, w, h, key, count(*) AS n FROM k GROUP BY ALL),
+             |img AS (SELECT doc_id, floor(max(n) * 10000.0 / (w * h)) / 10000 AS dom_share
+             |        FROM kc GROUP BY doc_id, w, h),
+             |txt AS (SELECT doc_id, source,
+             |               CAST(len(${graft.functions.TextFns.tokensSqlDuckDB("text")}) AS BIGINT) AS n_tokens
+             |        FROM ids),
+             |j AS (SELECT txt.source,
+             |             CASE WHEN txt.n_tokens >= 40 AND aud.silence_ratio < 0.45
+             |                       AND img.dom_share < 0.1124 THEN 1 ELSE 0 END AS keep
+             |      FROM txt JOIN aud USING (doc_id) JOIN img USING (doc_id))
+             |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_keep,
+             |       floor(sum(keep) * 10000.0 / count(*)) / 10000 AS keep_rate
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // REAL image decode under the oracle, same pattern: deterministic RGB
     // PNG (Multimodal.synthPng; PNG is lossless so the pixels round-trip
     // exactly), decoded by the real javax.imageio path, luma aggregated in
