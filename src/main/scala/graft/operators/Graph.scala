@@ -93,6 +93,35 @@ object Graph {
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")
 
+  /** k-core peel: `rounds` iterations of "drop every node with degree < k"
+    * over the symmetrized graph, returning the surviving (id, deg) — the
+    * densest-backbone extraction (spam rings, template families, community
+    * seeds are k-cores; pendant/chain structure is not). A FIXED round
+    * count (like [[pageRank]]) keeps the result a pure function of the
+    * graph that the SQL oracle replays by unrolling; callers size `rounds`
+    * >= the graph's peel depth when they need the true fixpoint.
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins, all
+    * keyed on node id — co-partitionable, O(edges) per round, and the
+    * edge set only shrinks. Each round is materialized so the plan stays
+    * O(1) deep ([[Dedup.materialize]] — same loop hygiene as connected
+    * components).
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 10): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad kCore config ($k, $rounds)")
+    var edges = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("id").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("id")
+      edges = Dedup.materialize(
+        edges.join(keep, Seq("id"), "left_semi")
+          .join(keep.select(col("id").as("nb")), Seq("nb"), "left_semi"))
+    }
+    edges.groupBy("id").agg(count(lit(1)).as("deg")).orderBy("id")
+  }
+
   /** Common-neighbor link prediction over an oriented (a_id, b_id) pair
     * table: for every NON-adjacent pair with at least one shared neighbor,
     * the shared-neighbor count and neighbor-Jaccard

@@ -313,6 +313,32 @@ object PipelineQueries {
              |                  ELSE 3.0 * n_triangles / n_wedges END, 4) AS clustering
              |FROM tri CROSS JOIN w""".stripMargin)),
 
+    // k-core backbone of the shares->=3-shingles graph (same edge set as
+    // gr_common_neighbors — the Jaccard>=0.8 graph is all 2-cliques with
+    // an empty 2-core): 10 peel rounds at k=2, enough for this graph's
+    // peel depth of 8. Survivors are the template families; see
+    // Graph.kCore for the per-round scale shape.
+    QueryDef("gr_kcore",
+      (s, d) => Graph.kCore(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        k = 2, rounds = 10),
+      Some {
+        // MATERIALIZED: each round references its predecessor 3x — inlined
+        // CTEs would re-evaluate the whole chain 3^10 times
+        val rounds = (1 to 10).map { r =>
+          s"""d${r - 1} AS MATERIALIZED (SELECT id, count(*) AS dg FROM e${r - 1} GROUP BY 1),
+             |e$r AS MATERIALIZED (SELECT e.id, e.nb FROM e${r - 1} e
+             |        JOIN d${r - 1} a ON a.id = e.id AND a.dg >= 2
+             |        JOIN d${r - 1} b ON b.id = e.nb AND b.dg >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |e0 AS MATERIALIZED (SELECT a_id AS id, b_id AS nb FROM prs
+           |       UNION SELECT b_id, a_id FROM prs),
+           |$rounds
+           |SELECT id, count(*) AS deg FROM e10 GROUP BY 1 ORDER BY id""".stripMargin
+      }),
+
     // Degree distribution of the near-dup graph — the skew diagnostic that
     // decides whether wedge/triangle work needs degree re-orientation.
     QueryDef("gr_degree_dist",

@@ -57,6 +57,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 4L, 4L -> 1L), got)
   }
 
+  test("kCore: paths peel to nothing, cycles survive whole, pendants drop") {
+    // path 1-2-3-4: every peel round removes the endpoints -> empty 2-core
+    val path = Graph.kCore(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id"), k = 2).count()
+    assert(path == 0L)
+    // cycle 1-2-3-4-1: all degree 2 -> the whole cycle IS the 2-core
+    val cyc = Graph.kCore(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a_id", "b_id"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(cyc == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L), cyc)
+    // triangle with a pendant chain 3-5-6: chain peels, triangle stays
+    val tri = Graph.kCore(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (5L, 6L)).toDF("a_id", "b_id"),
+      k = 2).as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), tri)
+  }
+
   test("commonNeighbors predicts exactly the non-adjacent wedge endpoints") {
     // path 1-2-3: the only prediction is (1,3) via center 2; nj = 1/1 = 1.0
     // (N(1)={2}, N(3)={2}). Adding edge 1-3 closes the wedge -> no rows.
