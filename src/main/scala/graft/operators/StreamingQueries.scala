@@ -298,6 +298,36 @@ object StreamingQueries {
              |      WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
-             |ORDER BY p_id, c_id""".stripMargin))
+             |ORDER BY p_id, c_id""".stripMargin)),
+
+    // Streaming UPSERT: each micro-batch merges into a keyed sink table
+    // (latest event per user wins, ties broken by event_id) via the
+    // read-merge-overwrite foreachBatch pattern — the lakehouse MERGE sink
+    // shape. The final table is the per-user argmax over the whole input
+    // regardless of how the stream was batched, which is exactly what the
+    // batch oracle states via the same (ts, event_id, value) struct-max.
+    QueryDef("st_upsert",
+      (s, d) => {
+        val emitted = StreamGate.runMergeToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => toTs(df).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          (existing, batch) => existing.union(batch)
+            .groupBy("user_id")
+            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"),
+              col("m.event_id").as("event_id"), col("m.value").as("value")),
+          "st_upsert")
+        emitted
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            col("event_id"), round(col("value"), 2).as("value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (SELECT user_id,
+             |                  max({'ts': ts, 'event_id': event_id, 'value': value}) AS s
+             |           FROM events GROUP BY 1)
+             |SELECT user_id, strftime((s).ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             |       (s).event_id AS event_id, round((s).value, 2) AS value
+             |FROM m ORDER BY user_id""".stripMargin))
   )
 }

@@ -128,4 +128,28 @@ object StreamGate {
         .foreachBatch((batch: DataFrame, _: Long) =>
           batch.write.mode("overwrite").parquet(dataDir))
         .outputMode("complete"))
+
+  /** Streaming UPSERT (merge) sink: each micro-batch is merged into the
+    * keyed sink table via `merge(existing, batch)` — read-merge-overwrite,
+    * the foreachBatch MERGE pattern every lakehouse streaming upsert uses
+    * (`merge` must be idempotent-safe: its output replaces the table and
+    * must have the same schema as `transform`'s output). The merged frame
+    * is pinned (persist + count) before the overwrite so the read and the
+    * rewrite of the same directory never overlap.
+    */
+  def runMergeToParquet(spark: SparkSession, srcParquet: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        transform: DataFrame => DataFrame,
+                        merge: (DataFrame, DataFrame) => DataFrame,
+                        tag: String): DataFrame =
+    execute(spark, srcParquet, schema, transform, tag,
+      (df, dataDir) => df.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing = batch.sparkSession.read.schema(batch.schema).parquet(dataDir)
+          val merged = merge(existing, batch).persist()
+          merged.count()
+          try merged.write.mode("overwrite").parquet(dataDir)
+          finally merged.unpersist()
+        }
+        .outputMode("update"))
 }
