@@ -113,7 +113,7 @@ object Dedup {
     * localCheckpoint the lineage is gone, so a later access could not
     * recompute).
     */
-  private def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     if (df != null) df.unpersist(blocking = false)
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ). Pair

@@ -721,20 +721,22 @@ object EventQueries {
              |ORDER BY event_id""".stripMargin)),
 
     // Seasonal-naive forecast backtest: predict each day's volume as the
-    // same weekday's volume one week earlier (lag 7 on the daily series),
-    // score MAE and signed bias per event type — the baseline every real
-    // forecaster must beat, evaluated in one windowed pass over the
-    // grouped series. Exact integer errors; two floor quantizations (floor
-    // is toward -inf on BOTH engines, so the signed bias is safe).
+    // same weekday's volume one week earlier, score MAE and signed bias
+    // per event type — the baseline every real forecaster must beat. The
+    // forecast joins on the CALENDAR date (d0 - 7 days), not a row lag: a
+    // missing day in the series would silently misalign every subsequent
+    // row-lagged forecast to the wrong weekday. One co-keyed self-join of
+    // the tiny daily rollup. Exact integer errors; floor quantization is
+    // toward -inf on BOTH engines, so the signed bias is safe.
     QueryDef("ts_naive_backtest",
       (s, d) => {
         val daily = T(s, d, "events")
           .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
           .agg(count(lit(1)).as("x"))
-        val w = Window.partitionBy("event_type").orderBy("d0")
         daily
-          .withColumn("f", lag(col("x"), 7).over(w))
-          .filter(col("f").isNotNull)
+          .join(daily.select(col("event_type"),
+            date_add(col("d0"), 7).as("d0"), col("x").as("f")),
+            Seq("event_type", "d0"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_eval"),
             sum(abs(col("x") - col("f"))).as("abs_err"),
@@ -746,13 +748,14 @@ object EventQueries {
       },
       Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
              |               FROM events GROUP BY 1, 2),
-             |l AS (SELECT event_type, x,
-             |             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d0) AS f
-             |      FROM daily),
+             |l AS (SELECT d.event_type, d.x, p.x AS f
+             |      FROM daily d
+             |      JOIN daily p ON p.event_type = d.event_type
+             |                  AND p.d0 = d.d0 - INTERVAL 7 DAY),
              |e AS (SELECT event_type, count(*) AS n_eval,
              |             CAST(sum(abs(x - f)) AS BIGINT) AS abs_err,
              |             CAST(sum(x - f) AS BIGINT) AS sgn_err
-             |      FROM l WHERE f IS NOT NULL GROUP BY 1)
+             |      FROM l GROUP BY 1)
              |SELECT event_type, n_eval,
              |       floor(abs_err * 10000.0 / n_eval) / 10000 AS mae,
              |       floor(sgn_err * 10000.0 / n_eval) / 10000 AS bias
@@ -793,9 +796,11 @@ object EventQueries {
              |ORDER BY b.event_type, b.dow""".stripMargin)),
 
     // Two-window mean-shift changepoint detection over the daily volume
-    // series: for each day with k=7 COMPLETE days on both sides, the
-    // before/after mean difference — the distributed form of changepoint
-    // scanning (every candidate day scored in one windowed pass, no
+    // series: for each day with k=7 OBSERVED days on both sides (row
+    // frames — on a gappy series the windows span the 7 nearest observed
+    // days, which is the usual changepoint convention), the before/after
+    // mean difference — the distributed form of changepoint scanning
+    // (every candidate day scored in one windowed pass, no
     // per-candidate re-aggregation). Counts are exact integers; each mean
     // is (exact sum)/7 and the shift is quantized once with floor, so the
     // score is bit-identical cross-engine. One (event_type) shuffle.

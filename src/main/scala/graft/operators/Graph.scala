@@ -112,14 +112,20 @@ object Graph {
     var edges = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
       .distinct()
+    var prev: DataFrame = null
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy("id").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select("id")
-      edges = Dedup.materialize(
+      val next = Dedup.materialize(
         edges.join(keep, Seq("id"), "left_semi")
           .join(keep.select(col("id").as("nb")), Seq("nb"), "left_semi"))
+      Dedup.release(prev) // round r-1's copy is fully superseded by `next`
+      prev = edges
+      edges = next
     }
-    edges.groupBy("id").agg(count(lit(1)).as("deg")).orderBy("id")
+    val out = edges.groupBy("id").agg(count(lit(1)).as("deg")).orderBy("id")
+    Dedup.release(prev)
+    out
   }
 
   /** Common-neighbor link prediction over an oriented (a_id, b_id) pair
@@ -136,7 +142,11 @@ object Graph {
     * lever.
     */
   def commonNeighbors(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    // canonicalize defensively (min, max) + distinct: a reverse-oriented or
+    // duplicate input edge would otherwise slip past the anti-join below
+    // and inflate degrees
+    val e = pairs.select(least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct()
     val es = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("id"), col("b").as("nb"))
     val wedges = es.as("w1")

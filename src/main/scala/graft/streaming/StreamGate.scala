@@ -134,8 +134,9 @@ object StreamGate {
     * the foreachBatch MERGE pattern every lakehouse streaming upsert uses
     * (`merge` must be idempotent-safe: its output replaces the table and
     * must have the same schema as `transform`'s output). The merged frame
-    * is pinned (persist + count) before the overwrite so the read and the
-    * rewrite of the same directory never overlap.
+    * is pinned with an eager localCheckpoint — which TRUNCATES lineage, so
+    * even a task retry during the overwrite can never recompute from the
+    * directory being rewritten (persist alone keeps lineage and would).
     */
   def runMergeToParquet(spark: SparkSession, srcParquet: String,
                         schema: org.apache.spark.sql.types.StructType,
@@ -146,8 +147,7 @@ object StreamGate {
       (df, dataDir) => df.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val existing = batch.sparkSession.read.schema(batch.schema).parquet(dataDir)
-          val merged = merge(existing, batch).persist()
-          merged.count()
+          val merged = merge(existing, batch).localCheckpoint(true)
           try merged.write.mode("overwrite").parquet(dataDir)
           finally merged.unpersist()
         }

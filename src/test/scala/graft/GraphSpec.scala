@@ -89,5 +89,12 @@ class GraphSpec extends AnyFunSuite {
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a_id", "b_id"))
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(sq == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), sq)
+    // reverse-oriented and duplicate edges canonicalize: same square, edges
+    // written backwards and repeated, identical predictions
+    val messy = Graph.commonNeighbors(
+      Seq((2L, 1L), (3L, 2L), (3L, 4L), (4L, 1L), (1L, 2L))
+        .toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(messy == sq, messy)
   }
 }
