@@ -116,6 +116,17 @@ object Dedup {
   private[graft] def release(df: DataFrame): Unit =
     if (df != null) df.unpersist(blocking = false)
 
+  /** Shingle-sharing skew profile: (docs_per_shingle, n_shingles) — the
+    * distribution that SIZES every shingle pair join (cost Σ f² over these
+    * levels). A fat tail is the signal to lean on AQE skew-split / LSH
+    * bucket caps before running the exact pair pass. Two keyed aggregates,
+    * the second over O(distinct levels) rows.
+    */
+  def shingleSharingProfile(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleHashRows(docs, n)
+      .groupBy("hraw").agg(count(lit(1)).as("docs_per_shingle"))
+      .groupBy("docs_per_shingle").agg(count(lit(1)).as("n_shingles"))
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= minJ). Pair
     * generation via shingle equi-join (only docs sharing a shingle are ever
     * compared), intersection counted from the join — never materializes the

@@ -496,6 +496,25 @@ object PipelineQueries {
              |  ON jaccard >= t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Shingle-sharing skew profile: for each sharing level f (docs per
+    // distinct shingle), how many shingles sit at that level — the skew
+    // diagnostic that SIZES the pair join (its cost is Σ f², so a fat tail
+    // here is exactly when AQE skew-split and the LSH bucket caps earn
+    // their keep). Two cheap keyed aggregates over the cached shingle rows;
+    // the oracle profiles the string shingles (hash collisions ~1e-9 — the
+    // same equivalence every pair oracle already rests on).
+    QueryDef("dd_shingle_skew",
+      (s, d) => Dedup.shingleSharingProfile(T(s, d, "documents"))
+        .orderBy("docs_per_shingle"),
+      Some(s"""WITH tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(generate_series(1, len(t) - 2),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             |       FROM tt),
+             |f AS (SELECT s, count(*) AS docs_per_shingle FROM sh GROUP BY 1)
+             |SELECT docs_per_shingle, count(*) AS n_shingles
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Asymmetric containment (|A∩B| / min(|A|,|B|)): the "short doc quoted
     // inside a long doc" detector — same shingle CTE chain as the Jaccard
     // oracle, different score.
@@ -647,6 +666,23 @@ object PipelineQueries {
              |      FROM d GROUP BY 1)
              |SELECT cluster, count(*) AS n_assigned, round(sum(d2), 3) AS inertia
              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Embedding-norm health report per label: min/mean/max L2 norm +
+    // near-zero count — the sanity gate run BEFORE trusting any similarity
+    // search (norm collapse / dead encoder detection). One scan, one tiny
+    // keyed aggregate.
+    QueryDef("sim_norm_stats",
+      (s, d) => Similarity.normStats(T(s, d, "embeddings")),
+      Some("""WITH n AS (SELECT label,
+             |                  sqrt(list_sum(list_transform(embedding,
+             |                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |           FROM embeddings)
+             |SELECT label, count(*) AS n_vecs,
+             |       round(min(nrm), 3) AS min_norm,
+             |       round(avg(nrm), 3) AS mean_norm,
+             |       round(max(nrm), 3) AS max_norm,
+             |       CAST(count_if(nrm < 0.001) AS BIGINT) AS n_near_zero
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Product quantization: each 16-dim subvector coded to its nearest
     // label-seeded sub-codebook entry; per-(subspace, code) population +

@@ -210,6 +210,26 @@ object Similarity {
       .select(col("cluster"), col("n_assigned"), col("norm"), col("drift"))
   }
 
+  /** Embedding-norm health report per label: min/mean/max L2 norm and the
+    * count of near-zero vectors — the first sanity gate on an embedding
+    * table (norm collapse, dead encoder outputs, un-normalized mixtures
+    * all show up here before any similarity search is trustworthy).
+    * Per-row norm is a sequential-order array fold (deterministic); the
+    * per-label stats round at 3 over selections and one mean.
+    */
+  def normStats(embs: DataFrame, nearZero: Double = 1e-3): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding").cast("array<double>"),
+      lit(0.0), (acc, x) => acc + x * x))
+    embs.select(col("label"), norm.as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("nrm")), 3).as("min_norm"),
+        round(avg(col("nrm")), 3).as("mean_norm"),
+        round(max(col("nrm")), 3).as("max_norm"),
+        count_if(col("nrm") < nearZero).as("n_near_zero"))
+      .orderBy("label")
+  }
+
   /** Product-quantization encode: split each vector into dim/subDim
     * contiguous subspaces, quantize each subvector to its nearest
     * label-seeded sub-codebook entry (the PQ compression step of a
