@@ -720,6 +720,46 @@ object EventQueries {
              |WHERE value > prev_v AND value > next_v AND event_id < 3000
              |ORDER BY event_id""".stripMargin)),
 
+    // Calendar-completeness audit per event type: observed days vs the
+    // min..max calendar span, missing-day count and coverage ratio — the
+    // data-quality gate that decides whether day-granular analyses
+    // (seasonality, backtests, changepoints) can be trusted, and the check
+    // that would have caught a gappy series before a row-lagged forecast
+    // misaligned (see ts_naive_backtest's calendar join). One daily rollup
+    // + an O(types) aggregate; exact integer day arithmetic.
+    QueryDef("ts_completeness",
+      (s, d) => T(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(min(col("d0")).as("dmin"), max(col("d0")).as("dmax"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"),
+          date_format(col("dmin"), "yyyy-MM-dd").as("first_day"),
+          date_format(col("dmax"), "yyyy-MM-dd").as("last_day"),
+          col("n_days"),
+          (datediff(col("dmax"), col("dmin")) + 1).cast("bigint").as("n_span"),
+          ((datediff(col("dmax"), col("dmin")) + 1).cast("bigint") - col("n_days"))
+            .as("n_missing"),
+          (floor(col("n_days") * lit(10000.0) /
+            ((datediff(col("dmax"), col("dmin")) + 1).cast("bigint"))) / 10000)
+            .as("coverage"))
+        .orderBy("event_type"),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0
+             |               FROM events GROUP BY 1, 2),
+             |s AS (SELECT event_type, min(d0) AS dmin, max(d0) AS dmax,
+             |             count(*) AS n_days
+             |      FROM daily GROUP BY 1)
+             |SELECT event_type,
+             |       strftime(dmin, '%Y-%m-%d') AS first_day,
+             |       strftime(dmax, '%Y-%m-%d') AS last_day,
+             |       n_days,
+             |       CAST(date_diff('day', dmin, dmax) + 1 AS BIGINT) AS n_span,
+             |       CAST(date_diff('day', dmin, dmax) + 1 - n_days AS BIGINT) AS n_missing,
+             |       floor(n_days * 10000.0 / (date_diff('day', dmin, dmax) + 1)) / 10000
+             |         AS coverage
+             |FROM s ORDER BY event_type""".stripMargin)),
+
     // Seasonal-naive forecast backtest: predict each day's volume as the
     // same weekday's volume one week earlier, score MAE and signed bias
     // per event type — the baseline every real forecaster must beat. The
