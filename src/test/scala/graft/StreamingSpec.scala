@@ -236,6 +236,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.count() == 2)
   }
 
+  test("upsert merge is batching-independent: n batches == one batch == batch argmax") {
+    // the st_upsert merge fn: latest (ts, event_id) wins per user
+    def merge(existing: org.apache.spark.sql.DataFrame,
+              batch: org.apache.spark.sql.DataFrame) =
+      existing.union(batch)
+        .groupBy("user_id")
+        .agg(max(struct($"ts", $"event_id", $"value")).as("m"))
+        .select($"user_id", $"m.ts".as("ts"), $"m.event_id".as("event_id"),
+          $"m.value".as("value"))
+    val rows = Seq(
+      (1L, ts(1), 10L, 1.0), (1L, ts(5), 11L, 2.0), (1L, ts(3), 12L, 3.0),
+      (2L, ts(2), 20L, 4.0), (2L, ts(2), 21L, 5.0)) // same ts: event_id breaks tie
+    val all = rows.toDF("user_id", "ts", "event_id", "value")
+    val empty = all.limit(0)
+    // one batch vs three batches in a different order
+    val oneShot = merge(empty, all)
+    val batches = Seq(rows.take(2), rows.slice(2, 4), rows.drop(4))
+    val threeShot = batches.foldLeft(empty) { (state, b) =>
+      merge(state, b.toDF("user_id", "ts", "event_id", "value"))
+    }
+    val expect = Map(1L -> 11L, 2L -> 21L) // max ts, then max event_id
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+    assert(got(oneShot) == expect && got(threeShot) == expect,
+      (got(oneShot), got(threeShot)))
+  }
+
   test("stream-static enrichment keys the window on the dim attribute") {
     val events = Seq((ts(1), 1L), (ts(2), 2L), (ts(3), 1L))
       .toDF("ts", "user_id")
