@@ -360,13 +360,20 @@ object RelationalQueries {
              |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Anti-join with a filtered build side: customers with no high-value
+    // order. (The unfiltered "no orders at all" form returns ZERO rows at
+    // every test SF — a gate any bug that yields an empty frame would
+    // pass — so the build side is restricted until the output
+    // discriminates: ~200 of 1500 customers at sf0.01.)
     QueryDef("rel_join_anti",
       (s, d) => T(s, d, "customer")
-        .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(T(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
 
     QueryDef("rel_join_outer",
