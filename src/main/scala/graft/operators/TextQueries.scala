@@ -665,6 +665,44 @@ object TextQueries {
              |       round(avg(n_tokens), 4) AS avg_tokens
              |FROM dedup""".stripMargin)),
 
+    // Data-mixture plan: given a uniform per-source token budget, the
+    // sampling rate (downsample) or epoch count (upsample) each source
+    // needs to hit its share — the planning step between corpus stats and
+    // actual training-mix assembly (tx_split_assign then executes a rate
+    // with the same hash device). Integer-exact: budget_share is an exact
+    // integer division remainder-safe ceiling/floor pair; the rate is one
+    // floor quantization.
+    QueryDef("tx_mixture_plan",
+      (s, d) => {
+        val perSource = T(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextFns.tokens(col("text"))).cast("bigint")).as("tokens"))
+        val budget = 1000000L
+        perSource
+          .withColumn("n_sources",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
+          .withColumn("budget_share", (lit(budget) / col("n_sources")).cast("bigint"))
+          .select(col("source"), col("n_docs"), col("tokens"), col("budget_share"),
+            (floor(col("budget_share") * lit(10000.0) / col("tokens")) / 10000)
+              .as("sample_rate"),
+            // epochs needed when upsampling: ceil(share / tokens), 1 when share <= tokens
+            greatest(lit(1L),
+              floor((col("budget_share") + col("tokens") - 1) / col("tokens"))
+                .cast("bigint")).as("epochs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+             |                   CAST(sum(len($tk)) AS BIGINT) AS tokens
+             |            FROM documents GROUP BY 1),
+             |w AS (SELECT *, count(*) OVER () AS n_sources FROM ps),
+             |b AS (SELECT *, CAST(1000000 // n_sources AS BIGINT) AS budget_share FROM w)
+             |SELECT source, n_docs, tokens, budget_share,
+             |       floor(budget_share * 10000.0 / tokens) / 10000 AS sample_rate,
+             |       greatest(1, CAST(floor((budget_share + tokens - 1) * 1.0 / tokens) AS BIGINT)) AS epochs
+             |FROM b ORDER BY source""".stripMargin)),
+
     // Deterministic 90/5/5 train/val/test assignment by multiplicative hash
     // of doc_id (the dataset-split assembly step — reproducible across
     // runs, engines, and partitionings, unlike randomSplit). Same
