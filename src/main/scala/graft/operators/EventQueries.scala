@@ -615,26 +615,36 @@ object EventQueries {
     // aggregate.
     QueryDef("ts_twa",
       (s, d) => {
+        // values are 2-decimal and gaps are integer micros, so both sums
+        // are EXACT decimals — averaged means can land exactly on round(4)
+        // half-boundaries (plain_avg hit 44.94875 at sf0.1, where Spark's
+        // decimal-string half-up and DuckDB's binary round diverge). Keep
+        // every sum exact and quantize ONCE with floor — the ts_lerp rule.
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val q4 = (c: org.apache.spark.sql.Column) => floor(c) / 10000
         T(s, d, "events")
-          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").cast("decimal(18,2)").as("value"))
           .withColumn("gap",
-            (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
-              .cast("double"))
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
           .filter(col("gap").isNotNull)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_intervals"),
-            round(sum(col("value") * col("gap")) / sum(col("gap")), 4).as("twa"),
-            round(avg(col("value")), 4).as("plain_avg"))
+            q4(sum(col("value") * col("gap")).cast("double") * lit(10000.0) /
+              sum(col("gap")).cast("double")).as("twa"),
+            q4(sum(col("value")).cast("double") * lit(10000.0) /
+              count(lit(1))).as("plain_avg"))
           .orderBy("user_id")
       },
-      Some("""WITH g AS (SELECT user_id, value,
-             |  CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-             |       - epoch_us(ts) AS DOUBLE) AS gap
+      Some("""WITH g AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS value,
+             |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             |       - epoch_us(ts) AS gap
              |  FROM events)
              |SELECT user_id, count(*) AS n_intervals,
-             |       round(sum(value * gap) / sum(gap), 4) AS twa,
-             |       round(avg(value), 4) AS plain_avg
+             |       floor(CAST(sum(value * gap) AS DOUBLE) * 10000.0
+             |             / CAST(sum(gap) AS DOUBLE)) / 10000 AS twa,
+             |       floor(CAST(sum(value) AS DOUBLE) * 10000.0 / count(*)) / 10000
+             |         AS plain_avg
              |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // 7-day rolling Pearson correlation between two daily event-volume
