@@ -52,7 +52,8 @@ object RelationalQueries {
           dsum(col("l_extendedprice")).as("sum_base_price"),
           drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          (floor(dsum(col("l_discount")) * lit(1000000.0) / count(lit(1))) / 1000000)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
@@ -60,7 +61,8 @@ object RelationalQueries {
              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
              |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
              |       avg(l_quantity) AS avg_qty,
-             |       round(avg(l_discount), 6) AS avg_disc,
+             |       floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             |             * 1000000.0 / count(*)) / 1000000 AS avg_disc,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -519,10 +521,12 @@ object RelationalQueries {
         .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"),
-          round(avg(col("p_retailprice")), 4).as("avg_retail"))
+          (floor(dsum(col("p_retailprice")) * lit(10000.0) / count(lit(1))) / 10000)
+            .as("avg_retail"))
         .orderBy("p_brand"),
       Some("""SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
-             |       round(avg(p_retailprice), 4) AS avg_retail
+             |       floor(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             |             * 10000.0 / count(*)) / 10000 AS avg_retail
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 

@@ -933,14 +933,16 @@ object RelationalQueries2 {
           .filter(col("c_custkey") < 500)
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
             round(median(col("c_acctbal")).over(wf), 4).as("seg_median"),
-            round(avg(col("c_acctbal")).over(wf), 4).as("seg_avg"))
+            (floor(sum(col("c_acctbal").cast("decimal(18,2)")).over(wf).cast("double")
+              * lit(10000.0) / count(lit(1)).over(wf)) / 10000).as("seg_avg"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, g.seg_median, g.seg_avg
              |FROM customer c
              |JOIN (SELECT c_mktsegment,
              |             round(median(c_acctbal), 4) AS seg_median,
-             |             round(avg(c_acctbal), 4) AS seg_avg
+             |             floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |                   * 10000.0 / count(*)) / 10000 AS seg_avg
              |      FROM customer WHERE c_custkey < 500 GROUP BY 1) g
              |  ON c.c_mktsegment = g.c_mktsegment
              |WHERE c.c_custkey < 500
@@ -1062,10 +1064,13 @@ object RelationalQueries2 {
             col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
           .groupBy("band")
           .agg(count(lit(1)).as("n_parts"),
-            round(avg(col("p_retailprice")), 2).as("avg_price"))
+            (floor(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+              * lit(100.0) / count(lit(1))) / 100).as("avg_price"))
           .orderBy("band")
       },
-      Some("""SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+      Some("""SELECT band, count(*) AS n_parts,
+             |       floor(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             |             * 100.0 / count(*)) / 100 AS avg_price
              |FROM part
              |JOIN (VALUES ('low', 0.0, 935.0), ('mid', 935.0, 965.0),
              |             ('high', 965.0, 1e9)) b(band, lo, hi)
