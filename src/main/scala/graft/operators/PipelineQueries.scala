@@ -406,6 +406,58 @@ object PipelineQueries {
              |FROM train JOIN test ON train.s = test.s
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Decontamination composed with the REAL split: 8-gram contamination
+    // of the hash-assigned held-out slice (tx_split_assign's u >= 0.90
+    // cut), rolled up to the report an eval owner actually reads — how
+    // many train docs leak into the held-out set and what fraction of
+    // train is affected. The two operators compose on the same corpus
+    // scan; the split predicate is the same Knuth-hash expression in both
+    // engines.
+    QueryDef("dd_split_contamination",
+      (s, d) => {
+        val u = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
+          lit(4294967296L))
+        val isHeldout = u >= lit((0.90 * 4294967296L).toLong)
+        val docs = T(s, d, "documents")
+        val perTrain = Dedup.decontaminate(docs, isTest = isHeldout, n = 8)
+        val totals = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(isHeldout.cast("bigint")).as("n_heldout"))
+        perTrain.agg(
+            count(lit(1)).as("n_contaminated_train"),
+            sum(col("n_shared")).as("total_shared_8grams"))
+          .crossJoin(broadcast(totals))
+          .select(col("n_docs"), col("n_heldout"), col("n_contaminated_train"),
+            col("total_shared_8grams"),
+            (floor(col("n_contaminated_train") * lit(10000.0) /
+              (col("n_docs") - col("n_heldout"))) / 10000).as("train_contam_rate"))
+      },
+      Some(s"""WITH tt AS (SELECT doc_id,
+             |                    ((doc_id & 2147483647) * 2654435761) % 4294967296
+             |                      >= CAST(0.90 * 4294967296 AS BIGINT) AS heldout,
+             |                    ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t
+             |             FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, heldout,
+             |              unnest(list_transform(generate_series(1, len(t) - 7),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |                          t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+             |                          t[i+6] || ' ' || t[i+7])) AS s
+             |       FROM tt),
+             |hit AS (SELECT tr.doc_id, count(*) AS n_shared
+             |        FROM (SELECT doc_id, s FROM sh WHERE NOT heldout) tr
+             |        JOIN (SELECT doc_id, s FROM sh WHERE heldout) te ON tr.s = te.s
+             |        GROUP BY 1),
+             |tot AS (SELECT count(*) AS n_docs,
+             |               CAST(count_if(((doc_id & 2147483647) * 2654435761) % 4294967296
+             |                             >= CAST(0.90 * 4294967296 AS BIGINT)) AS BIGINT) AS n_heldout
+             |        FROM documents)
+             |SELECT tot.n_docs, tot.n_heldout,
+             |       (SELECT count(*) FROM hit) AS n_contaminated_train,
+             |       (SELECT CAST(coalesce(sum(n_shared), 0) AS BIGINT) FROM hit) AS total_shared_8grams,
+             |       floor((SELECT count(*) FROM hit) * 10000.0
+             |             / (tot.n_docs - tot.n_heldout)) / 10000 AS train_contam_rate
+             |FROM tot""".stripMargin)),
+
     // Sparse-vector document similarity: TF-IDF weighted cosine over the
     // token equi-join — the text twin of embedding cosine, computed without
     // ever densifying vectors. The scale lever is the document-frequency
