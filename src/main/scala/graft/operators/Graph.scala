@@ -128,6 +128,43 @@ object Graph {
     out
   }
 
+  /** Synchronous label propagation (community detection): every node starts
+    * as its own label; each round it adopts its neighborhood's most common
+    * label (ties -> smallest label). A FIXED round count keeps the result
+    * a pure deterministic function of the graph — sync LPA can oscillate
+    * on bipartite-ish structure, and a fixed horizon makes even that
+    * reproducible (and SQL-replayable by unrolling), where async/randomized
+    * variants are not. Returns (id, community).
+    *
+    * Scale shape per round: one edge⋈labels join + two keyed aggregates,
+    * everything keyed on node id — the same co-partitionable round shape
+    * as [[pageRank]] and [[kCore]], materialized per round with the
+    * previous round released.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      .distinct()
+    val es = Dedup.materialize(e)
+    var labels = es.select(col("id")).distinct().withColumn("lbl", col("id"))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val next = Dedup.materialize(
+        es.join(labels.select(col("id").as("nb"), col("lbl")), "nb")
+          .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+          .groupBy("id")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
+          .select(col("id"), col("m.lbl").as("lbl")))
+      Dedup.release(prev)
+      prev = labels
+      labels = next
+    }
+    val out = labels.select(col("id"), col("lbl").as("community"))
+    Dedup.release(prev)
+    out
+  }
+
   /** Common-neighbor link prediction over an oriented (a_id, b_id) pair
     * table: for every NON-adjacent pair with at least one shared neighbor,
     * the shared-neighbor count and neighbor-Jaccard

@@ -339,6 +339,34 @@ object PipelineQueries {
            |SELECT id, count(*) AS deg FROM e10 GROUP BY 1 ORDER BY id""".stripMargin
       }),
 
+    // Community detection via 5-round synchronous label propagation on the
+    // shares->=3-shingles graph, rolled up to (community, size) — the
+    // zero-hyperparameter community baseline next to the k-core backbone.
+    // Tie-break (max count, then smallest label) stated identically in
+    // both engines via the (-count, label) struct-min.
+    QueryDef("gr_label_prop",
+      (s, d) => Graph.labelPropagation(
+          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+          rounds = 5)
+        .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("community"),
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""m$r AS MATERIALIZED (SELECT es.id, l.lbl FROM es JOIN l${r - 1} l ON l.id = es.nb),
+             |c$r AS MATERIALIZED (SELECT id, lbl, count(*) AS c FROM m$r GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT id, (min({'nc': -c, 'lbl': lbl})).lbl AS lbl
+             |       FROM c$r GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |es AS MATERIALIZED (SELECT a_id AS id, b_id AS nb FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM es),
+           |$rounds
+           |SELECT lbl AS community, count(*) AS n_nodes
+           |FROM l5 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // Degree distribution of the near-dup graph — the skew diagnostic that
     // decides whether wedge/triangle work needs degree re-orientation.
     QueryDef("gr_degree_dist",

@@ -74,6 +74,15 @@ class GraphSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), tri)
   }
 
+  test("labelPropagation converges each disjoint triangle to its min label") {
+    val got = Graph.labelPropagation(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+        .toDF("a_id", "b_id"), rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), got)
+  }
+
   test("commonNeighbors predicts exactly the non-adjacent wedge endpoints") {
     // path 1-2-3: the only prediction is (1,3) via center 2; nj = 1/1 = 1.0
     // (N(1)={2}, N(3)={2}). Adding edge 1-3 closes the wedge -> no rows.
