@@ -390,6 +390,41 @@ object TextQueries {
              |       n_chars AS n_param
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // URL canonicalization — the web-corpus dedup KEY step (fn_url above is
+    // the parse battery; this is the normalize-then-group workflow): the
+    // same logical URL arrives uppercased, with a default port, tracking
+    // params, a fragment, or a trailing slash, and must map to one
+    // canonical string. Messiness is injected deterministically from
+    // doc_id, canonicalization uses only generic string/array functions
+    // (lower, parse_url, split, filter, array_sort), and the oracle states
+    // the canonical VALUE closed-form from the source columns.
+    QueryDef("fn_url_canonical",
+      (s, d) => {
+        val messy = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".EXAMPLE.com:443/docs/"), col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&lang="), col("lang"), lit("&b=2&a=1"),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        val noFrag = regexp_replace(messy, "#.*$", "")
+        val host = lower(parse_url(noFrag, lit("HOST")))
+        val path = regexp_replace(parse_url(noFrag, lit("PATH")), "/$", "")
+        val canonQ = concat_ws("&",
+          array_sort(filter(split(parse_url(noFrag, lit("QUERY")), "&"),
+            p => !p.startsWith("utm_"))))
+        T(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("https://"), host, path,
+              when(length(canonQ) > 0, concat(lit("?"), canonQ)).otherwise(lit("")))
+              .as("canonical_url"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       'https://' || source || '.example.com/docs/' || doc_id ||
+             |       '?a=1&b=2&lang=' || lang AS canonical_url
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Rule-based suffix stemming (normalization before counting/dedup):
     // one suffix stripped per token, longest-first, only on tokens long
     // enough to keep a 2+-char stem. Expressed as CASE + LIKE + substr —
