@@ -786,6 +786,34 @@ object RelationalQueries2 {
              |       translate(n_name, 'aeiou', 'AEIOU') AS vowels_up
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // Generated date-dimension build (the calendar spine every warehouse
+    // lands once and joins everywhere): one sequence() generator row
+    // exploded into a day-per-row dim with derived attributes, bounds
+    // taken from the fact table itself. No input rows besides the bounds
+    // aggregate — the generator IS the source.
+    QueryDef("rel_date_spine",
+      (s, d) => T(s, d, "orders")
+        .agg(min(to_date(col("o_orderdate"))).as("dmin"),
+          max(to_date(col("o_orderdate"))).as("dmax"))
+        .select(explode(sequence(col("dmin"), col("dmax"))).as("d"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          year(col("d")).cast("bigint").as("yr"),
+          quarter(col("d")).cast("bigint").as("qtr"),
+          month(col("d")).cast("bigint").as("mo"),
+          dayofweek(col("d")).cast("bigint").as("dow"),
+          (dayofweek(col("d")).isin(1, 7)).cast("bigint").as("is_weekend"))
+        .orderBy("d"),
+      Some("""WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
+             |                  max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+             |sp AS (SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS d FROM b)
+             |SELECT strftime(d, '%Y-%m-%d') AS d,
+             |       CAST(year(d) AS BIGINT) AS yr,
+             |       CAST(quarter(d) AS BIGINT) AS qtr,
+             |       CAST(month(d) AS BIGINT) AS mo,
+             |       CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+             |       CAST(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+             |FROM sp ORDER BY d""".stripMargin)),
+
     // CSV ingest with malformed-record handling: serialize order columns to
     // CSV text, corrupt a deterministic 2% (key % 50 = 0 gets a non-numeric
     // price), parse back with from_csv in PERMISSIVE mode — the bad field
