@@ -390,6 +390,55 @@ object TextQueries {
              |       n_chars AS n_param
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Conjunctive boolean retrieval — the query the reference's inverted
+    // index exists to SERVE: docs containing ALL terms of {hash, join,
+    // scan}, ranked by summed term frequency (ties by doc_id). The
+    // distributed shape is one term-filtered explode + a doc-keyed
+    // aggregate with HAVING — the posting-list intersection without ever
+    // materializing posting lists.
+    QueryDef("tx_boolean_retrieval",
+      (s, d) => {
+        val terms = Seq("hash", "join", "scan")
+        T(s, d, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("doc_id")
+          .agg(count_distinct(col("w")).as("n_terms"), count(lit(1)).as("tf_sum"))
+          .filter(col("n_terms") === terms.length)
+          .select(col("doc_id"), col("tf_sum"))
+          .orderBy(col("tf_sum").desc, col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($tk) AS w FROM documents),
+             |hits AS (SELECT doc_id, count(DISTINCT w) AS n_terms, count(*) AS tf_sum
+             |         FROM toks WHERE w IN ('hash', 'join', 'scan')
+             |         GROUP BY 1)
+             |SELECT doc_id, tf_sum FROM hits WHERE n_terms = 3
+             |ORDER BY tf_sum DESC, doc_id""".stripMargin)),
+
+    // Positional phrase search ("hash join" as an exact adjacent pair):
+    // the positional-index retrieval op — posexplode keeps positions, the
+    // phrase match is a doc-keyed self-join on position adjacency. Emits
+    // (doc_id, n_occurrences); the window-lead formulation keeps the
+    // whole pipeline codegen'd and single-shuffle.
+    QueryDef("tx_phrase_search",
+      (s, d) => {
+        val byPos = Window.partitionBy("doc_id").orderBy("i")
+        T(s, d, "documents")
+          .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("i", "w")))
+          .withColumn("w2", lead(col("w"), 1).over(byPos))
+          .filter(col("w") === "hash" && col("w2") === "join")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM tt),
+             |big AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+             |        FROM toks)
+             |SELECT doc_id, count(*) AS n_occurrences
+             |FROM big WHERE w = 'hash' AND w2 = 'join'
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // URL canonicalization — the web-corpus dedup KEY step (fn_url above is
     // the parse battery; this is the normalize-then-group workflow): the
     // same logical URL arrives uppercased, with a default port, tracking
