@@ -439,6 +439,51 @@ object TextQueries {
              |FROM big WHERE w = 'hash' AND w2 = 'join'
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // BM25 ranking for the same {hash, join, scan} query — the standard
+    // lexical relevance scorer (k1=1.2, b=0.75, Robertson idf with +1 to
+    // stay positive). Three tiny frames join into the term-filtered tf
+    // table: doc lengths (doc-keyed), document frequencies (3 rows,
+    // broadcast), corpus scalars (crossJoin broadcast) — so at scale the
+    // only big operand is the tf explode, touched once. Every input to
+    // the formula is an exact integer; the score rounds at 4 (ln parity
+    // across engines per the fn_trig precedent).
+    QueryDef("tx_bm25",
+      (s, d) => {
+        val terms = Seq("hash", "join", "scan")
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        val norm = col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        tf.join(broadcast(df), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .groupBy("doc_id")
+          .agg(round(sum(idf * norm), 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($tk) AS w FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+             |       WHERE w IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
+             |SELECT tf.doc_id,
+             |       round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |                 * (tf.tf * 2.2
+             |                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))), 4)
+             |         AS bm25
+             |FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+             |GROUP BY 1 ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin)),
+
     // URL canonicalization — the web-corpus dedup KEY step (fn_url above is
     // the parse battery; this is the normalize-then-group workflow): the
     // same logical URL arrives uppercased, with a default port, tracking
