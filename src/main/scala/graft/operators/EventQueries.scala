@@ -730,6 +730,45 @@ object EventQueries {
              |WHERE value > prev_v AND value > next_v AND event_id < 3000
              |ORDER BY event_id""".stripMargin)),
 
+    // Sweep-line concurrency: treating each event as a 10-minute activity
+    // interval, the peak number of simultaneously-active intervals per
+    // type and the first instant it is reached — the classic
+    // max-overlap/occupancy op (capacity sizing, rate-limit calibration).
+    // Boundary points (+1 start, -1 end) under a running sum; the DEFAULT
+    // RANGE window frame makes tied timestamps collapse to their group
+    // cumulative on both engines, so tie order never matters. Ends sort
+    // before starts at the same instant (delta asc), so back-to-back
+    // intervals don't count as overlapping.
+    QueryDef("ts_concurrency",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+          .unionAll(ev.select(col("event_type"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("t"), lit(-1L).as("delta")))
+        val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+        val runs = pts.withColumn("run", sum(col("delta")).over(w))
+        val peaks = runs.groupBy("event_type").agg(max(col("run")).as("peak"))
+        runs.join(peaks, "event_type")
+          .filter(col("run") === col("peak"))
+          .groupBy("event_type")
+          .agg(max(col("run")).as("peak"),
+            date_format(min(col("t")), "yyyy-MM-dd HH:mm:ss").as("first_peak_at"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type, ts AS t, 1 AS delta FROM events
+             |  UNION ALL
+             |  SELECT event_type, ts + INTERVAL 10 MINUTE, -1 FROM events),
+             |runs AS (SELECT event_type, t,
+             |                CAST(sum(delta) OVER (PARTITION BY event_type
+             |                                      ORDER BY t, delta) AS BIGINT) AS run
+             |         FROM pts),
+             |pk AS (SELECT event_type, max(run) AS peak FROM runs GROUP BY 1)
+             |SELECT r.event_type, CAST(max(r.run) AS BIGINT) AS peak,
+             |       strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS first_peak_at
+             |FROM runs r JOIN pk ON pk.event_type = r.event_type AND r.run = pk.peak
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Calendar-completeness audit per event type: observed days vs the
     // min..max calendar span, missing-day count and coverage ratio — the
     // data-quality gate that decides whether day-granular analyses
