@@ -764,6 +764,58 @@ object PipelineQueries {
              |       CAST(count_if(nrm < 0.001) AS BIGINT) AS n_near_zero
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Simplified (centroid-based) silhouette per cluster: a = distance to
+    // own centroid, b = distance to the nearest OTHER centroid,
+    // s = (b-a)/max(a,b), averaged per cluster — the separation companion
+    // to sim_cluster_purity (purity needs labels; silhouette does not).
+    // Centroid-based, not pairwise: O(vectors·k) against the broadcast
+    // codebook instead of O(n²) — the form that scales. round(3) over a
+    // mean of bounded [-1,1] terms.
+    QueryDef("sim_silhouette",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val d2 = embs
+          .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+          .join(broadcast(
+            Similarity.centroids(embs)
+              .select(col("label").as("c_label"), posexplode(col("centroid")).as(Seq("i", "cx")))),
+            Seq("i"))
+          .groupBy("vec_id", "c_label")
+          .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+        val ab = d2.groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+          .select(col("vec_id"), col("best.c_label").as("cluster"), col("best.d2").as("a2"))
+          .join(d2, "vec_id")
+          .filter(col("c_label") =!= col("cluster"))
+          .groupBy("vec_id", "cluster", "a2")
+          .agg(min(col("d2")).as("b2"))
+        ab.select(col("cluster"),
+            ((sqrt(col("b2")) - sqrt(col("a2"))) /
+              greatest(sqrt(col("a2")), sqrt(col("b2")))).as("s"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vecs"), round(avg(col("s")), 3).as("silhouette"))
+          .orderBy("cluster")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d AS (SELECT ex.vec_id, cent.c_label,
+             |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |      FROM ex JOIN cent ON ex.i = cent.i
+             |      GROUP BY 1, 2),
+             |a AS (SELECT vec_id,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster,
+             |             (min({'d2': d2, 'c_label': c_label})).d2 AS a2
+             |      FROM d GROUP BY 1),
+             |b AS (SELECT a.vec_id, a.cluster, a.a2, min(d.d2) AS b2
+             |      FROM a JOIN d ON d.vec_id = a.vec_id AND d.c_label <> a.cluster
+             |      GROUP BY 1, 2, 3)
+             |SELECT cluster, count(*) AS n_vecs,
+             |       round(avg((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))), 3)
+             |         AS silhouette
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Product quantization: each 16-dim subvector coded to its nearest
     // label-seeded sub-codebook entry; per-(subspace, code) population +
     // distortion — the PQ compression step of a disk-resident ANN index
