@@ -1226,6 +1226,51 @@ object PipelineQueries {
              |       CAST(unnest(generate_series(0, n_frames - 1, 3)) AS BIGINT) AS frame_idx
              |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Frame-level A/V alignment: the sampled "video" frames (8-sample
+    // frames, every 3rd — mm_frame_sample's shape) joined to the audio
+    // RMS frames (16-sample — mm_wav_energy's shape) they overlap, via the
+    // index arithmetic video_frame*8 // 16. The temporal-alignment join
+    // every multimodal training pipeline performs, keyed on
+    // (doc, aligned-frame) — co-partitioned, no skew. Per doc: sampled
+    // count, distinct audio frames touched, mean RMS over the pairs.
+    QueryDef("mm_av_align",
+      (s, d) => {
+        val framed = Multimodal.decodeWavColumn(
+            Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+              Multimodal.synthWav))
+          .select(col("doc_id"),
+            ceil(col("wav.n_samples") / lit(8.0)).cast("int").as("n_frames"))
+        val video = Multimodal.sampleFrames(framed, "n_frames", stride = 3)
+          .select(col("doc_id"), col("frame_idx"),
+            (col("frame_idx") * 8).cast("bigint")./(16).cast("bigint").as("af"))
+        val audio = Multimodal.wavFrameEnergy(
+            Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+              Multimodal.synthWav))
+          .select(col("doc_id"), col("frame_no").cast("bigint").as("af"), col("rms"))
+        video.join(audio, Seq("doc_id", "af"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("af")).as("n_audio_frames"),
+            round(avg(col("rms")), 4).as("mean_rms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |vf AS (SELECT doc_id,
+             |              unnest(generate_series(0, CAST(ceil(n / 8.0) AS INT) - 1, 3)) AS frame_idx
+             |       FROM s),
+             |va AS (SELECT doc_id, CAST(frame_idx * 8 // 16 AS BIGINT) AS af FROM vf),
+             |i AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM s),
+             |x AS (SELECT doc_id, i // 16 AS af,
+             |             CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS DOUBLE) AS v
+             |      FROM i),
+             |au AS (SELECT doc_id, af, sqrt(sum(v * v) / count(*)) / 32768.0 AS rms
+             |       FROM x GROUP BY 1, 2)
+             |SELECT va.doc_id, count(*) AS n_pairs,
+             |       count(DISTINCT va.af) AS n_audio_frames,
+             |       round(avg(au.rms), 4) AS mean_rms
+             |FROM va JOIN au ON au.doc_id = va.doc_id AND au.af = va.af
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Windowed audio feature extraction under the oracle: decode PCM,
     // 16-sample frame RMS (Multimodal.wavFrameEnergy, one partition-local
     // pass, no shuffle). Frame sums are integer squares, so the energies
