@@ -99,6 +99,39 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kCore == brute-force fixed-round peel on random graphs") {
+    for (seed <- 21L to 28L; k <- Seq(2, 3)) {
+      val edges = graphGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
+      var es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      for (_ <- 1 to 10) {
+        val deg = es.groupBy(_._1).map { case (n, l) => n -> l.size }
+        es = es.filter { case (a, b) => deg(a) >= k && deg.getOrElse(b, 0) >= k }
+      }
+      val expected = es.groupBy(_._1).map { case (n, l) => n -> l.size.toLong }
+      val got = Graph.kCore(edges.toDF("a_id", "b_id"), k = k, rounds = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed k=$k got=$got exp=$expected")
+    }
+  }
+
+  test("labelPropagation == brute-force synchronous rounds on random graphs") {
+    for (seed <- 31L to 38L) {
+      val edges = graphGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to 5) {
+        lbl = adj.map { case (n, nbs) =>
+          val counts = nbs.map(lbl).groupBy(identity).map { case (l, o) => l -> o.size }
+          n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val got = Graph.labelPropagation(edges.toDF("a_id", "b_id"), rounds = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(got == lbl, s"seed=$seed got=$got exp=$lbl")
+    }
+  }
+
   // --- chunk / repetition --------------------------------------------------
 
   private def docGen(nDocs: Int): Gen[List[(Long, String)]] =
