@@ -764,6 +764,45 @@ object PipelineQueries {
              |       CAST(count_if(nrm < 0.001) AS BIGINT) AS n_near_zero
              |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Embedding outlier detection: per assigned cluster, vectors whose
+    // centroid distance sits beyond mean + 2·stddev — the mislabeled/noise
+    // sweep run before embeddings are trusted for retrieval or dedup.
+    // Composes the E-step assignment with one per-cluster moment pass; the
+    // 2σ gate compares engine-identical doubles (distances are exact
+    // integer-free sums both sides, moments round-trip identically at the
+    // comparison, and the boolean count is what ships).
+    QueryDef("sim_outliers",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val a = Similarity.assignVectors(embs, Similarity.centroids(embs))
+          .select(col("vec_id"), col("cluster"), sqrt(col("d2")).as("dist"))
+        val mom = a.groupBy("cluster")
+          .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sd"))
+        a.join(broadcast(mom), "cluster")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vecs"),
+            count_if(col("dist") > col("mu") + lit(2.0) * col("sd")).as("n_outliers"))
+          .orderBy("cluster")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d AS (SELECT ex.vec_id, cent.c_label,
+             |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |      FROM ex JOIN cent ON ex.i = cent.i
+             |      GROUP BY 1, 2),
+             |a AS (SELECT vec_id,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster,
+             |             sqrt((min({'d2': d2, 'c_label': c_label})).d2) AS dist
+             |      FROM d GROUP BY 1),
+             |m AS (SELECT cluster, avg(dist) AS mu, stddev_samp(dist) AS sd
+             |      FROM a GROUP BY 1)
+             |SELECT a.cluster, count(*) AS n_vecs,
+             |       CAST(count_if(a.dist > m.mu + 2.0 * m.sd) AS BIGINT) AS n_outliers
+             |FROM a JOIN m ON m.cluster = a.cluster
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Simplified (centroid-based) silhouette per cluster: a = distance to
     // own centroid, b = distance to the nearest OTHER centroid,
     // s = (b-a)/max(a,b), averaged per cluster — the separation companion

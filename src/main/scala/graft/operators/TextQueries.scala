@@ -390,6 +390,39 @@ object TextQueries {
              |       n_chars AS n_param
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic inspection sample: 2 docs per (source, length band)
+    // stratum for human QA — the labeling-batch draw that must be
+    // reproducible across reruns, so the draw is a row_number over the
+    // Knuth doc_id hash (same device as tx_split_assign), never rand().
+    // Per-stratum top-k is the map-side WindowGroupLimit shape.
+    QueryDef("tx_inspection_sample",
+      (s, d) => {
+        val u = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
+          lit(4294967296L))
+        val band = when(col("n_chars") < 300, "short")
+          .when(col("n_chars") < 600, "medium").otherwise("long")
+        val w = Window.partitionBy("source", "band").orderBy(col("u"), col("doc_id"))
+        T(s, d, "documents")
+          .select(col("doc_id"), col("source"), band.as("band"), u.as("u"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("source"), col("band"), col("rn").cast("bigint").as("rn"),
+            col("doc_id"))
+          .orderBy("source", "band", "rn")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN n_chars < 300 THEN 'short'
+             |              WHEN n_chars < 600 THEN 'medium' ELSE 'long' END AS band,
+             |         ((doc_id & 2147483647) * 2654435761) % 4294967296 AS u
+             |  FROM documents),
+             |r AS (SELECT source, band, doc_id,
+             |             CAST(row_number() OVER (PARTITION BY source, band
+             |                                     ORDER BY u, doc_id) AS BIGINT) AS rn
+             |      FROM t)
+             |SELECT source, band, rn, doc_id FROM r WHERE rn <= 2
+             |ORDER BY source, band, rn""".stripMargin)),
+
     // Conjunctive boolean retrieval — the query the reference's inverted
     // index exists to SERVE: docs containing ALL terms of {hash, join,
     // scan}, ranked by summed term frequency (ties by doc_id). The
