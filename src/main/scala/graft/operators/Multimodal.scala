@@ -378,6 +378,56 @@ object Multimodal {
     }
   }
 
+  /** Patch (tile) feature extraction: partition the raster into a gw x gh
+    * grid — the ViT-style patch decomposition — and emit one row per tile
+    * with its pixel count and mean luma. Tile mapping and the integer luma
+    * (2126r + 7152g + 722b, x1e4 fixed point) are shared with
+    * [[imagePHash]]; the mean is floor(sum/cnt)/1e4 — exact integers until
+    * one deterministic quantization, so the oracle replays it bit-for-bit.
+    * One decode pass per image, rows emitted executor-locally.
+    */
+  def imageTileLuma(df: DataFrame, payloadCol: String = "content",
+                    gw: Int = 2, gh: Int = 2): DataFrame = {
+    require(gw > 0 && gh > 0, "grid dims must be positive")
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("tile", org.apache.spark.sql.types.IntegerType)
+      .add("n_px", org.apache.spark.sql.types.LongType)
+      .add("mean_luma", org.apache.spark.sql.types.DoubleType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        decodeImage(r.getAs[Array[Byte]](idx)) match {
+          case None => Iterator.empty
+          case Some((img, _)) =>
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Long](gw * gh)
+            val cnts = new Array[Long](gw * gh)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val li = 2126L * ((rgb >> 16) & 0xFF) + 7152L * ((rgb >> 8) & 0xFF) +
+                  722L * (rgb & 0xFF)
+                val c = (y * gh / h) * gw + (x * gw / w)
+                sums(c) += li; cnts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            (0 until gw * gh).iterator.filter(cnts(_) > 0).map { c =>
+              Row.fromSeq(keep :+ c :+ cnts(c) :+
+                (math.floor(sums(c) * 1.0 / cnts(c)) / 10000))
+            }
+        }
+      }
+    }
+  }
+
   /** Dominant quantized color per image: each pixel maps to a 64-cell RGB
     * cube key ((r>>6)*16 + (g>>6)*4 + (b>>6)); the modal cell, its pixel
     * count, and its share of the raster come back as one row per image —

@@ -182,6 +182,44 @@ object PipelineQueries {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Normalization dedup — the PRACTICAL exact dedup: case-fold, strip
+    // non-alphanumerics, collapse whitespace, THEN group. The corpus is
+    // unioned with a deterministically-noised twin of every 4th doc
+    // (uppercased + punctuation — the messy-ingest model, same device as
+    // fn_url_canonical): raw exact dedup sees the noisy copies as new
+    // texts, normalization folds every one of them back. Same one-shuffle
+    // aggregation shape as dd_exact_dedup with normalization fused into
+    // the scan.
+    QueryDef("dd_normalized_dedup",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val noisy = docs.filter(col("doc_id") % 4 === 0)
+          .select(concat(upper(col("text")), lit(" !!")).as("text"))
+        val all = docs.select(col("text")).unionAll(noisy)
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        all.select(col("text"), norm.as("nt"))
+          .agg(count(lit(1)).as("total_docs"),
+            count_distinct(col("text")).as("distinct_raw"),
+            count_distinct(col("nt")).as("distinct_normalized"))
+          .select(col("total_docs"), col("distinct_raw"), col("distinct_normalized"),
+            (col("distinct_raw") - col("distinct_normalized")).as("extra_dups_found"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT text FROM documents
+             |  UNION ALL
+             |  SELECT upper(text) || ' !!' FROM documents WHERE doc_id % 4 = 0)
+             |SELECT count(*) AS total_docs,
+             |       count(DISTINCT text) AS distinct_raw,
+             |       count(DISTINCT trim(regexp_replace(
+             |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |         ' +', ' ', 'g'))) AS distinct_normalized,
+             |       CAST(count(DISTINCT text) -
+             |            count(DISTINCT trim(regexp_replace(
+             |              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |              ' +', ' ', 'g'))) AS BIGINT) AS extra_dups_found
+             |FROM all_docs""".stripMargin)),
+
     // Incremental-ingest dedup: docs arriving this tick (doc_id % 5 = 0
     // models the batch) checked by text against the already-landed corpus,
     // rolled up per source. Hash-join + verify — see Dedup.incrementalDedup
@@ -1504,6 +1542,31 @@ object PipelineQueries {
              |       CAST(w * h AS BIGINT) AS n_pixels,
              |       round(list_sum(lumas) / (w * h), 6) AS mean_luma
              |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // ViT-style patch decomposition: 2x2 tile grid per image, one row per
+    // tile with pixel count + fixed-point mean luma — the patch-feature
+    // extraction in front of any vision encoder. Same tile mapping and
+    // integer luma as the perceptual hash; oracle replays the synth
+    // raster per tile. doc_id < 200 bounds the pixel replay.
+    QueryDef("mm_image_tiles",
+      (s, d) => Multimodal.imageTileLuma(
+          Multimodal.withSynthPayload(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+        .select(col("doc_id"), col("tile").cast("bigint").as("tile"),
+          col("n_px"), col("mean_luma"))
+        .orderBy("doc_id", "tile"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+             |              FROM documents WHERE doc_id < 200),
+             |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims),
+             |t AS (SELECT doc_id,
+             |             CAST((((i // w) * 2) // h) * 2 + ((i % w) * 2) // w AS BIGINT) AS tile,
+             |             2126 * ((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256)
+             |             + 7152 * ((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256)
+             |             + 722 * ((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256) AS li
+             |      FROM px)
+             |SELECT doc_id, tile, count(*) AS n_px,
+             |       floor(sum(li) * 1.0 / count(*)) / 10000 AS mean_luma
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Dominant quantized color per image (64-cell RGB cube, modal cell +
     // share): the palette feature for monochrome/flat-color curation. Real
