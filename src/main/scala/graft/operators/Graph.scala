@@ -162,6 +162,7 @@ object Graph {
     }
     val out = labels.select(col("id"), col("lbl").as("community"))
     Dedup.release(prev)
+    Dedup.release(es) // final labels are materialized; the edge copy is done
     out
   }
 

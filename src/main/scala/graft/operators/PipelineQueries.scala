@@ -481,9 +481,8 @@ object PipelineQueries {
     // engines.
     QueryDef("dd_split_contamination",
       (s, d) => {
-        val u = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
-          lit(4294967296L))
-        val isHeldout = u >= lit((0.90 * 4294967296L).toLong)
+        val isHeldout = graft.functions.HashFns.knuthU(col("doc_id")) >=
+          lit(graft.functions.HashFns.cut(0.90))
         val docs = T(s, d, "documents")
         val perTrain = Dedup.decontaminate(docs, isTest = isHeldout, n = 8)
         val totals = docs.agg(
@@ -491,7 +490,9 @@ object PipelineQueries {
           sum(isHeldout.cast("bigint")).as("n_heldout"))
         perTrain.agg(
             count(lit(1)).as("n_contaminated_train"),
-            sum(col("n_shared")).as("total_shared_8grams"))
+            // coalesce: zero contamination must yield 0, not NULL — the
+            // oracle states the same guard
+            coalesce(sum(col("n_shared")), lit(0L)).as("total_shared_8grams"))
           .crossJoin(broadcast(totals))
           .select(col("n_docs"), col("n_heldout"), col("n_contaminated_train"),
             col("total_shared_8grams"),
@@ -805,21 +806,32 @@ object PipelineQueries {
     // Embedding outlier detection: per assigned cluster, vectors whose
     // centroid distance sits beyond mean + 2·stddev — the mislabeled/noise
     // sweep run before embeddings are trusted for retrieval or dedup.
-    // Composes the E-step assignment with one per-cluster moment pass; the
-    // 2σ gate compares engine-identical doubles (distances are exact
-    // integer-free sums both sides, moments round-trip identically at the
-    // comparison, and the boolean count is what ships).
+    // Determinism: distances are quantized ONCE to 1e-6 fixed-point
+    // BIGINTs, so the per-cluster moments are EXACT integer sums (the
+    // (n·Σd² - (Σd)²)/(n(n-1)) form — float avg/stddev would sum in
+    // engine-specific order and an ULP shift at the 2σ threshold would
+    // flip the count). All integers stay under 2^62; the sqrt/compare then
+    // run on engine-identical doubles.
     QueryDef("sim_outliers",
       (s, d) => {
         val embs = T(s, d, "embeddings")
         val a = Similarity.assignVectors(embs, Similarity.centroids(embs))
-          .select(col("vec_id"), col("cluster"), sqrt(col("d2")).as("dist"))
+          .select(col("vec_id"), col("cluster"),
+            floor(sqrt(col("d2")) * lit(1000000.0)).cast("bigint").as("di"))
         val mom = a.groupBy("cluster")
-          .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sd"))
+          .agg(count(lit(1)).as("n"), sum(col("di")).as("s1"),
+            sum(col("di") * col("di")).as("s2"))
+          .select(col("cluster"),
+            (col("s1").cast("double") / col("n")).as("mu"),
+            when(col("n") > 1,
+              sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+                (col("n") * (col("n") - 1))))
+              .otherwise(lit(0.0)).as("sd"))
         a.join(broadcast(mom), "cluster")
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_vecs"),
-            count_if(col("dist") > col("mu") + lit(2.0) * col("sd")).as("n_outliers"))
+            count_if(col("di").cast("double") > col("mu") + lit(2.0) * col("sd"))
+              .as("n_outliers"))
           .orderBy("cluster")
       },
       Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -832,13 +844,21 @@ object PipelineQueries {
              |      GROUP BY 1, 2),
              |a AS (SELECT vec_id,
              |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster,
-             |             sqrt((min({'d2': d2, 'c_label': c_label})).d2) AS dist
+             |             CAST(floor(sqrt((min({'d2': d2, 'c_label': c_label})).d2) * 1000000.0) AS BIGINT) AS di
              |      FROM d GROUP BY 1),
-             |m AS (SELECT cluster, avg(dist) AS mu, stddev_samp(dist) AS sd
-             |      FROM a GROUP BY 1)
+             |m AS (SELECT cluster, count(*) AS n,
+             |             CAST(sum(di) AS BIGINT) AS s1,
+             |             CAST(sum(di * di) AS BIGINT) AS s2
+             |      FROM a GROUP BY 1),
+             |mm AS (SELECT cluster,
+             |              CAST(s1 AS DOUBLE) / n AS mu,
+             |              CASE WHEN n > 1
+             |                   THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+             |                   ELSE 0.0 END AS sd
+             |       FROM m)
              |SELECT a.cluster, count(*) AS n_vecs,
-             |       CAST(count_if(a.dist > m.mu + 2.0 * m.sd) AS BIGINT) AS n_outliers
-             |FROM a JOIN m ON m.cluster = a.cluster
+             |       CAST(count_if(CAST(a.di AS DOUBLE) > mm.mu + 2.0 * mm.sd) AS BIGINT) AS n_outliers
+             |FROM a JOIN mm ON mm.cluster = a.cluster
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Simplified (centroid-based) silhouette per cluster: a = distance to
@@ -1312,17 +1332,18 @@ object PipelineQueries {
     // count, distinct audio frames touched, mean RMS over the pairs.
     QueryDef("mm_av_align",
       (s, d) => {
-        val framed = Multimodal.decodeWavColumn(
+        // ONE decode pass: the audio RMS frames are materialized and both
+        // sides derive from them — n_samples is recovered as sum(frame n),
+        // so the video framing never re-decodes the payload
+        val audioFrames = Dedup.materialize(Multimodal.wavFrameEnergy(
             Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
-              Multimodal.synthWav))
-          .select(col("doc_id"),
-            ceil(col("wav.n_samples") / lit(8.0)).cast("int").as("n_frames"))
+              Multimodal.synthWav)))
+        val framed = audioFrames.groupBy("doc_id")
+          .agg(ceil(sum(col("n")) / lit(8.0)).cast("int").as("n_frames"))
         val video = Multimodal.sampleFrames(framed, "n_frames", stride = 3)
           .select(col("doc_id"), col("frame_idx"),
             (col("frame_idx") * 8).cast("bigint")./(16).cast("bigint").as("af"))
-        val audio = Multimodal.wavFrameEnergy(
-            Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
-              Multimodal.synthWav))
+        val audio = audioFrames
           .select(col("doc_id"), col("frame_no").cast("bigint").as("af"), col("rms"))
         video.join(audio, Seq("doc_id", "af"))
           .groupBy("doc_id")

@@ -407,9 +407,8 @@ object RelationalQueries {
     // function.
     QueryDef("rel_sample_hash",
       (s, d) => {
-        val u = pmod(col("l_orderkey").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
-          lit(4294967296L))
-        def cut(f: Double) = lit((f * 4294967296L).toLong)
+        val u = graft.functions.HashFns.knuthU(col("l_orderkey"))
+        def cut(f: Double) = lit(graft.functions.HashFns.cut(f))
         val strat = when(col("l_returnflag") === "R", cut(0.02))
           .when(col("l_returnflag") === "A", cut(0.05))
           .otherwise(cut(0.10))

@@ -397,8 +397,7 @@ object TextQueries {
     // Per-stratum top-k is the map-side WindowGroupLimit shape.
     QueryDef("tx_inspection_sample",
       (s, d) => {
-        val u = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
-          lit(4294967296L))
+        val u = graft.functions.HashFns.knuthU(col("doc_id"))
         val band = when(col("n_chars") < 300, "short")
           .when(col("n_chars") < 600, "medium").otherwise("long")
         val w = Window.partitionBy("source", "band").orderBy(col("u"), col("doc_id"))
@@ -548,7 +547,7 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |       'https://' || source || '.example.com/docs/' || doc_id ||
+             |       'https://' || lower(source) || '.example.com/docs/' || doc_id ||
              |       '?a=1&b=2&lang=' || lang AS canonical_url
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -873,9 +872,8 @@ object TextQueries {
     // rollup is what the mixture report reads.
     QueryDef("tx_split_assign",
       (s, d) => {
-        val u = pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
-          lit(4294967296L))
-        def cut(f: Double) = lit((f * 4294967296L).toLong)
+        val u = graft.functions.HashFns.knuthU(col("doc_id"))
+        def cut(f: Double) = lit(graft.functions.HashFns.cut(f))
         T(s, d, "documents")
           .select(col("source"),
             when(u < cut(0.90), "train").when(u < cut(0.95), "val")
