@@ -730,6 +730,37 @@ object EventQueries {
              |WHERE value > prev_v AND value > next_v AND event_id < 3000
              |ORDER BY event_id""".stripMargin)),
 
+    // Week-over-week growth per event type: weekly volume joined to the
+    // PREVIOUS CALENDAR week (date-arithmetic join, not a row lag — the same
+    // gappy-series correctness argument as ts_naive_backtest: a type that
+    // skips a week compares against nothing, not against two weeks ago),
+    // growth as a floor-quantized ratio of exact counts. The standard KPI
+    // trend table. Both engines truncate to ISO Monday-start weeks.
+    QueryDef("ts_wow_growth",
+      (s, d) => {
+        val weekly = T(s, d, "events")
+          .groupBy(col("event_type"), trunc(col("ts").cast("date"), "week").as("w0"))
+          .agg(count(lit(1)).as("x"))
+        weekly
+          .join(weekly.select(col("event_type"),
+            date_add(col("w0"), 7).as("w0"), col("x").as("x_prev")),
+            Seq("event_type", "w0"))
+          .select(col("event_type"), date_format(col("w0"), "yyyy-MM-dd").as("w0"),
+            col("x"), col("x_prev"),
+            (floor((col("x") - col("x_prev")) * lit(1000000.0) / col("x_prev")) / 10000)
+              .as("growth_pct"))
+          .orderBy("event_type", "w0")
+      },
+      Some("""WITH m AS (SELECT event_type, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w0,
+             |                  count(*) AS x
+             |           FROM events GROUP BY 1, 2),
+             |j AS (SELECT c.event_type, c.w0, c.x, p.x AS x_prev
+             |      FROM m c JOIN m p ON p.event_type = c.event_type
+             |                       AND p.w0 + INTERVAL 7 DAY = c.w0)
+             |SELECT event_type, strftime(w0, '%Y-%m-%d') AS w0, x, x_prev,
+             |       floor((x - x_prev) * 1000000.0 / x_prev) / 10000 AS growth_pct
+             |FROM j ORDER BY event_type, w0""".stripMargin)),
+
     // Sweep-line concurrency: treating each event as a 10-minute activity
     // interval, the peak number of simultaneously-active intervals per
     // type and the first instant it is reached — the classic

@@ -201,4 +201,45 @@ object Graph {
           .as("nj"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Multi-source BFS hop distance: every node whose id ≡ 0 (mod seedMod)
+    * is a 0-hop seed; `rounds` synchronous frontier expansions later,
+    * return (id, hop) for every node reached — min hop wins. A FIXED round
+    * count (like [[kCore]]) keeps the result a pure function of the graph
+    * that the SQL oracle replays by unrolling; nodes farther than `rounds`
+    * hops (or in seedless components) are absent, which IS the answer for
+    * a bounded-radius reachability question.
+    *
+    * Scale shape per round: one frontier⋈edges join + one min-aggregate,
+    * both keyed on node id — co-partitionable with the adjacency like
+    * every other loop here; the visited set grows monotonically and is
+    * materialized per round with the previous round released. Note this
+    * propagates from the whole VISITED set each round (simple, and correct
+    * for min-hop since min() absorbs re-derived longer paths); a cluster
+    * run at very large diameter would keep a delta frontier instead.
+    */
+  def bfsHops(pairs: DataFrame, seedMod: Int, rounds: Int): DataFrame = {
+    require(seedMod >= 1 && rounds >= 1, s"bad bfsHops config ($seedMod, $rounds)")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+        .distinct())
+    var visited = es.select(col("id")).distinct()
+      .filter(col("id") % seedMod === 0)
+      .select(col("id"), lit(0L).as("hop"))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val next = Dedup.materialize(
+        visited.union(
+            visited.join(es, "id").select(col("nb").as("id"), (col("hop") + 1).as("hop")))
+          .groupBy("id").agg(min("hop").as("hop")))
+      Dedup.release(prev)
+      prev = visited
+      visited = next
+    }
+    val out = visited.orderBy("id")
+    Dedup.release(prev)
+    Dedup.release(es) // final visited set is materialized; the edge copy is done
+    out
+  }
 }

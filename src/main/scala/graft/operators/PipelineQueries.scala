@@ -421,6 +421,35 @@ object PipelineQueries {
              |        GROUP BY 1)
              |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin)),
 
+    // Bounded-radius multi-source BFS over the shares->=3-shingles graph:
+    // hop distance from the id%20==0 seed set, 6 synchronous rounds —
+    // "how far is every document from a known-bad seed" is the
+    // contamination-blast-radius question. Unreached nodes are absent by
+    // definition. Oracle unrolls the rounds; each round references its
+    // predecessor twice (carry + expand) so every round CTE must be
+    // MATERIALIZED or DuckDB re-evaluates the chain exponentially.
+    QueryDef("gr_bfs",
+      (s, d) => Graph.bfsHops(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        seedMod = 20, rounds = 6),
+      Some {
+        val rounds = (1 to 6).map { r =>
+          s"""v$r AS MATERIALIZED (SELECT id, min(hop) AS hop FROM (
+             |      SELECT id, hop FROM v${r - 1}
+             |      UNION ALL
+             |      SELECT es.nb, v${r - 1}.hop + 1 FROM v${r - 1}
+             |      JOIN es ON es.id = v${r - 1}.id) GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |es AS MATERIALIZED (SELECT a_id AS id, b_id AS nb FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |v0 AS MATERIALIZED (SELECT DISTINCT id, CAST(0 AS BIGINT) AS hop
+           |       FROM es WHERE id % 20 = 0),
+           |$rounds
+           |SELECT id, hop FROM v6 ORDER BY id""".stripMargin
+      }),
+
     // Common-neighbor link prediction: non-adjacent doc pairs whose
     // neighborhoods overlap — candidates the pairwise threshold missed
     // (transitive near-dups). The Jaccard>=0.8 graph is all closed cliques

@@ -29,6 +29,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema:") && !p.contains("l_comment"))
   }
 
+  test("Q19's disjunctive predicate splits and pushes into BOTH scans") {
+    // OR-of-ANDs mixing both sides: Catalyst must derive each side's
+    // projected disjunction and push it to the parquet reader — the brand/
+    // size OR lands in the part scan, the quantity OR in the lineitem scan,
+    // and only the mixed residual stays in the join condition. At 100 TB
+    // this is the difference between scanning 3 brands and scanning all 25.
+    val p = plan("rel_join_q19")
+    assert(p.contains("EqualTo(p_brand,Brand#1)") && p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"))
+  }
+
   test("aggregations run partial (map-side) before the shuffle") {
     assert(plan("rel_agg_q1").contains("partial_"))
     assert(plan("tx_wordcount").contains("partial_count"))
