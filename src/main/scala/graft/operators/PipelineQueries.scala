@@ -1191,6 +1191,85 @@ object PipelineQueries {
              |JOIN nrm nv ON nv.vec_id = d.vec_id
              |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
 
+    // Maximum-inner-product top-k: rank by raw dot, not cosine — the
+    // objective when magnitudes carry signal. See Similarity.mipsTopK for
+    // the norm-augmentation reduction that makes the cosine ANN paths
+    // (LSH/IVF) apply to MIPS at scale; this brute ranking anchors it.
+    QueryDef("sim_mips",
+      (s, d) => Similarity.mipsTopK(T(s, d, "embeddings"), queryId = 0L, k = 10),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |dots AS (SELECT b.vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id = 0 AND b.vec_id <> 0
+             |         GROUP BY 1)
+             |SELECT vec_id, round(dp, 3) AS dot FROM dots
+             |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ANN quality evaluation AS a query: recall@10 of single-probe batched
+    // IVF against the exact batched top-10, per query — the
+    // retrieval-eval loop run inside the engine (at 100 TB you eval the
+    // index with the same one-scan join machinery you serve with, not by
+    // exporting to a notebook). Both rankings round scores at 3 and break
+    // ties on vec_id, so the two top-k SETS are deterministic and the
+    // recall is exact — fully oracle-able even though IVF is approximate.
+    QueryDef("sim_recall_eval",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val ids = Seq(0L, 1L, 2L, 3L, 4L)
+        val brute = Similarity.batchTopK(embs, ids, k = 10)
+          .select(col("q_id"), col("vec_id"))
+        val ivf = Similarity.ivfBatchTopK(embs, ids, k = 10, nprobe = 1)
+          .select(col("q_id").as("iq"), col("vec_id").as("iv"))
+        brute.join(ivf, col("q_id") === col("iq") && col("vec_id") === col("iv"), "left")
+          .groupBy("q_id")
+          .agg(count(col("iv")).as("n_hits"))
+          .select(col("q_id"), col("n_hits"),
+            (col("n_hits").cast("double") / 10.0).as("recall"))
+          .orderBy("q_id")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |lab AS (SELECT DISTINCT vec_id, label FROM ex),
+             |bdots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+             |          FROM ex a JOIN ex b ON a.i = b.i
+             |          WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |          GROUP BY 1, 2),
+             |bscored AS (SELECT q_id, bdots.vec_id AS vec_id, round(dp / (nq.n * nv.n), 3) AS cs
+             |            FROM bdots
+             |            JOIN nrm nq ON nq.vec_id = bdots.q_id
+             |            JOIN nrm nv ON nv.vec_id = bdots.vec_id),
+             |btop AS (SELECT q_id, vec_id FROM (
+             |           SELECT q_id, vec_id,
+             |                  row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+             |           FROM bscored) WHERE rn <= 10),
+             |cent AS (SELECT label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |cn AS (SELECT label, sqrt(sum(cx * cx)) AS n FROM cent GROUP BY 1),
+             |qex AS (SELECT vec_id AS q_id, i, x FROM ex WHERE vec_id IN (0, 1, 2, 3, 4)),
+             |qn AS (SELECT q_id, sqrt(sum(x * x)) AS n FROM qex GROUP BY 1),
+             |cdot AS (SELECT q.q_id, c.label, sum(c.cx * q.x) AS dp
+             |         FROM cent c JOIN qex q ON c.i = q.i GROUP BY 1, 2),
+             |route AS (SELECT q_id, label FROM (
+             |            SELECT cdot.q_id, cdot.label,
+             |                   row_number() OVER (PARTITION BY cdot.q_id
+             |                        ORDER BY cdot.dp / (qn.n * cn.n) DESC, cdot.label) AS rn
+             |            FROM cdot JOIN qn ON qn.q_id = cdot.q_id
+             |                      JOIN cn ON cn.label = cdot.label) WHERE rn <= 1),
+             |itop AS (SELECT q_id, vec_id FROM (
+             |           SELECT s.q_id, s.vec_id,
+             |                  row_number() OVER (PARTITION BY s.q_id ORDER BY s.cs DESC, s.vec_id) AS rn
+             |           FROM bscored s
+             |           JOIN lab ON lab.vec_id = s.vec_id
+             |           JOIN route r ON r.q_id = s.q_id AND r.label = lab.label)
+             |         WHERE rn <= 10)
+             |SELECT b.q_id, count(i.vec_id) AS n_hits,
+             |       CAST(count(i.vec_id) AS DOUBLE) / 10.0 AS recall
+             |FROM btop b LEFT JOIN itop i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // End-to-end corpus dedup: drop the higher-id side of every verified
     // near-dup pair (keep-first-occurrence policy), report the surviving
     // corpus stats. MinHash LSH supplies the pairs, so this is the full

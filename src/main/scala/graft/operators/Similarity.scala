@@ -272,4 +272,69 @@ object Similarity {
   def rhpBucket(embs: DataFrame, nBits: Int, table: Int, dim: Int = 64): DataFrame =
     embs.withColumn("bucket",
       element_at(VectorFns.rhpKeys(col("embedding"), dim, nBits, tables = 1, firstTable = table), 1))
+
+  /** Maximum-inner-product top-k (MIPS): rank by RAW dot product, not
+    * cosine — the retrieval objective when magnitudes carry signal
+    * (popularity-weighted item embeddings, un-normalized two-tower
+    * outputs). Same scale shape as [[bruteForceTopK]]: broadcast query,
+    * one corpus scan with the codegen dot, TakeOrderedAndProject.
+    *
+    * Scale note: MIPS is NOT a metric (no triangle inequality), so the
+    * LSH/IVF pruning used for cosine does not transfer directly; the
+    * standard reduction augments each corpus vector with
+    * sqrt(M² − ‖x‖²) (M = max norm) making inner-product order equal
+    * cosine order in d+1 dims — after which [[lshTopK]]/[[ivfTopK]] apply
+    * unchanged. That augmentation is one extra projected column at scan
+    * time; the brute ranking here is the oracle anchor for it.
+    */
+  def mipsTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFns.dot(col("embedding"), col("q_emb")), 3).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batched IVF top-k: route EVERY query to its `nprobe` nearest
+    * centroids, then score each query only against its probed clusters —
+    * the serving/eval workload shape ([[batchTopK]]'s one-scan economics
+    * applied to the routed search). The probe table is O(queries·nprobe)
+    * and broadcasts INTO the corpus scan, so each corpus row joins only
+    * the queries that probed its cluster; per-query top-k is the same
+    * map-side WindowGroupLimit prune as [[batchTopK]].
+    */
+  def ivfBatchTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+                   nprobe: Int = 1): DataFrame = {
+    val ids = queryIds.map(l => l: Any)
+    val cents = centroids(embs)
+    val qs = broadcast(embs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val qdot = aggregate(
+      zip_with(col("q_emb").cast("array<double>"), col("centroid"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val qn = sqrt(aggregate(transform(col("q_emb").cast("array<double>"), a => a * a),
+      lit(0.0), (acc, x) => acc + x))
+    val cn = sqrt(aggregate(transform(col("centroid"), a => a * a),
+      lit(0.0), (acc, x) => acc + x))
+    val wRoute = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("c_sim").desc, col("label"))
+    val probes = cents.crossJoin(qs)
+      .select(col("q_id"), col("label"), (qdot / (qn * cn)).as("c_sim"))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("label"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    embs.filter(!col("vec_id").isin(ids: _*))
+      .join(broadcast(probes), "label")
+      .join(qs, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
 }
