@@ -761,6 +761,52 @@ object EventQueries {
              |       floor((x - x_prev) * 1000000.0 / x_prev) / 10000 AS growth_pct
              |FROM j ORDER BY event_type, w0""".stripMargin)),
 
+    // Marketing attribution: for every purchase, the user's FIRST and LAST
+    // non-purchase touch in the preceding 24h — conditional struct min/max
+    // over a RANGE frame (the frame is time-bounded, the condition picks
+    // which rows count; purchases with no prior touch keep NULLs). One
+    // user-keyed window shuffle, no self-join — the shape that replaces
+    // the quadratic "join each conversion to all its prior events" at
+    // scale. Sub-second order folds into the (sec, event_id) struct key.
+    QueryDef("ts_attribution",
+      (s, d) => {
+        val touch = when(col("event_type") =!= "purchase",
+          struct(col("sec").as("s"), col("event_id").as("e"), col("event_type").as("t")))
+        val w = Window.partitionBy("user_id").orderBy(col("sec"))
+          .rangeBetween(-86400, -1)
+        T(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts").cast("long").as("sec"), col("ts"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            min(touch).over(w).as("ft"),
+            max(touch).over(w).as("lt"),
+            count(touch).over(w).as("n_touches"))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ft.t").as("first_touch"), col("lt.t").as("last_touch"),
+            col("n_touches"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |                   date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec, ts
+             |            FROM events),
+             |w AS (SELECT event_id, user_id, event_type, ts,
+             |             min(CASE WHEN event_type <> 'purchase'
+             |                      THEN {'s': sec, 'e': event_id, 't': event_type} END)
+             |               OVER win AS ft,
+             |             max(CASE WHEN event_type <> 'purchase'
+             |                      THEN {'s': sec, 'e': event_id, 't': event_type} END)
+             |               OVER win AS lt,
+             |             count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+             |               OVER win AS n_touches
+             |      FROM ev
+             |      WINDOW win AS (PARTITION BY user_id ORDER BY sec
+             |                     RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |       ft.t AS first_touch, lt.t AS last_touch, n_touches
+             |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     // Sweep-line concurrency: treating each event as a 10-minute activity
     // interval, the peak number of simultaneously-active intervals per
     // type and the first instant it is reached — the classic

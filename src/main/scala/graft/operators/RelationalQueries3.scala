@@ -222,6 +222,61 @@ object RelationalQueries3 {
              |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Cumulative gains / lift table: customers ranked by account balance
+    // (the "model score" stand-in), conversion = ordered since 2000-01-01;
+    // per decile the cumulative conversion rate over the baseline rate,
+    // quantized once from exact integer products (cum_conv·tn / cum_n·tc).
+    // The global ntile is a single-partition window — fine for O(customers)
+    // ranking rows; a 100 TB run would range-partition the rank first
+    // (approx percentile boundaries) and ntile within partitions.
+    QueryDef("win_lift",
+      (s, d) => {
+        val conv = T(s, d, "orders")
+          .filter(col("o_orderdate") >= "2000-01-01")
+          .select("o_custkey").distinct()
+        val scored = T(s, d, "customer")
+          .join(conv, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_acctbal"),
+            when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("converted"))
+        val dec = scored.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+            .cast("bigint"))
+        val byDec = dec.groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum("converted").as("n_conv"))
+        val tot = byDec.agg(sum("n").as("tn"), sum("n_conv").as("tc"))
+        val wc = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDec.crossJoin(broadcast(tot))
+          .select(col("decile"), col("n"), col("n_conv"),
+            sum(col("n")).over(wc).as("cum_n"),
+            sum(col("n_conv")).over(wc).as("cum_conv"),
+            col("tn"), col("tc"))
+          .select(col("decile"), col("n"), col("n_conv"), col("cum_n"), col("cum_conv"),
+            (floor(col("cum_conv") * col("tn") * lit(1000000.0)
+              / (col("cum_n") * col("tc"))) / 10000).as("cum_lift_pct"))
+          .orderBy("decile")
+      },
+      Some("""WITH conv AS (SELECT DISTINCT o_custkey FROM orders
+             |              WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+             |scored AS (SELECT c_custkey, c_acctbal,
+             |                  CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS converted
+             |           FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+             |dec AS (SELECT *, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+             |        FROM scored),
+             |byd AS (SELECT decile, count(*) AS n, CAST(sum(converted) AS BIGINT) AS n_conv
+             |        FROM dec GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_conv) AS BIGINT) AS tc
+             |        FROM byd),
+             |cum AS (SELECT decile, n, n_conv,
+             |               CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+             |               CAST(sum(n_conv) OVER w AS BIGINT) AS cum_conv
+             |        FROM byd
+             |        WINDOW w AS (ORDER BY decile
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT decile, n, n_conv, cum_n, cum_conv,
+             |       floor(cum_conv * tn * 1000000.0 / (cum_n * tc)) / 10000 AS cum_lift_pct
+             |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin)),
+
     // first/second/last window-value battery: per-segment podium row via
     // an UNBOUNDED-both-ways frame (nth_value needs the full frame — the
     // default frame stops at CURRENT ROW and would return NULL for rows
