@@ -106,4 +106,50 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(messy == sq, messy)
   }
+
+  test("bfsHops: exact hop distances on a path seeded at 0") {
+    // seedMod larger than any id: only node 0 (0 % m == 0) seeds
+    val got = Graph.bfsHops(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a_id", "b_id"),
+      seedMod = 1000, rounds = 6).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), got)
+  }
+
+  test("bfsHops: bounded radius truncates; seedless components are absent") {
+    val got = Graph.bfsHops(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id"),
+      seedMod = 1000, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), got)
+  }
+
+  test("bfsHops matches in-Scala multi-source BFS on random graphs") {
+    import org.scalacheck.{Gen, rng}
+    val edgeGen = Gen.listOfN(35,
+      Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    def bruteBfs(edges: Seq[(Long, Long)], seedMod: Long, rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = adj.keySet
+      var hops = nodes.filter(_ % seedMod == 0).map(_ -> 0L).toMap
+      for (r <- 1 to rounds) {
+        val frontier = hops.collect { case (n, h) if h == r - 1 => n }
+        val reached = frontier.flatMap(adj).filterNot(hops.contains)
+        hops = hops ++ reached.map(_ -> r.toLong)
+      }
+      hops
+    }
+    (0 until 5).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, rng.Seed(9000L + i)).get
+      if (edges.nonEmpty) {
+        // rounds 25 >= any possible diameter: full BFS; rounds 2: truncated
+        Seq(25, 2).foreach { rounds =>
+          val exp = bruteBfs(edges, seedMod = 3, rounds = rounds)
+          val got = Graph.bfsHops(edges.toDF("a_id", "b_id"),
+            seedMod = 3, rounds = rounds).as[(Long, Long)].collect().toMap
+          assert(got == exp, s"seed=${9000 + i} rounds=$rounds: $got vs $exp")
+        }
+      }
+    }
+  }
 }
