@@ -29,6 +29,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema:") && !p.contains("l_comment"))
   }
 
+  test("attribution runs on ONE user-keyed window shuffle (no self-join)") {
+    // The conditional-frame formulation must not degrade into a
+    // conversions×events join: exactly one hashpartitioning exchange (the
+    // user_id window), zero join nodes.
+    val p = plan("ts_attribution")
+    assert(p.split("hashpartitioning").length == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("Q19's disjunctive predicate splits and pushes into BOTH scans") {
     // OR-of-ANDs mixing both sides: Catalyst must derive each side's
     // projected disjunction and push it to the parquet reader — the brand/
