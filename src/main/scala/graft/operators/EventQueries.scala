@@ -807,6 +807,84 @@ object EventQueries {
              |       ft.t AS first_touch, lt.t AS last_touch, n_touches
              |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // CUSUM changepoint scan: per type, the running sum of deviations from
+    // the series mean over daily volumes, reported at its max-|CUSUM| day —
+    // the classic drift detector next to ts_meanshift's two-window test.
+    // Kept in EXACT integer space: cusum_t = Σ(x_i − mean) scaled by n days
+    // is n·cumsum_t − t·total (all BIGINTs), so the argmax (and the
+    // tie-break to the earliest day) is bit-identical cross-engine — no
+    // float mean ever enters a comparison.
+    QueryDef("ts_cusum",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val wt = Window.partitionBy("event_type")
+        val wc = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .select(col("event_type"), col("day"), col("x"),
+            count(lit(1)).over(wt).as("n"),
+            sum(col("x")).over(wt).as("tot"),
+            sum(col("x")).over(wc).as("cum"),
+            row_number().over(wc).cast("bigint").as("t"))
+          .select(col("event_type"), col("day"), col("n"), col("t"),
+            (col("n") * col("cum") - col("t") * col("tot")).as("num"))
+          .groupBy("event_type")
+          .agg(max(struct(abs(col("num")).as("a"), (-col("t")).as("nt"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("num").as("num"),
+            col("n").as("n"))).as("m"))
+          .select(col("event_type"), col("m.day").as("peak_day"),
+            col("m.num").as("cusum_num"), col("m.n").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |cur AS (SELECT event_type, day, x,
+             |               count(*) OVER wt AS n,
+             |               CAST(sum(x) OVER wt AS BIGINT) AS tot,
+             |               CAST(sum(x) OVER wc AS BIGINT) AS cum,
+             |               row_number() OVER wc AS t
+             |        FROM daily
+             |        WINDOW wt AS (PARTITION BY event_type),
+             |               wc AS (PARTITION BY event_type ORDER BY day)),
+             |num AS (SELECT event_type, day, n, n * cum - t * tot AS num, t FROM cur),
+             |agg AS (SELECT event_type,
+             |               max({'a': abs(num), 'nt': -t,
+             |                    'day': strftime(day, '%Y-%m-%d'),
+             |                    'num': num, 'n': n}) AS m
+             |        FROM num GROUP BY 1)
+             |SELECT event_type, m.day AS peak_day, m.num AS cusum_num, m.n AS n_days
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // Row-pattern matching (CEP-lite): strictly CONSECUTIVE view→click→
+    // purchase triples per user — two leads over one user-keyed window, a
+    // filter, and a count. The MATCH_RECOGNIZE-style sequence detector
+    // without a quadratic self-join; sub-second order pinned by
+    // (sec, event_id) like ts_attribution.
+    QueryDef("ts_sequence_match",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").cast("long"), col("event_id"))
+        T(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            lead(col("event_type"), 1).over(w).as("t1"),
+            lead(col("event_type"), 2).over(w).as("t2"))
+          .filter(col("event_type") === "view" &&
+            col("t1") === "click" && col("t2") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("n_matches"))
+          .orderBy("user_id")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |                    lead(event_type, 1) OVER w AS t1,
+             |                    lead(event_type, 2) OVER w AS t2
+             |             FROM events
+             |             WINDOW w AS (PARTITION BY user_id
+             |                          ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts),
+             |                                   event_id))
+             |SELECT user_id, count(*) AS n_matches FROM seq
+             |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sweep-line concurrency: treating each event as a 10-minute activity
     // interval, the peak number of simultaneously-active intervals per
     // type and the first instant it is reached — the classic

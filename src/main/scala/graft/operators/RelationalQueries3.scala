@@ -222,6 +222,45 @@ object RelationalQueries3 {
              |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated "= (SELECT min …)"
+    // aggregate-equality select — every supplier achieving the per-part
+    // minimum survives (ties included). No partsupp table here, so the
+    // metric is min sale price per (part, supplier) from lineitem; min is a
+    // SELECTION (exact double), so the equality is engine-independent.
+    // Decorrelated the way the 100 TB plan wants: the size-25 partkeys
+    // semi-filter lineitem FIRST, the per-part minimum aggregates the
+    // already-tiny (part, supplier) frame, and dims broadcast.
+    QueryDef("rel_join_q2",
+      (s, d) => {
+        val p25 = T(s, d, "part").filter(col("p_size") === 25)
+          .select("p_partkey", "p_name")
+        val ps = T(s, d, "lineitem")
+          .join(broadcast(p25.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_extendedprice")).as("m"))
+        val pm = ps.groupBy(col("l_partkey").as("pk"))
+          .agg(min(col("m")).as("pm"))
+        ps.join(pm, col("l_partkey") === col("pk") && col("m") === col("pm"))
+          .join(broadcast(p25), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(T(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+            col("m").as("min_price"))
+          .orderBy("p_partkey", "s_suppkey")
+      },
+      Some("""WITH p25 AS (SELECT p_partkey, p_name FROM part WHERE p_size = 25),
+             |ps AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS m
+             |       FROM lineitem
+             |       WHERE l_partkey IN (SELECT p_partkey FROM p25)
+             |       GROUP BY 1, 2)
+             |SELECT p_partkey, p_name, s_suppkey, s_name, m AS min_price
+             |FROM ps
+             |JOIN p25 ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE m = (SELECT min(m) FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)
+             |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
     // Cumulative gains / lift table: customers ranked by account balance
     // (the "model score" stand-in), conversion = ordered since 2000-01-01;
     // per decile the cumulative conversion rate over the baseline rate,
