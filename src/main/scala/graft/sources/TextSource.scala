@@ -40,4 +40,22 @@ object TextSource {
     (if (singleFile) out.coalesce(1) else out)
       .write.mode(SaveMode.Overwrite).text(path)
   }
+
+  /** Byte-parity framing of the reference's consolidated inverted-index
+    * output: `word\t['./book3.txt', './myfile.txt']` — the Python list repr
+    * its reducer emits (/root/reference/output/output_sample.txt:1,
+    * mapreduce_inverted.py:11 `list(set(...))`). The reference's file ORDER
+    * inside the brackets is Python set-iteration order (run-dependent);
+    * this writer emits the sorted refinement so the bytes are reproducible.
+    * Escaping matches Python str repr for the path charset (no quotes/
+    * backslashes in file paths — true of the reference corpus).
+    */
+  def writePythonReprIndex(df: DataFrame, wordCol: String, filesCol: String,
+                           path: String, singleFile: Boolean = false): Unit = {
+    val repr = concat(lit("["),
+      array_join(transform(array_sort(col(filesCol)),
+        f => concat(lit("'"), f, lit("'"))), ", "),
+      lit("]"))
+    writeTsv(df.select(col(wordCol), repr.as("files_repr")), path, singleFile)
+  }
 }

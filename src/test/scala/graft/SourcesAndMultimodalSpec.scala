@@ -36,6 +36,22 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(back == Set("cat\t3", "dog\t1"))
   }
 
+  test("writePythonReprIndex byte-reproduces the reference's output framing") {
+    // /root/reference/output/output_sample.txt:1 —
+    //   in\t['./book3.txt', './myfile.txt', './book1.txt', './book2.txt']
+    // (set-iteration file order is run-dependent in the reference; the
+    // writer emits the sorted refinement of the same framing)
+    val out = Files.createTempDirectory("pyrepr").toString + "/idx"
+    val idx = Seq(
+      ("in", Seq("./book3.txt", "./myfile.txt", "./book1.txt", "./book2.txt")),
+      ("solo", Seq("./book1.txt"))).toDF("word", "files")
+    TextSource.writePythonReprIndex(idx, "word", "files", out, singleFile = true)
+    val back = spark.read.text(out).as[String].collect().toSet
+    assert(back == Set(
+      "in\t['./book1.txt', './book2.txt', './book3.txt', './myfile.txt']",
+      "solo\t['./book1.txt']"), back)
+  }
+
   test("multimodal payload carries bytes + metadata struct") {
     val docs = Seq((1L, "hello", "en", "s", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val row = Multimodal.withPayload(docs).select("media.n_bytes", "media.mime").head()
