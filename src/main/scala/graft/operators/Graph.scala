@@ -202,6 +202,41 @@ object Graph {
       .orderBy("a_id", "b_id")
   }
 
+  /** Per-community modularity contribution of the [[labelPropagation]]
+    * partition: for each community c, e_in(c)/m − (deg(c)/2m)² — summing
+    * the column IS Newman modularity Q, the standard "was this community
+    * structure better than random" score. The numerator 4·m·e_in − deg²
+    * is exact integer arithmetic; one floor quantization of the final
+    * ratio keeps the score engine-independent.
+    *
+    * Scale shape: two label joins on the edge table (edge endpoints →
+    * labels, keyed on node id like every round here), then O(communities)
+    * aggregates; the scalar m broadcasts. Nothing touches all-pairs.
+    */
+  def modularity(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    val labels = labelPropagation(pairs, rounds)
+    val e = pairs.select(col("a_id"), col("b_id")).distinct()
+    val m = broadcast(e.agg(count(lit(1)).as("m")))
+    val la = labels.select(col("id").as("a_id"), col("community").as("ca"))
+    val lb = labels.select(col("id").as("b_id"), col("community").as("cb"))
+    val ein = e.join(la, "a_id").join(lb, "b_id")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val es = e.select(col("a_id").as("id")).union(e.select(col("b_id").as("id")))
+    val deg = es.groupBy("id").agg(count(lit(1)).as("dg"))
+    val degc = deg.join(labels, "id")
+      .groupBy("community")
+      .agg(sum(col("dg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    degc.join(ein, Seq("community"), "left")
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (floor((lit(4) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("deg_sum") * col("deg_sum")) * lit(1000000.0)
+          / (lit(4.0) * col("m") * col("m"))) / 1000000).as("q_contrib"))
+      .orderBy("community")
+  }
+
   /** Multi-source BFS hop distance: every node whose id ≡ 0 (mod seedMod)
     * is a 0-hop seed; `rounds` synchronous frontier expansions later,
     * return (id, hop) for every node reached — min hop wins. A FIXED round

@@ -421,6 +421,43 @@ object PipelineQueries {
              |        GROUP BY 1)
              |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin)),
 
+    // Newman modularity of the 5-round label-propagation partition over the
+    // shares->=3-shingles graph: per-community e_in/m − (deg/2m)², exact
+    // integer numerator, one floor quantization — "was the community
+    // structure better than random" as a number. Sum of q_contrib = Q.
+    QueryDef("gr_modularity",
+      (s, d) => Graph.modularity(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        rounds = 5),
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""m$r AS MATERIALIZED (SELECT es.id, l.lbl FROM es JOIN l${r - 1} l ON l.id = es.nb),
+             |c$r AS MATERIALIZED (SELECT id, lbl, count(*) AS c FROM m$r GROUP BY 1, 2),
+             |l$r AS MATERIALIZED (SELECT id, (min({'nc': -c, 'lbl': lbl})).lbl AS lbl
+             |       FROM c$r GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |es AS MATERIALIZED (SELECT a_id AS id, b_id AS nb FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM es),
+           |$rounds,
+           |mm AS (SELECT count(*) AS m FROM prs),
+           |ein AS (SELECT la.lbl AS community, count(*) AS e_in
+           |        FROM prs JOIN l5 la ON la.id = a_id
+           |                 JOIN l5 lb ON lb.id = b_id AND lb.lbl = la.lbl
+           |        GROUP BY 1),
+           |deg AS (SELECT id, count(*) AS dg FROM es GROUP BY 1),
+           |degc AS (SELECT l5.lbl AS community, CAST(sum(dg) AS BIGINT) AS deg_sum,
+           |                count(*) AS n_nodes
+           |         FROM deg JOIN l5 ON l5.id = deg.id GROUP BY 1)
+           |SELECT community, n_nodes, coalesce(e_in, CAST(0 AS BIGINT)) AS e_in, deg_sum,
+           |       floor((4 * m * coalesce(e_in, 0) - deg_sum * deg_sum) * 1000000.0
+           |             / (4.0 * m * m)) / 1000000 AS q_contrib
+           |FROM degc LEFT JOIN ein USING (community) CROSS JOIN mm
+           |ORDER BY community""".stripMargin
+      }),
+
     // Bounded-radius multi-source BFS over the shares->=3-shingles graph:
     // hop distance from the id%20==0 seed set, 6 synchronous rounds —
     // "how far is every document from a known-bad seed" is the

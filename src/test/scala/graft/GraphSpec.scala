@@ -107,6 +107,16 @@ class GraphSpec extends AnyFunSuite {
     assert(messy == sq, messy)
   }
 
+  test("modularity: two disjoint triangles score 0.25 each (Q = 0.5)") {
+    // LPA resolves each triangle to its min label; m = 6, per community
+    // e_in = 3, deg_sum = 6 -> 3/6 - (6/12)^2 = 0.25
+    val got = Graph.modularity(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+        .toDF("a_id", "b_id"), rounds = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 6L, 0.25), (10L, 3L, 3L, 6L, 0.25)), got)
+  }
+
   test("bfsHops: exact hop distances on a path seeded at 0") {
     // seedMod larger than any id: only node 0 (0 % m == 0) seeds
     val got = Graph.bfsHops(
