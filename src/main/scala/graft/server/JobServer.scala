@@ -1,0 +1,141 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkEntry
+import graft.sources.{TempDirs, TextSource}
+import org.apache.spark.sql.SparkSession
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.time.Instant
+import java.util.concurrent.Executors
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Reference-parity REST control plane (SURVEY §2.1 O13,
+  * /root/reference/server.py:19-76): the reference fronts its engine with
+  * three Flask routes — POST /mapreduce returns a job id and runs the job
+  * asynchronously, GET /getjobstatus?jobid= returns the status string (or
+  * the consolidated output file once COMPLETED), GET /getjoblog?jobid=
+  * returns the master step log. This is the same surface over the Spark
+  * engine: a job is a named inventory query (the engine's job registry —
+  * the reference's "job config" names its map/reduce program the same way)
+  * plus a data dir; the output is the consolidated TSV
+  * ([[TextSource.writeTsv]] single-file mode, the reference's
+  * `consolidate_output` shape, master.py:166-173).
+  *
+  * Scale note: this is a CONTROL plane — the JVM thread pool only tracks
+  * job state; each job's execution is a Spark action that runs on the
+  * cluster. The reference provisions VMs per job (its O12); here
+  * submission cost is one action on the shared session, and the
+  * DAGScheduler owns stage barriers.
+  *
+  * Zero dependencies: JDK `com.sun.net.httpserver` + the fixed two-field
+  * JSON contract `{"query": <inventory name>, "sfDir": <dir>}` (parsed
+  * with anchored regexes, documented here as the protocol — not a general
+  * JSON endpoint). Binds 127.0.0.1 only.
+  */
+final class JobServer(spark: SparkSession, port: Int = 0) {
+
+  private final case class JobState(@volatile var status: String,
+                                    log: StringBuilder,
+                                    @volatile var outFile: Option[Path])
+
+  private val jobs = TrieMap.empty[String, JobState]
+  private val pool = Executors.newFixedThreadPool(2)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def logLine(st: JobState, msg: String): Unit = st.synchronized {
+    st.log.append(s"${Instant.now()} INFO $msg\n"); ()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def queryParam(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.startsWith(s"$key=") => kv.substring(key.length + 1)
+    })
+
+  private val queryRe = """"query"\s*:\s*"([^"]+)"""".r
+  private val sfDirRe = """"sfDir"\s*:\s*"([^"]+)"""".r
+
+  private def submit(name: String, sfDir: String): String = {
+    val jobId = java.util.UUID.randomUUID().toString
+    val st = JobState("RUNNING", new StringBuilder, None)
+    jobs.put(jobId, st)
+    logLine(st, s"Step 1 : Job $jobId accepted: query=$name sfDir=$sfDir")
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        try {
+          val fn = SparkEntry.queries.getOrElse(name,
+            throw new IllegalArgumentException(s"unknown query '$name'"))
+          logLine(st, "Step 2 : Running query plan on the engine")
+          val outDir = TempDirs.create(s"graft_job_$jobId")
+          // consolidated single-file TSV = the reference's output contract
+          TextSource.writeTsv(fn(spark, sfDir), outDir.toString, singleFile = true)
+          val part = Files.list(outDir).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq.headOption
+          logLine(st, "Step 3 : Consolidating output file")
+          st.outFile = part
+          st.status = "COMPLETED"
+          logLine(st, "Step 4 : Job COMPLETED")
+        } catch {
+          case NonFatal(e) =>
+            st.status = "ERROR"
+            logLine(st, s"ERROR : Job failed : ${e.getMessage}")
+        }
+    })
+    jobId
+  }
+
+  server.createContext("/", (ex: HttpExchange) =>
+    respond(ex, 200, "Welcome to MapReduce"))
+
+  server.createContext("/mapreduce", (ex: HttpExchange) =>
+    try {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      (queryRe.findFirstMatchIn(body), sfDirRe.findFirstMatchIn(body)) match {
+        case (Some(q), Some(d)) =>
+          respond(ex, 200, s"""{ "job_id" : "${submit(q.group(1), d.group(1))}" }""")
+        case _ => respond(ex, 400, "ERROR : Job Initilization failed")
+      }
+    } catch {
+      case NonFatal(_) => respond(ex, 500, "ERROR : Job Initilization failed")
+    })
+
+  server.createContext("/getjobstatus", (ex: HttpExchange) =>
+    queryParam(ex, "jobid").flatMap(jobs.get) match {
+      case Some(st) if st.status == "COMPLETED" =>
+        // parity with the reference: a COMPLETED status request returns the
+        // consolidated output itself (server.py:45-47)
+        respond(ex, 200,
+          st.outFile.map(p => Files.readString(p, StandardCharsets.UTF_8)).getOrElse(""))
+      case Some(st) => respond(ex, 200, st.status)
+      case None => respond(ex, 404, "ERROR : Job status check failed")
+    })
+
+  server.createContext("/getjoblog", (ex: HttpExchange) =>
+    queryParam(ex, "jobid").flatMap(jobs.get) match {
+      case Some(st) => respond(ex, 200, st.synchronized(st.log.toString))
+      case None => respond(ex, 404, "ERROR : Job log fetch failed")
+    })
+
+  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.start()
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+    ()
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.server.JobServer
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+/** End-to-end exercise of the O13 REST control plane against the real
+  * engine: submit → poll → output, log retrieval, and the reference's
+  * error-path contracts (/root/reference/server.py:19-76).
+  */
+class JobServerSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val c = new URL(s"http://127.0.0.1:$port$path").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    c.setConnectTimeout(5000); c.setReadTimeout(60000)
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    val body = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    (code, body)
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val c = new URL(s"http://127.0.0.1:$port$path").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST"); c.setDoOutput(true)
+    c.setConnectTimeout(5000); c.setReadTimeout(60000)
+    val os = c.getOutputStream
+    try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    val code = c.getResponseCode
+    val is = if (code >= 400) c.getErrorStream else c.getInputStream
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    (code, out)
+  }
+
+  private def pollUntilDone(port: Int, jobId: String, timeoutMs: Long = 120000): String = {
+    val t0 = System.currentTimeMillis()
+    var last = ""
+    while (System.currentTimeMillis() - t0 < timeoutMs) {
+      last = get(port, s"/getjobstatus?jobid=$jobId")._2
+      if (last != "RUNNING") return last
+      Thread.sleep(200)
+    }
+    fail(s"job $jobId still RUNNING after ${timeoutMs}ms (last: $last)")
+  }
+
+  test("submit -> poll -> consolidated TSV output, with a step log") {
+    val srv = new JobServer(spark)
+    try {
+      val (hello, welcome) = get(srv.boundPort, "/")
+      assert(hello == 200 && welcome == "Welcome to MapReduce")
+
+      val (code, resp) = post(srv.boundPort, "/mapreduce",
+        """{"query": "tx_wordcount", "sfDir": "/root/testdata/sf0.001"}""")
+      assert(code == 200, resp)
+      val jobId = """"job_id" : "([^"]+)"""".r.findFirstMatchIn(resp)
+        .map(_.group(1)).getOrElse(fail(s"no job_id in $resp"))
+
+      val out = pollUntilDone(srv.boundPort, jobId)
+      // COMPLETED status returns the consolidated word\tcount output itself
+      val lines = out.split("\n").filter(_.nonEmpty)
+      assert(lines.length > 10, s"only ${lines.length} output lines")
+      assert(lines.forall(l => l.split("\t").length == 2), lines.take(3).toSeq)
+
+      val (lc, log) = get(srv.boundPort, s"/getjoblog?jobid=$jobId")
+      assert(lc == 200 && log.contains("Step 3 : Consolidating output file")
+        && log.contains("Job COMPLETED"), log)
+    } finally srv.stop()
+  }
+
+  test("unknown query -> ERROR status; bad requests -> reference error strings") {
+    val srv = new JobServer(spark)
+    try {
+      val (_, resp) = post(srv.boundPort, "/mapreduce",
+        """{"query": "no_such_query", "sfDir": "/root/testdata/sf0.001"}""")
+      val jobId = """"job_id" : "([^"]+)"""".r.findFirstMatchIn(resp)
+        .map(_.group(1)).getOrElse(fail(s"no job_id in $resp"))
+      assert(pollUntilDone(srv.boundPort, jobId) == "ERROR")
+      val log = get(srv.boundPort, s"/getjoblog?jobid=$jobId")._2
+      assert(log.contains("unknown query"), log)
+
+      val (mc, malformed) = post(srv.boundPort, "/mapreduce", "not json at all")
+      assert(mc == 400 && malformed == "ERROR : Job Initilization failed")
+      val (sc, sbody) = get(srv.boundPort, "/getjobstatus?jobid=nope")
+      assert(sc == 404 && sbody == "ERROR : Job status check failed")
+      val (gc, gbody) = get(srv.boundPort, "/getjoblog?jobid=nope")
+      assert(gc == 404 && gbody == "ERROR : Job log fetch failed")
+    } finally srv.stop()
+  }
+}
