@@ -83,4 +83,18 @@ class FormatsSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
       .exists(_.endsWith("lang=en")))
   }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    // A 100 TB corpus never rewrites history when a column is added: old
+    // landing dates keep the v1 schema, new dates carry v2, and readers
+    // union them — added columns read NULL for v1 files.
+    val dir = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "text").write.parquet(s"$dir/d=1")
+    Seq((2L, "b", "en")).toDF("id", "text", "lang").write.parquet(s"$dir/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "text", "lang", "d"))
+    val rows = merged.select("id", "lang").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some("en")), rows)
+  }
 }
