@@ -222,6 +222,50 @@ object RelationalQueries3 {
              |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Weighted sampling without replacement, exactly and reproducibly:
+    // each row gets `w` integer tickets, its priority is the MIN Knuth
+    // hash over them, and the per-group k smallest priorities win.
+    // P(priority < t) = 1 − (1−t)^w — the min-of-w-uniforms is
+    // Efraimidis–Spirakis' u^(1/w) key in distribution, but stays in
+    // EXACT integer space (float pow near a rank boundary would not be
+    // engine-stable). The LLM-mixture use: sample documents proportional
+    // to quality weight, identically on every engine/run/partitioning.
+    // Scale: ticket fan-out is O(Σw) — fine for small integer weights;
+    // for large/real weights the log-space E-S key replaces the explode
+    // (same plan shape, one pow per row, rank-boundary care needed).
+    QueryDef("rel_sample_weighted",
+      (s, d) => {
+        val rk = (col("l_orderkey") * 10 + col("l_linenumber")).as("rk")
+        // (rk, w) is the sampling unit: the synthetic lineitem repeats
+        // (orderkey, linenumber) pairs, so same-rk rows share tickets and
+        // can tie on priority — w in the ORDER makes the rank total over
+        // the group keys (real pipelines key rows uniquely and skip this).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy(col("priority"), col("rk"), col("w"))
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), rk, col("l_quantity").cast("int").as("w"))
+          .select(col("l_returnflag"), col("rk"), col("w"),
+            explode(sequence(lit(1), col("w"))).as("j"))
+          .select(col("l_returnflag"), col("rk"), col("w"),
+            graft.functions.HashFns.knuthU(col("rk") * 64 + col("j")).as("t"))
+          .groupBy("l_returnflag", "rk", "w").agg(min(col("t")).as("priority"))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .filter(col("rn") <= 5)
+          .select(col("l_returnflag"), col("rn"), col("rk"), col("w"), col("priority"))
+          .orderBy("l_returnflag", "rn")
+      },
+      Some(s"""WITH t AS (SELECT l_returnflag, l_orderkey * 10 + l_linenumber AS rk,
+             |                  CAST(l_quantity AS INT) AS w,
+             |                  unnest(generate_series(1, CAST(l_quantity AS INT))) AS j
+             |           FROM lineitem),
+             |pr AS (SELECT l_returnflag, rk, w,
+             |              min(${graft.functions.HashFns.knuthUSql("rk * 64 + j")}) AS priority
+             |       FROM t GROUP BY 1, 2, 3),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+             |                ORDER BY priority, rk, w) AS rn FROM pr)
+             |SELECT l_returnflag, rn, rk, w, priority FROM r WHERE rn <= 5
+             |ORDER BY l_returnflag, rn""".stripMargin)),
+
     // TPC-H Q2 shape (min-cost supplier): the correlated "= (SELECT min …)"
     // aggregate-equality select — every supplier achieving the per-part
     // minimum survives (ties included). No partsupp table here, so the
