@@ -339,6 +339,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
   }
 
+  test("bucket pruning: an equality point query reads 1 of 8 buckets") {
+    // The bucketed sibling of DPP: an equality predicate on the bucket
+    // column hashes to ONE bucket, so the scan opens 1/8 of the files —
+    // the point-lookup I/O lever the bucketed landing buys beyond the
+    // exchange-free join.
+    // autoBucketedScan drops the bucketed read when no operator needs the
+    // distribution — pin it on so the filter's bucket pruning applies (a
+    // production point-lookup job sets the same knob).
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val (_, lineitem) = graft.sources.BucketedView.tables(spark, sf)
+      val df = lineitem.filter(org.apache.spark.sql.functions.col("l_orderkey") === 42L)
+      val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"), scan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("bitmap distinct aggregates partial bitmaps, never raw key sets") {
     val p = plan("rel_bitmap_distinct")
     // map-side partial bitmap_construct_agg before the (group, bucket)
