@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fourth relational batch: the remaining TPC-H planner shapes (Q4, Q6, Q8,
@@ -372,6 +372,75 @@ object RelationalQueries4 {
              |  AND s_nationkey IN (SELECT n_nationkey FROM nation
              |                      JOIN region ON r_regionkey = n_regionkey
              |                      WHERE r_name = 'EUROPE')
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Z-order layout audit: the write-side clustering lever for
+    // two-dimensional min/max file skipping at 100 TB. Interleaving 8 bits
+    // of (customer bucket, order-day decade) and chunking the sort order
+    // into fixed-size "files" bounds BOTH dimensions per chunk, where a
+    // linear (single-key) sort bounds only its own key — the per-chunk
+    // extent sums below quantify the difference, i.e. how much a
+    // min/max-pruned scan could skip under a predicate on either dim. The
+    // audit's global row_number models the file assignment deterministically
+    // for the oracle; a production write is repartitionByRange(zval) +
+    // sortWithinPartitions, which needs no global window.
+    QueryDef("rel_zorder",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = T(s, d, "orders").select(
+          col("o_orderkey"),
+          (col("o_custkey") % 256).cast("int").as("x"),
+          least(lit(255), floor(datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")) / 10)).cast("int").as("y"))
+        val zExpr = (0 until 8).map(i =>
+          s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})").mkString(" + ")
+        val withZ = base.withColumn("zval", expr(zExpr))
+        def extents(df: DataFrame, ord: Seq[Column], layout: String) = {
+          val chunk = floor((row_number().over(
+            Window.orderBy(ord: _*)) - 1) / 64)
+          df.withColumn("chunk", chunk)
+            .groupBy("chunk")
+            .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+            .agg(count(lit(1)).as("n_chunks"),
+              sum("xr").cast("bigint").as("sum_x_range"),
+              sum("yr").cast("bigint").as("sum_y_range"))
+            .select(lit(layout).as("layout"), col("n_chunks"),
+              col("sum_x_range"), col("sum_y_range"))
+        }
+        extents(withZ, Seq(col("x"), col("o_orderkey")), "linear")
+          .unionAll(extents(withZ, Seq(col("zval"), col("o_orderkey")), "zorder"))
+          .orderBy("layout")
+      },
+      Some {
+        val zSql = (0 until 8).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT o_orderkey,
+           |         CAST(o_custkey % 256 AS INT) AS x,
+           |         CAST(least(255, floor((CAST(o_orderdate AS DATE)
+           |                                - DATE '1995-01-01') / 10)) AS INT) AS y
+           |  FROM orders),
+           |z AS (SELECT *, $zSql AS zval FROM base),
+           |lin AS (SELECT x, y,
+           |          CAST(floor((row_number() OVER (ORDER BY x, o_orderkey) - 1) / 64) AS BIGINT) AS chunk
+           |        FROM z),
+           |zo AS (SELECT x, y,
+           |          CAST(floor((row_number() OVER (ORDER BY zval, o_orderkey) - 1) / 64) AS BIGINT) AS chunk
+           |       FROM z),
+           |linc AS (SELECT chunk, max(x) - min(x) AS xr, max(y) - min(y) AS yr
+           |         FROM lin GROUP BY chunk),
+           |zoc AS (SELECT chunk, max(x) - min(x) AS xr, max(y) - min(y) AS yr
+           |        FROM zo GROUP BY chunk)
+           |SELECT 'linear' AS layout, count(*) AS n_chunks,
+           |       CAST(sum(xr) AS BIGINT) AS sum_x_range,
+           |       CAST(sum(yr) AS BIGINT) AS sum_y_range FROM linc
+           |UNION ALL
+           |SELECT 'zorder' AS layout, count(*) AS n_chunks,
+           |       CAST(sum(xr) AS BIGINT) AS sum_x_range,
+           |       CAST(sum(yr) AS BIGINT) AS sum_y_range FROM zoc
+           |ORDER BY layout""".stripMargin
+      })
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import graft.streaming.{EventStreams, StreamGate}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** events schema under nanosAsLong (ts arrives as raw nanos BIGINT). */
+  /** events schema as the stream source will see it (nanos BIGINT under
+    * nanosAsLong, or TIMESTAMP_NTZ for micros parquet).
+    */
   private def eventsSchema(s: SparkSession, d: String) =
     s.read.parquet(s"$d/events.parquet").schema
 
-  private def toTs(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def toTs(df: org.apache.spark.sql.DataFrame) = Tables.normalizeTs(df)
 
   /** One streaming execution of the tumbling-window counts per (session,
     * sfDir), shared by every query that post-processes its emissions

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.PrivacyQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  test("piiRedact counts and strips exactly the planted identifiers") {
+    // doc 0: %3==0 no primary email, %5==0 alt email, %4==0 ip, even phone.
+    // doc 1: primary email only (%4==1 kills the ip, odd kills the phone).
+    // doc 2: primary email, ip, phone.
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma"), (2L, "delta"))
+      .toDF("doc_id", "text")
+    val got = PrivacyQueries.piiRedact(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((0L, 1L, 1L, 1L), (1L, 1L, 0L, 0L), (2L, 1L, 1L, 1L)), got)
+    // doc 0 deltas: "admin0@corp.example.org"(23)->"[EMAIL]"(7) = 16,
+    // "10.0.0.1"(8)->"[IP]"(4) = 4, "555-0100"(8)->"[PHONE]"(7) = 1.
+    assert(got(0)._5 == 21L, got)
+  }
+
+  test("kAnonymity flags every group smaller than k with its row count") {
+    val rows = Seq(
+      // AUTOMOBILE nation 1 band 0: 5 rows (safe at k=5)
+      ("AUTOMOBILE", 1, 100.0), ("AUTOMOBILE", 1, 200.0), ("AUTOMOBILE", 1, 300.0),
+      ("AUTOMOBILE", 1, 400.0), ("AUTOMOBILE", 1, 500.0),
+      // AUTOMOBILE nation 2 band 0: 2 rows (at risk)
+      ("AUTOMOBILE", 2, 100.0), ("AUTOMOBILE", 2, 110.0),
+      // BUILDING nation 1 band 1: 1 row (at risk)
+      ("BUILDING", 1, 2100.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = PrivacyQueries.kAnonymity(rows, k = 5)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("AUTOMOBILE", 2L, 2L, 1L, 2L),
+      ("BUILDING", 1L, 1L, 1L, 1L)))
+  }
+
+  test("z-order chunking bounds both dimensions tighter than a linear sort") {
+    // Chunking the x-sorted order leaves each chunk's y extent near full
+    // range, while interleaved-bit order bounds both dimensions — the
+    // audit's sum_y_range must drop under zorder while sum_x_range stays
+    // the same order of magnitude. Runs the registered QueryDef on sf0.001.
+    val rows = SparkEntry.queries("rel_zorder")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (_, _, linY) = rows("linear")
+    val (_, _, zoY) = rows("zorder")
+    assert(zoY < linY, s"zorder sum_y_range $zoY not tighter than linear $linY")
+  }
+}

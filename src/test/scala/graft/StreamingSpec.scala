@@ -132,10 +132,8 @@ class StreamingSpec extends AnyFunSuite {
   test("file-source stream over the events parquet matches batch results") {
     // a real file stream source (not MemoryStream): the sf0.001 events
     // parquet read as a one-batch stream, through the same windowedCounts
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    val toTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val toTs = (df: org.apache.spark.sql.DataFrame) => Tables.normalizeTs(df)
     // FileStreamSource requires a directory — stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(
@@ -164,8 +162,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$d/events.parquet").schema
     val streamed = graft.streaming.StreamGate.runAppendToParquet(
         spark, s"$d/events.parquet", schema,
-        df => EventStreams.windowedCounts(
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        df => EventStreams.windowedCounts(Tables.normalizeTs(df),
           watermark = "0 seconds"),
         "spec_win")
       .select($"window_start", $"event_type", $"n", $"sum_value")
