@@ -428,4 +428,22 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(df.queryExecution.executedPlan.toString.contains("*("), q)
     }
   }
+
+  test("PII redaction is a shuffle-free codegen'd map over the scan") {
+    // The governance pass must stay embarrassingly parallel at 100 TB:
+    // scan → project(regexp) → sort for the oracle's ORDER BY. The only
+    // exchange allowed is the final ORDER BY's range repartition; nothing
+    // may shuffle before the redaction itself.
+    val p = plan("tx_pii_redact")
+    // formatted explain prints each node twice (tree + detail section);
+    // count the "(n) Exchange" detail headers = physical node count
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"expected at most the output-sort exchange:\n$p")
+    assert(!p.contains("HashAggregate"), "redaction must not aggregate")
+  }
+
+  test("k-anonymity audit aggregates partial on the QI tuple before its shuffle") {
+    val p = plan("rel_kanonymity")
+    assert(p.contains("partial_count"), p)
+  }
 }
