@@ -1590,6 +1590,69 @@ object EventQueries {
              |       array_to_string(t[1:3], ',') AS first3,
              |       t[1] AS first_tok,
              |       CAST(len(t) AS BIGINT) AS n_zipped
-             |FROM tt ORDER BY doc_id""".stripMargin))
+             |FROM tt ORDER BY doc_id""".stripMargin)),
+
+    // Point-in-time (PIT) dimension join — the warehouse query every SCD2
+    // build exists to serve: enrich each fact row with the dimension
+    // version VALID AT the fact's own timestamp (here: each purchase with
+    // the marketing-touch state in effect when it happened). Because SCD2
+    // versions tile each key's timeline contiguously, "the version whose
+    // [valid_from, valid_to) interval contains fact.ts" is exactly a
+    // backward as-of join on valid_from — so the native single-pass as-of
+    // operator executes it with NO interval predicate, no range join, no
+    // window over the fact table. The oracle deliberately states the
+    // BETWEEN-interval form (LEFT JOIN on from <= ts < to), pinning the
+    // run-tiling equivalence itself. Ties between two versions' from_ts
+    // (same user, same instant) would make the earlier interval empty;
+    // event timestamps are collision-free here and the as-of payload
+    // tie-break picks the later version — the same row the interval form
+    // keeps.
+    QueryDef("ts_pit_join",
+      (s, d) => {
+        val ev = T(s, d, "events")
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+        val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wTyp = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val dim = touches
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("rt", row_number().over(wTyp))
+          .groupBy(col("user_id").as("d_user"), col("event_type").as("d_state"),
+            (col("rn") - col("rt")).as("island"))
+          .agg(min(col("ts")).as("d_from"), min(col("event_id")).as("d_first"))
+          .select("d_user", "d_state", "d_from", "d_first")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        AsofJoin.asofNative(purchases, dim, "user_id", "d_user", "ts", "d_from")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_time"),
+            col("d_state").as("state_at_purchase"),
+            col("d_first").as("state_version"))
+          .orderBy("event_id")
+      },
+      Some("""WITH t AS (SELECT user_id, event_type, ts, event_id FROM events
+             |           WHERE event_type IN ('view', 'click')),
+             |r AS (SELECT user_id, event_type, ts, event_id,
+             |             row_number() OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS rn,
+             |             row_number() OVER (PARTITION BY user_id, event_type
+             |                                ORDER BY ts, event_id) AS rt
+             |      FROM t),
+             |runs AS (SELECT user_id, event_type AS state, rn - rt AS island,
+             |                min(ts) AS from_ts, min(event_id) AS first_event
+             |         FROM r GROUP BY 1, 2, 3),
+             |v AS (SELECT user_id, state, first_event, from_ts,
+             |             lead(from_ts) OVER (PARTITION BY user_id
+             |                                 ORDER BY from_ts, first_event) AS to_ts
+             |      FROM runs)
+             |SELECT p.event_id AS event_id, p.user_id AS user_id,
+             |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time,
+             |       v.state AS state_at_purchase,
+             |       v.first_event AS state_version
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.from_ts
+             |           AND (v.to_ts IS NULL OR p.ts < v.to_ts)
+             |ORDER BY event_id""".stripMargin))
   )
 }

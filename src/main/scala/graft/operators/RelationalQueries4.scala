@@ -27,6 +27,28 @@ object RelationalQueries4 {
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
+  /** Order-independent per-returnflag checksum of lineitem's business
+    * columns (see rel_table_checksum). Exposed so the spec can pin
+    * partition-independence by feeding a repartitioned input.
+    */
+  def lineitemChecksum(lineitem: DataFrame): DataFrame = {
+    val M = 2147483647L
+    def step(h: Column, term: Column): Column = pmod(h * 31 + term, lit(M))
+    val rowh = Seq(
+      pmod(col("l_orderkey"), lit(M)),
+      col("l_linenumber").cast("long"),
+      pmod(round(col("l_extendedprice") * 100).cast("long"), lit(M)),
+      col("l_quantity").cast("long"),
+      ascii(col("l_returnflag")).cast("long"),
+      round(col("l_discount") * 100).cast("long"))
+      .reduceLeft(step)
+    lineitem
+      .select(col("l_returnflag"), rowh.as("h"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // TPC-H Q4 shape (order priority checking): EXISTS correlated on the
@@ -441,6 +463,34 @@ object RelationalQueries4 {
            |       CAST(sum(xr) AS BIGINT) AS sum_x_range,
            |       CAST(sum(yr) AS BIGINT) AS sum_y_range FROM zoc
            |ORDER BY layout""".stripMargin
+      }),
+
+    // Cross-engine table checksum — the migration-validation primitive: an
+    // ORDER-INDEPENDENT fingerprint of a table's content that two engines
+    // can compute independently and compare, without sorting, collecting,
+    // or moving the data (the check a user runs after porting a 100 TB
+    // table from the reference engine to this library). Per row, a
+    // polynomial hash folds the business columns in fixed order with every
+    // step reduced mod 2^31-1 (terms < 2^31, products < 2^36 — exact in
+    // signed 64 on any engine, wrap-free under ANSI); per group, SUM
+    // commutes so the checksum is partition- and order-independent, and
+    // Spark computes it as a map-side partial sum with one tiny shuffle.
+    // Money/rate columns enter as exact cents/percent integers
+    // (round(x*100)), never as raw doubles.
+    QueryDef("rel_table_checksum",
+      (s, d) => lineitemChecksum(T(s, d, "lineitem")),
+      Some {
+        val terms = Seq(
+          "(l_orderkey % 2147483647)",
+          "CAST(l_linenumber AS BIGINT)",
+          "(CAST(round(l_extendedprice * 100) AS BIGINT) % 2147483647)",
+          "CAST(l_quantity AS BIGINT)",
+          "CAST(ascii(l_returnflag) AS BIGINT)",
+          "CAST(round(l_discount * 100) AS BIGINT)")
+        val rowh = terms.reduceLeft((h, t) => s"(($h * 31 + $t) % 2147483647)")
+        s"""SELECT l_returnflag, count(*) AS n_rows,
+           |       CAST(sum($rowh) AS BIGINT) AS checksum
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
       })
   )
 }
