@@ -491,6 +491,52 @@ object RelationalQueries4 {
         s"""SELECT l_returnflag, count(*) AS n_rows,
            |       CAST(sum($rowh) AS BIGINT) AS checksum
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Exact join-cardinality + skew estimator — the pre-flight a planner
+    // (or an engineer sizing a 100 TB join) runs BEFORE the join: per-key
+    // counts on both sides are map-side partial aggregates over tiny
+    // distinct-key outputs, their key-joined product-sum is the exact join
+    // cardinality, and the max per-key contribution is the salting
+    // decision input (skew_bp = that key's share in basis points, exact
+    // integer division). The full events⋈orders count is also emitted so
+    // the oracle pins est == actual — at scale you would run ONLY the
+    // estimate (cost O(distinct keys), not O(join output)).
+    QueryDef("rel_join_size_est",
+      (s, d) => {
+        val ec = T(s, d, "events")
+          .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ce"))
+        val oc = T(s, d, "orders")
+          .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("co"))
+        val j = ec.join(oc, col("k") === col("k2"))
+          .select(col("k"), (col("ce") * col("co")).as("contrib"))
+        val agg = j.agg(
+          sum("contrib").cast("long").as("est_rows"),
+          count(lit(1)).as("n_keys_both"),
+          max("contrib").cast("long").as("max_key_contrib"))
+        val top = j.orderBy(col("contrib").desc, col("k").asc)
+          .limit(1).select(col("k").as("top_key"))
+        val act = T(s, d, "events")
+          .join(T(s, d, "orders"), col("user_id") === col("o_custkey"))
+          .agg(count(lit(1)).as("actual_rows"))
+        agg.crossJoin(top).crossJoin(act)
+          .select(col("est_rows"), col("n_keys_both"), col("max_key_contrib"),
+            col("top_key"), col("actual_rows"),
+            expr("(10000 * max_key_contrib) div est_rows").as("skew_bp"))
+      },
+      Some("""WITH ec AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+             |oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+             |j AS (SELECT ec.k, ec.c * oc.c AS contrib FROM ec JOIN oc USING (k)),
+             |agg AS (SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
+             |               count(*) AS n_keys_both,
+             |               CAST(max(contrib) AS BIGINT) AS max_key_contrib
+             |        FROM j),
+             |top AS (SELECT min(k) AS top_key FROM j
+             |        WHERE contrib = (SELECT max(contrib) FROM j)),
+             |act AS (SELECT count(*) AS actual_rows
+             |        FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+             |SELECT est_rows, n_keys_both, max_key_contrib, top_key, actual_rows,
+             |       (10000 * max_key_contrib) // est_rows AS skew_bp
+             |FROM agg CROSS JOIN top CROSS JOIN act""".stripMargin))
   )
 }
