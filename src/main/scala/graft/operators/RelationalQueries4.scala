@@ -409,11 +409,15 @@ object RelationalQueries4 {
     QueryDef("rel_zorder",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // y clamped on BOTH ends: a pre-epoch order date would otherwise go
+        // negative and its two's-complement low bits would silently corrupt
+        // the interleave (test data date ranges have drifted across rounds)
         val base = T(s, d, "orders").select(
           col("o_orderkey"),
           (col("o_custkey") % 256).cast("int").as("x"),
-          least(lit(255), floor(datediff(col("o_orderdate").cast("date"),
-            lit("1995-01-01").cast("date")) / 10)).cast("int").as("y"))
+          greatest(lit(0), least(lit(255),
+            floor(datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")) / 10))).cast("int").as("y"))
         val zExpr = (0 until 8).map(i =>
           s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
             s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})").mkString(" + ")
@@ -441,8 +445,8 @@ object RelationalQueries4 {
         s"""WITH base AS (
            |  SELECT o_orderkey,
            |         CAST(o_custkey % 256 AS INT) AS x,
-           |         CAST(least(255, floor((CAST(o_orderdate AS DATE)
-           |                                - DATE '1995-01-01') / 10)) AS INT) AS y
+           |         CAST(greatest(0, least(255, floor((CAST(o_orderdate AS DATE)
+           |                                - DATE '1995-01-01') / 10))) AS INT) AS y
            |  FROM orders),
            |z AS (SELECT *, $zSql AS zval FROM base),
            |lin AS (SELECT x, y,
@@ -510,16 +514,22 @@ object RelationalQueries4 {
           .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("co"))
         val j = ec.join(oc, col("k") === col("k2"))
           .select(col("k"), (col("ce") * col("co")).as("contrib"))
+        // top key folds into the SAME aggregate (no second pass over the
+        // profiles, and an empty key intersection still yields the one
+        // summary row on both engines). Tie-break min-k via a single
+        // scalar ordering contrib*2^32 - k — exact while per-key contrib
+        // < 2^30 and k < 2^32, far beyond any key you'd salt rather than
+        // redesign.
         val agg = j.agg(
           sum("contrib").cast("long").as("est_rows"),
           count(lit(1)).as("n_keys_both"),
-          max("contrib").cast("long").as("max_key_contrib"))
-        val top = j.orderBy(col("contrib").desc, col("k").asc)
-          .limit(1).select(col("k").as("top_key"))
+          max("contrib").cast("long").as("max_key_contrib"),
+          max_by(col("k"), col("contrib") * lit(4294967296L) - col("k"))
+            .as("top_key"))
         val act = T(s, d, "events")
           .join(T(s, d, "orders"), col("user_id") === col("o_custkey"))
           .agg(count(lit(1)).as("actual_rows"))
-        agg.crossJoin(top).crossJoin(act)
+        agg.crossJoin(act)
           .select(col("est_rows"), col("n_keys_both"), col("max_key_contrib"),
             col("top_key"), col("actual_rows"),
             expr("(10000 * max_key_contrib) div est_rows").as("skew_bp"))
@@ -529,14 +539,13 @@ object RelationalQueries4 {
              |j AS (SELECT ec.k, ec.c * oc.c AS contrib FROM ec JOIN oc USING (k)),
              |agg AS (SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
              |               count(*) AS n_keys_both,
-             |               CAST(max(contrib) AS BIGINT) AS max_key_contrib
+             |               CAST(max(contrib) AS BIGINT) AS max_key_contrib,
+             |               arg_max(k, contrib * 4294967296 - k) AS top_key
              |        FROM j),
-             |top AS (SELECT min(k) AS top_key FROM j
-             |        WHERE contrib = (SELECT max(contrib) FROM j)),
              |act AS (SELECT count(*) AS actual_rows
              |        FROM events e JOIN orders o ON e.user_id = o.o_custkey)
              |SELECT est_rows, n_keys_both, max_key_contrib, top_key, actual_rows,
              |       (10000 * max_key_contrib) // est_rows AS skew_bp
-             |FROM agg CROSS JOIN top CROSS JOIN act""".stripMargin))
+             |FROM agg CROSS JOIN act""".stripMargin))
   )
 }
