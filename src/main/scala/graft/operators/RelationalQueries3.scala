@@ -240,7 +240,7 @@ object RelationalQueries3 {
         // (orderkey, linenumber) pairs, so same-rk rows share tickets and
         // can tie on priority — w in the ORDER makes the rank total over
         // the group keys (real pipelines key rows uniquely and skip this).
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy("l_returnflag").orderBy(col("priority"), col("rk"), col("w"))
         T(s, d, "lineitem")
           .select(col("l_returnflag"), rk, col("l_quantity").cast("int").as("w"))

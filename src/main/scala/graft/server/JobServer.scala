@@ -83,8 +83,13 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
           val outDir = TempDirs.create(s"graft_job_$jobId")
           // consolidated single-file TSV = the reference's output contract
           TextSource.writeTsv(fn(spark, sfDir), outDir.toString, singleFile = true)
-          val part = Files.list(outDir).iterator().asScala
-            .filter(_.getFileName.toString.startsWith("part-")).toSeq.headOption
+          // Files.list holds an open directory handle until closed — leaked
+          // per job, it exhausts fds on a long-lived server
+          val listing = Files.list(outDir)
+          val part =
+            try listing.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("part-")).toSeq.headOption
+            finally listing.close()
           logLine(st, "Step 3 : Consolidating output file")
           st.outFile = part
           st.status = "COMPLETED"
@@ -130,11 +135,16 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
       case None => respond(ex, 404, "ERROR : Job log fetch failed")
     })
 
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  // kept referenced: HttpServer.stop() does NOT terminate a caller-supplied
+  // executor, and its 4 non-daemon workers would otherwise pin the JVM
+  // after stop()
+  private val httpPool = Executors.newFixedThreadPool(4)
+  server.setExecutor(httpPool)
   server.start()
 
   def stop(): Unit = {
     server.stop(0)
+    httpPool.shutdownNow()
     pool.shutdownNow()
     ()
   }

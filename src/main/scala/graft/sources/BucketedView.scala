@@ -30,19 +30,28 @@ object BucketedView {
 
   /** Returns (ordersTable, lineitemTable) catalog names, both bucketed by
     * their orderkey into [[Buckets]] buckets.
+    *
+    * Synchronized, not getOrElseUpdate: TrieMap only arbitrates the CACHED
+    * value, it still evaluates a racing thunk in every caller — and unlike
+    * PartitionedView/IvfView (whose racing writers target unique TempDirs),
+    * two concurrent first callers here would Overwrite-race the SAME
+    * catalog table names (e.g. two simultaneous JobServer submissions of
+    * the bucketed-join query on a fresh session).
     */
   def ordersLineitem(s: SparkSession, sfDir: String): (String, String) =
-    cache.getOrElseUpdate((s, sfDir), {
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-      val ot = s"graft_b_orders_$tag"
-      val lt = s"graft_b_lineitem_$tag"
-      BucketedSink.writeBucketed(Tables.t(s, sfDir, "orders"), ot, Buckets,
-        Seq("o_orderkey"))
-      BucketedSink.writeBucketed(Tables.t(s, sfDir, "lineitem"), lt, Buckets,
-        Seq("l_orderkey"))
-      (ot, lt)
-    })
+    synchronized {
+      cache.getOrElseUpdate((s, sfDir), {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+        val ot = s"graft_b_orders_$tag"
+        val lt = s"graft_b_lineitem_$tag"
+        BucketedSink.writeBucketed(Tables.t(s, sfDir, "orders"), ot, Buckets,
+          Seq("o_orderkey"))
+        BucketedSink.writeBucketed(Tables.t(s, sfDir, "lineitem"), lt, Buckets,
+          Seq("l_orderkey"))
+        (ot, lt)
+      })
+    }
 
   def tables(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val (ot, lt) = ordersLineitem(s, sfDir)
