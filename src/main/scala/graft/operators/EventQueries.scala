@@ -498,7 +498,11 @@ object EventQueries {
         val dau = active.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
         dau.join(wau, col("day") === col("spine_day"))
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
-            round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+            // floor quantization, not round: dau/wau is an exact rational
+            // whose double can sit a hair under a .00005 boundary, where
+            // Spark's shortest-string HALF_UP and DuckDB's binary round
+            // disagree (the ts_twa lesson)
+            (floor(col("dau") * 10000 / col("wau")) / 10000).as("stickiness"))
           .orderBy("day")
       },
       Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -508,7 +512,7 @@ object EventQueries {
              |        GROUP BY 1),
              |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY 1)
              |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
-             |       round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+             |       floor(dau * 10000 / wau) / 10000 AS stickiness
              |FROM dau JOIN wau ON dau.day = wau.spine_day
              |ORDER BY day""".stripMargin)),
 

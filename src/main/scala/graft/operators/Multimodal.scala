@@ -403,22 +403,7 @@ object Multimodal {
         decodeImage(r.getAs[Array[Byte]](idx)) match {
           case None => Iterator.empty
           case Some((img, _)) =>
-            val w = img.getWidth; val h = img.getHeight
-            val sums = new Array[Long](gw * gh)
-            val cnts = new Array[Long](gw * gh)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val li = 2126L * ((rgb >> 16) & 0xFF) + 7152L * ((rgb >> 8) & 0xFF) +
-                  722L * (rgb & 0xFF)
-                val c = (y * gh / h) * gw + (x * gw / w)
-                sums(c) += li; cnts(c) += 1
-                x += 1
-              }
-              y += 1
-            }
+            val (sums, cnts) = tileLumaSums(img, gw, gh)
             (0 until gw * gh).iterator.filter(cnts(_) > 0).map { c =>
               Row.fromSeq(keep :+ c :+ cnts(c) :+
                 (math.floor(sums(c) * 1.0 / cnts(c)) / 10000))
@@ -538,8 +523,13 @@ object Multimodal {
     * Near-duplicate images differ in few bits (hamming-comparable), the
     * image twin of SimHash.
     */
-  private[graft] def imagePHash(img: java.awt.image.BufferedImage,
-                                gw: Int = 4, gh: Int = 4): (Int, Int) = {
+  /** Shared per-cell luma accumulation: integer-basis-point luma
+    * (2126 r + 7152 g + 722 b) summed into a gw x gh grid by exact integer
+    * division — the ONE definition of cell geometry that imagePHash and
+    * imageTileLuma both document as identical.
+    */
+  private def tileLumaSums(img: java.awt.image.BufferedImage,
+                           gw: Int, gh: Int): (Array[Long], Array[Long]) = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](gw * gh)
     val cnts = new Array[Long](gw * gh)
@@ -556,6 +546,12 @@ object Multimodal {
       }
       y += 1
     }
+    (sums, cnts)
+  }
+
+  private[graft] def imagePHash(img: java.awt.image.BufferedImage,
+                                gw: Int = 4, gh: Int = 4): (Int, Int) = {
+    val (sums, cnts) = tileLumaSums(img, gw, gh)
     val ts = sums.sum; val tc = cnts.sum
     var phash = 0; var nSet = 0; var i = 0
     while (i < gw * gh) {

@@ -35,12 +35,21 @@ object PipelineQueries {
   private val minhashPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  // Cache accessors are synchronized: TrieMap.getOrElseUpdate still
+  // evaluates a racing thunk in every caller (only the cached value is
+  // arbitrated), and a losing thunk here is an eagerly-materialized
+  // checkpoint whose blocks would never be released (see BucketedView for
+  // the same fix). Keys pin their SparkSession until JVM exit — acceptable
+  // for the driver/bench lifecycles this repo runs (one session per JVM),
+  // noted for anyone embedding the library in a session-cycling service.
   private def minhashPairs(s: SparkSession, d: String) =
-    minhashPairCache.getOrElseUpdate((s, d),
-      // through Dedup.materialize so spark.graft.materialize governs this
-      // too — a cluster configured for reliable checkpointing must not get
-      // a lineage-truncating localCheckpoint smuggled in by the cache
-      Dedup.materialize(Dedup.minhashLshPairs(T(s, d, "documents"))))
+    minhashPairCache.synchronized {
+      minhashPairCache.getOrElseUpdate((s, d),
+        // through Dedup.materialize so spark.graft.materialize governs this
+        // too — a cluster configured for reliable checkpointing must not get
+        // a lineage-truncating localCheckpoint smuggled in by the cache
+        Dedup.materialize(Dedup.minhashLshPairs(T(s, d, "documents"))))
+    }
 
   /** Shared exact pair-overlap statistics (Dedup.shinglePairStats): the
     * Jaccard and containment queries are projections over the same shingle
@@ -51,11 +60,13 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def pairStats(s: SparkSession, d: String) =
-    pairStatsCache.getOrElseUpdate((s, d),
-      // materializedPairStats releases its shingle-row intermediate once the
-      // (far smaller) stats frame is pinned — only the pair table stays
-      // resident for the family's lifetime.
-      Dedup.materializedPairStats(T(s, d, "documents")))
+    pairStatsCache.synchronized {
+      pairStatsCache.getOrElseUpdate((s, d),
+        // materializedPairStats releases its shingle-row intermediate once
+        // the (far smaller) stats frame is pinned — only the pair table
+        // stays resident for the family's lifetime.
+        Dedup.materializedPairStats(T(s, d, "documents")))
+    }
 
   /** Connected-component labels over the MinHash pair graph, computed once
     * per (session, sfDir): the iterative fixpoint is the expensive part of
@@ -67,9 +78,11 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def ccLabels(s: SparkSession, d: String) =
-    ccLabelCache.getOrElseUpdate((s, d),
-      Dedup.materialize(Dedup.connectedComponentsStar(
-        minhashPairs(s, d).select("a_id", "b_id"))))
+    ccLabelCache.synchronized {
+      ccLabelCache.getOrElseUpdate((s, d),
+        Dedup.materialize(Dedup.connectedComponentsStar(
+          minhashPairs(s, d).select("a_id", "b_id"))))
+    }
 
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every
@@ -566,8 +579,8 @@ object PipelineQueries {
               (col("n_docs") - col("n_heldout"))) / 10000).as("train_contam_rate"))
       },
       Some(s"""WITH tt AS (SELECT doc_id,
-             |                    ((doc_id & 2147483647) * 2654435761) % 4294967296
-             |                      >= CAST(0.90 * 4294967296 AS BIGINT) AS heldout,
+             |                    ${graft.functions.HashFns.knuthUSql("doc_id")}
+             |                      >= ${graft.functions.HashFns.cut(0.90)} AS heldout,
              |                    ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t
              |             FROM documents),
              |sh AS (SELECT DISTINCT doc_id, heldout,
@@ -581,8 +594,8 @@ object PipelineQueries {
              |        JOIN (SELECT doc_id, s FROM sh WHERE heldout) te ON tr.s = te.s
              |        GROUP BY 1),
              |tot AS (SELECT count(*) AS n_docs,
-             |               CAST(count_if(((doc_id & 2147483647) * 2654435761) % 4294967296
-             |                             >= CAST(0.90 * 4294967296 AS BIGINT)) AS BIGINT) AS n_heldout
+             |               CAST(count_if(${graft.functions.HashFns.knuthUSql("doc_id")}
+             |                             >= ${graft.functions.HashFns.cut(0.90)}) AS BIGINT) AS n_heldout
              |        FROM documents)
              |SELECT tot.n_docs, tot.n_heldout,
              |       (SELECT count(*) FROM hit) AS n_contaminated_train,

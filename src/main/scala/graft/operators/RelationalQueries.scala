@@ -420,15 +420,19 @@ object RelationalQueries {
             sum(col("l_quantity")).as("sum_qty"))
           .orderBy("l_returnflag")
       },
-      Some("""SELECT l_returnflag,
+      // cut points interpolated from HashFns.cut, never CAST(f * 2^32):
+      // Scala's .toLong truncates while DuckDB's CAST rounds — at 0.02 the
+      // two differ by 1 (85899345 vs ...346), a boundary-key divergence
+      // waiting for a datum that hashes exactly onto it
+      Some(s"""SELECT l_returnflag,
              |       count(*) AS n_sampled,
              |       count(DISTINCT l_orderkey) AS n_orders,
              |       sum(l_quantity) AS sum_qty
              |FROM lineitem
-             |WHERE ((l_orderkey & 2147483647) * 2654435761) % 4294967296 <
-             |      CASE l_returnflag WHEN 'R' THEN CAST(0.02 * 4294967296 AS BIGINT)
-             |                        WHEN 'A' THEN CAST(0.05 * 4294967296 AS BIGINT)
-             |                        ELSE CAST(0.10 * 4294967296 AS BIGINT) END
+             |WHERE ${graft.functions.HashFns.knuthUSql("l_orderkey")} <
+             |      CASE l_returnflag WHEN 'R' THEN ${graft.functions.HashFns.cut(0.02)}
+             |                        WHEN 'A' THEN ${graft.functions.HashFns.cut(0.05)}
+             |                        ELSE ${graft.functions.HashFns.cut(0.10)} END
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef("rel_topk",

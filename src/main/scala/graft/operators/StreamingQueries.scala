@@ -38,11 +38,16 @@ object StreamingQueries {
     .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def windowedEmissions(s: SparkSession, d: String) =
-    winEmitCache.getOrElseUpdate((s, d),
-      StreamGate.runAppendToParquet(
-        s, s"$d/events.parquet", eventsSchema(s, d),
-        df => EventStreams.windowedCounts(toTs(df), watermark = "0 seconds"),
-        "st_win"))
+    // synchronized: TrieMap.getOrElseUpdate evaluates racing thunks in
+    // every caller, and a losing thunk here is a full duplicate streaming
+    // execution (staging, checkpoint, sink) thrown away
+    winEmitCache.synchronized {
+      winEmitCache.getOrElseUpdate((s, d),
+        StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.windowedCounts(toTs(df), watermark = "0 seconds"),
+          "st_win"))
+    }
 
   val queries: Seq[QueryDef] = Seq(
 

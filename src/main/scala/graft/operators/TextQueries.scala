@@ -885,10 +885,10 @@ object TextQueries {
       },
       Some(s"""WITH t AS (
              |  SELECT source,
-             |         CASE WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296
-             |                   < CAST(0.90 * 4294967296 AS BIGINT) THEN 'train'
-             |              WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296
-             |                   < CAST(0.95 * 4294967296 AS BIGINT) THEN 'val'
+             |         CASE WHEN ${graft.functions.HashFns.knuthUSql("doc_id")}
+             |                   < ${graft.functions.HashFns.cut(0.90)} THEN 'train'
+             |              WHEN ${graft.functions.HashFns.knuthUSql("doc_id")}
+             |                   < ${graft.functions.HashFns.cut(0.95)} THEN 'val'
              |              ELSE 'test' END AS split,
              |         CAST(len($tk) AS BIGINT) AS n_tok
              |  FROM documents)
