@@ -31,7 +31,10 @@ object MapReduce {
     */
   def wordCount(docs: Dataset[(String, String)]): Dataset[(String, Long)] = {
     import docs.sparkSession.implicits._
-    mapReduce(docs)((_, text) => text.split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)))(
+    // \s+ (not " "): Python str.split() splits on ANY whitespace run —
+    // a single-space split would carry tabs/newlines inside tokens and
+    // diverge from TextFns.tokens and the oracle on non-space whitespace
+    mapReduce(docs)((_, text) => text.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, 1L)))(
       (_, vs) => vs.sum)
   }
 
@@ -41,7 +44,7 @@ object MapReduce {
     */
   def invertedIndex(docs: Dataset[(String, String)]): Dataset[(String, Seq[String])] = {
     import docs.sparkSession.implicits._
-    mapReduce(docs)((doc, text) => text.split(" ").iterator.filter(_.nonEmpty).map(w => (w, doc)))(
+    mapReduce(docs)((doc, text) => text.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, doc)))(
       (_, vs) => vs.toSeq.distinct.sorted)
   }
 }

@@ -87,7 +87,7 @@ object TextQueries {
              |SELECT doc_id,
              |       CAST(len(t) AS BIGINT) AS n_tokens,
              |       CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
-             |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars_tok
+             |       CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS n_chars_tok
              |FROM tt ORDER BY doc_id""".stripMargin)),
 
     // BPE-ish token budget: the regex is RE2-compatible (no lookahead), so
@@ -206,10 +206,12 @@ object TextQueries {
              |  SELECT doc_id,
              |         unnest(t) AS w,
              |         unnest(generate_series(1, len(t))) AS i
-             |  FROM tt)
-             |SELECT doc_id,
-             |       CAST(sum(((i * 31 + 7) * (length(w) * 17 + ascii(w))) % 2147483647) % 2147483647 AS BIGINT) AS fp
-             |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |  FROM tt),
+             |f AS (SELECT doc_id,
+             |             CAST(sum(((i * 31 + 7) * (length(w) * 17 + ascii(w))) % 2147483647) % 2147483647 AS BIGINT) AS fp
+             |      FROM pos GROUP BY doc_id)
+             |SELECT tt.doc_id, CAST(coalesce(f.fp, 0) AS BIGINT) AS fp
+             |FROM tt LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     QueryDef("tx_tfidf",
       (s, d) => TextAnalysis.tfidf(T(s, d, "documents")).orderBy("doc_id", "word"),
@@ -344,7 +346,13 @@ object TextQueries {
           .partitionBy("lang").orderBy(col("cnt").desc, col("trigram"))
         T(s, d, "documents")
           .select(col("lang"),
-            explode(expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))"))
+            // the length guard must yield an EMPTY array, not sequence(1,0):
+            // Spark's sequence defaults to step -1 when end < start (so
+            // sequence(1,0) = [1,0] — two spurious "trigrams" per short
+            // doc), where DuckDB's generate_series(1,0) is already empty
+            explode(expr("CASE WHEN length(text) >= 3 THEN " +
+              "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)) " +
+              "ELSE array() END"))
               .as("trigram"))
           .groupBy("lang", "trigram").agg(count(lit(1)).as("cnt"))
           .withColumn("rnk", row_number().over(w))

@@ -99,4 +99,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     val d1 = got.filter(_._1 == 1L)
     assert(d1.toSeq == Seq((1L, 0L, 3L, "only three tokens")))
   }
+
+  test("non-space whitespace and empty docs: facade, stats, fingerprint shapes") {
+    // Python str.split() semantics on tabs/newlines/runs — the facade must
+    // agree with the declarative tokenizer on ANY corpus, not just the
+    // single-space testdata
+    val messy = Seq(("d0", "a\tb\nc  a"), ("d1", ""), ("d2", "  \t \n "))
+      .toDS().map(identity) // Dataset[(String, String)]
+    val wc = graft.operators.MapReduce.wordCount(messy).collect().toMap
+    assert(wc == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    val df = Seq((0L, "a\tb\nc  a"), (1L, ""), (2L, " \t ")).toDF("doc_id", "text")
+    val stats = TextAnalysis.tokenStats(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats == Seq((0L, 4L, 3L, 4L), (1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)))
+    val fps = TextAnalysis.fingerprint(df).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(fps.map(_._1) == Seq(0L, 1L, 2L))
+    assert(fps(1)._2 == 0L && fps(2)._2 == 0L, "empty docs fingerprint to 0")
+    assert(fps(0)._2 != 0L)
+  }
 }
