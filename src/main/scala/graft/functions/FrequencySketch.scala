@@ -65,11 +65,14 @@ object FrequencySketch {
   /** Estimated frequency of `key` — scalar udf over the (one) merged-sketch
     * row, never on the raw-data hot path.
     */
+  // null-safe: reference-typed udf params are NOT null-skipped by Spark,
+  // so a NULL sketch (e.g. an unmatched left-join row) must map to NULL,
+  // not an NPE that fails the query
   def cms_estimate(c: Column, key: Long): Column =
     org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
-      CountMinSketch.readFrom(b).estimateCount(key)).apply(c)
+      Option(b).map(CountMinSketch.readFrom(_).estimateCount(key))).apply(c)
 
   def cms_total(c: Column): Column =
     org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
-      CountMinSketch.readFrom(b).totalCount()).apply(c)
+      Option(b).map(CountMinSketch.readFrom(_).totalCount())).apply(c)
 }

@@ -274,5 +274,8 @@ object QuantileSketch {
   def sketch_merge_agg(c: Column): Column =
     udaf(sketchMergeAgg, Encoders.BINARY).apply(c)
   def sketch_quantile(c: Column, q: Double): Column =
-    org.apache.spark.sql.functions.udf((b: Array[Byte]) => quantile(deser(b), q)).apply(c)
+    // null-safe (reference-typed udf params are not null-skipped): a NULL
+    // sketch row yields NULL, not an NPE
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      Option(b).map(bs => quantile(deser(bs), q))).apply(c)
 }

@@ -71,8 +71,13 @@ object Dedup {
     * Jaccard. One shuffle (by doc_id) + one distinct.
     */
   private[graft] def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val tok = docs.select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
+    if (n == 1)
+      // unigram degenerate case: no window needed, and the general path's
+      // filter would reference a t0 column that is never created
+      return tok.select(col("doc_id"), xxhash64(col("t")).as("hraw")).distinct()
     val w = Window.partitionBy("doc_id").orderBy("p")
     val grams = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
     tok.select(col("doc_id") +: col("t") +: grams: _*)
@@ -102,8 +107,15 @@ object Dedup {
     df.sparkSession.conf.getOption("spark.graft.materialize")
       .getOrElse("localCheckpoint") match {
       case "checkpoint" => df.checkpoint()
-      case "persist"    => df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      case _            => df.localCheckpoint()
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // persist is LAZY; force it so materialize is eager under every
+        // strategy — callers (materializedPairStats) release upstream
+        // intermediates immediately after, which would otherwise trigger a
+        // full recompute on first real use
+        p.count()
+        p
+      case _ => df.localCheckpoint()
     }
 
   /** Release a frame produced by [[materialize]] once fully superseded —
@@ -112,6 +124,13 @@ object Dedup {
     * Callers must only pass frames they will never touch again (after a
     * localCheckpoint the lineage is gone, so a later access could not
     * recompute).
+    *
+    * Under the `checkpoint` strategy unpersist does NOT delete reliable
+    * checkpoint FILES — set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` on such
+    * clusters so superseded round snapshots are removed when their RDDs
+    * are garbage-collected, or the checkpoint dir grows one snapshot per
+    * iteration.
     */
   private[graft] def release(df: DataFrame): Unit =
     if (df != null) df.unpersist(blocking = false)
@@ -210,6 +229,10 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 128, bands: Int = 32,
                       minJ: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature width k ($k) — otherwise " +
+        "the banding would silently read only bands*(k/bands) of the " +
+        "computed min-hashes and recall would differ from the requested k")
     val rows = k / bands
     // ONE aggregation over the (doc, shingle-hash) rows produces both the
     // k-wide MinHash signature (codegen'd MIN aggregates with map-side
@@ -597,9 +620,15 @@ object Dedup {
     * accepted equivalence the Jaccard pipeline runs on.
     */
   def decontaminate(docs: DataFrame, isTest: Column, n: Int = 8): DataFrame = {
-    val sh = shingleHashRows(docs, n)
-    val test = sh.filter(isTest).select(col("doc_id").as("test_id"), col("hraw"))
-    sh.filter(!isTest)
+    // isTest is evaluated against DOCS (any docs column works, e.g.
+    // col("split") === "test"), then carried to the shingle rows by a
+    // doc-keyed join — filtering the shingle frame directly would resolve
+    // only for doc_id-derived predicates since it carries (doc_id, hraw)
+    val flags = docs.select(col("doc_id"), isTest.as("is_test"))
+    val sh = shingleHashRows(docs, n).join(flags, "doc_id")
+    val test = sh.filter(col("is_test"))
+      .select(col("doc_id").as("test_id"), col("hraw"))
+    sh.filter(!col("is_test"))
       .join(test, "hraw")
       .groupBy("doc_id")
       .agg(count_distinct(col("test_id")).as("n_test_docs"),

@@ -68,18 +68,28 @@ object StreamGate {
     // production scale this is the knob you'd set LARGE for the same
     // reason. Results are partition-count-independent.
     val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(partsKey)
-    spark.conf.set(partsKey, "8")
-    try {
-      val q = sink(transformed, dataDir)
-        .option("checkpointLocation", s"$out/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val inputRows = q.recentProgress.map(_.numInputRows).sum
-      require(inputRows > 0,
-        s"stream $tag reported no processed rows — not a streaming execution?")
-    } finally spark.conf.set(partsKey, prevParts)
+    // The set/restore of a session-GLOBAL conf is serialized on this
+    // object: two concurrent gate runs would otherwise save each other's
+    // temporary "8" as prev and leave it permanent (and any batch query
+    // planned inside the window would silently run at 8 partitions).
+    StreamGate.synchronized {
+      val prevParts = spark.conf.get(partsKey)
+      spark.conf.set(partsKey, "8")
+      try {
+        val q = sink(transformed, dataDir)
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val inputRows = q.recentProgress.map(_.numInputRows).sum
+        // execution proof: zero processed rows is only legitimate when the
+        // source itself is empty — don't conflate "engine didn't run" with
+        // "input had no rows"
+        require(inputRows > 0 ||
+            spark.read.schema(schema).parquet(in).isEmpty,
+          s"stream $tag reported no processed rows — not a streaming execution?")
+      } finally spark.conf.set(partsKey, prevParts)
+    }
     spark.read.schema(transformed.schema).parquet(dataDir)
   }
 
