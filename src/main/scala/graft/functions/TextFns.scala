@@ -22,13 +22,20 @@ object TextFns {
     */
   val HashP = 2147483647L
 
-  /** Whitespace tokenization with Python str.split() semantics (reference
-    * parity: mapreduce_wc.py:4): split on runs of ANY whitespace and drop
-    * empty tokens, so tabs/newlines/repeated/leading/trailing whitespace
-    * tokenize identically to the reference. Every DuckDB oracle uses the
-    * equivalent [[tokensSqlDuckDB]], so engine/oracle parity holds by
-    * construction on ANY corpus (not just the single-space testdata) —
-    * including the empty string (both sides yield an empty list).
+  /** Whitespace tokenization with Python str.split() semantics over ASCII
+    * whitespace (reference parity: mapreduce_wc.py:4): split on runs of
+    * whitespace and drop empty tokens, so tabs/newlines/repeated/leading/
+    * trailing whitespace tokenize identically to the reference. Every
+    * DuckDB oracle uses the equivalent [[tokensSqlDuckDB]], so
+    * engine/oracle parity holds by construction on ANY corpus — including
+    * the empty string (both sides yield an empty list).
+    *
+    * Scope note: Java's and RE2's `\s` are the same ASCII set
+    * `[ \t\n\x0B\f\r]`, so engine/oracle parity is unconditional, but
+    * Python str.split() additionally splits on Unicode whitespace (NBSP,
+    * NEL, ideographic space, ...). Reference parity is therefore exact for
+    * ASCII-whitespace corpora; a corpus with Unicode whitespace would need
+    * an explicit character class mirrored in [[tokensSqlDuckDB]].
     */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
@@ -104,6 +111,12 @@ object TextFns {
     * additive-only form would be swap-invariant); the sum form keeps it
     * associative/order-independent to COMPUTE (any partitioning), and it is
     * exactly expressible in both Spark and ANSI SQL.
+    *
+    * BMP constraint: `ascii(tok)` is Spark's charAt(0) (a UTF-16 code
+    * unit) but DuckDB's full codepoint — for a token starting with a
+    * supplementary-plane char (emoji) the two diverge. Fine for the BMP
+    * corpora this gates; a full-Unicode fingerprint would hash the token
+    * bytes instead.
     */
   def fingerprint(toks: Column): Column =
     pmod(

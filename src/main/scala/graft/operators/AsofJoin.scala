@@ -34,7 +34,7 @@ object AsofJoin {
     // "<=" (not "<") semantics hold
     val l = left.select(
       Seq(col(key), col(ts), lit(1).as("__side"), lit(null).cast(
-        right.select(payload).schema.head.dataType.sql).as("__r")) ++
+        right.select(payload).schema.head.dataType).as("__r")) ++
         leftCols.filterNot(c => c == key || c == ts).map(col): _*)
     // SQL join semantics: a NULL-keyed or NULL-timed right row can never be
     // anyone's match — drop them before the union. (Unfiltered, a NULL key

@@ -36,14 +36,23 @@ object TextAnalysis {
     * for web-scale vocab a (word, doc) pair table (no collect) is the
     * preferred shape — both are exposed.
     */
-  def invertedIndex(docs: DataFrame, docCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def invertedIndex(docs: DataFrame, docCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // sort ids numerically only when the source column IS numeric — casting
+    // a path-like doc id (the reference corpus uses './book3.txt') to
+    // bigint would NULL it, and collect_set drops NULLs, silently emptying
+    // doc_list while n_docs still counts the docs
+    val numericIds = docs.schema(docCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val docKey =
+      if (numericIds) col("doc").cast("bigint") else col("doc")
     docs
       .select(col(docCol).cast("string").as("doc"), explode(toks(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word")
       .agg(
-        array_join(array_sort(collect_set(col("doc").cast("bigint"))), ",").as("doc_list"),
+        array_join(array_sort(collect_set(docKey)), ",").as("doc_list"),
         count_distinct(col("doc")).as("n_docs"))
+  }
 
   /** Per-document token statistics. Shuffle-free (no explode): single-pass
     * array expressions per row.

@@ -52,8 +52,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
   * accumulates dot product and both squared norms in one traversal (the
   * composed form float_dot(a,b)/(sqrt(float_dot(a,a))*sqrt(float_dot(b,b)))
   * walks the arrays three times). Accumulation order matches the composed
-  * form, so values are bit-identical. Returns NaN for zero-norm inputs
-  * (matches the composed form's 0/0).
+  * form, so values are bit-identical — including on ragged inputs, where
+  * the dot runs over the common prefix but each norm runs over its FULL
+  * array (exactly what the composed form computes; a min-length norm would
+  * silently inflate the similarity of a truncated embedding). Returns NaN
+  * for zero-norm inputs (matches the composed form's 0/0).
   */
 case class FloatCosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -73,6 +76,13 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
+    while (i < a.numElements()) {
+      val x = a.getFloat(i).toDouble; na += x * x; i += 1
+    }
+    var j = n
+    while (j < b.numElements()) {
+      val y = b.getFloat(j).toDouble; nb += y * y; j += 1
+    }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -89,6 +99,12 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |for (int $i = $n; $i < $a.numElements(); $i++) {
+         |  double $x = (double) $a.getFloat($i); $na += $x * $x;
+         |}
+         |for (int $i = $n; $i < $b.numElements(); $i++) {
+         |  double $y = (double) $b.getFloat($i); $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

@@ -35,7 +35,11 @@ object TextSource {
     * output — never do that at scale; default keeps parallel part files.
     */
   def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
-    val line = concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*)
+    // coalesce each field: concat_ws SKIPS null arguments (it does not
+    // emit an empty field), so an un-coalesced NULL column would shift
+    // every later field left and silently misalign the TSV
+    val line = concat_ws("\t",
+      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     val out = df.select(line.as("value"))
     (if (singleFile) out.coalesce(1) else out)
       .write.mode(SaveMode.Overwrite).text(path)

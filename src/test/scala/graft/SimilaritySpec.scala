@@ -30,6 +30,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.eval(InternalRow.empty) == (4.0 + 10.0 + 18.0))
   }
 
+  test("float_cosine on ragged arrays equals the composed full-norm form") {
+    // dot over the common prefix, each norm over its FULL array — a
+    // min-length norm would inflate the similarity of a truncated embedding
+    val a = Array(1f, 1f); val b = Array(1f)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(VectorFns.cosine(col("a"), col("b")).as("fused"))
+    val got = df.as[Double].head()
+    assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-12, got)
+  }
+
   test("float_dot column equals HOF zip_with dot product") {
     val df = vecs.select(
       VectorFns.dot(col("embedding"), col("embedding")).as("native"),

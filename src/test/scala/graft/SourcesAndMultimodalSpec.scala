@@ -36,6 +36,17 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(back == Set("cat\t3", "dog\t1"))
   }
 
+  test("writeTsv keeps NULL fields as empty columns (no left-shift)") {
+    // concat_ws SKIPS nulls; un-coalesced, (5, null, 0.2) would serialize
+    // as "5\t0.2" and every downstream parser would misread the columns
+    val out = Files.createTempDirectory("tsvnull").toString + "/n"
+    val df = Seq((5L, Option.empty[Double], Some(0.2)), (6L, Some(1.5), None))
+      .toDF("id", "a", "b")
+    TextSource.writeTsv(df, out, singleFile = true)
+    val back = spark.read.text(out).as[String].collect().toSet
+    assert(back == Set("5\t\t0.2", "6\t1.5\t"))
+  }
+
   test("writePythonReprIndex byte-reproduces the reference's output framing") {
     // /root/reference/output/output_sample.txt:1 —
     //   in\t['./book3.txt', './myfile.txt', './book1.txt', './book2.txt']
