@@ -41,7 +41,7 @@ case class AsofJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     tolerance: Option[Long] = None) extends BinaryNode {
-  require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
+  AsofJoin.validateKeys(leftKeys, rightKeys)
   AsofJoin.validateTimes(leftTime, rightTime, tolerance)
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -68,6 +68,20 @@ object AsofJoin {
     }, s"tolerance requires long-backed time columns, got " +
        s"${leftTime.dataType}/${rightTime.dataType}")
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
+  }
+
+  /** Key arity AND type validation: each side hash-partitions on its own
+    * key expressions, and Murmur3 of int 5 and long 5 hash differently —
+    * mismatched key types would scatter equal keys to different partitions
+    * and the keyOrd (built from the LEFT types) would misread the right
+    * side's UnsafeRow words: silently wrong matches, no exception.
+    */
+  private[plans] def validateKeys(leftKeys: Seq[Expression],
+                                  rightKeys: Seq[Expression]): Unit = {
+    require(leftKeys.length == rightKeys.length, "as-of join key arity mismatch")
+    require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+      s"as-of key type mismatch: ${leftKeys.map(_.dataType)} vs " +
+        s"${rightKeys.map(_.dataType)} — cast one side first")
   }
 }
 
@@ -127,6 +141,7 @@ case class AsofJoinExec(
     leftTime: Expression, rightTime: Expression,
     left: SparkPlan, right: SparkPlan,
     tolerance: Option[Long] = None) extends BinaryExecNode {
+  AsofJoin.validateKeys(leftKeys, rightKeys)
   AsofJoin.validateTimes(leftTime, rightTime, tolerance)
 
   override def output: Seq[Attribute] =

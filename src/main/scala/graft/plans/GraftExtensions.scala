@@ -23,16 +23,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.asInstanceOf[Number].intValue()
   }
+
+  // arity checks fail function misuse with a clear message instead of an
+  // IndexOutOfBoundsException surfacing from deep inside resolution
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$name requires $n arguments, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_dot"),
       info("float_dot", "float_dot(a, b) - codegen'd dot product of two array<float>"),
-      (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("float_dot", args, 2)
+        FloatDotProduct(args(0), args(1))
+      }))
     ext.injectFunction((FunctionIdentifier("float_cosine"),
       info("float_cosine", "float_cosine(a, b) - fused single-pass cosine similarity"),
-      (args: Seq[Expression]) => FloatCosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("float_cosine", args, 2)
+        FloatCosineSimilarity(args(0), args(1))
+      }))
     // the native as-of join ([[AsofJoinStrategy]]) — sessions built without
     // extensions get it lazily via AsofJoin.asofNative's ensureStrategy
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
@@ -41,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rhp_table_keys",
         "rhp_table_keys(vec, dim, bitsPerTable, tables) - multi-table RHP-LSH bucket keys"),
       (args: Seq[Expression]) => {
+        arity("rhp_table_keys", args, 4)
         val dim = intArg(args(1), "dim")
         val bits = intArg(args(2), "bitsPerTable")
         val tables = intArg(args(3), "tables")
