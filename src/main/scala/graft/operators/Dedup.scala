@@ -336,6 +336,60 @@ object Dedup {
   private[graft] def simhash64(docs: DataFrame, n: Int = 3): DataFrame =
     simhashFromHashRows(shingleHashRows(docs, n))
 
+  /** 31^m mod HashP for m = 0..63 — the positional weights of the
+    * cross-engine polynomial shingle hash below (1-based: element i is
+    * 31^(i-1)).
+    */
+  private[graft] val pow31: IndexedSeq[Long] =
+    Iterator.iterate(1L)(p => (p * 31L) % TextFns.HashP).take(64).toIndexedSeq
+
+  /** Cross-engine SimHash: the same majority-vote bit aggregation as
+    * [[simhash64]], but the per-shingle feature hash is REPLAYABLE in ANSI
+    * SQL so a DuckDB oracle can hash-match the simhash VALUES themselves —
+    * the production path keeps xxhash64 (stronger, cheaper); this variant
+    * gates the mechanism (shingling, per-bit majority votes, bit packing)
+    * exactly.
+    *
+    * Per shingle (first 64 chars, truncated identically on both engines):
+    * h0 = Σ ascii(char_k) * 31^(L-k) mod p — a positional polynomial exact
+    * in signed 64 (terms < 2^38, sums < 2^44). Bit j of the feature is
+    * ((A_j * h0 + B_j) mod p) & 1 over the [[TextFns.minhashA]]/B pairwise-
+    * independent family; bit j of `sim` is the majority of that bit across
+    * the doc's distinct shingles. ASCII corpus assumed (ascii() is a UTF-16
+    * unit in Spark vs a codepoint in DuckDB beyond the BMP — same caveat as
+    * TextFns.fingerprint).
+    */
+  private[graft] def simhashCrossEngine(docs: DataFrame, n: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val grams = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val sh = tok.select(col("doc_id") +: col("t") +: grams: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        substring(concat_ws(" ", col("t") +: (1 until n).map(i => col(s"t$i")): _*),
+          1, 64).as("s"))
+      .distinct()
+    val pw = array(pow31.map(lit): _*)
+    val h0 = pmod(
+      aggregate(
+        transform(sequence(lit(1), length(col("s"))), k =>
+          ascii(col("s").substr(k, lit(1))).cast("long") *
+            element_at(pw, (length(col("s")) - k + 1).cast("int"))),
+        lit(0L), (a, x) => a + x),
+      lit(TextFns.HashP))
+    val hrows = sh.select(col("doc_id"), h0.as("h0"))
+    val bitCols = (0 until 64).map(j =>
+      sum(pmod(lit(TextFns.minhashA(j)) * col("h0") + lit(TextFns.minhashB(j)),
+        lit(TextFns.HashP)).bitwiseAND(lit(1L))).as(s"b$j"))
+    val counted = hrows.groupBy("doc_id").agg(count(lit(1)).as("n"), bitCols: _*)
+    val simCol = (0 until 64)
+      .map(j => when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    counted.select(col("doc_id"), simCol.as("sim"),
+      col("n").cast("bigint").as("n_shingles"))
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, candidates via the chunk
     * pigeonhole, verified by hamming <= maxHam AND exact Jaccard >= minJ.
     *

@@ -744,6 +744,45 @@ object PipelineQueries {
         chunkBits = 16, multiProbe = true).orderBy("a_id", "b_id"),
       None),
 
+    // The SimHash MECHANISM under a full hash-match oracle: per-doc 64-bit
+    // simhash values where the per-shingle feature hash is a positional
+    // character polynomial both engines compute EXACTLY (the production
+    // pair query above keeps xxhash64 and stays rows-only — its candidate
+    // set is hash-radius-defined by design). DuckDB replays shingling,
+    // the polynomial, the 64-bit pairwise-independent bit family, the
+    // majority votes, and the bit packing, so every simhash VALUE is
+    // oracle-gated bit for bit.
+    QueryDef("dd_simhash_bits",
+      (s, d) => Dedup.simhashCrossEngine(T(s, d, "documents")).orderBy("doc_id"),
+      Some {
+        val P = graft.functions.TextFns.HashP
+        val pwList = Dedup.pow31.mkString("[", ", ", "]")
+        val bTerms = (0 until 64).map(j =>
+          s"CAST(sum(((${graft.functions.TextFns.minhashA(j)} * h0 + " +
+            s"${graft.functions.TextFns.minhashB(j)}) % $P) & 1) AS BIGINT) AS b$j")
+          .mkString(",\n       ")
+        val simExpr = (0 until 64).map { j =>
+          // DuckDB range-checks 1 << 63; spell the sign bit as its value
+          val bit = if (j == 63) "(-9223372036854775808)::BIGINT"
+                    else s"(1::BIGINT << $j)"
+          s"(CASE WHEN b$j * 2 > n THEN $bit ELSE 0::BIGINT END)"
+        }.mkString(" | ")
+        s"""WITH tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         substr(t[i] || ' ' || t[i+1] || ' ' || t[i+2], 1, 64) AS s
+           |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+           |             FROM tt WHERE len(t) >= 3) q),
+           |ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS k FROM sh),
+           |h AS (SELECT doc_id, s,
+           |        CAST(sum(CAST(ascii(substr(s, k, 1)) AS BIGINT) * ($pwList)[length(s) - k + 1]) % $P AS BIGINT) AS h0
+           |      FROM ch GROUP BY doc_id, s),
+           |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+           |       $bTerms
+           |      FROM h GROUP BY doc_id)
+           |SELECT doc_id, $simExpr AS sim, n AS n_shingles
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("dd_embedding_cosine",
       (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), minCos = 0.4)
         .orderBy("a_id", "b_id"),
