@@ -15,12 +15,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Static conf, default 100: the 59-query inventory compiles far more
-      // than 100 generated classes, so the widest plans (the 128-column
-      // MinHash signature aggregate) get evicted between their warmup and
-      // their timed run and pay a multi-second janino recompile. Size the
-      // cache to hold the whole inventory.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Static conf, default 100: the inventory compiles far more than 100
+      // generated classes, so the widest plans (the 128-column MinHash
+      // signature aggregate) get evicted between their warmup and their
+      // timed run and pay a multi-second janino recompile. 2000 was enough
+      // at 89 queries; at 263 queries (x several codegen stages each, plus
+      // the staged-layout plans) evictions recurred as isolated in-suite
+      // spikes (fn_json 1.6s solo vs 9-11s mid-suite). Size for the whole
+      // inventory with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
       // temp warehouse, not ./spark-warehouse in the repo
       .config("spark.sql.warehouse.dir",
