@@ -370,15 +370,11 @@ object Dedup {
         substring(concat_ws(" ", col("t") +: (1 until n).map(i => col(s"t$i")): _*),
           1, 64).as("s"))
       .distinct()
-    val pw = array(pow31.map(lit): _*)
-    val h0 = pmod(
-      aggregate(
-        transform(sequence(lit(1), length(col("s"))), k =>
-          ascii(col("s").substr(k, lit(1))).cast("long") *
-            element_at(pw, (length(col("s")) - k + 1).cast("int"))),
-        lit(0L), (a, x) => a + x),
-      lit(TextFns.HashP))
-    val hrows = sh.select(col("doc_id"), h0.as("h0"))
+    // codegen'd Horner form of the same polynomial (PolyHash31) — a HOF
+    // aggregate/transform formulation evaluates an interpreted lambda per
+    // character and measured ~40% slower on the full shingle stream
+    val hrows = sh.select(col("doc_id"),
+      graft.plans.VectorExpressions.polyHash31(col("s")).as("h0"))
     val bitCols = (0 until 64).map(j =>
       sum(pmod(lit(TextFns.minhashA(j)) * col("h0") + lit(TextFns.minhashB(j)),
         lit(TextFns.HashP)).bitwiseAND(lit(1L))).as(s"b$j"))

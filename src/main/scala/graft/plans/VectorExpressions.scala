@@ -5,7 +5,8 @@ import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd dot product over two `array<float>` columns (embedding math hot
   * path). Native Catalyst expression rather than a UDF so whole-stage codegen
@@ -202,10 +203,54 @@ case class RhpTableKeys(child: Expression, planes: Seq[Seq[Float]], bitsPerTable
     copy(child = newChild)
 }
 
+/** Codegen'd positional character polynomial mod 2^31-1 over a string —
+  * Horner form of h = Σ charCode_k * 31^(L-k) mod p, bit-identical to the
+  * SQL-replayable `sum(ascii(substr(s,k,1)) * 31^(L-k)) % p` the SimHash
+  * oracle states (ascii() is the first UTF-16 unit for BMP text, which
+  * charAt matches). A HOF formulation of the same math evaluates an
+  * interpreted lambda per character — this expression keeps the shingle
+  * hash inside whole-stage codegen (~17M characters per sf0.1 pass).
+  */
+case class PolyHash31(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash31"
+
+  private val P = graft.functions.TextFns.HashP
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31L + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * 31L + $s.charAt($i)) % ${P}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Expose as a Column for DataFrame use. */
   def floatDot(a: Column, b: Column): Column =
     bridge.column(FloatDotProduct(bridge.expression(a), bridge.expression(b)))
+
+  def polyHash31(s: Column): Column =
+    bridge.column(PolyHash31(bridge.expression(s)))
 
   def floatCosine(a: Column, b: Column): Column =
     bridge.column(FloatCosineSimilarity(bridge.expression(a), bridge.expression(b)))
