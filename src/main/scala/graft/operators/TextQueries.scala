@@ -740,8 +740,15 @@ object TextQueries {
     // unigram table joins in twice (a- and b-side) — at 100 TB both are
     // fine: the word table is vocabulary-sized (Zipf ⇒ ≪ corpus), the
     // totals are single rows. The >= 20 support floor keeps PMI out of the
-    // noisy low-count regime. Identical double-expression association on
-    // both sides; round(4) clears the 1-ulp libm gap between engines.
+    // noisy low-count regime. The hash surface is the exact-integer PMI
+    // ratio — numerator cnt·n_tok² and denominator n_big·ca·cb as BIGINTs
+    // (the ts_cusum/rel_benford idiom): ln() is the one op where JVM Math
+    // .log and DuckDB libm sit 1 ulp apart, and round(ln(...), 4) flips on
+    // .00005 half-boundaries (the r6 red row). The ln-PMI double itself is
+    // spec-checked under tolerance in TextAnalysisSpec. Bounds: num =
+    // cnt·n_tok² needs cnt·n_tok² < 2^63 — true through sf1 (n_tok ≈ 2.7e6
+    // ⇒ n_tok² ≈ 7e12, cnt ≪ 1e5); at corpus scales beyond that, divide
+    // num/den first (one IEEE-exact division) and hash the quantized ratio.
     QueryDef("tx_pmi",
       (s, d) => {
         val toks = T(s, d, "documents")
@@ -765,8 +772,8 @@ object TextQueries {
           .crossJoin(broadcast(nTok))
           .crossJoin(broadcast(nBig))
           .select(col("w_a"), col("w_b"), col("cnt"),
-            round(log(col("cnt").cast("double") * col("n_tok") * col("n_tok")
-              / (col("n_big").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
+            (col("cnt") * col("n_tok") * col("n_tok")).as("pmi_num"),
+            (col("n_big") * col("ca") * col("cb")).as("pmi_den"))
           .orderBy("w_a", "w_b")
       },
       Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
@@ -776,11 +783,12 @@ object TextQueries {
              |bg AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS cnt
              |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
              |       GROUP BY 1, 2 HAVING count(*) >= 20),
-             |tot AS (SELECT sum(cw) AS n_tok FROM w),
-             |mb AS (SELECT sum(len(t) - 1) AS n_big FROM tt WHERE len(t) >= 2)
+             |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM w),
+             |mb AS (SELECT CAST(sum(len(t) - 1) AS BIGINT) AS n_big
+             |       FROM tt WHERE len(t) >= 2)
              |SELECT bg.w_a, bg.w_b, bg.cnt,
-             |       round(ln(CAST(bg.cnt AS DOUBLE) * n_tok * n_tok
-             |             / (CAST(n_big AS DOUBLE) * wa.cw * wb.cw)), 4) AS pmi
+             |       bg.cnt * n_tok * n_tok AS pmi_num,
+             |       n_big * wa.cw * wb.cw AS pmi_den
              |FROM bg
              |JOIN w wa ON wa.w = bg.w_a
              |JOIN w wb ON wb.w = bg.w_b, tot, mb

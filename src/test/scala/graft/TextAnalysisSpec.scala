@@ -118,4 +118,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1)._2 == 0L && fps(2)._2 == 0L, "empty docs fingerprint to 0")
     assert(fps(0)._2 != 0L)
   }
+
+  test("tx_pmi exact-integer ratio encodes ln-PMI (analytic corpus)") {
+    // The query's hash surface is the exact BIGINT pair (pmi_num, pmi_den);
+    // the transcendental lives here, under tolerance, not in the oracle.
+    // Corpus: 25 docs of "cat dog" ⇒ n_tok=50, n_big=25, cnt=ca=cb=25 ⇒
+    // PMI(cat,dog) = ln(25·50² / (25·25·25)) = ln 4.
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    (0L until 25L).map(i => (i, "cat dog", "en", "test", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("tx_pmi")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq(("cat", "dog", 25L, 25L * 50L * 50L, 25L * 25L * 25L)))
+    val pmi = math.log(rows.head._4.toDouble / rows.head._5)
+    assert(math.abs(pmi - math.log(4.0)) < 1e-12)
+  }
 }
