@@ -386,6 +386,65 @@ object Dedup {
       col("n").cast("bigint").as("n_shingles"))
   }
 
+  /** Chunk-pigeonhole candidate generation over a (doc_id, sim) frame,
+    * hamming-verified inline in the join condition; emits distinct
+    * (a_id, b_id, ham). Shared by the production xxhash64 path
+    * [[simhashPairs]] and the cross-engine oracle path
+    * [[simhashPairsCrossEngine]] — see [[simhashPairs]] for the recall
+    * bounds and candidate-volume asymptotics.
+    */
+  private def simhashCandidatePairs(hashed: DataFrame, maxHam: Int,
+                                    chunkBits: Int, multiProbe: Boolean): DataFrame = {
+    require(64 % chunkBits == 0, s"chunkBits must divide 64, got $chunkBits")
+    val nChunks = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    def chunkKey(c: Int) = shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))
+    val chunks = hashed.select(col("doc_id"), col("sim"),
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("chunk"), chunkKey(c).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    // Probe side: exact key plus (with multiProbe) every 1-bit flip — the
+    // flips go on ONE side only, which suffices for <=1-bit chunk collision.
+    val probes = if (!multiProbe) chunks else {
+      val variants = (0 until nChunks).flatMap { c =>
+        val base = chunkKey(c)
+        (base +: (0 until chunkBits).map(b => base.bitwiseXOR(lit(1L << b))))
+          .map(k => struct(lit(c).as("chunk"), k.as("key")))
+      }
+      hashed.select(col("doc_id"), col("sim"), explode(array(variants: _*)).as("ck"))
+        .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    }
+    chunks
+      .select(col("chunk"), col("key"), col("doc_id").as("a_id"), col("sim").as("sima"))
+      .join(probes.select(col("chunk"), col("key"), col("doc_id").as("b_id"), col("sim").as("simb")),
+        Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id") &&
+        TextFns.hamming(col("sima"), col("simb")) <= maxHam)
+      .select(col("a_id"), col("b_id"),
+        TextFns.hamming(col("sima"), col("simb")).cast("bigint").as("ham"))
+      .distinct()
+  }
+
+  /** Cross-engine SimHash near-dup pairs in the SCALE configuration
+    * (chunkBits=16 + multiProbe), verified by hamming <= maxHam ONLY. With
+    * c = 64/16 = 4 chunks and 1-bit multi-probe, pigeonhole recall is
+    * exactly 1 up to 2c-1 = 7 ([[simhashPairs]] scaladoc), so for
+    * maxHam <= 7 the verified output EQUALS the all-pairs hamming ball
+    * over [[simhashCrossEngine]] values — which is what the DuckDB oracle
+    * computes candidate-free (self-join + bit_count(xor) <= maxHam). That
+    * puts the whole pair pipeline — shingling, polynomial feature hash,
+    * bit votes, packing, pigeonhole buckets, hamming verification — on a
+    * hash-matchable surface; the production [[simhashPairs]] keeps
+    * xxhash64 features + exact-Jaccard verification and stays rows-only.
+    */
+  def simhashPairsCrossEngine(docs: DataFrame, n: Int = 3, maxHam: Int = 7): DataFrame = {
+    require(maxHam <= 7,
+      s"recall-1 bound for 16-bit multi-probe chunks is ham <= 7, got $maxHam")
+    val hashed = materialize(
+      simhashCrossEngine(docs, n).select(col("doc_id"), col("sim")))
+    simhashCandidatePairs(hashed, maxHam, chunkBits = 16, multiProbe = true)
+  }
+
   /** SimHash near-dup pairs: 64-bit simhash, candidates via the chunk
     * pigeonhole, verified by hamming <= maxHam AND exact Jaccard >= minJ.
     *
@@ -415,9 +474,6 @@ object Dedup {
   def simhashPairs(docs: DataFrame, n: Int = 3, maxHam: Int = 3,
                    minJ: Double = 0.8, chunkBits: Int = 8,
                    multiProbe: Boolean = false): DataFrame = {
-    require(64 % chunkBits == 0, s"chunkBits must divide 64, got $chunkBits")
-    val nChunks = 64 / chunkBits
-    val mask = (1L << chunkBits) - 1
     // SimHash over the n-gram SHINGLE features (not unigram tokens): on a
     // small vocabulary most documents share nearly identical token sets, so
     // token-level simhashes collapse and every pair becomes a candidate;
@@ -426,30 +482,8 @@ object Dedup {
     // exact-Jaccard verification sets (mod-p hash, as in MinHash).
     val hrows = materialize(shingleHashRows(docs, n)) // consumed by verify sets + bit counts
     val hashed = materialize(simhashFromHashRows(hrows)) // both chunk-join sides
-    def chunkKey(c: Int) = shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))
-    val chunks = hashed.select(col("doc_id"), col("sim"),
-      explode(array((0 until nChunks).map(c =>
-        struct(lit(c).as("chunk"), chunkKey(c).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    // Probe side: exact key plus (with multiProbe) every 1-bit flip — the
-    // flips go on ONE side only, which suffices for <=1-bit chunk collision.
-    val probes = if (!multiProbe) chunks else {
-      val variants = (0 until nChunks).flatMap { c =>
-        val base = chunkKey(c)
-        (base +: (0 until chunkBits).map(b => base.bitwiseXOR(lit(1L << b))))
-          .map(k => struct(lit(c).as("chunk"), k.as("key")))
-      }
-      hashed.select(col("doc_id"), col("sim"), explode(array(variants: _*)).as("ck"))
-        .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    }
-    val cand = chunks
-      .select(col("chunk"), col("key"), col("doc_id").as("a_id"), col("sim").as("sima"))
-      .join(probes.select(col("chunk"), col("key"), col("doc_id").as("b_id"), col("sim").as("simb")),
-        Seq("chunk", "key"))
-      .filter(col("a_id") < col("b_id") &&
-        TextFns.hamming(col("sima"), col("simb")) <= maxHam)
+    val cand = simhashCandidatePairs(hashed, maxHam, chunkBits, multiProbe)
       .select("a_id", "b_id")
-      .distinct()
     val candM = materialize(cand)
     // verification sets for candidate docs only; candidate side broadcast —
     // see minhashLshPairs verification comment

@@ -112,6 +112,51 @@ object PipelineQueries {
       |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Shingle order for the cross-engine SimHash queries — the ONE constant
+    * both the Scala calls (Dedup.simhashCrossEngine / simhashPairsCrossEngine)
+    * and the generated oracle SQL below derive from, so the two sides
+    * cannot drift (the shingle concat and length guards in the SQL are
+    * built from this value, not hardcoded).
+    */
+  private val SimhashN = 3
+
+  /** WITH-chain ending in CTE `sims(doc_id, sim, n)` — the cross-engine
+    * simhash per doc, replayed in ANSI SQL: n-gram shingling (generated
+    * from the same `n` as the Scala side), the positional 31-polynomial
+    * feature hash, the 64-bit pairwise-independent bit family, majority
+    * votes, and bit packing. Shared by dd_simhash_bits (value gate) and
+    * dd_simhash_pairs (pair gate).
+    */
+  private def simhashSimsCtes(n: Int): String = {
+    val P = graft.functions.TextFns.HashP
+    val pwList = Dedup.pow31.mkString("[", ", ", "]")
+    val bTerms = (0 until 64).map(j =>
+      s"CAST(sum(((${graft.functions.TextFns.minhashA(j)} * h0 + " +
+        s"${graft.functions.TextFns.minhashB(j)}) % $P) & 1) AS BIGINT) AS b$j")
+      .mkString(",\n       ")
+    val simExpr = (0 until 64).map { j =>
+      // DuckDB range-checks 1 << 63; spell the sign bit as its value
+      val bit = if (j == 63) "(-9223372036854775808)::BIGINT"
+                else s"(1::BIGINT << $j)"
+      s"(CASE WHEN b$j * 2 > n THEN $bit ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    val gram = (0 until n).map(k => if (k == 0) "t[i]" else s"t[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""WITH tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         substr($gram, 1, 64) AS s
+       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+       |             FROM tt WHERE len(t) >= $n) q),
+       |ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS k FROM sh),
+       |h AS (SELECT doc_id, s,
+       |        CAST(sum(CAST(ascii(substr(s, k, 1)) AS BIGINT) * ($pwList)[length(s) - k + 1]) % $P AS BIGINT) AS h0
+       |      FROM ch GROUP BY doc_id, s),
+       |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |       $bTerms
+       |      FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $simExpr AS sim, n FROM b)""".stripMargin
+  }
+
   /** Unrolled-iteration PageRank oracle: a FIXED 10-round rank recurrence
     * is a pure function of the graph, so the oracle states each round as
     * its own CTE (generated here — aggregation inside a recursive CTE term
@@ -737,8 +782,10 @@ object PipelineQueries {
     // bound, and that the scale config generates no more candidates.
     // Output is still hash-dependent — a 7-bit simhash radius is not the
     // same pair set as Jaccard >= 0.8 — so it gets a rows-only check; the
-    // recall-at-the-bound property itself is asserted in DedupSpec.
-    // (MinHash above is the oracle-checked recall-1 path.)
+    // recall-at-the-bound property itself is asserted in DedupSpec, and the
+    // full pair pipeline is hash-match-gated on the replayable feature hash
+    // by dd_simhash_pairs below. (MinHash above is the oracle-checked
+    // recall-1 path.)
     QueryDef("dd_simhash",
       (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 7,
         chunkBits = 16, multiProbe = true).orderBy("a_id", "b_id"),
@@ -753,35 +800,30 @@ object PipelineQueries {
     // majority votes, and the bit packing, so every simhash VALUE is
     // oracle-gated bit for bit.
     QueryDef("dd_simhash_bits",
-      (s, d) => Dedup.simhashCrossEngine(T(s, d, "documents")).orderBy("doc_id"),
-      Some {
-        val P = graft.functions.TextFns.HashP
-        val pwList = Dedup.pow31.mkString("[", ", ", "]")
-        val bTerms = (0 until 64).map(j =>
-          s"CAST(sum(((${graft.functions.TextFns.minhashA(j)} * h0 + " +
-            s"${graft.functions.TextFns.minhashB(j)}) % $P) & 1) AS BIGINT) AS b$j")
-          .mkString(",\n       ")
-        val simExpr = (0 until 64).map { j =>
-          // DuckDB range-checks 1 << 63; spell the sign bit as its value
-          val bit = if (j == 63) "(-9223372036854775808)::BIGINT"
-                    else s"(1::BIGINT << $j)"
-          s"(CASE WHEN b$j * 2 > n THEN $bit ELSE 0::BIGINT END)"
-        }.mkString(" | ")
-        s"""WITH tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
-           |sh AS (SELECT DISTINCT doc_id,
-           |         substr(t[i] || ' ' || t[i+1] || ' ' || t[i+2], 1, 64) AS s
-           |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-           |             FROM tt WHERE len(t) >= 3) q),
-           |ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS k FROM sh),
-           |h AS (SELECT doc_id, s,
-           |        CAST(sum(CAST(ascii(substr(s, k, 1)) AS BIGINT) * ($pwList)[length(s) - k + 1]) % $P AS BIGINT) AS h0
-           |      FROM ch GROUP BY doc_id, s),
-           |b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-           |       $bTerms
-           |      FROM h GROUP BY doc_id)
-           |SELECT doc_id, $simExpr AS sim, n AS n_shingles
-           |FROM b ORDER BY doc_id""".stripMargin
-      }),
+      (s, d) => Dedup.simhashCrossEngine(T(s, d, "documents"), n = SimhashN)
+        .orderBy("doc_id"),
+      Some(s"""${simhashSimsCtes(SimhashN)}
+             |SELECT doc_id, sim, n AS n_shingles FROM sims ORDER BY doc_id"""
+        .stripMargin)),
+
+    // The SimHash PAIR pipeline under a full hash-match oracle. The scale
+    // configuration's pigeonhole bound is the trick: with 16-bit chunks +
+    // 1-bit multi-probe, recall at ham <= 7 is exactly 1, so the verified
+    // candidate set EQUALS the all-pairs hamming ball and DuckDB can replay
+    // it candidate-free — recompute each doc's cross-engine simhash (the
+    // dd_simhash_bits CTE chain), self-join, bit_count(xor) <= 7. Candidate
+    // generation + hamming verification are thereby gated end to end;
+    // dd_simhash above keeps the production xxhash64 features + Jaccard
+    // verification and stays rows-only by design.
+    QueryDef("dd_simhash_pairs",
+      (s, d) => Dedup.simhashPairsCrossEngine(T(s, d, "documents"),
+        n = SimhashN, maxHam = 7).orderBy("a_id", "b_id"),
+      Some(s"""${simhashSimsCtes(SimhashN)}
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS ham
+             |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 7
+             |ORDER BY 1, 2""".stripMargin)),
 
     QueryDef("dd_embedding_cosine",
       (s, d) => Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), minCos = 0.4)

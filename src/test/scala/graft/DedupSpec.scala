@@ -197,6 +197,24 @@ class DedupSpec extends AnyFunSuite {
     assert(c16mp <= c8, s"scale config generated MORE candidates: $c16mp > $c8")
   }
 
+  test("cross-engine simhash pairs equal the all-pairs hamming ball (oracle premise)") {
+    // dd_simhash_pairs' DuckDB oracle is candidate-free: it relies on the
+    // 16-bit+multiProbe pigeonhole bound making the verified output EQUAL
+    // the <=7-hamming pair set over the cross-engine simhash values. Assert
+    // that premise in-engine so the oracle can never silently narrow.
+    val sims = Dedup.simhashCrossEngine(corpus)
+      .select("doc_id", "sim").as[(Long, Long)].collect()
+    val expected = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val found = Dedup.simhashPairsCrossEngine(corpus, maxHam = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(found == expected,
+      s"pair set != hamming ball (missing=${expected -- found}, extra=${found -- expected})")
+  }
+
   test("connected components: throws instead of returning non-converged labels") {
     // chain of diameter 9 cannot converge in 3 one-hop iterations — the
     // operator must fail loudly, never silently return split components
