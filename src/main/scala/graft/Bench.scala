@@ -61,6 +61,25 @@ object Bench {
     graft.sources.IvfView.embeddingsByLabel(spark, sfDir)
     // SPARK_GRAFT_REPEAT=N: time each query N times (tail-latency hunting).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Per-query history FILE in the repo: the driver's tail capture keeps
+    // only ~2KB of stdout, which the aggregate map line consumes — at 263
+    // queries most per-query times never survive into BENCH_r<N>.json (r6
+    // lost ~188 of them). A JSONL file committed with the round makes every
+    // query's time retrievable from git without a re-bench. Round tag:
+    // SPARK_GRAFT_ROUND, else 1 + the highest driver-written BENCH_r<N>
+    // .json in cwd. Guards: full-inventory runs only (a subset debug run
+    // must not clobber a full run's history), and cwd must be the repo
+    // (build.sbt present).
+    val roundTag = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).orElse {
+      val rx = """BENCH_r(\d+)\.json""".r
+      Option(new java.io.File(".").list())
+        .flatMap(_.collect { case rx(n) => n.toInt }.maxOption.map(_ + 1))
+    }.map(n => f"_r$n%02d").getOrElse("")
+    val localLog =
+      if (args.isEmpty && new java.io.File("build.sbt").exists())
+        Some(new java.io.PrintWriter(
+          new java.io.FileWriter(s"BENCH_LOCAL$roundTag.jsonl", false)))
+      else None
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map(i => (if (repeat == 1) name else s"$name#$i") -> fn)
     }.map { case (name, fn) =>
@@ -77,7 +96,9 @@ object Bench {
       // driver's tail capture truncates the FRONT of long lines, so a
       // single aggregated per-query map loses ~30% of the inventory's
       // history; short individual lines all survive.
-      println(s"""{"q":"$name","sec":$dt}""")
+      val line = s"""{"q":"$name","sec":$dt}"""
+      println(line)
+      localLog.foreach { w => w.println(line); w.flush() } // crash-safe partials
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -88,6 +109,10 @@ object Bench {
     // driver's tail capture can truncate its FRONT, losing the total field.
     // Repeat the headline on a short trailing line so it always survives.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    localLog.foreach { w =>
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+      w.close()
+    }
     spark.stop()
   }
 }
