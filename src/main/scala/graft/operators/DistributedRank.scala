@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — the scale form of
+  * `row_number().over(Window.orderBy(...))` on a fact-sized input.
+  *
+  * An unpartitioned ordered window funnels the whole input through ONE
+  * task; fine on a 60k-row audit, fatal at 100 TB. The scalable identity is
+  * the one every distributed sort uses: range-partition by the sort keys
+  * (each task owns a contiguous key range), rank locally, then add the
+  * exclusive prefix sum of partition sizes. Spark gives all three pieces
+  * natively: `repartitionByRange` (sampled range boundaries),
+  * `row_number` partitioned by `spark_partition_id`, and a partition-count-
+  * sized offsets frame (the only unpartitioned window left runs over
+  * numPartitions rows, never the fact table).
+  */
+object DistributedRank {
+
+  /** Appends `out` = the 1-based GLOBAL row number under `keys` without an
+    * unpartitioned fact-sized window. `keys` must be a total order (include
+    * unique tie-breakers), or ranks within ties are nondeterministic —
+    * exactly as with the window it replaces.
+    *
+    * Cost: one range shuffle + one extra (materialized) pass for partition
+    * sizes, vs. the single-task global sort it replaces. The partition ids
+    * are captured AFTER an eager materialize so the size pass and the rank
+    * pass see identical partitioning (a recompute could legally re-sample
+    * range boundaries).
+    */
+  def globalRowNumber(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
+    val ranged = Dedup.materialize(
+      df.repartitionByRange(keys: _*).withColumn("__pid", spark_partition_id()))
+    val offW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy("__pid").orderBy(keys: _*)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(out, row_number().over(local).cast("bigint") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Floor division for NON-NEGATIVE bigint columns. The intermediate
+    * double is exact while the quotient stays under 2^53 — i.e. for any
+    * table under ~9e15 rows — which keeps the expression codegen-friendly
+    * without an expr()-string detour for SQL `div`.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("bigint")
+
+  /** ntile(n) as a pure function of a global row number and the total count
+    * N (ntile's spec: the first N mod n tiles take floor(N/n)+1 rows, the
+    * rest floor(N/n)) — so an exact equi-depth bucketing needs no global
+    * window at all, just [[globalRowNumber]] plus this arithmetic against a
+    * broadcast scalar N.
+    */
+  def ntileFromRank(rank: Column, total: Column, n: Int): Column = {
+    val base = idiv(total, lit(n))
+    val rem = total % n
+    val cut = rem * (base + lit(1))
+    when(rank <= cut, idiv(rank - 1, base + lit(1)) + lit(1))
+      .otherwise(rem + idiv(rank - lit(1) - cut, base) + lit(1))
+  }
+}

@@ -205,18 +205,27 @@ object RelationalQueries {
              |       count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Equi-DEPTH companion to rel_histogram's equi-width buckets: deciles
-    // by ntile over a deterministic total order, per-bucket count + bounds.
-    // The global ntile funnels one sort at THIS scale; the 100 TB form
-    // computes the 9 cutpoints with approx_percentile (one aggregate) and
-    // buckets by comparison — same output schema, no global window.
+    // Equi-DEPTH companion to rel_histogram's equi-width buckets: exact
+    // deciles over a deterministic total order, per-bucket count + bounds.
+    // SCALE FORM (no unpartitioned window): ntile over a global sort is
+    // exactly reproducible as ntileFromRank(globalRowNumber, N) — a range
+    // shuffle + per-partition local ranks + a broadcast scalar N — so the
+    // benched plan never funnels the fact table through one sort task, and
+    // the DuckDB ntile oracle still hash-matches row for row (the
+    // distributed rank IS the global rank, not an approximation of it).
     QueryDef("rel_histogram_eqdepth",
       (s, d) => {
-        val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+        val keys = Seq(col("l_extendedprice"), col("l_orderkey"),
           col("l_linenumber"))
-        T(s, d, "lineitem")
+        val ranked = DistributedRank.globalRowNumber(
+          T(s, d, "lineitem")
+            .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          keys, "rnk")
+        val n = ranked.agg(count(lit(1)).as("n_rows"))
+        ranked.crossJoin(broadcast(n))
           .select(col("l_extendedprice"),
-            ntile(10).over(w).cast("bigint").as("decile"))
+            DistributedRank.ntileFromRank(col("rnk"), col("n_rows"), 10)
+              .as("decile"))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"),
             min(col("l_extendedprice")).as("lo"),

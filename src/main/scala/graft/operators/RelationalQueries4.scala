@@ -403,12 +403,14 @@ object RelationalQueries4 {
     // linear (single-key) sort bounds only its own key — the per-chunk
     // extent sums below quantify the difference, i.e. how much a
     // min/max-pruned scan could skip under a predicate on either dim. The
-    // audit's global row_number models the file assignment deterministically
-    // for the oracle; a production write is repartitionByRange(zval) +
-    // sortWithinPartitions, which needs no global window.
+    // chunk ("file") assignment is floor(global_rank / 64) — computed via
+    // DistributedRank.globalRowNumber (range shuffle + local ranks), the
+    // SAME shape a production repartitionByRange(zval) +
+    // sortWithinPartitions write uses, so the benched audit carries no
+    // unpartitioned fact-sized window while still matching the oracle's
+    // global row_number exactly.
     QueryDef("rel_zorder",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         // y clamped on BOTH ends: a pre-epoch order date would otherwise go
         // negative and its two's-complement low bits would silently corrupt
         // the interleave (test data date ranges have drifted across rounds)
@@ -423,9 +425,8 @@ object RelationalQueries4 {
             s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})").mkString(" + ")
         val withZ = base.withColumn("zval", expr(zExpr))
         def extents(df: DataFrame, ord: Seq[Column], layout: String) = {
-          val chunk = floor((row_number().over(
-            Window.orderBy(ord: _*)) - 1) / 64)
-          df.withColumn("chunk", chunk)
+          DistributedRank.globalRowNumber(df, ord, "rn")
+            .withColumn("chunk", floor((col("rn") - 1) / 64))
             .groupBy("chunk")
             .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
             .agg(count(lit(1)).as("n_chunks"),

@@ -633,8 +633,12 @@ object TextQueries {
     // distinct-word count as the corpus is consumed in doc_id order. A
     // cumulative DISTINCT is not windowable directly; the identity is:
     // each word counts once, at its FIRST document — so new-words-per-doc
-    // is a min-aggregate per word, and the curve is its running sum. One
-    // corpus aggregate + a spine-sized window.
+    // is a min-aggregate per word, and the curve is its running sum. The
+    // corpus-wide work is the word aggregate; the running-sum window runs
+    // over the BOUNDED output spine (doc_id < 100 pushed BELOW the window
+    // — a prefix filter on the window's own order key commutes with a
+    // running sum), so no unpartitioned window ever sees a fact-sized
+    // input.
     QueryDef("tx_vocab_growth",
       (s, d) => {
         val firstDoc = T(s, d, "documents")
@@ -645,10 +649,10 @@ object TextQueries {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
         T(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 100)
           .join(firstDoc, col("doc_id") === col("first_doc"), "left")
           .select(col("doc_id"), coalesce(col("new_words"), lit(0L)).as("new_words"))
           .withColumn("vocab_size", sum(col("new_words")).over(w))
-          .filter(col("doc_id") < 100)
           .orderBy("doc_id")
       },
       Some(s"""WITH tt AS (SELECT doc_id, unnest($tk) AS w FROM documents),

@@ -446,4 +446,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("rel_kanonymity")
     assert(p.contains("partial_count"), p)
   }
+
+  test("no unpartitioned window runs over a raw fact-sized input (scale graduation)") {
+    // rel_histogram_eqdepth, rel_zorder and tx_vocab_growth were the last
+    // three plans with a global Window.orderBy over a fact table. Their
+    // scale forms (DistributedRank / bounded spine) may keep unpartitioned
+    // windows ONLY over already-reduced inputs — every such window's child
+    // must contain an Aggregate (partition-size offsets, vocabulary rollup),
+    // never a bare scan of the fact table.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (q <- Seq("rel_histogram_eqdepth", "rel_zorder", "tx_vocab_growth")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val globalWindows = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      globalWindows.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$q: unpartitioned window over a non-aggregated input:\n$w")
+      }
+    }
+    // tx_vocab_growth's bounded spine: the doc_id < 100 prefix filter must
+    // sit BELOW the running-sum window, pushed into the parquet scan.
+    assert(plan("tx_vocab_growth").contains("LessThan(doc_id,100)"))
+    // the two DistributedRank plans carry the range shuffle that replaces
+    // the single-task global sort
+    assert(plan("rel_histogram_eqdepth").contains("rangepartitioning"))
+  }
 }
