@@ -39,15 +39,38 @@ import scala.util.control.NonFatal
   */
 final class JobServer(spark: SparkSession, port: Int = 0) {
 
-  private final case class JobState(@volatile var status: String,
+  private final case class JobState(seq: Long,
+                                    @volatile var status: String,
                                     log: StringBuilder,
                                     @volatile var outFile: Option[Path])
 
   private val jobs = TrieMap.empty[String, JobState]
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong
+
+  /** Retention cap for terminal (COMPLETED/ERROR) jobs: a long-lived
+    * control plane must not grow driver memory with job history — without
+    * a cap the TrieMap (plus each job's step log and consolidated output
+    * file) grows per submit, forever. RUNNING jobs are never evicted; an
+    * evicted id answers 404 exactly like an unknown id (the reference makes
+    * no retention promise — its registry is an in-memory dict that only
+    * lives as long as its Flask process, server.py:19-76).
+    */
+  private val maxRetainedJobs = 256
+
+  /** 2 job-worker threads is the reference-parity CONCURRENCY choice, not
+    * an engine limit: the reference's master drives one job's VM fleet at a
+    * time, so job submissions queue while the engine parallelizes WITHIN
+    * the running job (here: Spark schedules the job's stages across the
+    * whole cluster). Raise this for concurrent multi-tenant jobs — each
+    * worker just blocks on a Spark action.
+    */
   private val pool = Executors.newFixedThreadPool(2)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
+
+  /** Test surface for the retention cap (JobServerSpec's 1k-submit loop). */
+  private[graft] def retainedJobs: Int = jobs.size
 
   private def logLine(st: JobState, msg: String): Unit = st.synchronized {
     st.log.append(s"${Instant.now()} INFO $msg\n"); ()
@@ -69,9 +92,28 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
   private val queryRe = """"query"\s*:\s*"([^"]+)"""".r
   private val sfDirRe = """"sfDir"\s*:\s*"([^"]+)"""".r
 
+  /** Evict the oldest terminal jobs beyond [[maxRetainedJobs]], deleting
+    * their consolidated output files (they live in a JVM-exit-cleaned temp
+    * dir, but a long-lived server should not wait for exit to release
+    * them). O(retained) scan per submit — bounded by the cap itself.
+    */
+  private def evictBeyondCap(): Unit =
+    if (jobs.size > maxRetainedJobs) {
+      jobs.toSeq
+        .filter { case (_, st) => st.status != "RUNNING" }
+        .sortBy(_._2.seq)
+        .take(jobs.size - maxRetainedJobs)
+        .foreach { case (id, st) =>
+          jobs.remove(id)
+          st.outFile.foreach(p =>
+            try { Files.deleteIfExists(p); () } catch { case NonFatal(_) => () })
+        }
+    }
+
   private def submit(name: String, sfDir: String): String = {
     val jobId = java.util.UUID.randomUUID().toString
-    val st = JobState("RUNNING", new StringBuilder, None)
+    val st = JobState(seqGen.incrementAndGet(), "RUNNING", new StringBuilder, None)
+    evictBeyondCap()
     jobs.put(jobId, st)
     logLine(st, s"Step 1 : Job $jobId accepted: query=$name sfDir=$sfDir")
     pool.submit(new Runnable {

@@ -90,4 +90,29 @@ class JobServerSpec extends AnyFunSuite {
       assert(gc == 404 && gbody == "ERROR : Job log fetch failed")
     } finally srv.stop()
   }
+
+  test("1k submits stay bounded: terminal jobs evict beyond the retention cap") {
+    // Long-lived-server memory contract: the jobs registry may not grow
+    // without bound. Unknown-query submissions drive the fast ERROR path
+    // (no Spark action), so 1k of them settle quickly; the map must stay at
+    // the 256-job cap (+ in-flight), the newest job must still resolve, and
+    // the oldest must answer 404 like any unknown id.
+    val srv = new JobServer(spark)
+    try {
+      val idRe = """"job_id" : "([^"]+)"""".r
+      val ids = (1 to 1000).map { i =>
+        val (code, resp) = post(srv.boundPort, "/mapreduce",
+          s"""{"query": "no_such_query_$i", "sfDir": "/x"}""")
+        assert(code == 200, resp)
+        idRe.findFirstMatchIn(resp).map(_.group(1)).getOrElse(fail(resp))
+      }
+      assert(pollUntilDone(srv.boundPort, ids.last) == "ERROR")
+      assert(srv.retainedJobs <= 300,
+        s"jobs map grew past the cap: ${srv.retainedJobs}")
+      val (newestCode, _) = get(srv.boundPort, s"/getjobstatus?jobid=${ids.last}")
+      assert(newestCode == 200)
+      val (oldestCode, _) = get(srv.boundPort, s"/getjobstatus?jobid=${ids.head}")
+      assert(oldestCode == 404, "oldest terminal job should have been evicted")
+    } finally srv.stop()
+  }
 }
