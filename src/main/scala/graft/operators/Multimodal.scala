@@ -514,15 +514,6 @@ object Multimodal {
     }
   }
 
-  /** Perceptual hash over RAW pixels (no Java2D resize — its bilinear math
-    * is implementation-defined and could not be replayed by an oracle):
-    * pixels partition into a gw x gh grid by exact integer division, cell
-    * luma accumulates in INTEGER basis points (2126 r + 7152 g + 722 b),
-    * and bit i sets when cell i's mean exceeds the image mean — compared by
-    * integer cross-multiplication, so the hash is exact by construction.
-    * Near-duplicate images differ in few bits (hamming-comparable), the
-    * image twin of SimHash.
-    */
   /** Shared per-cell luma accumulation: integer-basis-point luma
     * (2126 r + 7152 g + 722 b) summed into a gw x gh grid by exact integer
     * division — the ONE definition of cell geometry that imagePHash and
@@ -549,6 +540,15 @@ object Multimodal {
     (sums, cnts)
   }
 
+  /** Perceptual hash over RAW pixels (no Java2D resize — its bilinear math
+    * is implementation-defined and could not be replayed by an oracle):
+    * pixels partition into a gw x gh grid by exact integer division, cell
+    * luma accumulates in INTEGER basis points (2126 r + 7152 g + 722 b),
+    * and bit i sets when cell i's mean exceeds the image mean — compared by
+    * integer cross-multiplication, so the hash is exact by construction.
+    * Near-duplicate images differ in few bits (hamming-comparable), the
+    * image twin of SimHash.
+    */
   private[graft] def imagePHash(img: java.awt.image.BufferedImage,
                                 gw: Int = 4, gh: Int = 4): (Int, Int) = {
     val (sums, cnts) = tileLumaSums(img, gw, gh)

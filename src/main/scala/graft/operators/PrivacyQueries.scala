@@ -60,22 +60,26 @@ object PrivacyQueries {
   /** Redact emails, IPv4s, and phone numbers from `text`, reporting per-doc
     * counts and the redacted-character delta. Pass order is fixed
     * (email → ip → phone): replacement tokens are digit-free so later
-    * passes cannot match inside earlier replacements.
+    * passes cannot match inside earlier replacements. Each type is COUNTED
+    * on the text as it stands when that type's replace pass runs — n_ip
+    * counts on the email-redacted text, n_phone on the email+ip-redacted
+    * text — so overlapping matches (a digit-bearing email domain like
+    * a@10.1.2.3.com contains an IPv4) are attributed to exactly one type
+    * and the counts always reconcile with n_chars_removed; counting every
+    * type on the raw text would tally such spans twice.
     */
   def piiRedact(docs: DataFrame): DataFrame = {
     val enriched = docs.select(col("doc_id"),
       plantPii(col("text"), col("doc_id")).as("t"))
+    val t1 = regexp_replace(col("t"), EmailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Re, "[IP]")
+    val t3 = regexp_replace(t2, PhoneRe, "[PHONE]")
     enriched.select(
       col("doc_id"),
       regexp_count(col("t"), lit(EmailRe)).cast("bigint").as("n_email"),
-      regexp_count(col("t"), lit(Ipv4Re)).cast("bigint").as("n_ip"),
-      regexp_count(col("t"), lit(PhoneRe)).cast("bigint").as("n_phone"),
-      (length(col("t")) - length(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("t"), EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]"))).cast("bigint").as("n_chars_removed"))
+      regexp_count(t1, lit(Ipv4Re)).cast("bigint").as("n_ip"),
+      regexp_count(t2, lit(PhoneRe)).cast("bigint").as("n_phone"),
+      (length(col("t")) - length(t3)).cast("bigint").as("n_chars_removed"))
   }
 
   /** k-anonymity audit: group rows by a quasi-identifier tuple
@@ -102,18 +106,21 @@ object PrivacyQueries {
 
     QueryDef("tx_pii_redact",
       (s, d) => piiRedact(T(s, d, "documents")).orderBy("doc_id"),
-      Some(s"""WITH enriched AS (SELECT doc_id, $plantPiiSql AS t FROM documents)
+      Some(s"""WITH enriched AS (SELECT doc_id, $plantPiiSql AS t FROM documents),
+             |staged AS (SELECT doc_id, t,
+             |             regexp_replace(t, '$EmailRe', '[EMAIL]', 'g') AS t1
+             |           FROM enriched),
+             |staged2 AS (SELECT *,
+             |              regexp_replace(t1, '$Ipv4Re', '[IP]', 'g') AS t2
+             |            FROM staged)
              |SELECT doc_id,
              |       CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_email,
-             |       CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ip,
-             |       CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phone,
+             |       CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS BIGINT) AS n_ip,
+             |       CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phone,
              |       CAST(length(t) - length(
-             |         regexp_replace(
-             |           regexp_replace(
-             |             regexp_replace(t, '$EmailRe', '[EMAIL]', 'g'),
-             |             '$Ipv4Re', '[IP]', 'g'),
-             |           '$PhoneRe', '[PHONE]', 'g')) AS BIGINT) AS n_chars_removed
-             |FROM enriched ORDER BY doc_id""".stripMargin)),
+             |         regexp_replace(t2, '$PhoneRe', '[PHONE]', 'g')) AS BIGINT)
+             |         AS n_chars_removed
+             |FROM staged2 ORDER BY doc_id""".stripMargin)),
 
     QueryDef("rel_kanonymity",
       (s, d) => kAnonymity(T(s, d, "customer"), k = 5),

@@ -517,15 +517,19 @@ object RelationalQueries4 {
           .select(col("k"), (col("ce") * col("co")).as("contrib"))
         // top key folds into the SAME aggregate (no second pass over the
         // profiles, and an empty key intersection still yields the one
-        // summary row on both engines). Tie-break min-k via a single
-        // scalar ordering contrib*2^32 - k — exact while per-key contrib
-        // < 2^30 and k < 2^32, far beyond any key you'd salt rather than
-        // redesign.
+        // summary row on both engines). Tie-break min-k via the single
+        // scalar ordering contrib*2^32 - k, computed in 128-bit-exact
+        // arithmetic on BOTH engines (DECIMAL(38,0) here, HUGEINT in the
+        // oracle): in signed 64 the product wraps silently once contrib
+        // >= 2^31 — Spark would pick a wrong top_key exactly when skew is
+        // extreme, while DuckDB raises. The widened ordering never
+        // overflows for any representable contrib (< 2^63 * 2^32 < 10^38).
         val agg = j.agg(
           sum("contrib").cast("long").as("est_rows"),
           count(lit(1)).as("n_keys_both"),
           max("contrib").cast("long").as("max_key_contrib"),
-          max_by(col("k"), col("contrib") * lit(4294967296L) - col("k"))
+          max_by(col("k"),
+            col("contrib").cast("decimal(38,0)") * lit(4294967296L) - col("k"))
             .as("top_key"))
         val act = T(s, d, "events")
           .join(T(s, d, "orders"), col("user_id") === col("o_custkey"))
@@ -541,7 +545,7 @@ object RelationalQueries4 {
              |agg AS (SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
              |               count(*) AS n_keys_both,
              |               CAST(max(contrib) AS BIGINT) AS max_key_contrib,
-             |               arg_max(k, contrib * 4294967296 - k) AS top_key
+             |               arg_max(k, contrib::HUGEINT * 4294967296 - k) AS top_key
              |        FROM j),
              |act AS (SELECT count(*) AS actual_rows
              |        FROM events e JOIN orders o ON e.user_id = o.o_custkey)

@@ -22,6 +22,21 @@ class PrivacySpec extends AnyFunSuite {
     assert(got(0)._5 == 21L, got)
   }
 
+  test("piiRedact attributes an overlapping span to exactly one type") {
+    // a@10.1.2.3.com is BOTH a syntactic email and contains an IPv4. The
+    // email pass runs (and counts) first, so the span is email-attributed;
+    // counting every type on the raw text would also tally the IP and the
+    // counts would stop reconciling with n_chars_removed.
+    // doc_id 1: %3!=0 plants user1@mail.example.com; %4==1 plants no ip;
+    // odd plants no phone.
+    val docs = Seq((1L, "x a@10.1.2.3.com y")).toDF("doc_id", "text")
+    val got = PrivacyQueries.piiRedact(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 2L, 0L, 0L,
+      ("a@10.1.2.3.com".length - 7) + ("user1@mail.example.com".length - 7))),
+      got)
+  }
+
   test("kAnonymity flags every group smaller than k with its row count") {
     val rows = Seq(
       // AUTOMOBILE nation 1 band 0: 5 rows (safe at k=5)
