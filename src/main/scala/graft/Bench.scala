@@ -51,6 +51,16 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
+    // Second, larger untimed warmup for the allocation-heavy JSON parsers:
+    // the sf0.001 pass (~600 event rows) leaves their per-row Jackson parse
+    // loops short of C2's invocation threshold, so the TIMED run paid JIT
+    // compilation — observed as fn_json landing 1.6-2x above its steady
+    // state and settling only by repeat 3 under SPARK_GRAFT_REPEAT=5. One
+    // sf0.01 pass (~60k rows) crosses the threshold off the clock.
+    val jitHungry = Set("fn_json", "fn_variant")
+    selected.filter(q => jitHungry(q._1)).foreach { case (_, fn) =>
+      try run(fn(spark, "/root/testdata/sf0.01")) catch { case _: Throwable => () }
+    }
     // Ingest staging: the partitioned (rel_dpp) and bucketed
     // (rel_join_bucketed) storage views model INGEST-TIME layouts — landed
     // once, queried many times. Stage them for the timed sfDir up front so
