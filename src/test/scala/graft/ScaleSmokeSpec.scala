@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tag for the long-running scale checks (a few minutes on local[4]). */
+object Slow extends Tag("graft.Slow")
+
+/** 10x-bench-scale smoke for the dedup/similarity families — the cheapest
+  * way to catch quadratic creep that the sf0.1 bench cannot see: a bucketed
+  * LSH that silently degenerates to all-pairs looks fine at 5k docs and
+  * only reveals itself as ~100x (vs ~10x) growth at 10x the corpus.
+  *
+  * Corpora are generated HERE (never written to the read-only
+  * /root/testdata): per-doc seeded Zipf-ish token streams, so the base
+  * corpus is a strict prefix of the 10x corpus (same distribution, no
+  * regeneration drift), with a planted near-dup twin every 100 docs —
+  * near-dup structure stays LINEAR in corpus size, as a real crawl's does.
+  * Growth is asserted per query at < 30x for 10x data: linear shapes land
+  * near 10x (minus amortized fixed overhead), quadratic ones near 100x.
+  */
+class ScaleSmokeSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  private val BaseDocs = 5000  // = sf0.1 documents rows (the bench scale)
+  private val BaseVecs = 2000  // = sf0.1 embeddings rows
+  private val Factor = 10
+
+  private def tokensFor(seed: Int): Seq[String] = {
+    val rng = new scala.util.Random(1000 + seed)
+    val n = 30 + rng.nextInt(40)
+    // rank = V * u^3 skews mass to low ranks (Zipf-ish head) so shingle
+    // sharing between unrelated docs is realistic-sparse, not uniform-rare
+    Seq.fill(n)("w" + (4000 * math.pow(rng.nextDouble(), 3.0)).toInt)
+  }
+
+  private def corpus(nDocs: Int): DataFrame = {
+    import spark.implicits._
+    (0 until nDocs).map { i =>
+      val text =
+        if (i % 100 == 1) (tokensFor(i - 1).dropRight(1) :+ "tweaked").mkString(" ")
+        else tokensFor(i).mkString(" ")
+      (i.toLong, text, "en", "synth", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def vectors(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val rng = new scala.util.Random(7000 + i)
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2f - 1f), i % 16)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private def stage(nDocs: Int, nVecs: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"scale_$nDocs").toString
+    corpus(nDocs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    vectors(nVecs).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def time(name: String, dir: String): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = SparkEntry.queries(name)(spark, dir).count()
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  test("dedup/similarity growth is ~linear from bench scale to 10x", Slow) {
+    val queries = Seq("dd_minhash_lsh", "dd_cc_dedup", "sim_batch_topk",
+      "dd_embedding_lsh")
+    // JIT/codegen warmup on the real small fixture, off the clock
+    queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    val base = stage(BaseDocs, BaseVecs)
+    val big = stage(BaseDocs * Factor, BaseVecs * Factor)
+    queries.foreach { q =>
+      val (t1, r1) = time(q, base)
+      val (t10, r10) = time(q, big)
+      val growth = t10 / t1
+      info(f"$q%-18s base=$t1%6.2fs rows=$r1%6d  10x=$t10%7.2fs rows=$r10%7d  growth=$growth%5.1fx")
+      assert(r1 > 0, s"$q degenerate at base scale")
+      assert(r10 > 0, s"$q degenerate at 10x scale")
+      assert(growth < 30.0,
+        s"$q grew ${growth}x for ${Factor}x data — quadratic creep " +
+          s"(linear lands near ${Factor}x)")
+    }
+  }
+}
