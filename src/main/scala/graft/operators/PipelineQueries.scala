@@ -920,6 +920,43 @@ object PipelineQueries {
              |SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= 10
              |ORDER BY q_id, rn""".stripMargin)),
 
+    // kNN label-vote classification — the standard embedding-quality eval
+    // (label a held-out vector by its neighbors' majority): exact-cosine
+    // top-10 per query (the sim_batch_topk chain), neighbors' labels
+    // counted, majority wins with ties toward the smaller label (the same
+    // ORDER BY votes DESC, label window on both engines). The prediction
+    // sits next to the query's own label so the output IS the eval row.
+    QueryDef("sim_knn_label",
+      (s, d) => Similarity.knnLabelVote(T(s, d, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |         GROUP BY 1, 2),
+             |scored AS (SELECT q_id, dots.vec_id AS vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |           FROM dots
+             |           JOIN nrm nq ON nq.vec_id = dots.q_id
+             |           JOIN nrm nv ON nv.vec_id = dots.vec_id),
+             |ranked AS (SELECT q_id, vec_id, cos_sim,
+             |                  row_number() OVER (PARTITION BY q_id
+             |                       ORDER BY cos_sim DESC, vec_id) AS rn
+             |           FROM scored),
+             |vt AS (SELECT r.q_id, e.label, count(*) AS votes
+             |       FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+             |       WHERE r.rn <= 10 GROUP BY 1, 2),
+             |win AS (SELECT q_id, label, votes,
+             |               row_number() OVER (PARTITION BY q_id
+             |                    ORDER BY votes DESC, label) AS rn
+             |        FROM vt)
+             |SELECT win.q_id, CAST(t.label AS BIGINT) AS true_label,
+             |       CAST(win.label AS BIGINT) AS pred_label, votes
+             |FROM win JOIN embeddings t ON t.vec_id = win.q_id
+             |WHERE win.rn = 1 ORDER BY win.q_id""".stripMargin)),
+
     // K-means assignment (E-step) under the oracle: assign every vector to
     // its nearest label-centroid, report cluster sizes + inertia. With
     // centroids DERIVED from the labels, a correct assignment largely

@@ -42,6 +42,30 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** kNN label vote — the classifier eval built on [[batchTopK]]: each
+    * query's k nearest neighbors (exact cosine) vote with their `label`;
+    * the majority label (ties broken toward the smaller label — stated
+    * identically in the oracle's window) is the prediction, reported next
+    * to the query's own label. Scale shape: the O(|queries|·k) neighbor
+    * frame broadcasts into ONE streamed pass over the corpus for the label
+    * join; the vote aggregate and window are |queries|·|labels|-sized.
+    */
+  def knnLabelVote(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val ids = queryIds.map(l => l: Any)
+    val nn = batchTopK(embs, queryIds, k)
+    val votes = broadcast(nn.select("q_id", "vec_id"))
+      .join(embs.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(embs.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"))), "q_id")
+      .select(col("q_id"), col("true_label").cast("bigint").as("true_label"),
+        col("label").cast("bigint").as("pred_label"), col("votes"))
+      .orderBy("q_id")
+  }
+
   /** Exact brute-force cosine top-k against a single query vector (row
     * `queryId` of the same table). One corpus scan + TakeOrderedAndProject.
     */

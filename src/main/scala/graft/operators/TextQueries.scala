@@ -667,6 +667,45 @@ object TextQueries {
              |SELECT doc_id, new_words, vocab_size FROM curve
              |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
 
+    // Per-doc n-gram NOVELTY — the doc-level curation signal (vocab_growth
+    // above is the corpus-level curve): what fraction of a doc's distinct
+    // 3-gram shingles first occur in THIS doc (global min-doc_id owner)?
+    // Low novelty = boilerplate/near-dup candidate; the score feeds the
+    // same keep/drop decisions as the dd_* pair queries but costs only
+    // linear shuffles: explode → distinct, groupBy(shingle) min, a
+    // co-partitioned join back (same shingle key — no extra exchange), and
+    // a doc rollup. Spark groups hashed shingles, the oracle groups the
+    // strings — the same ~1e-9-collision equivalence every dd_ pair oracle
+    // rests on. novelty_bp is the exact-integer basis-point idiom.
+    QueryDef("tx_ngram_novelty",
+      (s, d) => {
+        val sh = Dedup.shingleHashRows(T(s, d, "documents"), n = 3)
+        val fd = sh.groupBy("hraw").agg(min(col("doc_id")).as("first_doc"))
+        sh.join(fd, "hraw")
+          .filter(col("doc_id") < 200)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("(10000 * n_novel) div n_shingles").as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(generate_series(1, len(t) - 2),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             |       FROM tt),
+             |fd AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+             |SELECT sh.doc_id, count(*) AS n_shingles,
+             |       CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_novel,
+             |       (10000 * CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             |            AS BIGINT)) // count(*) AS novelty_bp
+             |FROM sh JOIN fd USING (s)
+             |WHERE sh.doc_id < 200
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Zipf's-law fit: OLS slope of ln(freq) against ln(rank) over the top
     // 1000 words (a Zipfian corpus sits near slope -1). The global
     // row_number window runs over the VOCABULARY (Zipf ⇒ ≪ corpus — the
