@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.DistributedRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the distributed global-rank helper that replaced the
+  * single-task Window.orderBy in rel_histogram_eqdepth / rel_zorder: on
+  * random multisets (duplicates included — ties broken by the unique id in
+  * the key tuple), the range-partitioned rank must equal the plain global
+  * window's, and ntileFromRank must equal ntile() for every n, INCLUDING
+  * the n > rows and rows % n != 0 edge cases that exercise the uneven-tile
+  * arithmetic.
+  */
+class DistributedRankSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  private def randomDf(seed: Int, rows: Int) = {
+    val rng = new scala.util.Random(seed)
+    // small value domain forces heavy ties; id disambiguates
+    (0 until rows).map(i => (i.toLong, rng.nextInt(7).toLong)).toDF("id", "v")
+  }
+
+  test("globalRowNumber equals the single-task global window rank") {
+    for (seed <- Seq(1, 2, 3); rows <- Seq(0, 1, 97, 1000)) {
+      val df = randomDf(seed, rows)
+      val keys = Seq(col("v"), col("id"))
+      val got = DistributedRank.globalRowNumber(df, keys, "rnk")
+        .select("id", "rnk").as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(keys: _*)
+      val want = df.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .select("id", "rnk").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
+  test("ntileFromRank equals ntile() across uneven and degenerate splits") {
+    for (rows <- Seq(1, 7, 10, 23, 100); n <- Seq(1, 3, 10, 16)) {
+      val df = randomDf(seed = 42, rows)
+      val keys = Seq(col("v"), col("id"))
+      val ranked = DistributedRank.globalRowNumber(df, keys, "rnk")
+      val total = ranked.agg(count(lit(1)).as("n_rows"))
+      val got = ranked.crossJoin(broadcast(total))
+        .select(col("id"),
+          DistributedRank.ntileFromRank(col("rnk"), col("n_rows"), n).as("t"))
+        .as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(keys: _*)
+      val want = df.withColumn("t", ntile(n).over(w).cast("bigint"))
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      assert(got == want, s"rows=$rows n=$n")
+    }
+  }
+}
