@@ -277,4 +277,63 @@ object Graph {
     Dedup.release(es) // final visited set is materialized; the edge copy is done
     out
   }
+
+  /** HITS hubs & authorities over a DIRECTED edge table (src, dst), `iters`
+    * full rounds of the mutual recurrence a ← Aᵀh, h ← A·a — link-economy
+    * scoring where PageRank's single score conflates the two roles (here:
+    * orient near-dup edges later→earlier and hubs are the serial copiers,
+    * authorities the copied originals).
+    *
+    * Determinism: the textbook algorithm L2-normalizes each round, which
+    * puts a float SUM in every iteration (summation-order noise compounds
+    * across rounds and flips oracle hashes). Instead we run the
+    * UN-normalized power iteration in Long arithmetic — init 1, pure
+    * integer sums, so every intermediate is exact in any engine and any
+    * summation order — and defer normalization to a single terminal
+    * quantized division (basis points of the max). Same fixpoint direction:
+    * normalization only rescales, never reorders. Magnitudes grow like
+    * λ^(2·iters) (λ <= max degree), so Long holds through iters=5 for any
+    * graph with max degree < ~450; the caller-facing contract documents
+    * that a deeper/denser run should switch to doubles and accept a
+    * tolerance gate instead of a hash gate.
+    *
+    * Scale shape per round: two equi-joins of edges with an O(nodes) score
+    * vector plus two keyed aggregates — both shuffles key on node id, so a
+    * cluster run co-partitions edges and scores once (same contract as
+    * [[pageRank]]). Rounds are NOT materialized here (iters is tiny and
+    * each round is two joins); a deep run would checkpoint like [[kCore]].
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"bad hits iters $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = Dedup.materialize(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    var hub = nodes.select(col("id"), lit(1L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a = nodes.join(
+          e.join(hub.select(col("id").as("src"), col("h")), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a0")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("a0"), lit(0L)).as("a"))
+      auth = a
+      hub = nodes.join(
+          e.join(a.select(col("id").as("dst"), col("a")), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("h0")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("h0"), lit(0L)).as("h"))
+    }
+    val mx = broadcast(hub.join(auth, "id")
+      .agg(max(col("h")).as("mh"), max(col("a")).as("ma")))
+    val out = hub.join(auth, "id").crossJoin(mx)
+      // `div`, not `/`: Column./ is DOUBLE division, which is inexact once
+      // h·10000 passes 2^53 and rounds-to-nearest where the oracle floors
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"),
+        expr("(h * 10000) div greatest(mh, CAST(1 AS BIGINT))").as("hub_bp"),
+        expr("(a * 10000) div greatest(ma, CAST(1 AS BIGINT))").as("auth_bp"))
+    // `nodes` stays pinned: the returned lazy plan references it in every
+    // round's left join, so it is released only when its blocks age out —
+    // unlike bfsHops there is no post-materialize point to free it here.
+    out
+  }
 }

@@ -597,6 +597,57 @@ object Multimodal {
         explode(sequence(lit(0), col(nFramesCol).cast("int") - 1, lit(stride))))
   }
 
+  /** Autocorrelation pitch estimate per clip: the lag in [minLag, maxLag]
+    * maximizing R(lag) = Σ v[i]·v[i+lag] over the decoded PCM samples —
+    * the classic time-domain fundamental-frequency estimator (speech/music
+    * curation: voiced-speech detection, tone classification) that needs no
+    * FFT library. Everything is integer products of 16-bit samples summed
+    * into a Long (exactly representable: |v| <= 2^15, so each term fits in
+    * 31 bits and a clip needs > 2^32 samples to overflow — we require far
+    * fewer), so the winning lag and its score are bit-reproducible and the
+    * SQL oracle can replay them from the synth closed form. Same
+    * mapPartitions shape as [[wavFrameEnergy]]: decode + O(samples·lags)
+    * scoring entirely inside the partition, one output row per clip, no
+    * shuffle.
+    */
+  def wavAutocorrPitch(df: DataFrame, payloadCol: String = "content",
+                       minLag: Int = 2, maxLag: Int = 16): DataFrame = {
+    require(0 < minLag && minLag <= maxLag, s"bad lag range [$minLag, $maxLag]")
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("n_samples", org.apache.spark.sql.types.IntegerType)
+      .add("r0", org.apache.spark.sql.types.LongType)
+      .add("best_lag", org.apache.spark.sql.types.IntegerType)
+      .add("best_r", org.apache.spark.sql.types.LongType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        val pcm = decodeWavPcm(r.getAs[Array[Byte]](idx))
+        if (pcm == null || pcm.samples.length <= maxLag) Iterator.empty
+        else {
+          val v = pcm.samples
+          val n = v.length
+          var r0 = 0L
+          var i = 0
+          while (i < n) { r0 += v(i).toLong * v(i); i += 1 }
+          var bestLag = minLag
+          var bestR = Long.MinValue
+          var lag = minLag
+          while (lag <= maxLag) {
+            var acc = 0L
+            var j = 0
+            while (j < n - lag) { acc += v(j).toLong * v(j + lag); j += 1 }
+            if (acc > bestR) { bestR = acc; bestLag = lag } // ties keep the SMALLER lag
+            lag += 1
+          }
+          Iterator.single(Row.fromSeq(keep :+ n :+ r0 :+ bestLag :+ bestR))
+        }
+      }
+    }
+  }
+
   /** Multimodal record assembly: documents joined with their embedding
     * vectors into one struct-typed row (text + vector + metadata). The join
     * key is the shared id; at scale both sides are bucketed on it via

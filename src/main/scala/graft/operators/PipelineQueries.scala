@@ -59,7 +59,7 @@ object PipelineQueries {
   private val pairStatsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  private def pairStats(s: SparkSession, d: String) =
+  private[operators] def pairStats(s: SparkSession, d: String) =
     pairStatsCache.synchronized {
       pairStatsCache.getOrElseUpdate((s, d),
         // materializedPairStats releases its shingle-row intermediate once
@@ -88,7 +88,7 @@ object PipelineQueries {
     * single source of truth for "what is a near-dup pair" across every
     * oracle that needs it (change the shingle definition here only).
     */
-  private val jaccardCtes =
+  private[operators] val jaccardCtes =
     s"""tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |              unnest(list_transform(generate_series(1, len(t) - 2),

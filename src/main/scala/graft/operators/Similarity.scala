@@ -288,6 +288,62 @@ object Similarity {
       .orderBy("ss", "code")
   }
 
+  /** Per-vector PQ code assignment — the storage half of [[pqEncode]]
+    * (which rolls the same assignment up to codebook occupancy/SSE):
+    * (vec_id, ss, code) with one row per subspace. Same two-shuffle E-step
+    * shape; the label-seeded sub-codebooks are tiny and broadcast.
+    */
+  def pqCodes(embs: DataFrame, subDim: Int = 16): DataFrame = {
+    require(subDim > 0, "subDim must be positive")
+    val ex = embs.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / subDim).cast("bigint").as("ss"), col("i"), col("x"))
+    val cents = ex.groupBy(col("label").as("c_label"), col("ss"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+    ex.join(broadcast(cents), Seq("ss", "i"))
+      .groupBy(col("vec_id"), col("ss"), col("c_label"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+      .groupBy("vec_id", "ss")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("ss"), col("best.c_label").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes — how an IVFPQ index
+    * actually serves queries: the query stays EXACT while the corpus is
+    * represented by its per-subspace codes, so per query the scan touches
+    * only a (subspaces × codebook) distance table plus one integer code
+    * lookup per (vector, subspace) — never the raw corpus vectors.
+    *
+    * Plan shape: the distance table dt(ss, code) = Σ_i∈ss (q_i − c_i)² is
+    * a codebook-sized aggregate joined against the query's exploded
+    * components — O(k·dim) rows, broadcast; the corpus-side cost is one
+    * equi-join of the code table with dt and a groupBy(vec_id), both keyed
+    * without touching the embedding column. At 100 TB the code table is
+    * ~dim/subDim bytes per vector instead of 4·dim — the whole point of PQ.
+    * Approximation quality is the (documented) PQ tradeoff; the oracle
+    * replays the SAME quantized pipeline, so the gate is exact.
+    */
+  def pqAdcTopK(embs: DataFrame, queryId: Long, k: Int, subDim: Int = 16): DataFrame = {
+    val ex = embs.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / subDim).cast("bigint").as("ss"), col("i"), col("x"))
+    val cents = ex.groupBy(col("label").as("c_label"), col("ss"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+    val dt = ex.filter(col("vec_id") === queryId)
+      .join(broadcast(cents), Seq("ss", "i"))
+      .groupBy(col("ss"), col("c_label").as("code"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dq"))
+    pqCodes(embs, subDim)
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(dt), Seq("ss", "code"))
+      .groupBy("vec_id")
+      .agg(round(sum(col("dq")), 3).as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Single-table RHP bucket key (compat/spec surface over
     * [[VectorFns.rhpKeys]]): sign bits of dot products with deterministic
     * pseudo-random hyperplanes. Vectors of any dimension hash (planes are

@@ -306,6 +306,58 @@ object StreamingQueries {
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |ORDER BY p_id, c_id""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: st_interval_join plus the
+    // watermark-driven "absence is final" decision — a purchase that never
+    // sees a click inside its 30-minute span is emitted null-padded once
+    // the engine can prove no future click will land there. The engine
+    // makes that call CONSERVATIVELY: measured on this input, null-pads
+    // trail the final watermark by ~(watermark delay + 2×interval) rather
+    // than the tight p_ts + 30min bound, and that margin is an
+    // implementation detail, not a semantic one. So the gate compares the
+    // two engines on a CLOSED 2-hour horizon (safely past the observed
+    // margin): both sides keep only purchases with p_ts + 2h <= max(ts),
+    // where matched+null-padded emissions are complete in both — the same
+    // "compare only what the watermark has finalized" move every append-
+    // mode st_* gate already makes, applied symmetrically. NULL sort order
+    // differs between the engines by default → both pin NULLS FIRST.
+    QueryDef("st_outer_join",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => {
+            val ev = toTs(df)
+            val purchases = ev.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("p_id"), col("user_id"),
+                col("ts").as("p_ts"))
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("c_id"),
+                col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+            EventStreams.leftOuterIntervalJoin(purchases, clicks,
+              maxSpan = "30 minutes", watermark = "0 seconds")
+              .select(col("p_id"), col("c_id"), col("p_ts"))
+          },
+          "st_oj")
+        val horizon = broadcast(Tables.t(s, d, "events")
+          .agg(max(col("ts")).as("mx")))
+        emitted.crossJoin(horizon)
+          .filter(col("p_ts") + expr("INTERVAL 2 HOURS") <= col("mx"))
+          .select(col("p_id"), col("c_id"))
+          .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+             |p AS (SELECT event_id, user_id, ts FROM events, m
+             |      WHERE event_type = 'purchase' AND ts + INTERVAL 2 HOUR <= m.mx),
+             |c AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click'),
+             |j AS (SELECT p.event_id AS p_id, c.event_id AS c_id
+             |      FROM p JOIN c ON p.user_id = c.user_id
+             |        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE)
+             |SELECT p_id, c_id FROM j
+             |UNION ALL
+             |SELECT p.event_id, CAST(NULL AS BIGINT) FROM p
+             |WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.event_id)
+             |ORDER BY p_id, c_id NULLS FIRST""".stripMargin)),
+
     // Streaming UPSERT: each micro-batch merges into a keyed sink table
     // (latest event per user wins, ties broken by event_id) via the
     // read-merge-overwrite foreachBatch pattern — the lakehouse MERGE sink

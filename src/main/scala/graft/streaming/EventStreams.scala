@@ -87,6 +87,25 @@ object EventStreams {
       .join(clicks.withWatermark("c_ts", watermark),
         expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"))
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoin]] plus the
+    * null-padded emission for purchases that never see a click: Structured
+    * Streaming holds each unmatched left row in state until the right-side
+    * watermark proves no future click can land inside
+    * [p_ts, p_ts + maxSpan], then emits it once with nulls. That
+    * watermark-driven completeness decision is the semantic step up from
+    * the inner join (a batch engine just anti-joins; a stream has to KNOW
+    * when absence is final), and it is why the outer side's state bound
+    * needs the time-range conjunct — without it left state would be
+    * unbounded. Same column contract as [[intervalJoin]].
+    */
+  def leftOuterIntervalJoin(purchases: DataFrame, clicks: DataFrame,
+                            maxSpan: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_ts", watermark)
+      .join(clicks.withWatermark("c_ts", watermark),
+        expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"),
+        "left_outer")
+
   /** Running per-user totals via arbitrary stateful processing
     * (`mapGroupsWithState`) — the custom-state surface for logic that
     * windowed aggregation can't express. State is one (count, sum) pair per

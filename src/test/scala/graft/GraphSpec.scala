@@ -162,4 +162,58 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Un-normalized integer HITS brute force: the exact recurrence
+    * Graph.hits runs, in plain Scala maps.
+    */
+  private def bruteHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      a = nodes.map(n => n -> e.filter(_._2 == n).map(p => h(p._1)).sum).toMap
+      h = nodes.map(n => n -> e.filter(_._1 == n).map(p => a(p._2)).sum).toMap
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  test("hits matches the integer brute force on hand + random digraphs") {
+    val hand = Seq((1L, 2L), (1L, 3L), (4L, 3L), (3L, 2L), (5L, 2L))
+    val rnd = {
+      val r = new scala.util.Random(77)
+      Seq.fill(40)((r.nextInt(12).toLong, r.nextInt(12).toLong))
+        .filter(p => p._1 != p._2)
+    }
+    Seq(hand, rnd).foreach { edges =>
+      val exp = bruteHits(edges, iters = 5)
+      val got = Graph.hits(edges.toDF("src", "dst"), iters = 5)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(got.map(r => r._1 -> (r._2, r._3)).toMap == exp)
+      // bp columns floor-normalize against the max of each score
+      val mh = math.max(exp.values.map(_._1).max, 1L)
+      val ma = math.max(exp.values.map(_._2).max, 1L)
+      got.foreach { r =>
+        assert(r._4 == r._2 * 10000 / mh && r._5 == r._3 * 10000 / ma, r)
+      }
+    }
+  }
+
+  test("hits separates hubs from authorities on a bipartite fan") {
+    // 1,2,3 each point at 8,9: pure hubs left, pure authorities right
+    val df = Graph.hits(
+      Seq((1L, 8L), (1L, 9L), (2L, 8L), (2L, 9L), (3L, 8L), (3L, 9L))
+        .toDF("src", "dst"), iters = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(df(n)._3 == 0L, s"hub $n has authority ${df(n)}")
+      assert(df(n)._2 > 0L)
+    }
+    Seq(8L, 9L).foreach { n =>
+      assert(df(n)._2 == 0L, s"authority $n has hub score ${df(n)}")
+      assert(df(n)._3 > 0L)
+    }
+  }
 }

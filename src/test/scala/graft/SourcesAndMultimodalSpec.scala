@@ -198,4 +198,45 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
       Files.deleteIfExists(dir)
     }
   }
+
+  test("autocorrelation pitch finds the true period of a synthetic square wave") {
+    // period-8 square wave: R(lag) peaks at lag 8 (full period) within [2,16];
+    // a period-5 wave peaks at 5 and 10 — ties by R break toward the smaller
+    def squareWav(period: Int, n: Int): Array[Byte] = {
+      val samples = Array.tabulate[Short](n)(i =>
+        if ((i / (period / 2)) % 2 == 0) 1000 else -1000)
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val df = Seq((8L, squareWav(8, 160)), (10L, squareWav(10, 160)))
+      .toDF("id", "content")
+    val got = Multimodal.wavAutocorrPitch(df, minLag = 2, maxLag = 16)
+      .select("id", "best_lag").as[(Long, Int)].collect().toMap
+    assert(got == Map(8L -> 8, 10L -> 10), got)
+  }
+
+  test("autocorrelation pitch matches a brute-force replay on the synth fixtures") {
+    val ids = (0L until 40L).toSeq
+    val df = Multimodal.withSynthPayload(ids.toDF("doc_id"), Multimodal.synthWav)
+    val got = Multimodal.wavAutocorrPitch(df, minLag = 2, maxLag = 16)
+      .select("doc_id", "n_samples", "r0", "best_lag", "best_r")
+      .as[(Long, Int, Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    ids.foreach { id =>
+      val n = (64 + id % 50).toInt
+      val v = Array.tabulate(n)(i => ((id * 131 + i * 17) % 2001 - 1000).toLong)
+      val r0 = v.map(x => x * x).sum
+      val scores = (2 to 16).map(l => l -> (0 until n - l).map(i => v(i) * v(i + l)).sum)
+      val (bl, br) = scores.maxBy { case (l, r) => (r, -l) }
+      assert(got(id) == ((id, n, r0, bl, br)), s"id $id")
+    }
+  }
 }
