@@ -30,7 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: the full suite keeps ~24 suites' family-cache localCheckpoint
+  // blocks pinned in one JVM, and the 10x scale smoke then stages + joins
+  // a 20k-vector corpus on top — 8g left its broadcast build short.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // The 59-query suite JITs thousands of generated-class methods; the JDK 17
   // default 240m code cache can fill mid-suite, silently disabling the JIT
   // ("CodeCache is full") and dropping hot queries to the interpreter —

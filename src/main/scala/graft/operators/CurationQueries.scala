@@ -18,6 +18,98 @@ object CurationQueries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** x^b for a power-of-two b as an explicit repeated-squaring SQL
+    * expression — ((x·x)·(x·x))·… — so both engines evaluate the IDENTICAL
+    * multiplication tree. Multiplication is IEEE-exact-rounded, so given
+    * bit-identical inputs the result is bit-identical WITHOUT any libm
+    * pow() (whose last ulp is engine lore). Shared by the Spark plan and
+    * the oracle of dd_lsh_tuning.
+    */
+  private def sqPowSql(base: String, b: Int): String = {
+    require(b > 0 && (b & (b - 1)) == 0, s"b must be a power of two, got $b")
+    var e = base
+    var k = 1
+    while (k < b) { e = s"($e * $e)"; k *= 2 }
+    e
+  }
+
+  /** The 5-round BPE merge-learning loop shared by tx_bpe_merges (reports
+    * the merge table) and tx_bpe_apply (applies it to the corpus): returns
+    * the 5-row (round, pair, support) frame. Fully declarative — each
+    * round's winning pair is a 1-row aggregate broadcast back into the
+    * next round's symbol rewrite (the k-means-centroid shape, no
+    * driver-side collect); per-round materialize+release keeps the plan
+    * O(1) deep over the 200-word training vocabulary.
+    */
+  private def bpeMergesFrame(s: SparkSession, d: String) = {
+    val wWin = Window.orderBy(col("cnt").desc, col("word"))
+    var syms = Dedup.materialize(
+      TextAnalysis.wordCount(T(s, d, "documents"))
+        .withColumn("rn", row_number().over(wWin))
+        .filter(col("rn") <= 200)
+        .select(col("word"), col("cnt"),
+          expr("concat(' ', array_join(transform(sequence(1, length(word)), " +
+            "i -> substr(word, i, 1)), ' '), ' ')").as("sym")))
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (r <- 1 to 5) {
+      val pc = syms
+        .withColumn("tk", expr("filter(split(sym, ' '), x -> length(x) > 0)"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("support"))
+      val best = pc
+        .agg(min(struct((-col("support")).as("ns"), col("pair").as("p"))).as("b"))
+        .select(lit(r).as("round"), col("b.p").as("pair"),
+          (-col("b.ns")).as("support"))
+      merges = if (merges == null) best else merges.unionAll(best)
+      val next = Dedup.materialize(
+        syms.crossJoin(broadcast(best.select(col("pair").as("mp"))))
+          .withColumn("sym", expr(
+            "replace(sym, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))"))
+          .drop("mp"))
+      Dedup.release(syms)
+      syms = next
+    }
+    Dedup.release(syms) // merges are 1-row aggregates, already computed per round
+    merges
+  }
+
+  /** The oracle-side twin of [[bpeMergesFrame]]: WITH-chain ending in
+    * MATERIALIZED CTEs m1..m5 (per-round winning pair) and w5 (the
+    * rewritten training vocabulary) — both BPE oracles append their own
+    * final SELECT to this shared learning replay.
+    */
+  private def bpeOracleCtes: String = {
+    val tk = TextFns.tokensSqlDuckDB("text")
+    val rounds = (1 to 5).map { r =>
+      s"""p$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS support FROM (
+         |  SELECT cnt, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |           i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |  FROM (SELECT cnt, list_filter(string_split(sym, ' '),
+         |                x -> length(x) > 0) AS tk
+         |        FROM w${r - 1}) q WHERE len(tk) >= 2) t GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT $r AS round,
+         |        (min({'ns': -support, 'p': pair})).p AS pair,
+         |        -(min({'ns': -support, 'p': pair})).ns AS support FROM p$r),
+         |w$r AS MATERIALIZED (SELECT word, cnt,
+         |        replace(sym, ' ' || m$r.pair || ' ',
+         |                ' ' || replace(m$r.pair, ' ', '') || ' ') AS sym
+         |      FROM w${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest($tk) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS cnt FROM toks
+       |       WHERE length(word) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT word, cnt,
+       |  ' ' || array_to_string(list_transform(generate_series(1, length(word)),
+       |           i -> substr(word, i, 1)), ' ') || ' ' AS sym
+       |  FROM (SELECT word, cnt,
+       |          row_number() OVER (ORDER BY cnt DESC, word) AS rn FROM wc)
+       |  WHERE rn <= 200),
+       |$rounds""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -342,6 +434,326 @@ object CurationQueries {
              |      FROM x)
              |SELECT greatest(coalesce(prev_max - ts_s, 0), 0) // 60 AS late_min,
              |       count(*) AS n_events
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // BPE merge learning — 5 rounds of the actual tokenizer-training
+    // loop: count adjacent symbol pairs across the (vocabulary-sized)
+    // word-frequency table, adopt the most frequent pair as a merge, apply
+    // it, repeat. Fully declarative: each round's winning pair is a 1-row
+    // aggregate joined back (broadcast) into the next round's symbol
+    // rewrite — no driver-side collect, the same shape as broadcasting
+    // k-means centroids. Symbols live as space-delimited strings and the
+    // merge is one string replace(); replace() scans left-to-right
+    // non-overlapping in BOTH engines, so outputs are identical (on odd
+    // runs like "a a a" this merges ⌈run/2⌉−1 of the pairs where
+    // canonical BPE merges ⌈run/2⌉ — a documented, deterministic variant).
+    // Scale shape: BPE always trains on the word-frequency table (Zipf ⇒
+    // ≪ corpus); the corpus-sized work is the one word count. The oracle
+    // unrolls the 5 rounds as MATERIALIZED CTEs (gr_kcore idiom).
+    QueryDef("tx_bpe_merges",
+      (s, d) => bpeMergesFrame(s, d)
+        .select(col("round"), col("pair"),
+          expr("replace(pair, ' ', '')").as("merged"), col("support"))
+        .orderBy("round"),
+      Some {
+        val out = (1 to 5).map(r =>
+          s"SELECT round, pair, replace(pair, ' ', '') AS merged, support FROM m$r")
+          .mkString("\nUNION ALL\n")
+        s"""$bpeOracleCtes
+           |$out
+           |ORDER BY round""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // BPE merge APPLICATION — the tokenize-the-corpus half (tx_bpe_merges
+    // is the training half): the 5 learned merges, pivoted into one
+    // broadcast row, rewrite every DISTINCT corpus word once (tokenizers
+    // always apply at the vocabulary level and weight by count — the
+    // corpus-sized work stays a word count), and the per-source rollup
+    // reports tokenizer fertility: symbols per word before (= chars) and
+    // after, and the compression the 5 merges bought in basis points.
+    QueryDef("tx_bpe_apply",
+      (s, d) => {
+        val mp = broadcast(bpeMergesFrame(s, d)
+          .groupBy()
+          .pivot("round", Seq(1, 2, 3, 4, 5))
+          .agg(first(col("pair")))
+          .toDF("m1", "m2", "m3", "m4", "m5"))
+        val applied = (1 to 5).foldLeft(
+            s"concat(' ', array_join(transform(sequence(1, length(word)), " +
+              "i -> substr(word, i, 1)), ' '), ' ')") { (acc, r) =>
+          s"replace($acc, concat(' ', m$r, ' '), concat(' ', replace(m$r, ' ', ''), ' '))"
+        }
+        T(s, d, "documents")
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+          .crossJoin(mp)
+          .select(col("source"), col("cnt"), length(col("word")).as("n_chars"),
+            expr(s"size(filter(split($applied, ' '), x -> length(x) > 0))")
+              .as("n_syms"))
+          .groupBy("source")
+          .agg(sum(col("cnt")).as("n_words"),
+            sum(col("cnt") * col("n_chars")).as("n_symbols_char"),
+            sum(col("cnt") * col("n_syms")).as("n_symbols_bpe"))
+          .select(col("source"), col("n_words"), col("n_symbols_char"),
+            col("n_symbols_bpe"),
+            expr("(n_symbols_bpe * 10000) div n_symbols_char").as("compression_bp"))
+          .orderBy("source")
+      },
+      Some {
+        val applied = (1 to 5).foldLeft(
+            "' ' || array_to_string(list_transform(generate_series(1, length(word)), " +
+              "i -> substr(word, i, 1)), ' ') || ' '") { (acc, r) =>
+          s"replace($acc, ' ' || m.p$r || ' ', ' ' || replace(m.p$r, ' ', '') || ' ')"
+        }
+        s"""$bpeOracleCtes,
+           |m AS (SELECT (SELECT pair FROM m1) AS p1, (SELECT pair FROM m2) AS p2,
+           |             (SELECT pair FROM m3) AS p3, (SELECT pair FROM m4) AS p4,
+           |             (SELECT pair FROM m5) AS p5),
+           |sw AS (SELECT source, word, count(*) AS cnt FROM (
+           |         SELECT source, unnest(${TextFns.tokensSqlDuckDB("text")}) AS word
+           |         FROM documents) q WHERE length(word) > 0 GROUP BY 1, 2),
+           |ap AS (SELECT source, cnt, length(word) AS n_chars,
+           |         len(list_filter(string_split($applied, ' '),
+           |             x -> length(x) > 0)) AS n_syms
+           |       FROM sw, m)
+           |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+           |       CAST(sum(cnt * n_chars) AS BIGINT) AS n_symbols_char,
+           |       CAST(sum(cnt * n_syms) AS BIGINT) AS n_symbols_bpe,
+           |       (CAST(sum(cnt * n_syms) AS BIGINT) * 10000)
+           |         // CAST(sum(cnt * n_chars) AS BIGINT) AS compression_bp
+           |FROM ap GROUP BY 1 ORDER BY source""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Incremental view maintenance of a JOIN — the lakehouse pattern that
+    // avoids recomputing a 100 TB join when a delta lands: with base
+    // partitions A₀/B₀ and delta batches ΔA/ΔB (split here by
+    // deterministic key predicates), the view delta is exactly
+    // ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The query computes all three terms plus the
+    // full recompute and CHECKS the algebra: base + delta counts and an
+    // exact integer measure must equal the full join's. Every term is a
+    // keyed equi-join on the same key — co-partitionable, and the delta
+    // terms are delta-sized, which is the whole point.
+    QueryDef("rel_ivm_join",
+      (s, d) => {
+        val o = T(s, d, "orders").select(col("o_orderkey"),
+          (col("o_orderkey") % 10 === 0).as("da"))
+        val l = T(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+          (col("l_orderkey") % 7 === 0).as("db"))
+        def term(oPred: org.apache.spark.sql.Column,
+                 lPred: org.apache.spark.sql.Column) =
+          o.filter(oPred).join(l.filter(lPred),
+            col("o_orderkey") === col("l_orderkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("long")).as("q"))
+        val base = term(!col("da"), !col("db"))
+        val dAB0 = term(col("da"), !col("db"))
+        val dA0B = term(!col("da"), col("db"))
+        val dAB = term(col("da"), col("db"))
+        val full = term(lit(true), lit(true))
+        base.select(col("n").as("n_base"), col("q").as("q_base"))
+          .crossJoin(dAB0.select(col("n").as("n_da_b0"), col("q").as("q_da_b0")))
+          .crossJoin(dA0B.select(col("n").as("n_a0_db"), col("q").as("q_a0_db")))
+          .crossJoin(dAB.select(col("n").as("n_da_db"), col("q").as("q_da_db")))
+          .crossJoin(full.select(col("n").as("n_full"), col("q").as("q_full")))
+          .select(col("n_base"), col("n_da_b0"), col("n_a0_db"), col("n_da_db"),
+            col("n_full"),
+            (col("n_base") + col("n_da_b0") + col("n_a0_db") + col("n_da_db") ===
+              col("n_full")).as("counts_consistent"),
+            (col("q_base") + col("q_da_b0") + col("q_a0_db") + col("q_da_db") ===
+              col("q_full")).as("measure_consistent"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderkey % 10 = 0 AS da FROM orders),
+             |l AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q,
+             |             l_orderkey % 7 = 0 AS db FROM lineitem),
+             |j AS (SELECT da, db, q FROM o JOIN l ON o_orderkey = l_orderkey),
+             |t AS (SELECT
+             |  CAST(sum(CASE WHEN NOT da AND NOT db THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             |  CAST(sum(CASE WHEN da AND NOT db THEN 1 ELSE 0 END) AS BIGINT) AS n_da_b0,
+             |  CAST(sum(CASE WHEN NOT da AND db THEN 1 ELSE 0 END) AS BIGINT) AS n_a0_db,
+             |  CAST(sum(CASE WHEN da AND db THEN 1 ELSE 0 END) AS BIGINT) AS n_da_db,
+             |  CAST(count(*) AS BIGINT) AS n_full,
+             |  CAST(sum(CASE WHEN NOT da AND NOT db THEN q ELSE 0 END) AS BIGINT) AS q_base,
+             |  CAST(sum(CASE WHEN da AND NOT db THEN q ELSE 0 END) AS BIGINT) AS q_da_b0,
+             |  CAST(sum(CASE WHEN NOT da AND db THEN q ELSE 0 END) AS BIGINT) AS q_a0_db,
+             |  CAST(sum(CASE WHEN da AND db THEN q ELSE 0 END) AS BIGINT) AS q_da_db,
+             |  CAST(sum(q) AS BIGINT) AS q_full
+             |  FROM j)
+             |SELECT n_base, n_da_b0, n_a0_db, n_da_db, n_full,
+             |       n_base + n_da_b0 + n_a0_db + n_da_db = n_full AS counts_consistent,
+             |       q_base + q_da_b0 + q_a0_db + q_da_db = q_full AS measure_consistent
+             |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // LSH banding-curve tuning — the design-time S-curve evaluation that
+    // picks (bands b, rows r) BEFORE building a MinHash index: for each
+    // candidate config, the expected candidate mass Σ 1−(1−J^r)^b and the
+    // expected true-positive mass over the observed pair-Jaccard
+    // distribution (pairs sharing ≥ 1 shingle; disjoint pairs contribute
+    // exactly 0). Determinism without a tolerance gate: J is ONE IEEE
+    // division, the powers are explicit repeated-squaring multiplication
+    // trees shared verbatim with the oracle ([[sqPowSql]] — no libm pow),
+    // and each pair's probability is floor-quantized to an integer before
+    // the engine-order-dependent SUM, so the aggregate is exact BIGINT.
+    QueryDef("dd_lsh_tuning",
+      (s, d) => {
+        val st = PipelineQueries.pairStats(s, d)
+          .selectExpr("CAST(inter AS DOUBLE) / (na + nb - inter) AS j")
+          .selectExpr("j", "j * j AS j2")
+          .selectExpr("j", "j2 * j2 AS j4")
+          .selectExpr("j", "j4", "j4 * j4 AS j8")
+          .selectExpr("j", "j4", "j8", "j8 * j8 AS j16")
+        def cfg(name: String, jr: String, b: Int) =
+          st.selectExpr(s"'$name' AS config", "j",
+              s"CAST(floor((1.0 - ${sqPowSql(s"(1.0 - $jr)", b)}) * 1e8) AS BIGINT) AS pq")
+            .groupBy("config")
+            .agg(count(lit(1)).as("n_pairs"),
+              count_if(col("j") >= 0.8).as("n_true"),
+              sum(col("pq")).as("exp_candidates_q"),
+              sum(when(col("j") >= 0.8, col("pq")).otherwise(0L)).as("exp_true_q"))
+        cfg("b32_r4", "j4", 32)
+          .unionAll(cfg("b16_r8", "j8", 16))
+          .unionAll(cfg("b08_r16", "j16", 8))
+          .orderBy("config")
+      },
+      Some {
+        def cfgSql(name: String, jr: String, b: Int) =
+          s"""SELECT '$name' AS config, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             |  CAST(sum(pq) AS BIGINT) AS exp_candidates_q,
+             |  CAST(sum(CASE WHEN j >= 0.8 THEN pq ELSE 0 END) AS BIGINT) AS exp_true_q
+             |FROM (SELECT j,
+             |        CAST(floor((1.0 - ${sqPowSql(s"(1.0 - $jr)", b)}) * 1e8) AS BIGINT) AS pq
+             |      FROM q4) x_$name""".stripMargin
+        s"""WITH ${PipelineQueries.jaccardCtes},
+           |jj AS (SELECT CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+           |       FROM inter JOIN sz sa ON sa.doc_id = a_id
+           |                  JOIN sz sb ON sb.doc_id = b_id),
+           |q1 AS (SELECT j, j * j AS j2 FROM jj),
+           |q2 AS (SELECT j, j2 * j2 AS j4 FROM q1),
+           |q3 AS (SELECT j, j4, j4 * j4 AS j8 FROM q2),
+           |q4 AS (SELECT j, j4, j8, j8 * j8 AS j16 FROM q3)
+           |${cfgSql("b32_r4", "j4", 32)}
+           |UNION ALL
+           |${cfgSql("b16_r8", "j8", 16)}
+           |UNION ALL
+           |${cfgSql("b08_r16", "j16", 8)}
+           |ORDER BY config""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // IVF nprobe cost model — the serving-side planning table: for each
+    // query, rank the coarse cells by centroid distance and report the
+    // cumulative corpus fraction scanned at nprobe = 1..4. Read next to
+    // sim_recall_eval (recall at nprobe=1), this is the scan-cost axis of
+    // the recall/latency tradeoff every IVF deployment tunes. Routing is
+    // queries × centroids against a broadcast centroid table; cell sizes
+    // are one keyed aggregate; the cumulative window is partitioned per
+    // query over k rows.
+    QueryDef("sim_ivf_cost",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val qs = embs.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        val d2c = qs.crossJoin(broadcast(Similarity.centroids(embs)
+            .select(col("label").as("cluster"), col("centroid"))))
+          .select(col("q_id"), col("cluster"),
+            aggregate(zip_with(col("embedding").cast("array<double>"), col("centroid"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
+        val sizes = embs.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"))
+        val tot = broadcast(embs.agg(count(lit(1)).as("n_total")))
+        val rw = Window.partitionBy("q_id").orderBy(col("d2"), col("cluster"))
+        val cw = rw.rowsBetween(Window.unboundedPreceding, 0)
+        d2c.join(broadcast(sizes), "cluster")
+          .withColumn("nprobe", row_number().over(rw))
+          .withColumn("n_scanned", sum(col("n_vecs")).over(cw))
+          .filter(col("nprobe") <= 4)
+          .crossJoin(tot)
+          .select(col("q_id"), col("nprobe"), col("cluster"), col("n_scanned"),
+            expr("(n_scanned * 10000) div n_total").as("scan_bp"))
+          .orderBy("q_id", "nprobe")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |cent AS (SELECT label AS cluster, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d2 AS (SELECT ex.vec_id AS q_id, cent.cluster,
+             |              sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |       FROM ex JOIN cent ON ex.i = cent.i
+             |       WHERE ex.vec_id < 5 GROUP BY 1, 2),
+             |sz AS (SELECT label AS cluster, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+             |t AS (SELECT count(*) AS n_total FROM embeddings),
+             |rk AS (SELECT q_id, cluster, n_vecs,
+             |              row_number() OVER (PARTITION BY q_id ORDER BY d2, cluster)
+             |                AS nprobe,
+             |              CAST(sum(n_vecs) OVER (PARTITION BY q_id ORDER BY d2, cluster
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |                AS n_scanned
+             |       FROM d2 JOIN sz USING (cluster))
+             |SELECT q_id, CAST(nprobe AS INT) AS nprobe, cluster, n_scanned,
+             |       (n_scanned * 10000) // t.n_total AS scan_bp
+             |FROM rk, t WHERE nprobe <= 4 ORDER BY q_id, nprobe""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Zone-map (min/max) skipping audit — quantifies how much of the
+    // table a date-range predicate could skip from per-file min/max stats
+    // alone, under two write layouts: the natural orderkey-chunked files
+    // (dates smeared across every file → nothing skips) vs. a
+    // shipdate-partitioned layout (most files skip). The read-side
+    // motivation for rel_zorder's write-side clustering: same stats, the
+    // LAYOUT decides their power. Pure aggregates over file-granularity
+    // groups; dates are compared as exact day counts computed identically
+    // in both engines from the same literals.
+    QueryDef("rel_zonemap_audit",
+      (s, d) => {
+        val epoch0 = java.time.LocalDate.of(1990, 1, 1).toEpochDay
+        val lo = java.time.LocalDate.of(1998, 6, 1).toEpochDay - epoch0
+        val hi = java.time.LocalDate.of(1998, 6, 30).toEpochDay - epoch0
+        val li = T(s, d, "lineitem").select(
+          expr("l_orderkey div 250").as("f_nat"),
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1990-01-01') div 28").as("f_date"),
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1990-01-01')").as("dday"))
+        def audit(layout: String, fcol: String) =
+          li.groupBy(col(fcol).as("file_id"))
+            .agg(count(lit(1)).as("n_rows"), min(col("dday")).as("mn"),
+              max(col("dday")).as("mx"))
+            .agg(count(lit(1)).as("n_files"),
+              count_if(col("mx") < lit(lo) || col("mn") > lit(hi)).as("n_skippable"),
+              sum(when(col("mx") < lit(lo) || col("mn") > lit(hi), col("n_rows"))
+                .otherwise(0L)).as("rows_skipped"),
+              sum(col("n_rows")).as("n_rows_total"))
+            .select(lit(layout).as("layout"), col("n_files"), col("n_skippable"),
+              col("rows_skipped"),
+              expr("(rows_skipped * 10000) div n_rows_total").as("skip_bp"))
+        audit("orderkey_chunks", "f_nat")
+          .unionAll(audit("shipdate_4weekly", "f_date"))
+          .orderBy("layout")
+      },
+      Some {
+        val epoch0 = java.time.LocalDate.of(1990, 1, 1).toEpochDay
+        val lo = java.time.LocalDate.of(1998, 6, 1).toEpochDay - epoch0
+        val hi = java.time.LocalDate.of(1998, 6, 30).toEpochDay - epoch0
+        def auditSql(layout: String, fileExpr: String) =
+          s"""SELECT '$layout' AS layout, count(*) AS n_files,
+             |  CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_skippable,
+             |  CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN n_rows ELSE 0 END) AS BIGINT)
+             |    AS rows_skipped,
+             |  (CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN n_rows ELSE 0 END) AS BIGINT)
+             |    * 10000) // CAST(sum(n_rows) AS BIGINT) AS skip_bp
+             |FROM (SELECT $fileExpr AS file_id, count(*) AS n_rows,
+             |             min(dday) AS mn, max(dday) AS mx
+             |      FROM days GROUP BY 1) f_$layout""".stripMargin
+        s"""WITH days AS (SELECT l_orderkey,
+           |    date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS dday
+           |  FROM lineitem)
+           |${auditSql("orderkey_chunks", "l_orderkey // 250")}
+           |UNION ALL
+           |${auditSql("shipdate_4weekly", "dday // 28")}
+           |ORDER BY layout""".stripMargin
+      })
   )
 }

@@ -300,28 +300,37 @@ object Graph {
     * Scale shape per round: two equi-joins of edges with an O(nodes) score
     * vector plus two keyed aggregates — both shuffles key on node id, so a
     * cluster run co-partitions edges and scores once (same contract as
-    * [[pageRank]]). Rounds are NOT materialized here (iters is tiny and
-    * each round is two joins); a deep run would checkpoint like [[kCore]].
+    * [[pageRank]]). Each round materializes and releases its predecessor
+    * ([[kCore]]'s loop hygiene) so the plan stays O(1) deep.
     */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"bad hits iters $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = Dedup.materialize(edges.select(col("src"), col("dst")).distinct())
     val nodes = Dedup.materialize(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     var hub = nodes.select(col("id"), lit(1L).as("h"))
     var auth: DataFrame = null
+    var prevHub: DataFrame = null
+    var prevAuth: DataFrame = null
     for (_ <- 1 to iters) {
-      val a = nodes.join(
-          e.join(hub.select(col("id").as("src"), col("h")), "src")
-            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a0")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("a0"), lit(0L)).as("a"))
+      val a = Dedup.materialize(
+        nodes.join(
+            e.join(hub.select(col("id").as("src"), col("h")), "src")
+              .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a0")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("a0"), lit(0L)).as("a")))
+      Dedup.release(prevAuth)
+      prevAuth = a
       auth = a
-      hub = nodes.join(
-          e.join(a.select(col("id").as("dst"), col("a")), "dst")
-            .groupBy(col("src").as("id")).agg(sum(col("a")).as("h0")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("h0"), lit(0L)).as("h"))
+      val h = Dedup.materialize(
+        nodes.join(
+            e.join(a.select(col("id").as("dst"), col("a")), "dst")
+              .groupBy(col("src").as("id")).agg(sum(col("a")).as("h0")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("h0"), lit(0L)).as("h")))
+      Dedup.release(prevHub)
+      prevHub = h
+      hub = h
     }
     val mx = broadcast(hub.join(auth, "id")
       .agg(max(col("h")).as("mh"), max(col("a")).as("ma")))
@@ -331,9 +340,10 @@ object Graph {
       .select(col("id"), col("h").as("hub"), col("a").as("auth"),
         expr("(h * 10000) div greatest(mh, CAST(1 AS BIGINT))").as("hub_bp"),
         expr("(a * 10000) div greatest(ma, CAST(1 AS BIGINT))").as("auth_bp"))
-    // `nodes` stays pinned: the returned lazy plan references it in every
-    // round's left join, so it is released only when its blocks age out —
-    // unlike bfsHops there is no post-materialize point to free it here.
+    // the final hub/auth frames are materialized, so the returned plan no
+    // longer references the edge or node copies — free them now
+    Dedup.release(e)
+    Dedup.release(nodes)
     out
   }
 }
