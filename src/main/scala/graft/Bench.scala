@@ -21,9 +21,11 @@ object Bench {
       // timed run and pay a multi-second janino recompile. 2000 was enough
       // at 89 queries; at 263 queries (x several codegen stages each, plus
       // the staged-layout plans) evictions recurred as isolated in-suite
-      // spikes (fn_json 1.6s solo vs 9-11s mid-suite). Size for the whole
+      // spikes (fn_json 1.6s solo vs 9-11s mid-suite), and at 282 queries
+      // the same signature returned under 5000 (fn_json 8.8s in-suite in
+      // two consecutive full runs, 1.46s solo). Size for the whole
       // inventory with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
       // temp warehouse, not ./spark-warehouse in the repo
       .config("spark.sql.warehouse.dir",

@@ -18,7 +18,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // See Bench.scala: the inventory outgrows the default 100-entry
       // codegen cache, and recompiles of the widest classes cost seconds.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
       // temp warehouse, not ./spark-warehouse in the repo
       .config("spark.sql.warehouse.dir",

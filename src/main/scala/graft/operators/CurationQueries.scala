@@ -33,7 +33,20 @@ object CurationQueries {
     e
   }
 
-  /** The 5-round BPE merge-learning loop shared by tx_bpe_merges (reports
+  /** Parameters shared between a Spark plan and its generated oracle SQL —
+    * the SINGLE source each pair derives from, so retuning one cannot
+    * silently stale the other (the dd_simhash_bits lesson from round 6).
+    */
+  private val UrlPathMod = 25       // dd_url_dedup: docs per canonical path
+  private val PitchMinLag = 2       // mm_wav_pitch lag search range
+  private val PitchMaxLag = 16
+  private val CompactFileKeys = 250 // rel_compaction_plan: orderkeys per file
+  private val CompactTargetRows = 5000 // rel_compaction_plan: rows per bin
+  private val HitsIters = 5         // gr_hits power-iteration rounds
+  private val BpeRounds = 5         // tx_bpe_* learned merges
+  private val BpeVocab = 200        // tx_bpe_* training vocabulary size
+
+  /** The BpeRounds-round BPE merge-learning loop shared by tx_bpe_merges (reports
     * the merge table) and tx_bpe_apply (applies it to the corpus): returns
     * the 5-row (round, pair, support) frame. Fully declarative — each
     * round's winning pair is a 1-row aggregate broadcast back into the
@@ -41,17 +54,20 @@ object CurationQueries {
     * driver-side collect); per-round materialize+release keeps the plan
     * O(1) deep over the 200-word training vocabulary.
     */
-  private def bpeMergesFrame(s: SparkSession, d: String) = {
+  private def bpeMergesFrame(s: SparkSession, d: String) =
+    bpeMergesFromDocs(T(s, d, "documents"))
+
+  private[graft] def bpeMergesFromDocs(docs: org.apache.spark.sql.DataFrame) = {
     val wWin = Window.orderBy(col("cnt").desc, col("word"))
     var syms = Dedup.materialize(
-      TextAnalysis.wordCount(T(s, d, "documents"))
+      TextAnalysis.wordCount(docs)
         .withColumn("rn", row_number().over(wWin))
-        .filter(col("rn") <= 200)
+        .filter(col("rn") <= BpeVocab)
         .select(col("word"), col("cnt"),
           expr("concat(' ', array_join(transform(sequence(1, length(word)), " +
             "i -> substr(word, i, 1)), ' '), ' ')").as("sym")))
     var merges: org.apache.spark.sql.DataFrame = null
-    for (r <- 1 to 5) {
+    for (r <- 1 to BpeRounds) {
       val pc = syms
         .withColumn("tk", expr("filter(split(sym, ' '), x -> length(x) > 0)"))
         .filter(size(col("tk")) >= 2)
@@ -63,6 +79,12 @@ object CurationQueries {
         .agg(min(struct((-col("support")).as("ns"), col("pair").as("p"))).as("b"))
         .select(lit(r).as("round"), col("b.p").as("pair"),
           (-col("b.ns")).as("support"))
+        // a degenerate corpus can run out of adjacent pairs before the
+        // last round (every word already one symbol) — the aggregate then
+        // yields one all-null row; drop it so the merge table simply ends
+        // early, exactly like the reference algorithm (BpePropertySpec
+        // pins this on an all-"aaaa" corpus)
+        .filter(col("pair").isNotNull)
       merges = if (merges == null) best else merges.unionAll(best)
       val next = Dedup.materialize(
         syms.crossJoin(broadcast(best.select(col("pair").as("mp"))))
@@ -83,7 +105,7 @@ object CurationQueries {
     */
   private def bpeOracleCtes: String = {
     val tk = TextFns.tokensSqlDuckDB("text")
-    val rounds = (1 to 5).map { r =>
+    val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS support FROM (
          |  SELECT cnt, unnest(list_transform(generate_series(1, len(tk) - 1),
          |           i -> tk[i] || ' ' || tk[i+1])) AS pair
@@ -106,7 +128,7 @@ object CurationQueries {
        |           i -> substr(word, i, 1)), ' ') || ' ' AS sym
        |  FROM (SELECT word, cnt,
        |          row_number() OVER (ORDER BY cnt DESC, word) AS rn FROM wc)
-       |  WHERE rn <= 200),
+       |  WHERE rn <= $BpeVocab),
        |$rounds""".stripMargin
   }
 
@@ -128,9 +150,9 @@ object CurationQueries {
         val messy = concat(
           when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
           when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
-          lit(".EXAMPLE.com:443/docs/"), col("doc_id") % 25,
+          lit(".EXAMPLE.com:443/docs/"), col("doc_id") % UrlPathMod,
           when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
-          lit("?utm_source=feed&page="), col("doc_id") % 25, lit("&b=2&a=1"),
+          lit("?utm_source=feed&page="), col("doc_id") % UrlPathMod, lit("&b=2&a=1"),
           when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
         val noFrag = regexp_replace(messy, "#.*$", "")
         val host = lower(parse_url(noFrag, lit("HOST")))
@@ -151,9 +173,9 @@ object CurationQueries {
             col("best.kid").as("keeper_id"), col("best.n_chars").as("keeper_chars"))
           .orderBy("canonical_url")
       },
-      Some("""WITH c AS (SELECT doc_id, n_chars,
-             |  'https://' || lower(source) || '.example.com/docs/' || (doc_id % 25) ||
-             |  '?a=1&b=2&page=' || (doc_id % 25) AS canonical_url
+      Some(s"""WITH c AS (SELECT doc_id, n_chars,
+             |  'https://' || lower(source) || '.example.com/docs/' || (doc_id % $UrlPathMod) ||
+             |  '?a=1&b=2&page=' || (doc_id % $UrlPathMod) AS canonical_url
              |  FROM documents)
              |SELECT canonical_url, count(*) AS n_docs,
              |       (max({'c': n_chars, 'n': -doc_id, 'id': doc_id})).id AS keeper_id,
@@ -207,11 +229,11 @@ object CurationQueries {
     QueryDef("mm_wav_pitch",
       (s, d) => Multimodal.wavAutocorrPitch(
           Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
-            Multimodal.synthWav), minLag = 2, maxLag = 16)
+            Multimodal.synthWav), minLag = PitchMinLag, maxLag = PitchMaxLag)
         .select(col("doc_id"), col("n_samples").cast("bigint").as("n_samples"),
           col("r0"), col("best_lag").cast("bigint").as("best_lag"), col("best_r"))
         .orderBy("doc_id"),
-      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+      Some(s"""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
              |i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM s),
              |v AS (SELECT doc_id, n, i,
              |             CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS BIGINT) AS v
@@ -219,7 +241,7 @@ object CurationQueries {
              |r0 AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
              |              CAST(sum(v * v) AS BIGINT) AS r0
              |       FROM v GROUP BY 1),
-             |l AS (SELECT doc_id, unnest(generate_series(2, 16)) AS lag FROM documents),
+             |l AS (SELECT doc_id, unnest(generate_series($PitchMinLag, $PitchMaxLag)) AS lag FROM documents),
              |r AS (SELECT a.doc_id, l.lag, CAST(sum(a.v * b.v) AS BIGINT) AS r
              |      FROM l JOIN v a ON a.doc_id = l.doc_id
              |             JOIN v b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
@@ -274,26 +296,26 @@ object CurationQueries {
     QueryDef("rel_compaction_plan",
       (s, d) => {
         val files = T(s, d, "lineitem")
-          .groupBy(expr("l_orderkey div 250").as("file_id"))
+          .groupBy(expr(s"l_orderkey div $CompactFileKeys").as("file_id"))
           .agg(count(lit(1)).as("n_rows"))
         val w = Window.orderBy("file_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         files
           .withColumn("cum_prev", coalesce(sum(col("n_rows")).over(w), lit(0L)))
-          .withColumn("bin", expr("cum_prev div 5000"))
+          .withColumn("bin", expr(s"cum_prev div $CompactTargetRows"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
             min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
           .orderBy("bin")
       },
-      Some("""WITH f AS (SELECT l_orderkey // 250 AS file_id, count(*) AS n_rows
+      Some(s"""WITH f AS (SELECT l_orderkey // $CompactFileKeys AS file_id, count(*) AS n_rows
              |           FROM lineitem GROUP BY 1),
              |c AS (SELECT file_id, n_rows,
              |             CAST(coalesce(sum(n_rows) OVER (ORDER BY file_id
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |               AS BIGINT) AS cum_prev
              |      FROM f)
-             |SELECT cum_prev // 5000 AS bin, count(*) AS n_files,
+             |SELECT cum_prev // $CompactTargetRows AS bin, count(*) AS n_files,
              |       CAST(sum(n_rows) AS BIGINT) AS total_rows,
              |       min(file_id) AS first_file, max(file_id) AS last_file
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -337,10 +359,10 @@ object CurationQueries {
       (s, d) => Graph.hits(
           Dedup.jaccardFromStats(PipelineQueries.pairStats(s, d), minJ = 0.8)
             .select(col("b_id").as("src"), col("a_id").as("dst")),
-          iters = 5)
+          iters = HitsIters)
         .orderBy("id"),
       Some {
-        val rounds = (1 to 5).map { r =>
+        val rounds = (1 to HitsIters).map { r =>
           s"""a$r AS MATERIALIZED (SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS a
              |  FROM n LEFT JOIN (SELECT dst AS id, sum(h) AS v
              |                    FROM e JOIN h${r - 1} ON h${r - 1}.id = e.src
@@ -358,11 +380,12 @@ object CurationQueries {
            |n AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
            |h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM n),
            |$rounds,
-           |mx AS (SELECT max(h) AS mh, max(a) AS ma FROM h5 JOIN a5 USING (id))
-           |SELECT h5.id, h5.h AS hub, a5.a AS auth,
-           |       (h5.h * 10000) // greatest(mx.mh, 1) AS hub_bp,
-           |       (a5.a * 10000) // greatest(mx.ma, 1) AS auth_bp
-           |FROM h5 JOIN a5 USING (id), mx ORDER BY id""".stripMargin
+           |mx AS (SELECT max(h) AS mh, max(a) AS ma
+           |       FROM h$HitsIters JOIN a$HitsIters USING (id))
+           |SELECT h$HitsIters.id, h$HitsIters.h AS hub, a$HitsIters.a AS auth,
+           |       (h$HitsIters.h * 10000) // greatest(mx.mh, 1) AS hub_bp,
+           |       (a$HitsIters.a * 10000) // greatest(mx.ma, 1) AS auth_bp
+           |FROM h$HitsIters JOIN a$HitsIters USING (id), mx ORDER BY id""".stripMargin
       }),
 
     // ------------------------------------------------------------------
@@ -457,8 +480,9 @@ object CurationQueries {
           expr("replace(pair, ' ', '')").as("merged"), col("support"))
         .orderBy("round"),
       Some {
-        val out = (1 to 5).map(r =>
-          s"SELECT round, pair, replace(pair, ' ', '') AS merged, support FROM m$r")
+        val out = (1 to BpeRounds).map(r =>
+          s"SELECT round, pair, replace(pair, ' ', '') AS merged, support " +
+            s"FROM m$r WHERE pair IS NOT NULL")
           .mkString("\nUNION ALL\n")
         s"""$bpeOracleCtes
            |$out
@@ -477,13 +501,16 @@ object CurationQueries {
       (s, d) => {
         val mp = broadcast(bpeMergesFrame(s, d)
           .groupBy()
-          .pivot("round", Seq(1, 2, 3, 4, 5))
+          .pivot("round", (1 to BpeRounds).toSeq)
           .agg(first(col("pair")))
-          .toDF("m1", "m2", "m3", "m4", "m5"))
-        val applied = (1 to 5).foldLeft(
+          .toDF((1 to BpeRounds).map("m" + _): _*))
+        val applied = (1 to BpeRounds).foldLeft(
             s"concat(' ', array_join(transform(sequence(1, length(word)), " +
               "i -> substr(word, i, 1)), ' '), ' ')") { (acc, r) =>
-          s"replace($acc, concat(' ', m$r, ' '), concat(' ', replace(m$r, ' ', ''), ' '))"
+          // coalesce sentinel: a round with no learned merge (degenerate
+          // corpus) must act as a no-op, not null out the whole rewrite
+          s"replace($acc, concat(' ', coalesce(m$r, '\u0001'), ' '), " +
+            s"concat(' ', replace(coalesce(m$r, '\u0001'), ' ', ''), ' '))"
         }
         T(s, d, "documents")
           .select(col("source"), explode(TextFns.tokens(col("text"))).as("word"))
@@ -502,15 +529,14 @@ object CurationQueries {
           .orderBy("source")
       },
       Some {
-        val applied = (1 to 5).foldLeft(
+        val applied = (1 to BpeRounds).foldLeft(
             "' ' || array_to_string(list_transform(generate_series(1, length(word)), " +
               "i -> substr(word, i, 1)), ' ') || ' '") { (acc, r) =>
-          s"replace($acc, ' ' || m.p$r || ' ', ' ' || replace(m.p$r, ' ', '') || ' ')"
+          s"replace($acc, ' ' || coalesce(m.p$r, chr(1)) || ' ', " +
+            s"' ' || replace(coalesce(m.p$r, chr(1)), ' ', '') || ' ')"
         }
         s"""$bpeOracleCtes,
-           |m AS (SELECT (SELECT pair FROM m1) AS p1, (SELECT pair FROM m2) AS p2,
-           |             (SELECT pair FROM m3) AS p3, (SELECT pair FROM m4) AS p4,
-           |             (SELECT pair FROM m5) AS p5),
+           |m AS (SELECT ${(1 to BpeRounds).map(r => s"(SELECT pair FROM m$r) AS p$r").mkString(", ")}),
            |sw AS (SELECT source, word, count(*) AS cnt FROM (
            |         SELECT source, unnest(${TextFns.tokensSqlDuckDB("text")}) AS word
            |         FROM documents) q WHERE length(word) > 0 GROUP BY 1, 2),
@@ -525,6 +551,95 @@ object CurationQueries {
            |         // CAST(sum(cnt * n_chars) AS BIGINT) AS compression_bp
            |FROM ap GROUP BY 1 ORDER BY source""".stripMargin
       }),
+
+    // ------------------------------------------------------------------
+    // Sharded approximate top-k (heavy hitters) WITH its own exactness
+    // eval: per shard, keep only the top-50 words; the global top-10 is
+    // then computed over the union of shard candidates — the shuffle-light
+    // path whose cost is O(shards·m), independent of vocabulary size
+    // (the way a 1000-executor cluster surfaces trending terms without
+    // shuffling the full term dictionary). A candidate can in principle
+    // miss (a word just below every shard's cut), so the query JOINS the
+    // approximate top-10 against the exact one and reports rank + count
+    // agreement per row — the sim_recall_eval pattern: the approximation
+    // ships together with the measurement that justifies it. Shards are
+    // doc_id % 8 (deterministic, so DuckDB replays them; a cluster uses
+    // its physical partitions).
+    QueryDef("tx_sharded_topk",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select((col("doc_id") % 8).as("shard"),
+            explode(TextFns.tokens(col("text"))).as("word"))
+        val sharded = toks.groupBy("shard", "word").agg(count(lit(1)).as("c"))
+        val wS = Window.partitionBy("shard").orderBy(col("c").desc, col("word"))
+        val approx = sharded
+          .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 50)
+          .groupBy("word").agg(sum(col("c")).as("approx_cnt"))
+          .withColumn("approx_rank",
+            row_number().over(Window.orderBy(col("approx_cnt").desc, col("word"))))
+          .filter(col("approx_rank") <= 10)
+        val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("exact_rank",
+            row_number().over(Window.orderBy(col("exact_cnt").desc, col("word"))))
+          .filter(col("exact_rank") <= 10)
+        approx.join(exact, Seq("word"), "full_outer")
+          .select(col("word"),
+            coalesce(col("approx_rank"), lit(-1L)).cast("bigint").as("approx_rank"),
+            coalesce(col("exact_rank"), lit(-1L)).cast("bigint").as("exact_rank"),
+            coalesce(col("approx_cnt"), lit(0L)).as("approx_cnt"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+            (col("approx_cnt") === col("exact_cnt")).as("count_exact"))
+          .orderBy("exact_rank", "word")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id % 8 AS shard,
+             |         unnest(${TextFns.tokensSqlDuckDB("text")}) AS word
+             |       FROM documents),
+             |sh AS (SELECT shard, word, count(*) AS c FROM toks
+             |       WHERE length(word) > 0 GROUP BY 1, 2),
+             |cand AS (SELECT word, CAST(sum(c) AS BIGINT) AS approx_cnt FROM (
+             |    SELECT shard, word, c,
+             |           row_number() OVER (PARTITION BY shard
+             |             ORDER BY c DESC, word) AS rn FROM sh) q
+             |  WHERE rn <= 50 GROUP BY 1),
+             |ap AS (SELECT word, approx_cnt,
+             |         row_number() OVER (ORDER BY approx_cnt DESC, word) AS approx_rank
+             |       FROM cand QUALIFY approx_rank <= 10),
+             |exq AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks
+             |        WHERE length(word) > 0 GROUP BY 1),
+             |ex AS (SELECT word, exact_cnt,
+             |         row_number() OVER (ORDER BY exact_cnt DESC, word) AS exact_rank
+             |       FROM exq QUALIFY exact_rank <= 10)
+             |SELECT word,
+             |       CAST(coalesce(ap.approx_rank, -1) AS BIGINT) AS approx_rank,
+             |       CAST(coalesce(ex.exact_rank, -1) AS BIGINT) AS exact_rank,
+             |       coalesce(ap.approx_cnt, 0) AS approx_cnt,
+             |       coalesce(ex.exact_cnt, 0) AS exact_cnt,
+             |       ap.approx_cnt = ex.exact_cnt AS count_exact
+             |FROM ap FULL OUTER JOIN ex USING (word)
+             |ORDER BY exact_rank, word""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // O14 under the oracle — word count executed THROUGH the KV exchange
+    // (KvShuffle: executors append reference-framed "word\t1\r," partition
+    // runs to an embedded KvServer over real sockets, one reduce task per
+    // partition key reads + counts), hash-matched against the plain SQL
+    // word count. The server lives only for the query's execution: the
+    // result is eagerly materialized before teardown, so the lazy frame
+    // the driver writes never needs the socket again.
+    QueryDef("tx_kv_shuffle",
+      (s, d) => {
+        val server = new graft.server.KvServer()
+        try {
+          Dedup.materialize(
+            KvShuffle.wordCountViaKv(s, T(s, d, "documents"), "127.0.0.1",
+              server.port, jobId = "wc", reducers = 8))
+            .orderBy("word")
+        } finally server.close()
+      },
+      Some(s"""WITH toks AS (SELECT unnest(${TextFns.tokensSqlDuckDB("text")}) AS word
+             |              FROM documents)
+             |SELECT word, count(*) AS cnt FROM toks
+             |WHERE length(word) > 0 GROUP BY 1 ORDER BY word""".stripMargin)),
 
     // ------------------------------------------------------------------
     // Incremental view maintenance of a JOIN — the lakehouse pattern that

@@ -470,4 +470,59 @@ class PlanQualitySpec extends AnyFunSuite {
     // the single-task global sort
     assert(plan("rel_histogram_eqdepth").contains("rangepartitioning"))
   }
+
+  test("PQ-ADC serving broadcasts the distance table, never the code table") {
+    // the corpus-side code table must stream through a BroadcastHashJoin
+    // whose build side is the (subspace x codebook) distance table — if
+    // the join ever flips (or degrades to SMJ), serving cost becomes
+    // corpus-shuffle-bound and the whole PQ design point is lost
+    val p = plan("sim_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sharded top-k prunes per shard map-side (WindowGroupLimit)") {
+    // the candidate generation must prune to 50 rows per shard BEFORE any
+    // exchange — the O(shards*m) shuffle is the operator's entire point
+    val p = plan("tx_sharded_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("IVM delta terms stay keyed equi-joins (no plan degeneration)") {
+    // the five aggregate RESULTS (one row each) legitimately combine via
+    // broadcast nested-loop cross joins — the scalar-combiner pattern; the
+    // guard is on the DATA joins: every orders⋈lineitem term must be an
+    // equi-join, so no Join node in the LOGICAL plan may lack a condition
+    // while having a multi-row child aggregate below it unconsumed.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntry.queries("rel_ivm_join")(spark, sf)
+      .queryExecution.optimizedPlan
+    lp.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>
+      // condition-free joins allowed ONLY when both inputs are already
+      // single-row aggregates (global agg = grouping-free Aggregate)
+      Seq(j.left, j.right).foreach { side =>
+        val ok = side.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined
+        assert(ok, s"cross join over a non-scalar side:\n$j")
+      }
+    }
+    assert(!plan("rel_ivm_join").contains("CartesianProduct"))
+  }
+
+  test("zone-map audit and compaction plan aggregate at file granularity") {
+    // both planners must reduce to file-granularity rows before any window
+    // or second aggregate — partial aggregation present, and no window
+    // over the raw fact input
+    for (q <- Seq("rel_zonemap_audit", "rel_compaction_plan")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("rel_compaction_plan")(spark, sf)
+      .queryExecution.optimizedPlan
+    lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"compaction window must run over the file listing, not raw rows:\n$w")
+    }
+  }
 }
