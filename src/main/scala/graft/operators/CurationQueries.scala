@@ -45,6 +45,8 @@ object CurationQueries {
   private val HitsIters = 5         // gr_hits power-iteration rounds
   private val BpeRounds = 5         // tx_bpe_* learned merges
   private val BpeVocab = 200        // tx_bpe_* training vocabulary size
+  private val SpanW = 4             // tx_span_dedup: tokens per span
+  private val SpanMinDocs = 2       // tx_span_dedup: boilerplate doc threshold
 
   /** The BpeRounds-round BPE merge-learning loop shared by tx_bpe_merges (reports
     * the merge table) and tx_bpe_apply (applies it to the corpus): returns
@@ -553,6 +555,174 @@ object CurationQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Degree assortativity of the near-dup graph — do heavy duplicators
+    // pair with other heavy duplicators (template farms, r > 0) or with
+    // singletons (hub-and-spoke copying, r < 0)? The Newman coefficient
+    // over directed-symmetrized edges, in the 4M-multiplied integer form
+    // (in doubled-edge sums: (4·2M·Σ'jk − Σ'(j+k)²) over
+    // (2·2M·Σ'(j²+k²) − Σ'(j+k)²), Σ' over both directions): every sum is
+    // an exact BIGINT (degrees are small; the squares stay far under
+    // Long), and the single terminal division is one IEEE op on identical
+    // integers — so round(4) is applied to bit-identical doubles. Two
+    // keyed aggregates + one broadcast-scalar combine.
+    QueryDef("gr_assortativity",
+      (s, d) => {
+        val prs = Dedup.jaccardFromStats(PipelineQueries.pairStats(s, d), minJ = 0.8)
+          .select(col("a_id"), col("b_id"))
+        val e = prs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionAll(prs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+        e.join(deg.select(col("id").as("src"), col("dg").as("j")), "src")
+          .join(deg.select(col("id").as("dst"), col("dg").as("k")), "dst")
+          .agg(count(lit(1)).as("m2"), // = 2M (both directions)
+            sum(col("j") * col("k")).as("sjk"),
+            sum(col("j") + col("k")).as("sjpk"),
+            sum(col("j") * col("j") + col("k") * col("k")).as("sj2k2"))
+          .select(col("m2"),
+            (lit(4L) * col("m2") * col("sjk") - col("sjpk") * col("sjpk")).as("num"),
+            (lit(2L) * col("m2") * col("sj2k2") - col("sjpk") * col("sjpk")).as("den"))
+          .select(col("m2"), col("num"), col("den"),
+            round(col("num").cast("double") / col("den"), 4).as("assortativity"))
+      },
+      Some(s"""WITH ${PipelineQueries.jaccardCtes},
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM prs
+             |      UNION ALL SELECT b_id, a_id FROM prs),
+             |deg AS (SELECT src AS id, count(*) AS dg FROM e GROUP BY 1),
+             |jk AS (SELECT dj.dg AS j, dk.dg AS k FROM e
+             |       JOIN deg dj ON dj.id = e.src JOIN deg dk ON dk.id = e.dst),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+             |             CAST(sum(j * k) AS BIGINT) AS sjk,
+             |             CAST(sum(j + k) AS BIGINT) AS sjpk,
+             |             CAST(sum(j * j + k * k) AS BIGINT) AS sj2k2
+             |      FROM jk)
+             |SELECT m2, 4 * m2 * sjk - sjpk * sjpk AS num,
+             |       2 * m2 * sj2k2 - sjpk * sjpk AS den,
+             |       round(CAST(4 * m2 * sjk - sjpk * sjpk AS DOUBLE)
+             |             / (2 * m2 * sj2k2 - sjpk * sjpk), 4) AS assortativity
+             |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Image sharpness (Laplacian energy) — the blur-detection curation
+    // gate: REAL PNG decode, then Σ (4·lum − neighbors)² over interior
+    // pixels with integer Rec.601 luma (scale 1000, exact end to end).
+    // DuckDB replays the synthPng closed forms for all three channels
+    // directly — lum(x,y) is a formula, so the Laplacian needs NO
+    // neighbor join, just five formula evaluations per pixel.
+    QueryDef("mm_image_sharpness",
+      (s, d) => Multimodal.imageSharpness(
+          Multimodal.withSynthPayload(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+        .select(col("doc_id"), col("w").cast("bigint").as("w"),
+          col("h").cast("bigint").as("h"),
+          col("n_interior").cast("bigint").as("n_interior"), col("sharpness"))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+             |           FROM documents WHERE doc_id < 200),
+             |px AS (SELECT doc_id, w, h,
+             |              unnest(generate_series(1, w - 2)) AS x
+             |       FROM s),
+             |pxy AS (SELECT doc_id, w, h, x,
+             |               unnest(generate_series(1, h - 2)) AS y
+             |        FROM px),
+             |lap AS (SELECT doc_id, w, h,
+             |  (4 * (299 * ((doc_id * 7 + x * 13 + y * 31) % 256)
+             |      + 587 * ((doc_id * 11 + x * 3 + y * 17) % 256)
+             |      + 114 * ((doc_id * 5 + x * 23 + y * 29) % 256))
+             |   - (299 * ((doc_id * 7 + (x-1) * 13 + y * 31) % 256)
+             |      + 587 * ((doc_id * 11 + (x-1) * 3 + y * 17) % 256)
+             |      + 114 * ((doc_id * 5 + (x-1) * 23 + y * 29) % 256))
+             |   - (299 * ((doc_id * 7 + (x+1) * 13 + y * 31) % 256)
+             |      + 587 * ((doc_id * 11 + (x+1) * 3 + y * 17) % 256)
+             |      + 114 * ((doc_id * 5 + (x+1) * 23 + y * 29) % 256))
+             |   - (299 * ((doc_id * 7 + x * 13 + (y-1) * 31) % 256)
+             |      + 587 * ((doc_id * 11 + x * 3 + (y-1) * 17) % 256)
+             |      + 114 * ((doc_id * 5 + x * 23 + (y-1) * 29) % 256))
+             |   - (299 * ((doc_id * 7 + x * 13 + (y+1) * 31) % 256)
+             |      + 587 * ((doc_id * 11 + x * 3 + (y+1) * 17) % 256)
+             |      + 114 * ((doc_id * 5 + x * 23 + (y+1) * 29) % 256))) AS l
+             |  FROM pxy)
+             |SELECT doc_id, CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h,
+             |       CAST(count(*) AS BIGINT) AS n_interior,
+             |       CAST(sum(l * l) AS BIGINT) AS sharpness
+             |FROM lap GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Matryoshka truncation eval — modern embedding tables are trained so
+    // a PREFIX of the vector is itself a usable embedding; serving then
+    // retrieves with the cheap prefix and re-ranks with the full vector.
+    // This measures what that buys/costs here: exact top-10 by full
+    // 64-dim cosine vs top-10 by first-16-dim cosine, per query, with the
+    // overlap (recall@10 of the truncated index) in exact basis points.
+    // Same one-scan batched shape as sim_batch_topk; slice() keeps the
+    // truncated side a real array<float> through the codegen'd cosine.
+    QueryDef("sim_matryoshka",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val qids = Seq(0L, 1L, 2L, 3L, 4L)
+        def topk(dim: Option[Int]) = {
+          val emb: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+            c => dim.map(k => slice(c, 1, k)).getOrElse(c)
+          val qs = broadcast(embs.filter(col("vec_id").isin(qids.map(l => l: Any): _*))
+            .select(col("vec_id").as("q_id"), emb(col("embedding")).as("q_emb")))
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("cos_sim").desc, col("vec_id"))
+          embs.filter(!col("vec_id").isin(qids.map(l => l: Any): _*))
+            .crossJoin(qs)
+            .select(col("q_id"), col("vec_id"),
+              round(graft.functions.VectorFns.cosine(emb(col("embedding")), col("q_emb")), 3)
+                .as("cos_sim"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 10)
+            .select(col("q_id"), col("vec_id"))
+        }
+        topk(None).as("f")
+          .join(topk(Some(16)).as("t"), Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+          .select(col("q_id"), col("n_common"),
+            (col("n_common") * 1000).as("recall_bp"))
+          .orderBy("q_id")
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrmf AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |nrmt AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex
+             |         WHERE i <= 16 GROUP BY 1),
+             |dotf AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |                sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id IN (0, 1, 2, 3, 4)
+             |           AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |         GROUP BY 1, 2),
+             |dott AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |                sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.i <= 16 AND a.vec_id IN (0, 1, 2, 3, 4)
+             |           AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |         GROUP BY 1, 2),
+             |tf AS (SELECT q_id, vec_id FROM (
+             |    SELECT q_id, d.vec_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY round(dp / (nq.n * nv.n), 3) DESC, d.vec_id) AS rn
+             |    FROM dotf d JOIN nrmf nq ON nq.vec_id = q_id
+             |                JOIN nrmf nv ON nv.vec_id = d.vec_id) z
+             |  WHERE rn <= 10),
+             |tt AS (SELECT q_id, vec_id FROM (
+             |    SELECT q_id, d.vec_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY round(dp / (nq.n * nv.n), 3) DESC, d.vec_id) AS rn
+             |    FROM dott d JOIN nrmt nq ON nq.vec_id = q_id
+             |                JOIN nrmt nv ON nv.vec_id = d.vec_id) z
+             |  WHERE rn <= 10)
+             |SELECT tf.q_id AS q_id, count(*) AS n_common,
+             |       CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+             |FROM tf JOIN tt ON tf.q_id = tt.q_id AND tf.vec_id = tt.vec_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Sharded approximate top-k (heavy hitters) WITH its own exactness
     // eval: per shard, keep only the top-50 words; the global top-10 is
     // then computed over the union of shard candidates — the shuffle-light
@@ -869,6 +1039,135 @@ object CurationQueries {
            |UNION ALL
            |${auditSql("shipdate_4weekly", "dday // 28")}
            |ORDER BY layout""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Bloom-pruned join WITH its own false-positive accounting — the
+    // explicit engine-level form of runtime-filter pruning: build a
+    // broadcast-sized bitset over the build side's keys (one map-side-
+    // combined aggregate), then pre-filter the probe side with pure
+    // per-row arithmetic BEFORE any shuffle. At 100 TB the probe never
+    // joins to test membership — here it ALSO does the exact join, so
+    // the query reports the filter's real n_false_pos/fp_bp alongside
+    // the structural guarantee n_false_neg = 0. Bit positions come from
+    // the DuckDB-replayable affine family (BloomFns.bitPosSql is the
+    // single source for both engines); the probe predicate is generated
+    // Spark SQL (element_at + shiftleft — codegen'd, no UDF).
+    QueryDef("rel_bloom_join",
+      (s, d) => {
+        import graft.functions.BloomFns
+        val bld = T(s, d, "orders").filter(col("o_totalprice") > 150000)
+          .select(col("o_orderkey").as("k")).distinct()
+        val bloom = bld.agg(BloomFns.bloom_agg(col("k")).as("bits"))
+        T(s, d, "lineitem").select(col("l_orderkey").as("k")).distinct()
+          .join(bld.select(col("k"), lit(1L).as("m")), Seq("k"), "left")
+          .crossJoin(broadcast(bloom))
+          .select(col("k"), col("m"),
+            expr(BloomFns.mightContainSql("bits", "k")).as("might"))
+          .agg(count(lit(1)).as("n_probe"),
+            sum(when(col("might"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("m").isNotNull && !col("might"), 1L).otherwise(0L))
+              .as("n_false_neg"))
+          .select(col("n_probe"), col("n_pass"), col("n_true"),
+            (col("n_pass") - col("n_true")).as("n_false_pos"),
+            col("n_false_neg"),
+            expr("(n_pass - n_true) * 10000L div (n_probe - n_true)").as("fp_bp"))
+      },
+      Some {
+        import graft.functions.BloomFns
+        val bldBits = (0 until BloomFns.NumHash)
+          .map(i => s"SELECT DISTINCT ${BloomFns.bitPosSql(i, "k", spark = false)} AS p FROM bld")
+          .mkString("\n       UNION\n       ")
+        val prbBits = (0 until BloomFns.NumHash)
+          .map(i => s"SELECT k, ${BloomFns.bitPosSql(i, "k", spark = false)} AS p FROM prb")
+          .mkString("\n       UNION ALL\n       ")
+        s"""WITH bld AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           |             WHERE o_totalprice > 150000),
+           |bits AS ($bldBits),
+           |prb AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+           |pp AS ($prbBits),
+           |chk AS (SELECT pp.k,
+           |               sum(CASE WHEN b.p IS NULL THEN 1 ELSE 0 END) AS miss
+           |        FROM pp LEFT JOIN bits b ON pp.p = b.p GROUP BY 1),
+           |j AS (SELECT chk.k, chk.miss,
+           |             CASE WHEN bld.k IS NULL THEN 0 ELSE 1 END AS m
+           |      FROM chk LEFT JOIN bld ON bld.k = chk.k)
+           |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           |       CAST(sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |       CAST(sum(m) AS BIGINT) AS n_true,
+           |       CAST(sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) - sum(m) AS BIGINT)
+           |         AS n_false_pos,
+           |       CAST(sum(CASE WHEN m = 1 AND miss > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_false_neg,
+           |       CAST((sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) - sum(m)) * 10000
+           |            // (count(*) - sum(m)) AS BIGINT) AS fp_bp
+           |FROM j""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Repeated-span removal — the C4 boilerplate filter reshaped for a
+    // corpus without line breaks: every doc is cut into consecutive
+    // SpanW-token spans (map-side slice() over the token array — NO
+    // shuffle to build spans), a span whose exact text occurs in >=
+    // SpanMinDocs distinct docs is boilerplate, and the doc keeps
+    // everything else (ragged tail tokens always survive). Output is
+    // the per-doc removal accounting a curation pipeline logs: exact
+    // integer token counts only. Scale shape: the boilerplate span set
+    // is corpus-bounded and the join is a plain equi-join on span text
+    // (hashable 8-byte key at 100 TB via xxhash64 — same production
+    // trick as dd_exact_dedup); nothing here is all-pairs.
+    QueryDef("tx_span_dedup",
+      (s, d) => {
+        val tt = T(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+          .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"))
+        val spans = tt.filter(col("n_tokens") >= SpanW)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), expr(s"n_tokens div $SpanW") - 1),
+              g => array_join(slice(col("t"), g * SpanW + 1, lit(SpanW)), " ")))
+              .as("span"))
+        val boiler = spans.groupBy("span")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= SpanMinDocs)
+          .select(col("span"), lit(1).as("rep"))
+        val removal = spans.join(boiler, Seq("span"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("rep").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+        tt.select(col("doc_id"), col("n_tokens"))
+          .join(removal, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            (col("n_tokens") -
+              lit(SpanW) * coalesce(col("n_removed"), lit(0L))).as("n_tokens_kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id,
+             |                   ${TextFns.tokensSqlDuckDB("text")} AS t
+             |            FROM documents),
+             |sp AS (SELECT doc_id, t,
+             |              unnest(generate_series(0, len(t) // $SpanW - 1)) AS g
+             |       FROM tt WHERE len(t) >= $SpanW),
+             |spans AS (SELECT doc_id,
+             |                 list_aggregate(t[g*$SpanW+1 : (g+1)*$SpanW],
+             |                                'string_agg', ' ') AS span
+             |          FROM sp),
+             |boiler AS (SELECT span FROM spans
+             |           GROUP BY 1 HAVING count(DISTINCT doc_id) >= $SpanMinDocs),
+             |removal AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |                   CAST(sum(CASE WHEN b.span IS NULL THEN 0 ELSE 1 END)
+             |                        AS BIGINT) AS n_removed
+             |            FROM spans LEFT JOIN boiler b ON spans.span = b.span
+             |            GROUP BY 1)
+             |SELECT tt.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |       coalesce(n_spans, 0) AS n_spans,
+             |       coalesce(n_removed, 0) AS n_removed,
+             |       CAST(len(t) - $SpanW * coalesce(n_removed, 0) AS BIGINT)
+             |         AS n_tokens_kept
+             |FROM tt LEFT JOIN removal ON removal.doc_id = tt.doc_id
+             |ORDER BY tt.doc_id""".stripMargin))
   )
 }

@@ -597,6 +597,58 @@ object Multimodal {
         explode(sequence(lit(0), col(nFramesCol).cast("int") - 1, lit(stride))))
   }
 
+  /** Blur/sharpness score per image — the Laplacian-energy metric every
+    * image-curation pipeline runs before training (drop the blurry/flat
+    * frames): for each interior pixel, L = 4·lum − lum(left) − lum(right)
+    * − lum(up) − lum(down) over the integer luma lum = 299R + 587G + 114B
+    * (the Rec.601 weights at scale 1000 — kept integer so the score is
+    * exact), reported as Σ L² with the interior pixel count. REAL decode
+    * (javax.imageio) in the same mapPartitions batch shape as the other
+    * image features; O(pixels) per image, no shuffle; |L| ≤ 6·255000 so
+    * Σ L² fits a Long until ~10⁶ pixels per image.
+    */
+  def imageSharpness(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("w", org.apache.spark.sql.types.IntegerType)
+      .add("h", org.apache.spark.sql.types.IntegerType)
+      .add("n_interior", org.apache.spark.sql.types.IntegerType)
+      .add("sharpness", org.apache.spark.sql.types.LongType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        decodeImage(r.getAs[Array[Byte]](idx)) match {
+          case None => Iterator.empty
+          case Some((img, _)) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            def lum(x: Int, y: Int): Long = {
+              val rgb = img.getRGB(x, y)
+              299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                114L * (rgb & 0xFF)
+            }
+            var acc = 0L
+            var n = 0
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val l = 4 * lum(x, y) - lum(x - 1, y) - lum(x + 1, y) -
+                  lum(x, y - 1) - lum(x, y + 1)
+                acc += l * l
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(Row.fromSeq(keep :+ w :+ h :+ n :+ acc))
+        }
+      }
+    }
+  }
+
   /** Autocorrelation pitch estimate per clip: the lag in [minLag, maxLag]
     * maximizing R(lag) = Σ v[i]·v[i+lag] over the decoded PCM samples —
     * the classic time-domain fundamental-frequency estimator (speech/music

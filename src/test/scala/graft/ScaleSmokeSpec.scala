@@ -60,10 +60,22 @@ class ScaleSmokeSpec extends AnyFunSuite {
     dir
   }
 
+  /** min-of-2 timing: a growth RATIO is hypersensitive to one GC pause or
+    * suite-neighbor contention landing in a single measurement (observed:
+    * the same 10x dd_embedding_lsh run measuring 44s solo and 89s
+    * mid-suite — the plan was identical). The min of two runs estimates
+    * the contention-free cost, which is the quantity the quadratic-creep
+    * assertion is actually about.
+    */
   private def time(name: String, dir: String): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val rows = SparkEntry.queries(name)(spark, dir).count()
-    ((System.nanoTime() - t0) / 1e9, rows)
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val a = once()
+    val b = once()
+    (math.min(a._1, b._1), b._2)
   }
 
   test("dedup/similarity growth is ~linear from bench scale to 10x", Slow) {
