@@ -667,6 +667,21 @@ object Dedup {
     * identical sign bits in EVERY table, so their recall is exactly 1 by
     * construction regardless of parameters.
     */
+  /** Stats-driven RHP key width: 2^bits ≈ 4n. For two UNRELATED random
+    * vectors (angle near pi/2) a sign bit matches with probability ~1/2, so
+    * a table produces ~ C(n,2) * 2^-bits birthday-collision candidates —
+    * quadratic in n at any FIXED width, O(n) once 2^bits tracks n. True
+    * near-dup recall is unhurt where it matters: colinear copies collide at
+    * every width, and the recall-sensitive small-angle regime belongs to the
+    * recall-biased default config, not this planning knob. The single
+    * count() is an AQE-style planning statistic (at warehouse scale it comes
+    * from table stats), not a data collect.
+    */
+  def lshKeyBitsFor(n: Long, floor: Int = 12, cap: Int = 24): Int = {
+    val bits = 2 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    math.min(cap, math.max(floor, bits))
+  }
+
   def embeddingLshPairs(embs: DataFrame, minCos: Double, dim: Int = 64,
                         bitsPerTable: Int = 8, tables: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {

@@ -855,11 +855,18 @@ object PipelineQueries {
         val planted = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
         // colinear planted pairs collide in every table whatever the params,
-        // so this query runs the cheap high-precision config (16-bit keys,
-        // mostly-singleton buckets); noisy near-dups need the recall-biased
-        // defaults (8 bits x 16 tables) — see embeddingLshPairs scaladoc
-        Dedup.embeddingLshPairs(base.union(planted), minCos = 0.9,
-            bitsPerTable = 16, tables = 8)
+        // so this query runs a cheap high-precision config (mostly-singleton
+        // buckets); noisy near-dups need the recall-biased defaults
+        // (8 bits x 16 tables) — see embeddingLshPairs scaladoc. Key width
+        // is STATS-DRIVEN (2^bits ~ 4n): at fixed bits the unrelated-vector
+        // birthday collisions grow as n² (10x corpus = ~100x candidates —
+        // the 10x smoke measured exactly that at a pinned 16 bits), so the
+        // width must widen with the corpus for the candidate volume to stay
+        // O(n). The oracle is unaffected: output = exact verified cosine,
+        // and colinear recall is 1 at ANY width.
+        val all = base.union(planted)
+        Dedup.embeddingLshPairs(all, minCos = 0.9,
+            bitsPerTable = Dedup.lshKeyBitsFor(all.count()), tables = 8)
           .orderBy("a_id", "b_id")
       },
       Some("""WITH aug AS (SELECT vec_id, embedding FROM embeddings
