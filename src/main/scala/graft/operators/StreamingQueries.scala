@@ -51,6 +51,64 @@ object StreamingQueries {
 
   val queries: Seq[QueryDef] = Seq(
 
+    // Watermark LATE-DATA DROP under the oracle — the one watermark
+    // observable a single-batch execution can never show (the global
+    // watermark only advances BETWEEN micro-batches). Arrival is forced
+    // into three real micro-batches: the first 60% of the timeline, then
+    // the rest, then held-back STRAGGLERS (early-timeline rows with
+    // event_id % 10 = 7). Three, not two, because late-event filtering
+    // runs against the PREVIOUS batch's watermark while eviction uses the
+    // current one (a row arriving in the same batch that advances the
+    // watermark is never dropped by it) — verified empirically: with the
+    // stragglers in batch 1 the engine merges all 4199 of them,
+    // numRowsDroppedByWatermark = 0. Arriving in batch 2, their filter
+    // watermark is max(non-straggler ts), their windows are long closed,
+    // and the engine drops them. The oracle replays exactly that: keep a
+    // row iff it is not a straggler OR its window end > max(non-straggler
+    // ts); emit windows with end <= the final watermark. Same
+    // windowedCounts transform as st_windowed_counts — the count deltas
+    // between the two queries ARE the dropped rows.
+    QueryDef("st_late_data",
+      (s, d) => {
+        val emitted = StreamGate.runAppendPhased(
+          s, s"$d/events.parquet",
+          df => {
+            val n = Tables.normalizeTs(df)
+              .withColumn("__us", unix_micros(col("ts")))
+            val b = broadcast(n.agg(min(col("__us")).as("__mn"),
+              max(col("__us")).as("__mx")))
+            n.crossJoin(b)
+              .withColumn("__phase", expr(
+                "CASE WHEN __us <= __mn + (__mx - __mn) div 5 AND event_id % 10 = 7 THEN 2 " +
+                  "WHEN __us <= __mn + (__mx - __mn) * 3 div 5 THEN 0 ELSE 1 END"))
+              .drop("__us", "__mn", "__mx")
+          },
+          nPhases = 3,
+          df => EventStreams.windowedCounts(df, watermark = "0 seconds"),
+          "st_late")
+        emitted.select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hr"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hr", "event_type")
+      },
+      Some("""WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+             |           FROM events),
+             |f AS (SELECT ts, event_type, value,
+             |             CASE WHEN epoch_us(ts) <= mn + (mx - mn) // 5
+             |                   AND event_id % 10 = 7
+             |                  THEN 1 ELSE 0 END AS str
+             |      FROM events, b),
+             |w1 AS (SELECT max(ts) AS wm FROM f WHERE str = 0),
+             |m AS (SELECT max(ts) AS mx FROM events),
+             |kept AS (SELECT f.ts, f.event_type, f.value FROM f, w1
+             |         WHERE str = 0
+             |            OR date_trunc('hour', ts) + INTERVAL 1 HOUR > w1.wm)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hr,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM kept, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.mx
+             |GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
+
     // Tumbling 1-hour counts through the streaming engine; same SQL shape as
     // ts_tumbling_window restricted to watermark-closed windows.
     QueryDef("st_windowed_counts",

@@ -52,11 +52,13 @@ object StreamGate {
   private def execute(spark: SparkSession, srcParquet: String,
                       schema: org.apache.spark.sql.types.StructType,
                       transform: DataFrame => DataFrame, tag: String,
-                      sink: (DataFrame, String) => org.apache.spark.sql.streaming.DataStreamWriter[Row])
+                      sink: (DataFrame, String) => org.apache.spark.sql.streaming.DataStreamWriter[Row],
+                      inDir: Option[String] = None,
+                      readOptions: Map[String, String] = Map.empty)
       : DataFrame = {
-    val in = stageDir(srcParquet)
+    val in = inDir.getOrElse(stageDir(srcParquet))
     val out = graft.sources.TempDirs.create(s"graft_${tag}_out").toString
-    val stream = spark.readStream.schema(schema).parquet(in)
+    val stream = spark.readStream.schema(schema).options(readOptions).parquet(in)
     val transformed = transform(stream)
     val dataDir = s"$out/data"
     Files.createDirectories(Paths.get(dataDir))
@@ -138,6 +140,52 @@ object StreamGate {
         .foreachBatch((batch: DataFrame, _: Long) =>
           batch.write.mode("overwrite").parquet(dataDir))
         .outputMode("complete"))
+
+  private val stagedPhased = TrieMap.empty[String, (String, org.apache.spark.sql.types.StructType)]
+
+  /** Phased-arrival gate: stage the table as one parquet file PER ARRIVAL
+    * PHASE in forced order (strictly increasing mtimes + lexical names;
+    * FileStreamSource lists by (mtime, path)), and run the stream with
+    * `maxFilesPerTrigger = 1` so each file IS one micro-batch. This is the
+    * only way to exhibit watermark LATE-DATA DROPS, which a single-batch
+    * execution can never show — and it takes at least THREE phases, because
+    * Spark runs two watermarks per batch: late-event FILTERING uses the
+    * previous batch's watermark (so rows arriving in the same batch that
+    * advances the watermark are never dropped by it), while state EVICTION
+    * uses the current one. A straggler is therefore dropped only when it
+    * arrives two-or-more batches after the data that closed its window.
+    *
+    * `assignPhase` gets the batch-read source frame and must return it with
+    * one extra int column `__phase` in [0, nPhases) (dropped before
+    * staging); putting the rule in a DataFrame transform keeps it
+    * declarative — corpus-derived cutoffs come from a broadcast 1-row
+    * aggregate, not a driver collect.
+    */
+  def runAppendPhased(spark: SparkSession, srcParquet: String,
+                      assignPhase: DataFrame => DataFrame, nPhases: Int,
+                      transform: DataFrame => DataFrame,
+                      tag: String): DataFrame = {
+    val (in, schema) = stagedPhased.getOrElseUpdate(s"$srcParquet#$tag", {
+      val dir = Paths.get(graft.sources.TempDirs.create(s"graft_${tag}_in").toString)
+      val assigned = assignPhase(spark.read.parquet(srcParquet))
+      (0 until nPhases).foreach { i =>
+        val tmp = graft.sources.TempDirs.create(s"graft_${tag}_stage")
+        assigned.filter(org.apache.spark.sql.functions.col("__phase") === i)
+          .drop("__phase").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        val target = dir.resolve(f"b$i%02d.parquet")
+        Files.move(part, target)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      (dir.toString, spark.read.parquet(dir.toString).schema)
+    })
+    execute(spark, srcParquet, schema, transform, tag,
+      (df, dataDir) => df.writeStream
+        .format("parquet").option("path", dataDir).outputMode("append"),
+      inDir = Some(in), readOptions = Map("maxFilesPerTrigger" -> "1"))
+  }
 
   /** Streaming UPSERT (merge) sink: each micro-batch is merged into the
     * keyed sink table via `merge(existing, batch)` — read-merge-overwrite,
