@@ -1042,6 +1042,110 @@ object CurationQueries {
       }),
 
     // ------------------------------------------------------------------
+    // LTTB downsampling (Largest-Triangle-Three-Buckets, bucket-average
+    // variant) — the standard series reducer behind every monitoring UI:
+    // per (event_type, day-bucket) keep the ONE point forming the largest
+    // triangle with the neighbor buckets' average points, so the
+    // downsampled series preserves visual extremes instead of smearing
+    // them like plain avg-per-bucket. The average-anchor variant (classic
+    // LTTB anchors on the PREVIOUSLY SELECTED point) is the parallel
+    // form: every bucket selects independently — one groupBy + two
+    // self-joins, no sequential scan — which is why it is the variant a
+    // distributed engine should ship. Selection is exact: x in seconds
+    // from the series start, y at cent scale, and the triangle area
+    // comparison is multiplied out to pure BIGINT (common positive
+    // denominator na²·nb dropped), so both engines pick bit-identical
+    // points — no IEEE area enters the decision. The product bound is
+    // n³·(day_span_s)·(2·y_scale) — safe in signed 64 below ~1.7k points
+    // per bucket; at bigger scale shrink the bucket (hour) or move the
+    // area to DECIMAL, the selection rule is unchanged. First/last
+    // buckets keep the series' first/last point, as classic LTTB does.
+    QueryDef("ts_lttb",
+      (s, d) => {
+        val e = T(s, d, "events")
+          .select(col("event_type"),
+            col("ts"), unix_micros(col("ts")).as("us"),
+            round(col("value") * 100).cast("long").as("y"))
+        val b = broadcast(e.groupBy("event_type").agg(min(col("us")).as("mn")))
+        val pts = e.join(b, "event_type")
+          .select(col("event_type"), col("ts"), col("y"),
+            expr("(us - mn) div 1000000").as("x"),
+            expr("(us - mn) div 86400000000").as("day"))
+        val agg = pts.groupBy("event_type", "day")
+          .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            count(lit(1)).as("n"))
+        val nb = pts.as("c")
+          .join(agg.select(col("event_type"), (col("day") + 1).as("day"),
+            col("sx").as("sxa"), col("sy").as("sya"), col("n").as("na")),
+            Seq("event_type", "day"))
+          .join(agg.select(col("event_type"), (col("day") - 1).as("day"),
+            col("sx").as("sxb"), col("sy").as("syb"), col("n").as("nb")),
+            Seq("event_type", "day"))
+          .withColumn("area", abs(
+            (col("sxa") - col("na") * col("x")) *
+              (col("syb") * col("na") - col("sya") * col("nb")) -
+            (col("sxa") * col("nb") - col("sxb") * col("na")) *
+              (col("y") * col("na") - col("sya"))))
+        val wMid = Window.partitionBy("event_type", "day")
+          .orderBy(col("area").desc, col("x"), col("y"))
+        val mid = nb.withColumn("rn", row_number().over(wMid))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day"), col("x"), col("y"))
+        val ext = pts.groupBy("event_type")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val wEdge = Window.partitionBy(col("event_type"), col("day"), col("first"))
+          .orderBy(col("ord"), col("y"))
+        val edges = pts.join(broadcast(ext), "event_type")
+          .filter(col("day") === col("d0") || col("day") === col("d1"))
+          .withColumn("first", col("day") === col("d0"))
+          .withColumn("ord", when(col("first"), col("x")).otherwise(-col("x")))
+          .withColumn("rn", row_number().over(wEdge))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day"), col("x"), col("y"))
+        mid.join(edges.select(col("event_type"), col("day"), lit(1).as("e")),
+            Seq("event_type", "day"), "left_anti")
+          .unionAll(edges)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e0 AS (SELECT event_type, epoch_us(ts) AS us,
+             |                   CAST(round(value * 100) AS BIGINT) AS y
+             |            FROM events),
+             |b AS (SELECT event_type, min(us) AS mn FROM e0 GROUP BY 1),
+             |pts AS (SELECT e0.event_type, (us - mn) // 1000000 AS x, y,
+             |               (us - mn) // 86400000000 AS day
+             |        FROM e0 JOIN b ON b.event_type = e0.event_type),
+             |agg AS (SELECT event_type, day, CAST(sum(x) AS BIGINT) AS sx,
+             |               CAST(sum(y) AS BIGINT) AS sy,
+             |               CAST(count(*) AS BIGINT) AS n
+             |        FROM pts GROUP BY 1, 2),
+             |mid AS (SELECT event_type, day, x, y FROM (
+             |    SELECT c.event_type, c.day, c.x, c.y,
+             |           row_number() OVER (PARTITION BY c.event_type, c.day
+             |             ORDER BY abs((a.sx - a.n * c.x) * (p.sy * a.n - a.sy * p.n)
+             |                        - (a.sx * p.n - p.sx * a.n) * (c.y * a.n - a.sy))
+             |               DESC, c.x, c.y) AS rn
+             |    FROM pts c
+             |    JOIN agg a ON a.event_type = c.event_type AND a.day = c.day - 1
+             |    JOIN agg p ON p.event_type = c.event_type AND p.day = c.day + 1) z
+             |  WHERE rn = 1),
+             |ext AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             |        FROM pts GROUP BY 1),
+             |edges AS (SELECT event_type, day, x, y FROM (
+             |    SELECT pts.event_type, day, x, y,
+             |           row_number() OVER (PARTITION BY pts.event_type, day
+             |             ORDER BY CASE WHEN day = d0 THEN x ELSE -x END, y) AS rn
+             |    FROM pts JOIN ext ON ext.event_type = pts.event_type
+             |    WHERE day = d0 OR day = d1) z
+             |  WHERE rn = 1)
+             |SELECT * FROM (
+             |  SELECT mid.* FROM mid
+             |  LEFT JOIN edges ON edges.event_type = mid.event_type
+             |                 AND edges.day = mid.day
+             |  WHERE edges.day IS NULL
+             |  UNION ALL SELECT * FROM edges) u
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // Bloom-pruned join WITH its own false-positive accounting — the
     // explicit engine-level form of runtime-filter pruning: build a
     // broadcast-sized bitset over the build side's keys (one map-side-
