@@ -1042,6 +1042,107 @@ object CurationQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Gram/covariance pass — the one-scan second-moment matrix behind PCA
+    // whitening, SemDeDup preprocessing, and embedding-drift monitoring:
+    // G[i,j] = Σ_v x_i·x_j over the corpus, emitted as the upper triangle
+    // (i <= j). Determinism is the repo's decimal-cast-sum idiom: each
+    // float product is one exact IEEE double multiply, quantized to
+    // DECIMAL(28,8) BEFORE the sum, so the aggregate is exact integer
+    // arithmetic in both engines regardless of summation order (a raw
+    // double sum would differ by summation tree). Shape: posexplode to
+    // (vec_id, i, x) rows, equi-join on vec_id, upper-triangle filter,
+    // groupBy (i, j) — one shuffle keyed by vec_id and one by cell. At
+    // 100 TB the better physical form is a d²/2-accumulator
+    // mapPartitions/treeAggregate (no join — d² floats per PARTITION,
+    // merged associatively); the cell values are identical, this
+    // declarative form is the oracle-replayable anchor.
+    QueryDef("sim_gram_matrix",
+      (s, d) => {
+        val pts = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            col("x").cast("double").as("x"))
+        pts.as("a")
+          .join(pts.select(col("vec_id"), col("i").as("j"),
+            col("x").as("y")).as("b"), "vec_id")
+          .filter(col("i") <= col("j"))
+          .groupBy("i", "j")
+          .agg(sum(round(col("x") * col("y"), 8)
+            .cast("decimal(28,8)")).as("g"))
+          .select(col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"),
+            col("g").cast("decimal(38,8)").as("g"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH pts AS (SELECT vec_id,
+             |                    unnest(generate_series(0, len(embedding) - 1)) AS i,
+             |                    CAST(unnest(embedding) AS DOUBLE) AS x
+             |             FROM embeddings)
+             |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+             |       CAST(sum(CAST(round(a.x * b.x, 8) AS DECIMAL(28,8)))
+             |            AS DECIMAL(38,8)) AS g
+             |FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Distribution-drift chi-square — the monitor a pipeline runs on every
+    // feature between two periods (train vs serve, last week vs this
+    // week): per (event_type, value decile-bucket), the chi² contribution
+    // comparing the first and second half of the timeline, in EXACT
+    // integer rational form — num = (n_a·T_b − n_b·T_a)², den =
+    // T_a·T_b·(n_a+n_b) — so the hash surface is pure BIGINT and the
+    // (transcendental-free) statistic is assembled by the reader as
+    // Σ num/den · (T_a+T_b). Chi² over PSI deliberately: PSI's ln enters
+    // the hash surface, chi² stays rational (same monotone drift signal).
+    // One pass: groupBy (type, half, bucket) then a type-keyed pivot join.
+    // num is exact in signed 64 while n·T < ~3e9 (fine through ~1e9 rows
+    // per series); past that, cast the num products to DECIMAL(38,0) —
+    // the rule is unchanged.
+    QueryDef("ts_drift_chi2",
+      (s, d) => {
+        val e = T(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            floor(col("value") / 10).cast("long").as("bucket"))
+        val b = broadcast(e.groupBy("event_type")
+          .agg(min(col("us")).as("mn"), max(col("us")).as("mx")))
+        val halves = e.join(b, "event_type")
+          .withColumn("half",
+            expr("CASE WHEN us <= mn + (mx - mn) div 2 THEN 0 ELSE 1 END"))
+        val cnt = halves.groupBy("event_type", "bucket")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+        val tot = cnt.groupBy("event_type")
+          .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+        cnt.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"),
+            ((col("n_a") * col("tb") - col("n_b") * col("ta")) *
+              (col("n_a") * col("tb") - col("n_b") * col("ta"))).as("num"),
+            (col("ta") * col("tb") * (col("n_a") + col("n_b"))).as("den"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+             |                  CAST(floor(value / 10) AS BIGINT) AS bucket
+             |           FROM events),
+             |b AS (SELECT event_type, min(us) AS mn, max(us) AS mx
+             |      FROM e GROUP BY 1),
+             |h AS (SELECT e.event_type, bucket,
+             |             CASE WHEN us <= mn + (mx - mn) // 2 THEN 0 ELSE 1 END AS half
+             |      FROM e JOIN b ON b.event_type = e.event_type),
+             |cnt AS (SELECT event_type, bucket,
+             |               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |        FROM h GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+             |               CAST(sum(n_b) AS BIGINT) AS tb
+             |        FROM cnt GROUP BY 1)
+             |SELECT cnt.event_type, bucket, n_a, n_b,
+             |       (n_a * tb - n_b * ta) * (n_a * tb - n_b * ta) AS num,
+             |       ta * tb * (n_a + n_b) AS den
+             |FROM cnt JOIN tot ON tot.event_type = cnt.event_type
+             |ORDER BY cnt.event_type, bucket""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // LTTB downsampling (Largest-Triangle-Three-Buckets, bucket-average
     // variant) — the standard series reducer behind every monitoring UI:
     // per (event_type, day-bucket) keep the ONE point forming the largest
