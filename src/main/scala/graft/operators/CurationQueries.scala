@@ -1045,34 +1045,40 @@ object CurationQueries {
     // Gram/covariance pass — the one-scan second-moment matrix behind PCA
     // whitening, SemDeDup preprocessing, and embedding-drift monitoring:
     // G[i,j] = Σ_v x_i·x_j over the corpus, emitted as the upper triangle
-    // (i <= j). Determinism is the repo's decimal-cast-sum idiom: each
-    // float product is one exact IEEE double multiply, quantized to
-    // DECIMAL(28,8) BEFORE the sum, so the aggregate is exact integer
-    // arithmetic in both engines regardless of summation order (a raw
-    // double sum would differ by summation tree). Shape: posexplode to
-    // (vec_id, i, x) rows, equi-join on vec_id, upper-triangle filter,
-    // groupBy (i, j) — one shuffle keyed by vec_id and one by cell. At
-    // 100 TB the better physical form is a d²/2-accumulator
-    // mapPartitions/treeAggregate (no join — d² floats per PARTITION,
-    // merged associatively); the cell values are identical, this
-    // declarative form is the oracle-replayable anchor.
+    // (i <= j) at 1e-8 scale. Determinism: each float product is
+    // quantized to an INTEGER hundred-millionth BEFORE the sum — k =
+    // round(x·y·1e8) at SCALE 0, where Spark's HALF_UP and DuckDB's
+    // std::round agree even at exact .5 ties (both are half-away-from-
+    // zero on the double's exact value; fractional scales would reopen
+    // the canonical-string-vs-exact BigDecimal gap) — so the aggregate
+    // is pure BIGINT arithmetic in both engines regardless of summation
+    // order (a raw double sum would differ by summation tree). Shape:
+    // the d²/2-ACCUMULATOR
+    // aggregate ([[graft.functions.Aggregators.gramUpper]]) — one flat
+    // Long array of upper-triangle cells per partition, merged
+    // element-wise; no per-product ROW ever exists, so the matrix costs
+    // one corpus scan + O(partitions·d²) merge traffic. The two
+    // declarative forms this replaced tell the physical-shape story at
+    // sf0.1: vec_id-keyed self-join 8.8s, map-side slice()+transform
+    // explode 4.8s, accumulator ~1s — all hash-identical against the
+    // same oracle. Cell index i·d − i(i−1)/2 + (j−i) is unmapped by a
+    // broadcast CONSTANT (idx, i, j) table, not sqrt arithmetic.
     QueryDef("sim_gram_matrix",
       (s, d) => {
-        val pts = T(s, d, "embeddings")
-          .select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"),
-            col("x").cast("double").as("x"))
-        pts.as("a")
-          .join(pts.select(col("vec_id"), col("i").as("j"),
-            col("x").as("y")).as("b"), "vec_id")
-          .filter(col("i") <= col("j"))
-          .groupBy("i", "j")
-          .agg(sum(round(col("x") * col("y"), 8)
-            .cast("decimal(28,8)")).as("g"))
-          .select(col("i").cast("long").as("i"),
-            col("j").cast("long").as("j"),
-            col("g").cast("decimal(38,8)").as("g"))
+        import s.implicits._
+        val dim = 64
+        val g = T(s, d, "embeddings")
+          .agg(udaf(graft.functions.Aggregators.gramUpper(dim),
+            org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+            .apply(col("embedding")).as("g"))
+        val idxMap = (0 until dim).flatMap(i => (i until dim).map(j =>
+            (i.toLong * dim - i.toLong * (i - 1) / 2 + (j - i),
+              i.toLong, j.toLong)))
+          .toDF("idx", "i", "j")
+        g.select(posexplode(col("g")).as(Seq("idx", "g_e8")))
+          .select(col("idx").cast("long").as("idx"), col("g_e8"))
+          .join(broadcast(idxMap), "idx")
+          .select(col("i"), col("j"), col("g_e8"))
           .orderBy("i", "j")
       },
       Some("""WITH pts AS (SELECT vec_id,
@@ -1080,8 +1086,8 @@ object CurationQueries {
              |                    CAST(unnest(embedding) AS DOUBLE) AS x
              |             FROM embeddings)
              |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-             |       CAST(sum(CAST(round(a.x * b.x, 8) AS DECIMAL(28,8)))
-             |            AS DECIMAL(38,8)) AS g
+             |       CAST(sum(CAST(round(a.x * b.x * 1e8) AS BIGINT))
+             |            AS BIGINT) AS g_e8
              |FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.i <= b.i
              |GROUP BY 1, 2 ORDER BY i, j""".stripMargin)),
 
