@@ -284,6 +284,41 @@ object Multimodal {
     }
   }
 
+  /** Zero-crossing rate per clip — the classic voiced/unvoiced and
+    * noisiness discriminator next to energy/silence/pitch: count of
+    * adjacent sample pairs with v[i-1]·v[i] < 0 over the decoded PCM-16
+    * stream. Pure integer decision (a product of two Int16s can't lose the
+    * sign in Long), one partition-local pass, no shuffle; the rate is
+    * reported in exact basis points of the n−1 adjacent pairs.
+    */
+  def wavZeroCrossings(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("n_samples", org.apache.spark.sql.types.LongType)
+      .add("n_crossings", org.apache.spark.sql.types.LongType)
+      .add("zcr_bp", org.apache.spark.sql.types.LongType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        val pcm = decodeWavPcm(r.getAs[Array[Byte]](idx))
+        if (pcm == null || pcm.samples.length < 2) Iterator.empty
+        else {
+          val s = pcm.samples
+          var c = 0L
+          var i = 1
+          while (i < s.length) {
+            if (s(i - 1).toLong * s(i).toLong < 0L) c += 1
+            i += 1
+          }
+          Iterator.single(Row.fromSeq(
+            keep :+ s.length.toLong :+ c :+ c * 10000L / (s.length - 1)))
+        }
+      }
+    }
+  }
+
   /** WAV decode over a binary payload column via mapPartitions (same batch
     * shape as [[extractFeatures]]); appends a `wav` struct column, null for
     * non-WAV payloads.

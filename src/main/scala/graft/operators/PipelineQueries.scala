@@ -1673,6 +1673,31 @@ object PipelineQueries {
              |       round(sqrt(sum(v * v) / count(*)) / 32768.0, 6) AS rms
              |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Zero-crossing rate per clip under the oracle — the classic
+    // voiced/unvoiced and noisiness feature completing the audio battery
+    // (energy/silence/clipping/pitch): REAL RIFF/PCM-16 decode, count of
+    // adjacent pairs with v[i-1]·v[i] < 0, rate in exact basis points.
+    // Integer end to end, so DuckDB replays it from the synthWav closed
+    // form pairwise — no running state needed, just (i-1, i) formula
+    // evaluation.
+    QueryDef("mm_wav_zcr",
+      (s, d) => Multimodal.wavZeroCrossings(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav))
+        .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |i AS (SELECT doc_id, n, unnest(generate_series(1, n - 1)) AS i FROM s),
+             |p AS (SELECT doc_id, n,
+             |             CAST((doc_id * 131 + (i - 1) * 17) % 2001 - 1000 AS BIGINT) AS a,
+             |             CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS BIGINT) AS b
+             |      FROM i)
+             |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+             |       CAST(sum(CASE WHEN a * b < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_crossings,
+             |       CAST(sum(CASE WHEN a * b < 0 THEN 1 ELSE 0 END) * 10000
+             |            // (max(n) - 1) AS BIGINT) AS zcr_bp
+             |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Per-image channel histogram under the oracle: the REAL javax.imageio
     // decode gated at histogram granularity (4 red-channel buckets per
     // image, zero buckets included) — DuckDB replays the counts from the
