@@ -832,7 +832,10 @@ object CurationQueries {
           o.filter(oPred).join(l.filter(lPred),
             col("o_orderkey") === col("l_orderkey"))
             .agg(count(lit(1)).as("n"),
-              sum(col("l_quantity").cast("long")).as("q"))
+              // empty delta => sum() is NULL but the oracle's CASE-sum over
+              // the full join yields 0 — coalesce so an empty term
+              // contributes 0 to the consistency algebra, not NULL
+              coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("q"))
         val base = term(!col("da"), !col("db"))
         val dAB0 = term(col("da"), !col("db"))
         val dA0B = term(!col("da"), col("db"))
@@ -945,12 +948,17 @@ object CurationQueries {
         val d2c = qs.crossJoin(broadcast(Similarity.centroids(embs)
             .select(col("label").as("cluster"), col("centroid"))))
           .select(col("q_id"), col("cluster"),
-            aggregate(zip_with(col("embedding").cast("array<double>"), col("centroid"),
-              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
+            // floor-quantize to a BIGINT before ranking: Spark folds the
+            // squared terms in array order while DuckDB's SUM order is
+            // unspecified, so near-tie centroid distances could order
+            // differently across engines — the dd_lsh_tuning discipline
+            floor(aggregate(zip_with(col("embedding").cast("array<double>"), col("centroid"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x) * lit(1e6))
+              .cast("long").as("d2q"))
         val sizes = embs.groupBy(col("label").as("cluster"))
           .agg(count(lit(1)).as("n_vecs"))
         val tot = broadcast(embs.agg(count(lit(1)).as("n_total")))
-        val rw = Window.partitionBy("q_id").orderBy(col("d2"), col("cluster"))
+        val rw = Window.partitionBy("q_id").orderBy(col("d2q"), col("cluster"))
         val cw = rw.rowsBetween(Window.unboundedPreceding, 0)
         d2c.join(broadcast(sizes), "cluster")
           .withColumn("nprobe", row_number().over(rw))
@@ -966,15 +974,16 @@ object CurationQueries {
              |            FROM embeddings),
              |cent AS (SELECT label AS cluster, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
              |d2 AS (SELECT ex.vec_id AS q_id, cent.cluster,
-             |              sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |              CAST(floor(sum((ex.x - cent.cx) * (ex.x - cent.cx)) * 1e6)
+             |                AS BIGINT) AS d2q
              |       FROM ex JOIN cent ON ex.i = cent.i
              |       WHERE ex.vec_id < 5 GROUP BY 1, 2),
              |sz AS (SELECT label AS cluster, count(*) AS n_vecs FROM embeddings GROUP BY 1),
              |t AS (SELECT count(*) AS n_total FROM embeddings),
              |rk AS (SELECT q_id, cluster, n_vecs,
-             |              row_number() OVER (PARTITION BY q_id ORDER BY d2, cluster)
+             |              row_number() OVER (PARTITION BY q_id ORDER BY d2q, cluster)
              |                AS nprobe,
-             |              CAST(sum(n_vecs) OVER (PARTITION BY q_id ORDER BY d2, cluster
+             |              CAST(sum(n_vecs) OVER (PARTITION BY q_id ORDER BY d2q, cluster
              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |                AS n_scanned
              |       FROM d2 JOIN sz USING (cluster))

@@ -61,8 +61,21 @@ object KvShuffle {
   def wordCountViaKv(spark: SparkSession, docs: DataFrame, host: String,
                      port: Int, jobId: String, reducers: Int): DataFrame = {
     require(reducers >= 1, s"bad reducer count $reducers")
+    val texts = docs.select(col("text"))
+    val nMappers = texts.rdd.getNumPartitions
     // ---- map phase (action = mapper barrier) --------------------------
-    docs.select(col("text")).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    // Idempotent under task retry / speculative execution: each map task
+    // SETs its reference-framed runs under per-mapper keys
+    // partition_<job>_<reducer>_m<mapPartition> (set = last-write-wins; a
+    // retried attempt recomputes the identical deterministic value), rather
+    // than APPENDing to a shared per-reducer key where a second attempt
+    // would double every run. The reduce side concatenates mapper runs in
+    // mapper order, so the per-reducer byte stream it parses is the same
+    // "k\tv\r," framing the reference's aggregate key holds
+    // (mapper_node.py:31-36) — parity of the record framing, retry-safety
+    // of the write protocol.
+    texts.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val mapId = org.apache.spark.TaskContext.getPartitionId()
       val buf = scala.collection.mutable.Map.empty[Int, java.lang.StringBuilder]
       rows.foreach { r =>
         val text = r.getString(0)
@@ -78,8 +91,8 @@ object KvShuffle {
         val kv = new KvClient(host, port)
         try {
           buf.foreach { case (p, sb) =>
-            val res = kv.append(s"partition_${jobId}_$p", sb.toString)
-            require(res == graft.server.KvProtocol.Stored, s"append failed: $res")
+            val res = kv.set(s"partition_${jobId}_${p}_m$mapId", sb.toString)
+            require(res == graft.server.KvProtocol.Stored, s"set failed: $res")
           }
           kv.set(s"${jobId}_status", "DONE")
           ()
@@ -95,7 +108,14 @@ object KvShuffle {
         val kv = new KvClient(host, port)
         try {
           ps.flatMap { p =>
-            val raw = kv.get(s"partition_${jobId}_$p")
+            val sb = new java.lang.StringBuilder
+            var m = 0
+            while (m < nMappers) {
+              val run = kv.get(s"partition_${jobId}_${p}_m$m")
+              if (run != null) sb.append(run)
+              m += 1
+            }
+            val raw = if (sb.length == 0) null else sb.toString
             if (raw == null) Iterator.empty
             else {
               val counts = scala.collection.mutable.Map.empty[String, Long]

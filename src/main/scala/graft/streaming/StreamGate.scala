@@ -172,8 +172,11 @@ object StreamGate {
         val tmp = graft.sources.TempDirs.create(s"graft_${tag}_stage")
         assigned.filter(org.apache.spark.sql.functions.col("__phase") === i)
           .drop("__phase").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+        val listing = Files.list(tmp)
+        val part =
+          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+          finally listing.close()
         val target = dir.resolve(f"b$i%02d.parquet")
         Files.move(part, target)
         Files.setLastModifiedTime(target,
