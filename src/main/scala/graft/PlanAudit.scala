@@ -35,6 +35,64 @@ object PlanAudit {
     "dd_neardup_filter", "dd_threshold_sweep",
     "fn_levenshtein", "rel_join_theta", "sim_threshold_tuning")
 
+  /** Queries allowed an unpartitioned window whose only reduction below it
+    * is a KEYED aggregate — each documented as a bounded spine whose key
+    * cardinality does not grow with the corpus:
+    *  - rel_histogram_eqdepth / rel_zorder / rel_skyline / win_lift:
+    *    DistributedRank prefix windows over per-partition counts/minima —
+    *    numPartitions rows by construction (win_lift additionally windows
+    *    over the 10-row decile table)
+    *  - rel_compaction_plan: per-FILE metadata spine (min/max/rows per
+    *    file-id group) — file-count-sized, the table compaction planner's
+    *    natural working set
+    *  - tx_vocab_growth: running sum over a per-doc rollup under a
+    *    doc_id < 100 prefix filter pushed to the scan — 100 rows
+    *  - ts_cume_users / ts_ewma / ts_rolling_corr: running windows over
+    *    per-DAY aggregates — calendar-spine-sized (O(days), grows with
+    *    time, not with corpus volume)
+    *  - rel_share_of_total: share window over the returnflag rollup —
+    *    dimension-sized (|returnflag| groups)
+    *  - tx_mixture_plan: budget window over the per-SOURCE rollup —
+    *    source-catalog-sized
+    */
+  private val boundedSpineWindows = Set(
+    "rel_histogram_eqdepth", "rel_zorder", "rel_skyline", "win_lift",
+    "rel_compaction_plan", "tx_vocab_growth",
+    "ts_cume_users", "ts_ewma", "ts_rolling_corr",
+    "rel_share_of_total", "tx_mixture_plan")
+
+  /** Unpartitioned-window scale audit (round-8 graduation of the r7
+    * three-query assert to the whole inventory): a Window with an empty
+    * partitionSpec executes in ONE task, so its input must be provably
+    * bounded. Accepted evidence in the window's child subtree, strongest
+    * first:
+    *  - a Limit (GlobalLimit/LocalLimit) — top-k reduced, k rows
+    *  - a scalar Aggregate (no grouping keys) — 1 row
+    *  - a keyed Aggregate ONLY for [[boundedSpineWindows]] queries, where
+    *    the key is a documented corpus-independent spine
+    * Anything else — a bare scan, filter, join, or vocabulary-keyed
+    * aggregate feeding a global window — is the single-task sort funnel
+    * that dies first at 100 TB (the shape tx_bpe_* and tx_sharded_topk
+    * carried until round 8).
+    */
+  def windowIssues(name: String,
+                   lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        val bounded = w.child.collectFirst {
+          case _: GlobalLimit => true
+          case _: LocalLimit => true
+          case a: Aggregate if a.groupingExpressions.isEmpty => true
+        }.isDefined
+        val keyedAgg = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        if (bounded) None
+        else if (keyedAgg && boundedSpineWindows(name)) None
+        else if (keyedAgg) Some("unpartitioned window over keyed-aggregate input (not on bounded-spine allowlist)")
+        else Some("unpartitioned window over unreduced input")
+    }.flatten.distinct
+  }
+
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
@@ -88,8 +146,10 @@ object PlanAudit {
     var flagged = 0
     names.foreach { n =>
       try {
-        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
-        val issues = walk(plan).flatMap {
+        val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        val plan = qe.executedPlan
+        val wIssues = windowIssues(n, qe.optimizedPlan)
+        val issues = wIssues ++ walk(plan).flatMap {
           case _: CartesianProductExec => Some("CartesianProduct")
           case j: BroadcastNestedLoopJoinExec =>
             val build = j.buildSide match {

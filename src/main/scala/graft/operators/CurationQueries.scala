@@ -60,11 +60,15 @@ object CurationQueries {
     bpeMergesFromDocs(T(s, d, "documents"))
 
   private[graft] def bpeMergesFromDocs(docs: org.apache.spark.sql.DataFrame) = {
-    val wWin = Window.orderBy(col("cnt").desc, col("word"))
+    // top-BpeVocab pick is orderBy.limit — TakeOrderedAndProject, a
+    // distributed per-partition top-k + driver merge of k-row partials;
+    // the previous row_number over an unpartitioned Window funneled the
+    // full distinct-token table (billions of rows at web-corpus scale)
+    // through one window task (r7 What's-wrong #1)
     var syms = Dedup.materialize(
       TextAnalysis.wordCount(docs)
-        .withColumn("rn", row_number().over(wWin))
-        .filter(col("rn") <= BpeVocab)
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(BpeVocab)
         .select(col("word"), col("cnt"),
           expr("concat(' ', array_join(transform(sequence(1, length(word)), " +
             "i -> substr(word, i, 1)), ' '), ' ')").as("sym")))
@@ -745,13 +749,18 @@ object CurationQueries {
         val approx = sharded
           .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 50)
           .groupBy("word").agg(sum(col("c")).as("approx_cnt"))
+          .orderBy(col("approx_cnt").desc, col("word"))
+          .limit(10)
           .withColumn("approx_rank",
             row_number().over(Window.orderBy(col("approx_cnt").desc, col("word"))))
-          .filter(col("approx_rank") <= 10)
+        // exact side: orderBy.limit(10) (distributed top-k) FIRST, then
+        // rank within the 10 surviving rows — the prior global row_number
+        // ran over the full vocabulary in one task (r7 What's-wrong #2)
         val exact = toks.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+          .limit(10)
           .withColumn("exact_rank",
             row_number().over(Window.orderBy(col("exact_cnt").desc, col("word"))))
-          .filter(col("exact_rank") <= 10)
         approx.join(exact, Seq("word"), "full_outer")
           .select(col("word"),
             coalesce(col("approx_rank"), lit(-1L)).cast("bigint").as("approx_rank"),

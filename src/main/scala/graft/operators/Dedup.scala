@@ -359,7 +359,15 @@ object Dedup {
     * unit in Spark vs a codepoint in DuckDB beyond the BMP — same caveat as
     * TextFns.fingerprint).
     */
-  private[graft] def simhashCrossEngine(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[graft] def simhashCrossEngine(docs: DataFrame, n: Int = 3): DataFrame =
+    simhashFromPolyRows(polyShingleHashRows(docs, n))
+
+  /** (doc_id, h0) rows — one per DISTINCT shingle string — under the
+    * cross-engine polynomial feature hash (see [[simhashCrossEngine]]).
+    * Feeds both the simhash bit votes and [[simhashPairsVerified]]'s
+    * exact-Jaccard verification sets.
+    */
+  private[graft] def polyShingleHashRows(docs: DataFrame, n: Int): DataFrame = {
     val tok = docs.select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
     val w = Window.partitionBy("doc_id").orderBy("p")
@@ -373,8 +381,11 @@ object Dedup {
     // codegen'd Horner form of the same polynomial (PolyHash31) — a HOF
     // aggregate/transform formulation evaluates an interpreted lambda per
     // character and measured ~40% slower on the full shingle stream
-    val hrows = sh.select(col("doc_id"),
+    sh.select(col("doc_id"),
       graft.plans.VectorExpressions.polyHash31(col("s")).as("h0"))
+  }
+
+  private def simhashFromPolyRows(hrows: DataFrame): DataFrame = {
     val bitCols = (0 until 64).map(j =>
       sum(pmod(lit(TextFns.minhashA(j)) * col("h0") + lit(TextFns.minhashB(j)),
         lit(TextFns.HashP)).bitwiseAND(lit(1L))).as(s"b$j"))
@@ -443,6 +454,45 @@ object Dedup {
     val hashed = materialize(
       simhashCrossEngine(docs, n).select(col("doc_id"), col("sim")))
     simhashCandidatePairs(hashed, maxHam, chunkBits = 16, multiProbe = true)
+  }
+
+  /** The FULL production SimHash pipeline — pigeonhole candidate buckets,
+    * hamming gate, exact-Jaccard verification over the shingle sets — with
+    * the per-shingle feature hash re-keyed from xxhash64 to the replayable
+    * [[polyShingleHashRows]] polynomial, so every stage sits on a
+    * hash-matchable surface. In the scale configuration (16-bit chunks +
+    * 1-bit multi-probe) pigeonhole recall at ham <= 7 is exactly 1, so the
+    * output EQUALS {pairs : hamming(sim_a, sim_b) <= maxHam AND
+    * J(shingles_a, shingles_b) >= minJ} — which a DuckDB oracle computes
+    * candidate-free from the [[simhashCrossEngine]] values plus shingle-set
+    * intersections. Same plan shape as [[simhashPairs]] (which keeps the
+    * cheaper xxhash64 features for corpora that don't need an oracle):
+    * chunk-join candidates, broadcast candidate ids, semi-joined
+    * verification sets.
+    */
+  def simhashPairsVerified(docs: DataFrame, n: Int = 3, maxHam: Int = 7,
+                           minJ: Double = 0.8): DataFrame = {
+    require(maxHam <= 7,
+      s"recall-1 bound for 16-bit multi-probe chunks is ham <= 7, got $maxHam")
+    val hrows = materialize(polyShingleHashRows(docs, n)) // sims + verify sets
+    val hashed = materialize(
+      simhashFromPolyRows(hrows).select(col("doc_id"), col("sim")))
+    val candM = materialize(
+      simhashCandidatePairs(hashed, maxHam, chunkBits = 16, multiProbe = true))
+    val candIds = candM.select(col("a_id").as("doc_id"))
+      .union(candM.select(col("b_id").as("doc_id"))).distinct()
+    val hsets = hrows
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h0"))).as("hs"))
+    val j1 = broadcast(candM)
+      .join(hsets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+    broadcast(j1)
+      .join(hsets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("ham"),
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, candidates via the chunk

@@ -44,6 +44,32 @@ object DistributedRank {
       .drop("__pid", "__off")
   }
 
+  /** Appends `out` = min of `value` over all rows STRICTLY BEFORE the
+    * current one in global `keys` order (the `min(v).over(orderBy(keys)
+    * .rowsBetween(unboundedPreceding, -1))` frame), without an
+    * unpartitioned fact-sized window: range-partition by the sort keys,
+    * take the per-partition local running min, and fold in the prefix min
+    * of PRIOR partitions' minima (a numPartitions-sized frame, broadcast).
+    * NULL for the global first row, like the window it replaces. `least`
+    * skips NULLs, so a partition's first row correctly sees only the prior
+    * partitions' minimum. Backs rel_skyline's Pareto-front pass.
+    */
+  def globalRunningMin(df: DataFrame, keys: Seq[Column], value: Column,
+                       out: String): DataFrame = {
+    val ranged = Dedup.materialize(
+      df.repartitionByRange(keys: _*).withColumn("__pid", spark_partition_id()))
+    val prevW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ranged.groupBy("__pid").agg(min(value).as("__pm"))
+      .withColumn("__pmin", min(col("__pm")).over(prevW))
+      .select(col("__pid"), col("__pmin"))
+    val local = Window.partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(prefix), "__pid")
+      .withColumn(out, least(min(value).over(local), col("__pmin")))
+      .drop("__pid", "__pmin")
+  }
+
   /** Floor division for NON-NEGATIVE bigint columns. The intermediate
     * double is exact while the quotient stays under 2^53 — i.e. for any
     * table under ~9e15 rows — which keeps the expression codegen-friendly

@@ -778,24 +778,41 @@ object PipelineQueries {
     // 8x8 default (2c-1 with c=4 chunks) at ~30x fewer random chunk
     // collisions (~n^2/964 vs ~n^2/32 candidates; see simhashPairs scaladoc),
     // so the benched plan is the one you would run at 100 TB. DedupSpec
-    // asserts the two configs produce the SAME verified pair set at this
-    // bound, and that the scale config generates no more candidates.
-    // Output is still hash-dependent — a 7-bit simhash radius is not the
-    // same pair set as Jaccard >= 0.8 — so it gets a rows-only check; the
-    // recall-at-the-bound property itself is asserted in DedupSpec, and the
-    // full pair pipeline is hash-match-gated on the replayable feature hash
-    // by dd_simhash_pairs below. (MinHash above is the oracle-checked
-    // recall-1 path.)
+    // asserts the 8x8 and scale configs produce the SAME verified pair set
+    // at this bound, and that the scale config generates no more candidates.
+    // The feature hash is the replayable PolyHash31 polynomial (r8: re-keyed
+    // from xxhash64, which made this the inventory's one rows-only entry),
+    // so the ENTIRE production pipeline — shingling, bit votes, pigeonhole
+    // buckets, hamming gate, exact-Jaccard verification — is hash-match
+    // oracled: recall 1 at ham<=7 means the verified output equals the
+    // candidate-free all-pairs form {ham <= 7 AND J >= 0.8} DuckDB computes
+    // from the dd_simhash_bits CTE chain plus shingle-set intersections.
     QueryDef("dd_simhash",
-      (s, d) => Dedup.simhashPairs(T(s, d, "documents"), maxHam = 7,
-        chunkBits = 16, multiProbe = true).orderBy("a_id", "b_id"),
-      None),
+      (s, d) => Dedup.simhashPairsVerified(T(s, d, "documents"), n = SimhashN,
+        maxHam = 7, minJ = 0.8).orderBy("a_id", "b_id"),
+      Some(s"""${simhashSimsCtes(SimhashN)},
+             |hset AS (SELECT DISTINCT doc_id, h0 FROM h),
+             |hsz AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
+             |ball AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |                CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS ham
+             |         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+             |         WHERE bit_count(xor(a.sim, b.sim)) <= 7),
+             |itx AS (SELECT ball.a_id, ball.b_id, ball.ham, count(*) AS c
+             |        FROM ball JOIN hset ha ON ha.doc_id = ball.a_id
+             |                  JOIN hset hb ON hb.doc_id = ball.b_id
+             |                             AND hb.h0 = ha.h0
+             |        GROUP BY 1, 2, 3)
+             |SELECT a_id, b_id, ham,
+             |       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             |FROM itx JOIN hsz sa ON sa.doc_id = a_id
+             |         JOIN hsz sb ON sb.doc_id = b_id
+             |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // The SimHash MECHANISM under a full hash-match oracle: per-doc 64-bit
     // simhash values where the per-shingle feature hash is a positional
-    // character polynomial both engines compute EXACTLY (the production
-    // pair query above keeps xxhash64 and stays rows-only — its candidate
-    // set is hash-radius-defined by design). DuckDB replays shingling,
+    // character polynomial both engines compute EXACTLY — the VALUE-level
+    // gate underneath dd_simhash's pair-level gate. DuckDB replays shingling,
     // the polynomial, the 64-bit pairwise-independent bit family, the
     // majority votes, and the bit packing, so every simhash VALUE is
     // oracle-gated bit for bit.
@@ -813,8 +830,8 @@ object PipelineQueries {
     // it candidate-free — recompute each doc's cross-engine simhash (the
     // dd_simhash_bits CTE chain), self-join, bit_count(xor) <= 7. Candidate
     // generation + hamming verification are thereby gated end to end;
-    // dd_simhash above keeps the production xxhash64 features + Jaccard
-    // verification and stays rows-only by design.
+    // dd_simhash above additionally gates the exact-Jaccard verification
+    // stage on top of the same hamming ball.
     QueryDef("dd_simhash_pairs",
       (s, d) => Dedup.simhashPairsCrossEngine(T(s, d, "documents"),
         n = SimhashN, maxHam = 7).orderBy("a_id", "b_id"),

@@ -620,19 +620,19 @@ object RelationalQueries2 {
     // collapses to ONE running-min pass when sorted by the first objective:
     // a point is on the front iff its size beats the minimum of everything
     // with better-or-equal price — O(n log n) total, the multi-objective
-    // data-selection shape (quality vs cost curves). The unpartitioned
-    // window funnels rows to one task at THIS scale; the 100 TB form is the
-    // same algebra two-pass: range-partition by price, per-partition local
-    // running min, then broadcast the per-partition prefix minima (a
-    // partition-count-sized frame) to finish — the skyline itself is
-    // typically tiny.
+    // data-selection shape (quality vs cost curves). Runs the two-pass
+    // distributed form (r8 graduation): range-partition by price,
+    // per-partition local running min, broadcast prefix minima of prior
+    // partitions (DistributedRank.globalRunningMin) — the only
+    // unpartitioned window left is over the numPartitions-sized minima
+    // spine, never the part table.
     QueryDef("rel_skyline",
       (s, d) => {
-        val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        T(s, d, "part")
-          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-          .withColumn("min_prev", min(col("p_size")).over(w))
+        DistributedRank.globalRunningMin(
+          T(s, d, "part")
+            .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          Seq(col("p_retailprice").desc, col("p_partkey")),
+          col("p_size"), "min_prev")
           .filter(col("min_prev").isNull || col("p_size") < col("min_prev"))
           .select("p_partkey", "p_retailprice", "p_size")
           .orderBy("p_partkey")

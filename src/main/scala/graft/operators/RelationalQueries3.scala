@@ -309,9 +309,10 @@ object RelationalQueries3 {
     // (the "model score" stand-in), conversion = ordered since 2000-01-01;
     // per decile the cumulative conversion rate over the baseline rate,
     // quantized once from exact integer products (cum_conv·tn / cum_n·tc).
-    // The global ntile is a single-partition window — fine for O(customers)
-    // ranking rows; a 100 TB run would range-partition the rank first
-    // (approx percentile boundaries) and ntile within partitions.
+    // The decile comes from DistributedRank.globalRowNumber + ntileFromRank
+    // (r8 graduation) — ntile's spec is a pure function of global rank and
+    // total count, so the score table is range-partitioned and ranked
+    // distributed; no customer-sized single-task window remains.
     QueryDef("win_lift",
       (s, d) => {
         val conv = T(s, d, "orders")
@@ -321,9 +322,14 @@ object RelationalQueries3 {
           .join(conv, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_custkey"), col("c_acctbal"),
             when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("converted"))
-        val dec = scored.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
-            .cast("bigint"))
+        val nTot = broadcast(scored.agg(count(lit(1)).as("n_total")))
+        val dec = DistributedRank.globalRowNumber(scored,
+            Seq(col("c_acctbal").desc, col("c_custkey")), "rk")
+          .crossJoin(nTot)
+          .withColumn("decile",
+            DistributedRank.ntileFromRank(col("rk"), col("n_total"), 10)
+              .cast("bigint"))
+          .drop("rk", "n_total")
         val byDec = dec.groupBy("decile")
           .agg(count(lit(1)).as("n"), sum("converted").as("n_conv"))
         val tot = byDec.agg(sum("n").as("tn"), sum("n_conv").as("tc"))

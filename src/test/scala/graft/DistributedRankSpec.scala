@@ -35,6 +35,23 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRunningMin equals the single-task strict-prefix min window") {
+    for (seed <- Seq(5, 6); rows <- Seq(0, 1, 97, 1000)) {
+      val df = randomDf(seed, rows)
+        .withColumn("m", (col("id") * 7919L) % 101L) // value to minimize
+      val keys = Seq(col("v").desc, col("id"))
+      val got = DistributedRank.globalRunningMin(df, keys, col("m"), "mp")
+        .select("id", "mp").as[(Long, Option[Long])].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(keys: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = df.withColumn("mp", min(col("m")).over(w))
+        .select("id", "mp").as[(Long, Option[Long])].collect().toMap
+      assert(got == want, s"seed=$seed rows=$rows")
+      // the global first row (and only it) must see NULL
+      if (rows > 0) assert(want.values.count(_.isEmpty) == 1)
+    }
+  }
+
   test("ntileFromRank equals ntile() across uneven and degenerate splits") {
     for (rows <- Seq(1, 7, 10, 23, 100); n <- Seq(1, 3, 10, 16)) {
       val df = randomDf(seed = 42, rows)

@@ -448,20 +448,19 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("no unpartitioned window runs over a raw fact-sized input (scale graduation)") {
-    // rel_histogram_eqdepth, rel_zorder and tx_vocab_growth were the last
-    // three plans with a global Window.orderBy over a fact table. Their
-    // scale forms (DistributedRank / bounded spine) may keep unpartitioned
-    // windows ONLY over already-reduced inputs — every such window's child
-    // must contain an Aggregate (partition-size offsets, vocabulary rollup),
-    // never a bare scan of the fact table.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    for (q <- Seq("rel_histogram_eqdepth", "rel_zorder", "tx_vocab_growth")) {
+    // r7 asserted this for the three then-graduated queries; r8 extends it
+    // to the ENTIRE inventory via PlanAudit.windowIssues — every
+    // unpartitioned window must sit over a Limit, a scalar aggregate, or a
+    // documented bounded spine (allowlist in PlanAudit), never a raw scan
+    // or vocabulary-sized aggregate. Streaming/eager queries are skipped
+    // here (they execute on construction; PlanAudit's runMain gate covers
+    // them) — this keeps the spec a pure plan-compile sweep.
+    val skip = SparkEntry.allQueries.map(_.name).filter(n =>
+      n.startsWith("st_") || n == "tx_kv_shuffle")
+    for (q <- SparkEntry.allQueries.map(_.name) if !skip.contains(q)) {
       val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
-      val globalWindows = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-      globalWindows.foreach { w =>
-        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
-          s"$q: unpartitioned window over a non-aggregated input:\n$w")
-      }
+      val issues = PlanAudit.windowIssues(q, lp)
+      assert(issues.isEmpty, s"$q: ${issues.mkString("; ")}")
     }
     // tx_vocab_growth's bounded spine: the doc_id < 100 prefix filter must
     // sit BELOW the running-sum window, pushed into the parquet scan.
