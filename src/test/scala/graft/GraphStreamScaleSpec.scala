@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 10× scale smoke for the GRAPH and STREAMING families — the two
+  * inventories the r7 verdict flagged as having scale *arguments* but no
+  * measured growth factors (ScaleSmokeSpec covers dedup/similarity,
+  * RelationalScaleSpec the join/agg core; the asserted band to match is
+  * their 0.9–3.0×-per-10× flagship behavior, bounded here at the same
+  * <30× quadratic-creep threshold).
+  *
+  * Graph: the gr_* QueryDefs bind their graph to the near-dup pair frame
+  * of the fixed testdata corpus, so the scalable object is the OPERATOR
+  * (Graph.pageRank / labelPropagation / kCore — fixed-round join+agg
+  * fixpoints whose per-round cost must stay linear in |E|). Edges are
+  * generated distributed (spark.range + hash-derived endpoints, u² skew
+  * for hub-heavy power-law-ish degrees — the shape that exposes a
+  * per-round blow-up a uniform graph hides) at |E| and 10|E|, written to
+  * parquet off the clock.
+  *
+  * Streaming: st_sliding_counts / st_session_counts / st_dedup run the
+  * REAL engine end-to-end per invocation (file-stream source, watermarked
+  * stateful operator, AvailableNow, parquet sink — StreamGate executes
+  * fresh each call; only input staging is cached), over synthetic events
+  * tables at 1× (bench-scale: 100k rows, the sf0.1 cardinality) and 10×.
+  * The user domain scales WITH the data so per-key state (dedup keys,
+  * open sessions) grows too — a fixed key domain would understate state
+  * pressure. Fixed micro-batch/checkpoint overhead amortizes at 10×, so
+  * linear shapes land well UNDER 10×; the assert catches state or shuffle
+  * blow-up, not overhead.
+  */
+class GraphStreamScaleSpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+
+  private val Factor = 10
+
+  // ---- graph ----------------------------------------------------------
+
+  /** Hub-heavy random graph: endpoint = floor(nodes * u²) skews mass to
+    * low ids (expected degree of node ~i decays like 1/sqrt(i)). Self
+    * loops dropped, direction canonicalized, duplicates collapsed — the
+    * (a_id < b_id) pair-frame contract of the Graph operators.
+    */
+  private def stageEdges(nEdges: Long, nNodes: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"grscale_$nEdges").toString
+    spark.range(nEdges).selectExpr(
+        s"CAST($nNodes * pow(pmod(hash(id, 3), 1000003) / 1000003.0, 2.0) AS BIGINT) AS x",
+        s"CAST($nNodes * pow(pmod(hash(id, 7), 1000003) / 1000003.0, 2.0) AS BIGINT) AS y")
+      .selectExpr("least(x, y) AS a_id", "greatest(x, y) AS b_id")
+      .filter("a_id < b_id")
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+    dir
+  }
+
+  private def timeGraph(run: DataFrame => DataFrame, dir: String): (Double, Long) = {
+    def once(): (Double, Long) = {
+      val edges = spark.read.parquet(s"$dir/edges.parquet")
+      val t0 = System.nanoTime()
+      val rows = run(edges).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val a = once()
+    val b = once()
+    (math.min(a._1, b._1), b._2)
+  }
+
+  test("graph fixpoint growth is ~linear in |E| from bench scale to 10x", Slow) {
+    import graft.operators.Graph
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("gr_pagerank/op", e => Graph.pageRank(e, iters = 10)),
+      ("gr_label_prop/op", e => Graph.labelPropagation(e, rounds = 5)),
+      ("gr_kcore/op", e => Graph.kCore(e, k = 2, rounds = 10)))
+    val base = stageEdges(100000L, 20000L)
+    val big = stageEdges(100000L * Factor, 20000L * Factor)
+    val e1 = spark.read.parquet(s"$base/edges.parquet").count()
+    val e10 = spark.read.parquet(s"$big/edges.parquet").count()
+    info(f"edges base=$e1%8d  10x=$e10%9d  (${e10.toDouble / e1}%4.1fx)")
+    // warmup (JIT/codegen) on a tiny slice, off the clock
+    ops.foreach { case (_, op) =>
+      op(spark.read.parquet(s"$base/edges.parquet").limit(2000)).count() }
+    ops.foreach { case (name, op) =>
+      val (t1, r1) = timeGraph(op, base)
+      val (t10, r10) = timeGraph(op, big)
+      val growth = t10 / t1
+      info(f"$name%-18s base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
+      assert(r1 > 0, s"$name degenerate at base scale")
+      assert(r10 > 0, s"$name degenerate at 10x scale")
+      assert(growth < 30.0,
+        s"$name grew ${growth}x for ~${Factor}x edges — super-linear per-round " +
+          "cost (skewed-join blow-up or lost partial aggregation)")
+    }
+  }
+
+  // ---- streaming ------------------------------------------------------
+
+  /** Synthetic events at the driver table's schema and value domains:
+    * 14-day timeline, user domain scaling with n (state pressure scales),
+    * four event types, deterministic hash-derived columns — distributed
+    * generation, no driver loops.
+    */
+  private def stageEvents(n: Long, users: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"stscale_$n").toString
+    val tmp = s"$dir/_gen"
+    spark.range(n).selectExpr(
+        "id AS event_id",
+        "timestampadd(SECOND, CAST(pmod(hash(id, 3), 1209600) AS INT), " +
+          "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+        s"pmod(hash(id, 5), $users) AS user_id",
+        "element_at(array('click','view','purchase','scroll'), " +
+          "CAST(pmod(hash(id, 7), 4) AS INT) + 1) AS event_type",
+        "CAST(pmod(hash(id, 11), 10000) / 100.0 AS DOUBLE) AS value",
+        "'{}' AS props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the driver tables are single parquet FILES (StreamGate stages files,
+    // not directories) — promote the one part file to $dir/events.parquet
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $tmp"))
+      finally listing.close()
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(dir).resolve("events.parquet"))
+    dir
+  }
+
+  test("streaming state/shuffle growth is ~linear from bench scale to 10x", Slow) {
+    val queries = Seq("st_sliding_counts", "st_session_counts", "st_dedup")
+    val base = stageEvents(100000L, 5000L)
+    val big = stageEvents(100000L * Factor, 5000L * Factor)
+    // warmup on the real small fixture, off the clock (codegen + state
+    // store provider init)
+    queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    queries.foreach { q =>
+      def once(dir: String): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(q)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (t1, r1) = once(base)
+      val (t10, r10) = once(big)
+      val growth = t10 / t1
+      info(f"$q%-18s base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
+      assert(r1 > 0, s"$q emitted no rows at base scale")
+      assert(r10 > 0, s"$q emitted no rows at 10x scale")
+      assert(growth < 30.0,
+        s"$q grew ${growth}x for ${Factor}x events — state or shuffle " +
+          "blow-up in the stateful operator")
+    }
+  }
+}
