@@ -32,41 +32,33 @@ object PipelineQueries {
     * persisted+checkpointed intermediate or a parquet-backed materialized
     * view (the pair set is tiny — O(near-dup docs), not O(corpus)).
     */
-  private val minhashPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  // The family caches are bounded LRUs (r8: previously unbounded TrieMaps
+  // that pinned every (session, sfDir)'s materialized blocks until JVM
+  // exit — a leak for a long-lived JobServer session cycling data dirs).
+  // See FamilyCache for the eviction-safety contract; JobServerSpec
+  // exercises submissions across multiple sfDirs against the bound.
+  private val minhashPairCache = new FamilyCache[(SparkSession, String)]()
 
-  // Cache accessors are synchronized: TrieMap.getOrElseUpdate still
-  // evaluates a racing thunk in every caller (only the cached value is
-  // arbitrated), and a losing thunk here is an eagerly-materialized
-  // checkpoint whose blocks would never be released (see BucketedView for
-  // the same fix). Keys pin their SparkSession until JVM exit — acceptable
-  // for the driver/bench lifecycles this repo runs (one session per JVM),
-  // noted for anyone embedding the library in a session-cycling service.
   private def minhashPairs(s: SparkSession, d: String) =
-    minhashPairCache.synchronized {
-      minhashPairCache.getOrElseUpdate((s, d),
-        // through Dedup.materialize so spark.graft.materialize governs this
-        // too — a cluster configured for reliable checkpointing must not get
-        // a lineage-truncating localCheckpoint smuggled in by the cache
-        Dedup.materialize(Dedup.minhashLshPairs(T(s, d, "documents"))))
-    }
+    minhashPairCache.getOrElseUpdate((s, d),
+      // through Dedup.materialize so spark.graft.materialize governs this
+      // too — a cluster configured for reliable checkpointing must not get
+      // a lineage-truncating localCheckpoint smuggled in by the cache
+      Dedup.materialize(Dedup.minhashLshPairs(T(s, d, "documents"))))
 
   /** Shared exact pair-overlap statistics (Dedup.shinglePairStats): the
     * Jaccard and containment queries are projections over the same shingle
     * equi-join, so the expensive pair generation runs once per (session,
     * sfDir) — the same family-cache pattern as the MinHash pair set above.
     */
-  private val pairStatsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val pairStatsCache = new FamilyCache[(SparkSession, String)]()
 
   private[operators] def pairStats(s: SparkSession, d: String) =
-    pairStatsCache.synchronized {
-      pairStatsCache.getOrElseUpdate((s, d),
-        // materializedPairStats releases its shingle-row intermediate once
-        // the (far smaller) stats frame is pinned — only the pair table
-        // stays resident for the family's lifetime.
-        Dedup.materializedPairStats(T(s, d, "documents")))
-    }
+    pairStatsCache.getOrElseUpdate((s, d),
+      // materializedPairStats releases its shingle-row intermediate once
+      // the (far smaller) stats frame is pinned — only the pair table
+      // stays resident for the family's lifetime.
+      Dedup.materializedPairStats(T(s, d, "documents")))
 
   /** Connected-component labels over the MinHash pair graph, computed once
     * per (session, sfDir): the iterative fixpoint is the expensive part of
@@ -74,15 +66,18 @@ object PipelineQueries {
     * detail) — same family-cache pattern as the pair sets above. The label
     * table is O(near-dup docs).
     */
-  private val ccLabelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val ccLabelCache = new FamilyCache[(SparkSession, String)]()
 
   private def ccLabels(s: SparkSession, d: String) =
-    ccLabelCache.synchronized {
-      ccLabelCache.getOrElseUpdate((s, d),
-        Dedup.materialize(Dedup.connectedComponentsStar(
-          minhashPairs(s, d).select("a_id", "b_id"))))
-    }
+    ccLabelCache.getOrElseUpdate((s, d),
+      Dedup.materialize(Dedup.connectedComponentsStar(
+        minhashPairs(s, d).select("a_id", "b_id"))))
+
+  /** Test surface for the family-cache bound (JobServerSpec's
+    * multi-sfDir submission case).
+    */
+  private[graft] def familyCacheSizes: Seq[Int] =
+    Seq(minhashPairCache.size, pairStatsCache.size, ccLabelCache.size)
 
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every

@@ -34,20 +34,19 @@ object StreamingQueries {
     * streaming job per reader. The cached value is a lazy reader over the
     * sink parquet; the execution itself ran exactly once.
     */
-  private val winEmitCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  // bounded LRU (see FamilyCache): the cached value is a LAZY reader over
+  // the sink parquet (the execution ran once; eviction just drops the
+  // reference — the sink dir itself is TempDirs JVM-exit-cleaned), so
+  // eviction can never invalidate an in-flight consumer the way a
+  // released checkpoint could; re-entry after eviction re-RUNS the stream
+  private val winEmitCache = new FamilyCache[(SparkSession, String)]()
 
   private def windowedEmissions(s: SparkSession, d: String) =
-    // synchronized: TrieMap.getOrElseUpdate evaluates racing thunks in
-    // every caller, and a losing thunk here is a full duplicate streaming
-    // execution (staging, checkpoint, sink) thrown away
-    winEmitCache.synchronized {
-      winEmitCache.getOrElseUpdate((s, d),
-        StreamGate.runAppendToParquet(
-          s, s"$d/events.parquet", eventsSchema(s, d),
-          df => EventStreams.windowedCounts(toTs(df), watermark = "0 seconds"),
-          "st_win"))
-    }
+    winEmitCache.getOrElseUpdate((s, d),
+      StreamGate.runAppendToParquet(
+        s, s"$d/events.parquet", eventsSchema(s, d),
+        df => EventStreams.windowedCounts(toTs(df), watermark = "0 seconds"),
+        "st_win"))
 
   val queries: Seq[QueryDef] = Seq(
 

@@ -115,4 +115,27 @@ class JobServerSpec extends AnyFunSuite {
       assert(oldestCode == 404, "oldest terminal job should have been evicted")
     } finally srv.stop()
   }
+
+  test("family caches stay bounded across jobs on different sfDirs") {
+    // Long-lived-session memory contract for the QUERY-side caches (the r7
+    // JobServer got a job-registry cap; the family caches got none): run a
+    // cache-consuming query against two data dirs through the control
+    // plane and assert every family cache respects its LRU bound — a
+    // session cycling sfDirs must not pin one materialized pair set per
+    // dir forever.
+    val srv = new JobServer(spark)
+    try {
+      val idRe = """"job_id" : "([^"]+)"""".r
+      for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+        val (code, resp) = post(srv.boundPort, "/mapreduce",
+          s"""{"query": "dd_minhash_lsh", "sfDir": "$dir"}""")
+        assert(code == 200, resp)
+        val id = idRe.findFirstMatchIn(resp).map(_.group(1)).getOrElse(fail(resp))
+        val out = pollUntilDone(srv.boundPort, id)
+        assert(out != "ERROR" && out.nonEmpty, s"$dir: $out")
+      }
+      val sizes = graft.operators.PipelineQueries.familyCacheSizes
+      assert(sizes.forall(_ <= 4), s"family cache grew past its bound: $sizes")
+    } finally srv.stop()
+  }
 }

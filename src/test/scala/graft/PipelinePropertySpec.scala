@@ -209,4 +209,40 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(math.abs(e - g) < 1e-12, s"$e vs $g")
     }
   }
+
+  // --- rel_join_size_est top-key ordering ---------------------------------
+
+  test("DECIMAL(38,0) top-key ordering is exact at contrib >= 2^31 (no wrap)") {
+    // rel_join_size_est orders max_by on contrib * 2^32 - k. In signed-64
+    // arithmetic the product wraps silently once contrib >= 2^31 — exactly
+    // the extreme-skew regime the estimator exists for — so the query
+    // widens to DECIMAL(38,0) (RelationalQueries4.scala). This pins the
+    // widened expression against a BigInt reference on ScalaCheck-generated
+    // profiles that STRADDLE the wrap boundary, ties included.
+    val contribGen = Gen.oneOf(
+      Gen.choose(1L, (1L << 31) - 1),              // below the wrap
+      Gen.choose(1L << 31, 1L << 40),              // wrapping regime
+      Gen.const((1L << 31)))                       // exactly at it (+tie fodder)
+    val rowsGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, (1L << 31) - 1), contribGen))
+    for (seed <- 1L to 10L) {
+      val rows0 = rowsGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
+      // force at least one >= 2^31 contrib and a deliberate contrib tie
+      val rows = ((5L, 1L << 31) :: (3L, 1L << 31) :: rows0)
+        .groupBy(_._1).map(_._2.head).toList // unique keys, as in the query
+      val expected = rows.maxBy { case (k, c) =>
+        BigInt(c) * BigInt(4294967296L) - BigInt(k) }._1
+      val got = rows.toDF("k", "contrib")
+        .agg(max_by(col("k"),
+          col("contrib").cast("decimal(38,0)") * lit(4294967296L) - col("k"))
+          .as("top_key"))
+        .head().getLong(0)
+      assert(got == expected, s"seed=$seed rows=$rows")
+      // and the regression this guards: the narrow signed-64 ordering picks
+      // a DIFFERENT (wrapped) winner on at least the all-large profiles
+      val wrapped = rows.maxBy { case (k, c) => c * 4294967296L - k }._1
+      if (wrapped != expected)
+        info(s"seed=$seed: signed-64 ordering would have picked $wrapped over $expected")
+    }
+  }
 }
