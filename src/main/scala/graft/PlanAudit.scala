@@ -117,6 +117,11 @@ object PlanAudit {
   private def tinySide(p: SparkPlan): Boolean = walk(p).exists {
     case _: HashAggregateExec | _: ObjectHashAggregateExec |
          _: SortAggregateExec => true
+    // a Limit/top-k bounds the build side to k rows by construction
+    // (sim_mmr_rerank's 20-candidate pairwise-sim build)
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case l: LocalTableScanExec => l.rows.size <= 100
     case f: org.apache.spark.sql.execution.FilterExec =>
       f.condition.exists {

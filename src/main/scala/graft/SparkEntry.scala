@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CurationQueries, EventQueries, PipelineQueries, PrivacyQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, RelationalQueries4, StreamingQueries, TextAnalysis, TextQueries}
+import graft.operators.{CurationQueries, EventQueries, OpsQueries, PipelineQueries, PrivacyQueries, RelationalQueries, RelationalQueries2, RelationalQueries3, RelationalQueries4, StreamingQueries, TextAnalysis, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
     TextQueries.queries ++ RelationalQueries.queries ++ RelationalQueries2.queries ++
       RelationalQueries3.queries ++ RelationalQueries4.queries ++
       EventQueries.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
-      PrivacyQueries.queries ++ StreamingQueries.queries
+      OpsQueries.queries ++ PrivacyQueries.queries ++ StreamingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Inverted index over `documents` — the reference's flagship job

@@ -1082,23 +1082,8 @@ object CurationQueries {
     // same oracle. Cell index i·d − i(i−1)/2 + (j−i) is unmapped by a
     // broadcast CONSTANT (idx, i, j) table, not sqrt arithmetic.
     QueryDef("sim_gram_matrix",
-      (s, d) => {
-        import s.implicits._
-        val dim = 64
-        val g = T(s, d, "embeddings")
-          .agg(udaf(graft.functions.Aggregators.gramUpper(dim),
-            org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
-            .apply(col("embedding")).as("g"))
-        val idxMap = (0 until dim).flatMap(i => (i until dim).map(j =>
-            (i.toLong * dim - i.toLong * (i - 1) / 2 + (j - i),
-              i.toLong, j.toLong)))
-          .toDF("idx", "i", "j")
-        g.select(posexplode(col("g")).as(Seq("idx", "g_e8")))
-          .select(col("idx").cast("long").as("idx"), col("g_e8"))
-          .join(broadcast(idxMap), "idx")
-          .select(col("i"), col("j"), col("g_e8"))
-          .orderBy("i", "j")
-      },
+      (s, d) => Similarity.gramUpperFrame(T(s, d, "embeddings"), dim = 64)
+        .orderBy("i", "j"),
       Some("""WITH pts AS (SELECT vec_id,
              |                    unnest(generate_series(0, len(embedding) - 1)) AS i,
              |                    CAST(unnest(embedding) AS DOUBLE) AS x

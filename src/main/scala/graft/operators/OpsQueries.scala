@@ -1,0 +1,428 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 pipeline-operations batch: the observability, versioning and
+  * serving-side surfaces a production training-data platform runs NEXT TO
+  * the core curation inventory — drift between data halves, per-source
+  * data cards, cross-source duplication lineage, SCD2 dimension history,
+  * memorization/novelty measurement, diversity re-ranking (MMR), and the
+  * spectral top component of the embedding Gram matrix. All oracle-gated
+  * like the rest of the inventory; scale notes per query.
+  */
+object OpsQueries {
+
+  private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private val MmrK = 5          // sim_mmr_rerank: results to select
+  private val MmrPool = 20      // sim_mmr_rerank: candidate pool size
+  private val PowerRounds = 10  // sim_power_iteration: matvec rounds
+
+  /** DuckDB replay of the MMR greedy loop: candidate pool and pairwise
+    * sims from exact array math (every score quantized to a BIGINT e6
+    * BEFORE any comparison, so ordering is integer-deterministic on both
+    * engines), then [[MmrK]] unrolled selection rounds — each round's CTE
+    * joins the max-sim-to-selected aggregate against the remaining pool
+    * and takes the (score DESC, vec_id) top row, the BPE-oracle pattern.
+    */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""s$r AS (SELECT $r AS round, c.vec_id,
+         |             7 * c.rel_e6 - 3 * coalesce(ms.m, 0) AS score10_e6
+         |      FROM cand c
+         |      LEFT JOIN (SELECT a_id, max(sim_e6) AS m FROM ps
+         |                 JOIN sel${r - 1} ON ps.b_id = sel${r - 1}.vec_id
+         |                 GROUP BY 1) ms ON ms.a_id = c.vec_id
+         |      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |      ORDER BY score10_e6 DESC, c.vec_id LIMIT 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |                   unnest(generate_series(1, len(embedding))) AS i
+       |            FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+       |rel AS (SELECT b.vec_id,
+       |               CAST(round(sum(a.x * b.x) / (na.n * nb.n) * 1e6) AS BIGINT)
+       |                 AS rel_e6
+       |        FROM ex a JOIN ex b ON a.i = b.i
+       |        JOIN nrm na ON na.vec_id = 0 JOIN nrm nb ON nb.vec_id = b.vec_id
+       |        WHERE a.vec_id = 0 AND b.vec_id <> 0
+       |        GROUP BY b.vec_id, na.n, nb.n),
+       |cand AS MATERIALIZED (SELECT vec_id, rel_e6 FROM rel
+       |        ORDER BY rel_e6 DESC, vec_id LIMIT $MmrPool),
+       |ps AS MATERIALIZED (SELECT ca.vec_id AS a_id, cb.vec_id AS b_id,
+       |             CAST(round(sum(xa.x * xb.x) / (na.n * nb.n) * 1e6) AS BIGINT)
+       |               AS sim_e6
+       |      FROM cand ca JOIN cand cb ON ca.vec_id <> cb.vec_id
+       |      JOIN ex xa ON xa.vec_id = ca.vec_id
+       |      JOIN ex xb ON xb.vec_id = cb.vec_id AND xb.i = xa.i
+       |      JOIN nrm na ON na.vec_id = ca.vec_id
+       |      JOIN nrm nb ON nb.vec_id = cb.vec_id
+       |      GROUP BY 1, 2, na.n, nb.n),
+       |s1 AS (SELECT 1 AS round, vec_id, 7 * rel_e6 AS score10_e6 FROM cand
+       |       ORDER BY score10_e6 DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$rounds
+       |SELECT round, vec_id, score10_e6 FROM sel$MmrK ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB replay of the Gram power iteration: the e8-quantized integer
+    * Gram (bit-identical to the Spark aggregator's — see sim_gram_matrix)
+    * symmetrized, then [[PowerRounds]] unrolled matvec+normalize rounds
+    * (normalization by max-abs keeps every round division-exact in shape;
+    * the only cross-engine float drift is 64-term sum order, absorbed by
+    * the final round(6)).
+    */
+  private def powerOracleSql: String = {
+    // MATERIALIZED: u_r is referenced by both m_r and v_r, so inlined CTEs
+    // would re-evaluate the whole chain 2^rounds times (the gr_kcore
+    // oracle's lesson)
+    val rounds = (1 to PowerRounds).map { r =>
+      s"""u$r AS MATERIALIZED (SELECT g.i AS j, sum(g.g * v.v) AS u
+         |      FROM g JOIN v${r - 1} v ON v.j = g.j GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u$r),
+         |v$r AS MATERIALIZED (SELECT j, u / m AS v FROM u$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (SELECT vec_id,
+       |                    unnest(generate_series(0, len(embedding) - 1)) AS i,
+       |                    CAST(unnest(embedding) AS DOUBLE) AS x
+       |             FROM embeddings),
+       |gu AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+       |              CAST(sum(CAST(round(a.x * b.x * 1e8) AS BIGINT)) AS BIGINT) AS g
+       |       FROM pts a JOIN pts b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |       GROUP BY 1, 2),
+       |g AS MATERIALIZED (SELECT i, j, g FROM gu
+       |      UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM pts),
+       |$rounds
+       |SELECT CAST(j AS BIGINT) AS j, round(v, 6) AS v
+       |FROM v$PowerRounds ORDER BY j""".stripMargin
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // Per-cluster centroid drift between two interleaved halves of the
+    // corpus (vec_id parity — the deterministic stand-in for train/serve
+    // or week-over-week snapshots): per (label, half) the per-dimension
+    // mean, then the L2 distance between the two half-centroids. The
+    // embedding-space twin of ts_drift_chi2: a cluster whose centroid
+    // moves is a cluster whose members changed meaning. One explode +
+    // keyed aggregate (centroids are |labels|·dim rows), then a
+    // label-keyed join over a dimension-sized frame. Scale: the only
+    // corpus-sized pass is the explode+partial-agg; everything after is
+    // O(labels·dim).
+    QueryDef("sim_centroid_drift",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val ex = embs.select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+        val c = ex.groupBy("label", "half", "i").agg(avg(col("x")).as("c"))
+        val d2 = c.filter(col("half") === 0)
+          .select(col("label"), col("i"), col("c").as("ca"))
+          .join(c.filter(col("half") === 1)
+            .select(col("label"), col("i"), col("c").as("cb")), Seq("label", "i"))
+          .groupBy("label")
+          .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("d2"))
+        val n = embs.groupBy("label").agg(
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        d2.join(n, "label")
+          .select(col("label").cast("bigint").as("label"), col("n_a"), col("n_b"),
+            round(sqrt(col("d2")), 6).as("drift"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (SELECT label, vec_id % 2 AS half,
+             |                   CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |c AS (SELECT label, half, i, avg(x) AS c FROM ex GROUP BY 1, 2, 3),
+             |d AS (SELECT a.label, sum((a.c - b.c) * (a.c - b.c)) AS d2
+             |      FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+             |                       AND a.half = 0 AND b.half = 1
+             |      GROUP BY 1),
+             |n AS (SELECT label,
+             |             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |      FROM embeddings GROUP BY 1)
+             |SELECT CAST(d.label AS BIGINT) AS label, n_a, n_b,
+             |       round(sqrt(d2), 6) AS drift
+             |FROM d JOIN n ON n.label = d.label
+             |ORDER BY label""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Per-source data card — the one-page rollup a dataset release ships
+    // (docs, token mass, mean length, language spread, exact-dup rate,
+    // short-doc rate), all integer-exact: mean tokens as a e2 fixed-point
+    // div, rates in basis points. One scan; the three distinct aggregates
+    // expand the scan 3x (Spark's grouping-expand) — acceptable for a
+    // reporting rollup; a 100 TB card would split them into three keyed
+    // partial aggregates over the same scan.
+    QueryDef("tx_dataset_card",
+      (s, d) => {
+        val toks = size(TextFns.tokens(col("text")))
+        val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+        T(s, d, "documents")
+          .select(col("source"), col("lang"), toks.cast("long").as("nt"),
+            norm.as("norm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("tokens_total"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("norm")).as("n_distinct_texts"),
+            sum(when(col("nt") < 20, 1L).otherwise(0L)).as("n_short"))
+          .select(col("source"), col("n_docs"), col("tokens_total"),
+            expr("(100 * tokens_total) div n_docs").as("avg_tokens_e2"),
+            col("n_langs"),
+            expr("(10000 * (n_docs - n_distinct_texts)) div n_docs").as("dup_bp"),
+            expr("(10000 * n_short) div n_docs").as("short_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH b AS (SELECT source, lang,
+             |                  CAST(len(${TextFns.tokensSqlDuckDB("text")}) AS BIGINT) AS nt,
+             |                  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+             |           FROM documents),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |             CAST(sum(nt) AS BIGINT) AS tokens_total,
+             |             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |             CAST(count(DISTINCT norm) AS BIGINT) AS n_distinct_texts,
+             |             CAST(sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+             |      FROM b GROUP BY 1)
+             |SELECT source, n_docs, tokens_total,
+             |       (100 * tokens_total) // n_docs AS avg_tokens_e2,
+             |       n_langs,
+             |       (10000 * (n_docs - n_distinct_texts)) // n_docs AS dup_bp,
+             |       (10000 * n_short) // n_docs AS short_bp
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Holdout n-gram novelty — the split-level memorization-risk measurement (Lee et al.'s
+    // "deduplicating training data" eval axis): for each holdout doc
+    // (doc_id % 10 = 0), the fraction of its distinct 3-gram shingles
+    // never seen in the train split (tx_ngram_novelty is the DOC-level
+    // first-occurrence twin). Novelty near 0 means the holdout is
+    // effectively memorized training text. Shingle-keyed anti-join — the
+    // decontamination plan shape (equi-join on the shingle, no pair
+    // enumeration), linear in corpus shingle mass.
+    QueryDef("tx_holdout_novelty",
+      (s, d) => {
+        val tok = T(s, d, "documents").select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
+        val w = Window.partitionBy("doc_id").orderBy("p")
+        val sh = tok
+          .select(col("doc_id"), col("t"),
+            lead(col("t"), 1).over(w).as("t1"), lead(col("t"), 2).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("t"), col("t1"), col("t2")).as("s"))
+          .distinct()
+        val train = sh.filter(col("doc_id") % 10 =!= 0).select("s").distinct()
+        val hold = sh.filter(col("doc_id") % 10 === 0)
+        val tot = hold.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val uns = hold.join(train, Seq("s"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_unseen"))
+        tot.join(uns, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+            expr("(10000 * coalesce(n_unseen, 0)) div n_shingles").as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, ${TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |              unnest(list_transform(generate_series(1, len(t) - 2),
+             |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             |       FROM tt),
+             |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+             |hold AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+             |        FROM hold GROUP BY 1),
+             |uns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_unseen
+             |        FROM hold ANTI JOIN tr USING (s) GROUP BY 1)
+             |SELECT t.doc_id, n_shingles,
+             |       coalesce(n_unseen, 0) AS n_unseen,
+             |       (10000 * coalesce(n_unseen, 0)) // n_shingles AS novelty_bp
+             |FROM tot t LEFT JOIN uns USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // SCD2 (slowly-changing-dimension type 2) history build — the
+    // lakehouse versioning pattern: from the orders event history, one
+    // validity-interval row per (customer, priority regime): a new version
+    // opens whenever a customer's order priority differs from their
+    // previous order's, valid_from = that order's date, valid_to = the
+    // next version's start (open intervals marked current/9999-12-31).
+    // Everything is customer-partitioned windows — co-partitioned with
+    // the natural dimension key, no global sort, linear at any history
+    // length.
+    QueryDef("rel_scd2_build",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val ch = T(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+        val wv = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        ch.withColumn("version", row_number().over(wv).cast("bigint"))
+          .withColumn("vt", lead(col("o_orderdate"), 1).over(wv))
+          .select(col("o_custkey"), col("version"),
+            col("o_orderpriority").as("priority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+            coalesce(date_format(col("vt"), "yyyy-MM-dd"), lit("9999-12-31"))
+              .as("valid_to"),
+            col("vt").isNull.as("is_current"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH ch AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             |                   lag(o_orderpriority) OVER w AS prev
+             |            FROM orders
+             |            WINDOW w AS (PARTITION BY o_custkey
+             |                         ORDER BY o_orderdate, o_orderkey)),
+             |f AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> o_orderpriority),
+             |v AS (SELECT o_custkey, o_orderpriority AS priority, o_orderdate,
+             |             CAST(row_number() OVER w AS BIGINT) AS version,
+             |             lead(o_orderdate) OVER w AS vt
+             |      FROM f WINDOW w AS (PARTITION BY o_custkey
+             |                          ORDER BY o_orderdate, o_orderkey))
+             |SELECT o_custkey, version, priority,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             |       coalesce(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+             |       vt IS NULL AS is_current
+             |FROM v ORDER BY o_custkey, version""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Cross-source duplication matrix — lineage observability over the
+    // SAME verified near-dup pair set the dedup family shares (cached
+    // pair stats; recall-1 at J >= 0.8): for each unordered source pair,
+    // how many near-dup document pairs connect them. The "who copies from
+    // whom" panel that decides which source to drop when a mixture is
+    // over-represented. Incremental cost on top of the family cache: one
+    // dimension join + a |sources|²-bounded aggregate.
+    QueryDef("dd_source_dup_matrix",
+      (s, d) => {
+        val pairs = Dedup.jaccardFromStats(PipelineQueries.pairStats(s, d),
+          minJ = 0.8).select("a_id", "b_id")
+        val src = T(s, d, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ${PipelineQueries.jaccardCtes},
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |m AS (SELECT least(da.source, db.source) AS source_a,
+             |             greatest(da.source, db.source) AS source_b
+             |      FROM prs JOIN documents da ON da.doc_id = a_id
+             |               JOIN documents db ON db.doc_id = b_id)
+             |SELECT source_a, source_b, count(*) AS n_pairs
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // MMR (maximal marginal relevance) diversity re-ranking — the serving
+    // stage between retrieval and the context window: from the top-MmrPool
+    // candidates by query relevance, greedily pick MmrK results maximizing
+    // lambda*rel - (1-lambda)*max-sim-to-already-selected (lambda = 0.7,
+    // in exact tenths: score10_e6 = 7*rel_e6 - 3*maxsim_e6, all BIGINT so
+    // ties and comparisons are integer-deterministic). Scale shape: the
+    // ONLY corpus-sized pass is candidate selection (orderBy.limit =
+    // distributed top-k); the pairwise sim table and every greedy round
+    // run on <= MmrPool-row frames (the k-means-centroid loop pattern:
+    // 1-row winner aggregates broadcast back, no driver collect).
+    QueryDef("sim_mmr_rerank",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        def ddot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val q = broadcast(e.filter(col("vec_id") === 0).select(col("e").as("qe")))
+        val rel = e.filter(col("vec_id") =!= 0).crossJoin(q)
+          .select(col("vec_id"), col("e"),
+            round(ddot(col("e"), col("qe")) /
+              (sqrt(ddot(col("e"), col("e"))) * sqrt(ddot(col("qe"), col("qe"))))
+              * lit(1e6)).cast("long").as("rel_e6"))
+        val cand = rel.orderBy(col("rel_e6").desc, col("vec_id")).limit(MmrPool)
+        val candM = Dedup.materialize(cand.select("vec_id", "rel_e6"))
+        val ca = cand.select(col("vec_id").as("a_id"), col("e").as("ea"))
+        val cb = cand.select(col("vec_id").as("b_id"), col("e").as("eb"))
+        val pairsM = Dedup.materialize(
+          ca.join(cb, col("a_id") =!= col("b_id"))
+            .select(col("a_id"), col("b_id"),
+              round(ddot(col("ea"), col("eb")) /
+                (sqrt(ddot(col("ea"), col("ea"))) * sqrt(ddot(col("eb"), col("eb"))))
+                * lit(1e6)).cast("long").as("sim_e6")))
+        var selected: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to MmrK) {
+          val scored =
+            if (selected == null)
+              candM.select(col("vec_id"), (lit(7L) * col("rel_e6")).as("score10_e6"))
+            else {
+              val selIds = broadcast(selected.select(col("vec_id").as("sid")))
+              val ms = pairsM.join(selIds, col("b_id") === col("sid"))
+                .groupBy("a_id").agg(max(col("sim_e6")).as("maxsim"))
+              candM.join(selIds, col("vec_id") === col("sid"), "left_anti")
+                .join(ms.select(col("a_id").as("vec_id"), col("maxsim")),
+                  Seq("vec_id"), "left")
+                .select(col("vec_id"),
+                  (lit(7L) * col("rel_e6") -
+                    lit(3L) * coalesce(col("maxsim"), lit(0L))).as("score10_e6"))
+            }
+          val win = scored
+            .agg(min(struct((-col("score10_e6")).as("ns"),
+              col("vec_id").as("v"))).as("b"))
+            .select(lit(r).as("round"), col("b.v").as("vec_id"),
+              (-col("b.ns")).as("score10_e6"))
+          val next = Dedup.materialize(
+            if (selected == null) win else selected.unionAll(win))
+          if (selected != null) Dedup.release(selected)
+          selected = next
+        }
+        selected.orderBy("round")
+      },
+      Some(mmrOracleSql)),
+
+    // ------------------------------------------------------------------
+    // Top principal direction of the embedding GRAM matrix by power
+    // iteration — the spectral summary behind PCA whitening, anisotropy
+    // diagnostics ("is the embedding space collapsing to one direction?")
+    // and Matryoshka-style dimension pruning. The 100 TB design point: the
+    // corpus is touched ONCE (the d^2/2 integer Gram accumulator shared
+    // with sim_gram_matrix — bit-identical across engines and partition
+    // orders); the PowerRounds matvec rounds then run on the d x d Gram
+    // frame (4160 rows at d=64), each one keyed join + aggregate with a
+    // broadcast 1-row max-abs normalizer — no driver collect, no
+    // corpus re-scan.
+    QueryDef("sim_power_iteration",
+      (s, d) => {
+        val gU = Similarity.gramUpperFrame(T(s, d, "embeddings"), dim = 64)
+        val g = Dedup.materialize(gU.select(col("i"), col("j"), col("g_e8").as("g"))
+          .unionAll(gU.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("g_e8").as("g"))))
+        var v = Dedup.materialize(
+          g.select(col("i").as("j")).distinct().withColumn("v", lit(1.0)))
+        for (_ <- 1 to PowerRounds) {
+          val u = g.join(v.select(col("j").as("jj"), col("v")), col("j") === col("jj"))
+            .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
+          val m = broadcast(u.agg(max(abs(col("u"))).as("m")))
+          val vn = Dedup.materialize(u.crossJoin(m)
+            .select(col("i").as("j"), (col("u") / col("m")).as("v")))
+          Dedup.release(v)
+          v = vn
+        }
+        v.select(col("j").cast("bigint").as("j"), round(col("v"), 6).as("v"))
+          .orderBy("j")
+      },
+      Some(powerOracleSql))
+  )
+}

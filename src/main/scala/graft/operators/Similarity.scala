@@ -417,4 +417,27 @@ object Similarity {
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
   }
+
+  /** Upper-triangle Gram matrix of the embedding column as (i, j, g_e8)
+    * rows, i <= j, via the single-pass d²/2 mutable-buffer accumulator
+    * ([[graft.functions.Aggregators.gramUpper]] — each product quantized
+    * to an e8 BIGINT before the EXACT integer sum, so the matrix is
+    * bit-identical across engines and across partition orders). The one
+    * corpus scan every downstream spectral consumer shares: sim_gram_matrix
+    * reports it, sim_power_iteration iterates on it.
+    */
+  def gramUpperFrame(embs: DataFrame, dim: Int = 64): DataFrame = {
+    import embs.sparkSession.implicits._
+    val g = embs
+      .agg(udaf(graft.functions.Aggregators.gramUpper(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        .apply(col("embedding")).as("g"))
+    val idxMap = (0 until dim).flatMap(i => (i until dim).map(j =>
+        (i.toLong * dim - i.toLong * (i - 1) / 2 + (j - i), i.toLong, j.toLong)))
+      .toDF("idx", "i", "j")
+    g.select(posexplode(col("g")).as(Seq("idx", "g_e8")))
+      .select(col("idx").cast("long").as("idx"), col("g_e8"))
+      .join(broadcast(idxMap), "idx")
+      .select(col("i"), col("j"), col("g_e8"))
+  }
 }
