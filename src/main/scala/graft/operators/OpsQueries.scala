@@ -71,14 +71,15 @@ object OpsQueries {
        |SELECT round, vec_id, score10_e6 FROM sel$MmrK ORDER BY round""".stripMargin
   }
 
-  /** DuckDB replay of the Gram power iteration: the e8-quantized integer
-    * Gram (bit-identical to the Spark aggregator's — see sim_gram_matrix)
+  /** The WITH-chain through v<PowerRounds> shared by the two spectral
+    * oracles (sim_power_iteration reports the vector, sim_pca_residual its
+    * Rayleigh quotient against the trace): the e8-quantized integer Gram
+    * (bit-identical to the Spark aggregator's — see sim_gram_matrix)
     * symmetrized, then [[PowerRounds]] unrolled matvec+normalize rounds
-    * (normalization by max-abs keeps every round division-exact in shape;
-    * the only cross-engine float drift is 64-term sum order, absorbed by
-    * the final round(6)).
+    * (normalization by max-abs; the only cross-engine float drift is
+    * 64-term sum order, absorbed by the consumers' terminal quantization).
     */
-  private def powerOracleSql: String = {
+  private def powerCtes: String = {
     // MATERIALIZED: u_r is referenced by both m_r and v_r, so inlined CTEs
     // would re-evaluate the whole chain 2^rounds times (the gr_kcore
     // oracle's lesson)
@@ -99,9 +100,39 @@ object OpsQueries {
        |g AS MATERIALIZED (SELECT i, j, g FROM gu
        |      UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
        |v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM pts),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def powerOracleSql: String =
+    s"""$powerCtes
        |SELECT CAST(j AS BIGINT) AS j, round(v, 6) AS v
        |FROM v$PowerRounds ORDER BY j""".stripMargin
+
+  /** (upper Gram, symmetrized Gram, converged direction) — the Spark side
+    * of [[powerCtes]]; sim_power_iteration reports `v`, sim_pca_residual
+    * folds it back through the Gram. One corpus scan (the shared integer
+    * Gram accumulator); the loop runs on d x d frames.
+    */
+  private def gramAndPowerVector(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val gU = Dedup.materialize(
+      Similarity.gramUpperFrame(T(s, d, "embeddings"), dim = 64))
+    val g = Dedup.materialize(gU.select(col("i"), col("j"), col("g_e8").as("g"))
+      .unionAll(gU.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g_e8").as("g"))))
+    var v = Dedup.materialize(
+      g.select(col("i").as("j")).distinct().withColumn("v", lit(1.0)))
+    for (_ <- 1 to PowerRounds) {
+      val u = g.join(v.select(col("j").as("jj"), col("v")), col("j") === col("jj"))
+        .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
+      val m = broadcast(u.agg(max(abs(col("u"))).as("m")))
+      val vn = Dedup.materialize(u.crossJoin(m)
+        .select(col("i").as("j"), (col("u") / col("m")).as("v")))
+      Dedup.release(v)
+      v = vn
+    }
+    (gU, g, v)
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -340,56 +371,8 @@ object OpsQueries {
     // run on <= MmrPool-row frames (the k-means-centroid loop pattern:
     // 1-row winner aggregates broadcast back, no driver collect).
     QueryDef("sim_mmr_rerank",
-      (s, d) => {
-        import org.apache.spark.sql.Column
-        def ddot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        val e = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val q = broadcast(e.filter(col("vec_id") === 0).select(col("e").as("qe")))
-        val rel = e.filter(col("vec_id") =!= 0).crossJoin(q)
-          .select(col("vec_id"), col("e"),
-            round(ddot(col("e"), col("qe")) /
-              (sqrt(ddot(col("e"), col("e"))) * sqrt(ddot(col("qe"), col("qe"))))
-              * lit(1e6)).cast("long").as("rel_e6"))
-        val cand = rel.orderBy(col("rel_e6").desc, col("vec_id")).limit(MmrPool)
-        val candM = Dedup.materialize(cand.select("vec_id", "rel_e6"))
-        val ca = cand.select(col("vec_id").as("a_id"), col("e").as("ea"))
-        val cb = cand.select(col("vec_id").as("b_id"), col("e").as("eb"))
-        val pairsM = Dedup.materialize(
-          ca.join(cb, col("a_id") =!= col("b_id"))
-            .select(col("a_id"), col("b_id"),
-              round(ddot(col("ea"), col("eb")) /
-                (sqrt(ddot(col("ea"), col("ea"))) * sqrt(ddot(col("eb"), col("eb"))))
-                * lit(1e6)).cast("long").as("sim_e6")))
-        var selected: org.apache.spark.sql.DataFrame = null
-        for (r <- 1 to MmrK) {
-          val scored =
-            if (selected == null)
-              candM.select(col("vec_id"), (lit(7L) * col("rel_e6")).as("score10_e6"))
-            else {
-              val selIds = broadcast(selected.select(col("vec_id").as("sid")))
-              val ms = pairsM.join(selIds, col("b_id") === col("sid"))
-                .groupBy("a_id").agg(max(col("sim_e6")).as("maxsim"))
-              candM.join(selIds, col("vec_id") === col("sid"), "left_anti")
-                .join(ms.select(col("a_id").as("vec_id"), col("maxsim")),
-                  Seq("vec_id"), "left")
-                .select(col("vec_id"),
-                  (lit(7L) * col("rel_e6") -
-                    lit(3L) * coalesce(col("maxsim"), lit(0L))).as("score10_e6"))
-            }
-          val win = scored
-            .agg(min(struct((-col("score10_e6")).as("ns"),
-              col("vec_id").as("v"))).as("b"))
-            .select(lit(r).as("round"), col("b.v").as("vec_id"),
-              (-col("b.ns")).as("score10_e6"))
-          val next = Dedup.materialize(
-            if (selected == null) win else selected.unionAll(win))
-          if (selected != null) Dedup.release(selected)
-          selected = next
-        }
-        selected.orderBy("round")
-      },
+      (s, d) => Similarity.mmrRerank(T(s, d, "embeddings"), queryId = 0L,
+        pool = MmrPool, k = MmrK, lambdaTenths = 7).orderBy("round"),
       Some(mmrOracleSql)),
 
     // ------------------------------------------------------------------
@@ -405,24 +388,152 @@ object OpsQueries {
     // corpus re-scan.
     QueryDef("sim_power_iteration",
       (s, d) => {
-        val gU = Similarity.gramUpperFrame(T(s, d, "embeddings"), dim = 64)
-        val g = Dedup.materialize(gU.select(col("i"), col("j"), col("g_e8").as("g"))
-          .unionAll(gU.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("g_e8").as("g"))))
-        var v = Dedup.materialize(
-          g.select(col("i").as("j")).distinct().withColumn("v", lit(1.0)))
-        for (_ <- 1 to PowerRounds) {
-          val u = g.join(v.select(col("j").as("jj"), col("v")), col("j") === col("jj"))
-            .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
-          val m = broadcast(u.agg(max(abs(col("u"))).as("m")))
-          val vn = Dedup.materialize(u.crossJoin(m)
-            .select(col("i").as("j"), (col("u") / col("m")).as("v")))
-          Dedup.release(v)
-          v = vn
-        }
+        val (_, _, v) = gramAndPowerVector(s, d)
         v.select(col("j").cast("bigint").as("j"), round(col("v"), 6).as("v"))
           .orderBy("j")
       },
-      Some(powerOracleSql))
+      Some(powerOracleSql)),
+
+    // ------------------------------------------------------------------
+    // Explained-variance ratio of the top principal direction — the
+    // measurement that justifies (or rejects) dimension pruning: the
+    // Rayleigh quotient v'Gv / v'v of the converged power-iteration
+    // direction against the Gram trace, in the Gram's exact-integer e8
+    // units. A collapsing embedding space (anisotropy) shows up as
+    // explained_bp -> 10000; a healthy isotropic one sits near
+    // 10000/dim. Same one-corpus-scan cost structure as
+    // sim_power_iteration; everything after the Gram is d x d.
+    QueryDef("sim_pca_residual",
+      (s, d) => {
+        val (gU, g, v) = gramAndPowerVector(s, d)
+        val trace = gU.filter(col("i") === col("j"))
+          .agg(sum(col("g_e8")).as("trace_e8"))
+        val u = g.join(v.select(col("j").as("jj"), col("v")), col("j") === col("jj"))
+          .groupBy("i").agg(sum(col("g") * col("v")).as("u"))
+        val rq = u.join(v.select(col("j").as("i"), col("v")), "i")
+          .agg(sum(col("v") * col("u")).as("num"), sum(col("v") * col("v")).as("den"))
+        rq.crossJoin(broadcast(trace))
+          .select(round(col("num") / col("den")).cast("long").as("lambda1_e8"),
+            col("trace_e8"),
+            floor(lit(10000.0) * (col("num") / col("den")) / col("trace_e8"))
+              .cast("long").as("explained_bp"))
+      },
+      Some(s"""$powerCtes,
+             |tr AS (SELECT CAST(sum(g) AS BIGINT) AS trace_e8 FROM gu WHERE i = j),
+             |uu AS MATERIALIZED (SELECT g.i AS j, sum(g.g * v.v) AS u
+             |      FROM g JOIN v$PowerRounds v ON v.j = g.j GROUP BY 1),
+             |rq AS (SELECT sum(v.v * uu.u) AS num, sum(v.v * v.v) AS den
+             |       FROM v$PowerRounds v JOIN uu ON uu.j = v.j)
+             |SELECT CAST(round(num / den) AS BIGINT) AS lambda1_e8, trace_e8,
+             |       CAST(floor(10000 * (num / den) / trace_e8) AS BIGINT)
+             |         AS explained_bp
+             |FROM rq, tr""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Measured recall/precision of the SimHash SCALE config against the
+    // exact-Jaccard truth set — the sim_recall_eval pattern applied to
+    // dedup: a hamming-radius-7 candidate set is NOT the Jaccard >= 0.8
+    // pair set, and this query reports exactly how far apart they are on
+    // THIS corpus (pairs with J >= 0.8 but hamming > 7 are the recall
+    // gap; verified-Jaccard filtering makes false positives structural
+    // zeros unless 64-char shingle truncation shifts a boundary pair).
+    // Truth side rides the cached pair stats; the approximation ships
+    // with its measurement.
+    QueryDef("dd_simhash_recall",
+      (s, d) => {
+        val truth = Dedup.jaccardFromStats(PipelineQueries.pairStats(s, d),
+          minJ = 0.8).select("a_id", "b_id")
+        val found = Dedup.simhashPairsVerified(T(s, d, "documents"),
+          n = PipelineQueries.SimhashN, maxHam = 7, minJ = 0.8)
+          .select("a_id", "b_id")
+        val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_truth"), col("n_found"), col("n_hit"),
+            expr("(10000 * n_hit) div n_truth").as("recall_bp"),
+            expr("(10000 * n_hit) div n_found").as("precision_bp"))
+      },
+      Some(s"""${PipelineQueries.simhashSimsCtes(PipelineQueries.SimhashN)},
+             |hset AS (SELECT DISTINCT doc_id, h0 FROM h),
+             |hsz AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
+             |ball AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+             |         WHERE bit_count(xor(a.sim, b.sim)) <= 7),
+             |itx AS (SELECT ball.a_id, ball.b_id, count(*) AS c
+             |        FROM ball JOIN hset ha ON ha.doc_id = ball.a_id
+             |                  JOIN hset hb ON hb.doc_id = ball.b_id
+             |                             AND hb.h0 = ha.h0
+             |        GROUP BY 1, 2),
+             |found AS (SELECT a_id, b_id FROM itx
+             |          JOIN hsz sa ON sa.doc_id = a_id
+             |          JOIN hsz sb ON sb.doc_id = b_id
+             |          WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |szj AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |itj AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2),
+             |truth AS (SELECT a_id, b_id FROM itj
+             |          JOIN szj sa ON sa.doc_id = a_id
+             |          JOIN szj sb ON sb.doc_id = b_id
+             |          WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |hit AS (SELECT * FROM truth SEMI JOIN found USING (a_id, b_id))
+             |SELECT (SELECT count(*) FROM truth) AS n_truth,
+             |       (SELECT count(*) FROM found) AS n_found,
+             |       (SELECT count(*) FROM hit) AS n_hit,
+             |       (10000 * (SELECT count(*) FROM hit))
+             |         // (SELECT count(*) FROM truth) AS recall_bp,
+             |       (10000 * (SELECT count(*) FROM hit))
+             |         // (SELECT count(*) FROM found) AS precision_bp""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // Dedup survivorship (yield) by source — the curation-run report that
+    // says what each source contributes AFTER near-dup resolution: join
+    // the cached connected-component labels (min-id keeper convention, as
+    // dd_cc_dedup) back to the corpus and roll docs/tokens kept into
+    // exact basis points per source. Incremental cost over the family
+    // cache: one dimension join + a |sources|-sized aggregate.
+    QueryDef("tx_dedup_yield",
+      (s, d) => {
+        val labels = PipelineQueries.ccLabels(s, d)
+        T(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+          .join(labels.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .withColumn("kept", col("comp").isNull || col("comp") === col("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("nt")).as("tokens_total"),
+            sum(when(col("kept"), col("nt")).otherwise(0L)).as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("tokens_total"), col("tokens_kept"),
+            expr("(10000 * tokens_kept) div tokens_total").as("yield_bp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE ${PipelineQueries.jaccardCtes},
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS d FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION
+             |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+             |comp AS (SELECT s AS id, least(s, min(d)) AS comp FROM reach GROUP BY s),
+             |tok AS (SELECT doc_id, source,
+             |               CAST(len(${TextFns.tokensSqlDuckDB("text")}) AS BIGINT) AS nt
+             |        FROM documents),
+             |k AS (SELECT t.source, t.nt,
+             |             (c.comp IS NULL OR c.comp = t.doc_id) AS kept
+             |      FROM tok t LEFT JOIN comp c ON c.id = t.doc_id)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST(sum(nt) AS BIGINT) AS tokens_total,
+             |       CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+             |       (10000 * CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT))
+             |         // CAST(sum(nt) AS BIGINT) AS yield_bp
+             |FROM k GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }

@@ -68,7 +68,7 @@ object PipelineQueries {
     */
   private val ccLabelCache = new FamilyCache[(SparkSession, String)]()
 
-  private def ccLabels(s: SparkSession, d: String) =
+  private[operators] def ccLabels(s: SparkSession, d: String) =
     ccLabelCache.getOrElseUpdate((s, d),
       Dedup.materialize(Dedup.connectedComponentsStar(
         minhashPairs(s, d).select("a_id", "b_id"))))
@@ -113,7 +113,7 @@ object PipelineQueries {
     * cannot drift (the shingle concat and length guards in the SQL are
     * built from this value, not hardcoded).
     */
-  private val SimhashN = 3
+  private[operators] val SimhashN = 3
 
   /** WITH-chain ending in CTE `sims(doc_id, sim, n)` — the cross-engine
     * simhash per doc, replayed in ANSI SQL: n-gram shingling (generated
@@ -122,7 +122,7 @@ object PipelineQueries {
     * votes, and bit packing. Shared by dd_simhash_bits (value gate) and
     * dd_simhash_pairs (pair gate).
     */
-  private def simhashSimsCtes(n: Int): String = {
+  private[operators] def simhashSimsCtes(n: Int): String = {
     val P = graft.functions.TextFns.HashP
     val pwList = Dedup.pow31.mkString("[", ", ", "]")
     val bTerms = (0 until 64).map(j =>

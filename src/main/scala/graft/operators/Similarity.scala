@@ -418,6 +418,71 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** MMR (maximal marginal relevance) diversity re-ranking: from the
+    * top-`pool` candidates by cosine relevance to `queryId`'s vector,
+    * greedily select `k` results maximizing
+    * lambda·rel − (1−lambda)·max-sim-to-already-selected, with lambda
+    * given in exact tenths (lambdaTenths/10) so every score is a BIGINT:
+    * score10_e6 = lambdaTenths·rel_e6 − (10−lambdaTenths)·maxsim_e6.
+    * Returns (round, vec_id, score10_e6), round = selection order.
+    *
+    * Scale shape: the ONLY corpus-sized pass is candidate selection
+    * (orderBy.limit = distributed top-k); the pairwise sim table and every
+    * greedy round run on <= pool-row frames, each round's winner a 1-row
+    * aggregate broadcast back (the k-means-centroid loop pattern — no
+    * driver collect).
+    */
+  def mmrRerank(embs: DataFrame, queryId: Long, pool: Int, k: Int,
+                lambdaTenths: Int): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, s"bad lambda $lambdaTenths")
+    import org.apache.spark.sql.Column
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def cosE6(a: Column, b: Column): Column =
+      round(ddot(a, b) / (sqrt(ddot(a, a)) * sqrt(ddot(b, b))) * lit(1e6))
+        .cast("long")
+    val e = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = broadcast(e.filter(col("vec_id") === queryId).select(col("e").as("qe")))
+    val rel = e.filter(col("vec_id") =!= queryId).crossJoin(q)
+      .select(col("vec_id"), col("e"), cosE6(col("e"), col("qe")).as("rel_e6"))
+    val cand = rel.orderBy(col("rel_e6").desc, col("vec_id")).limit(pool)
+    val candM = Dedup.materialize(cand.select("vec_id", "rel_e6"))
+    val ca = cand.select(col("vec_id").as("a_id"), col("e").as("ea"))
+    val cb = cand.select(col("vec_id").as("b_id"), col("e").as("eb"))
+    val pairsM = Dedup.materialize(
+      ca.join(cb, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosE6(col("ea"), col("eb")).as("sim_e6")))
+    val lam = lambdaTenths.toLong
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (selected == null)
+          candM.select(col("vec_id"), (lit(lam) * col("rel_e6")).as("score10_e6"))
+        else {
+          val selIds = broadcast(selected.select(col("vec_id").as("sid")))
+          val ms = pairsM.join(selIds, col("b_id") === col("sid"))
+            .groupBy("a_id").agg(max(col("sim_e6")).as("maxsim"))
+          candM.join(selIds, col("vec_id") === col("sid"), "left_anti")
+            .join(ms.select(col("a_id").as("vec_id"), col("maxsim")),
+              Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              (lit(lam) * col("rel_e6") -
+                lit(10L - lam) * coalesce(col("maxsim"), lit(0L))).as("score10_e6"))
+        }
+      val win = scored
+        .agg(min(struct((-col("score10_e6")).as("ns"),
+          col("vec_id").as("v"))).as("b"))
+        .select(lit(r).as("round"), col("b.v").as("vec_id"),
+          (-col("b.ns")).as("score10_e6"))
+      val next = Dedup.materialize(
+        if (selected == null) win else selected.unionAll(win))
+      if (selected != null) Dedup.release(selected)
+      selected = next
+    }
+    selected
+  }
+
   /** Upper-triangle Gram matrix of the embedding column as (i, j, g_e8)
     * rows, i <= j, via the single-pass d²/2 mutable-buffer accumulator
     * ([[graft.functions.Aggregators.gramUpper]] — each product quantized

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property gates for the round-8 serving/spectral operators against
+  * independent in-Scala references (the BpePropertySpec pattern — the
+  * DuckDB oracles for these queries are builder-generated unrolled CTEs,
+  * so an independent reference guards against shared blind spots):
+  *  - Similarity.mmrRerank == a plain-Scala greedy MMR on identically
+  *    quantized integer scores, across lambda settings and random vector
+  *    sets (lambda=10 must equal pure top-k relevance order);
+  *  - the power-iteration query == a dense in-Scala matrix iteration on
+  *    the SAME integer Gram.
+  */
+class OpsPropertySpec extends AnyFunSuite {
+  private lazy val spark = LocalSpark.spark
+  import spark.implicits._
+
+  /** Spark's round(col) semantics on doubles: BigDecimal.valueOf (i.e.
+    * the canonical decimal string, not the exact binary expansion), then
+    * HALF_UP — matching this exactly is the point of the reference.
+    */
+  private def roundE6(x: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(x * 1e6))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** Left-fold dot product — the same association Spark's
+    * aggregate(zip_with(...)) evaluates.
+    */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def cosE6(a: Array[Double], b: Array[Double]): Long =
+    roundE6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+
+  private def refMmr(vecs: Seq[(Long, Array[Float])], queryId: Long,
+                     pool: Int, k: Int, lam: Int): Seq[(Int, Long, Long)] = {
+    val d = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val qe = d(queryId)
+    val rel = d.keys.filter(_ != queryId).map(id => id -> cosE6(d(id), qe)).toMap
+    val cand = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(pool).map(_._1)
+    val sim = (for (a <- cand; b <- cand if a != b)
+      yield (a, b) -> cosE6(d(a), d(b))).toMap
+    var selected = Vector.empty[(Int, Long, Long)]
+    for (r <- 1 to k) {
+      val chosen = selected.map(_._2).toSet
+      val scored = cand.filterNot(chosen).map { c =>
+        val maxSim =
+          if (chosen.isEmpty) 0L
+          else chosen.map(sel => sim((c, sel))).max
+        c -> (lam.toLong * rel(c) - (10L - lam) * maxSim)
+      }
+      val (id, sc) = scored.minBy { case (c, s) => (-s, c) }
+      selected :+= ((r, id, sc))
+    }
+    selected
+  }
+
+  private def randomVecs(seed: Int, n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rng.nextFloat() * 2f - 1f)))
+  }
+
+  test("mmrRerank equals the in-Scala greedy reference across lambdas") {
+    for (seed <- Seq(11, 12, 13); lam <- Seq(0, 3, 7, 10)) {
+      val vecs = randomVecs(seed, n = 25, dim = 6)
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = Similarity.mmrRerank(df, queryId = 0L, pool = 10, k = 4,
+          lambdaTenths = lam)
+        .select("round", "vec_id", "score10_e6")
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = refMmr(vecs, queryId = 0L, pool = 10, k = 4, lam = lam)
+      assert(got == want, s"seed=$seed lambda=$lam\n got=$got\nwant=$want")
+    }
+  }
+
+  test("mmrRerank at lambda=10 is pure relevance top-k") {
+    val vecs = randomVecs(21, n = 30, dim = 5)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, queryId = 0L, pool = 12, k = 5,
+        lambdaTenths = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val d = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val topk = d.keys.filter(_ != 0L)
+      .map(id => id -> cosE6(d(id), d(0L))).toSeq
+      .sortBy { case (id, r) => (-r, id) }.take(5).map(_._1)
+    assert(got == topk)
+  }
+
+  test("power-iteration query equals a dense in-Scala iteration on the same integer Gram") {
+    val dim = 64
+    val gRows = Similarity
+      .gramUpperFrame(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), dim)
+      .as[(Long, Long, Long)].collect()
+    val m = Array.ofDim[Double](dim, dim)
+    gRows.foreach { case (i, j, g) =>
+      m(i.toInt)(j.toInt) = g.toDouble
+      m(j.toInt)(i.toInt) = g.toDouble
+    }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 10) {
+      val u = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val mx = u.map(math.abs).max
+      v = u.map(_ / mx)
+    }
+    val got = SparkEntry.queries("sim_power_iteration")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double)].collect().toMap
+    (0 until dim).foreach { j =>
+      assert(math.abs(got(j.toLong) - v(j)) < 1e-5, s"j=$j ${got(j.toLong)} vs ${v(j)}")
+    }
+  }
+}
