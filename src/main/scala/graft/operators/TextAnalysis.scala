@@ -49,9 +49,13 @@ object TextAnalysis {
       .select(col(docCol).cast("string").as("doc"), explode(toks(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word")
-      .agg(
-        array_join(array_sort(collect_set(docKey)), ",").as("doc_list"),
-        count_distinct(col("doc")).as("n_docs"))
+      // ONE aggregate: n_docs is the size of the same distinct-doc set the
+      // posting list is built from — a separate count_distinct(doc) made
+      // Spark plan a second distinct-aggregate path over the exploded
+      // stream for a number the collect_set already knows
+      .agg(array_sort(collect_set(docKey)).as("ds"))
+      .select(col("word"), array_join(col("ds"), ",").as("doc_list"),
+        size(col("ds")).cast("bigint").as("n_docs"))
   }
 
   /** Per-document token statistics. Shuffle-free (no explode): single-pass
