@@ -20,6 +20,7 @@ object OpsQueries {
 
   private val MmrK = 5          // sim_mmr_rerank: results to select
   private val MmrPool = 20      // sim_mmr_rerank: candidate pool size
+  private val MmrLambdaTenths = 7 // sim_mmr_rerank: lambda in exact tenths
   private val PowerRounds = 10  // sim_power_iteration: matvec rounds
 
   /** DuckDB replay of the MMR greedy loop: candidate pool and pairwise
@@ -32,7 +33,8 @@ object OpsQueries {
   private def mmrOracleSql: String = {
     val rounds = (2 to MmrK).map { r =>
       s"""s$r AS (SELECT $r AS round, c.vec_id,
-         |             7 * c.rel_e6 - 3 * coalesce(ms.m, 0) AS score10_e6
+         |             $MmrLambdaTenths * c.rel_e6
+         |               - ${10 - MmrLambdaTenths} * coalesce(ms.m, 0) AS score10_e6
          |      FROM cand c
          |      LEFT JOIN (SELECT a_id, max(sim_e6) AS m FROM ps
          |                 JOIN sel${r - 1} ON ps.b_id = sel${r - 1}.vec_id
@@ -64,7 +66,7 @@ object OpsQueries {
        |      JOIN nrm na ON na.vec_id = ca.vec_id
        |      JOIN nrm nb ON nb.vec_id = cb.vec_id
        |      GROUP BY 1, 2, na.n, nb.n),
-       |s1 AS (SELECT 1 AS round, vec_id, 7 * rel_e6 AS score10_e6 FROM cand
+       |s1 AS (SELECT 1 AS round, vec_id, $MmrLambdaTenths * rel_e6 AS score10_e6 FROM cand
        |       ORDER BY score10_e6 DESC, vec_id LIMIT 1),
        |sel1 AS (SELECT * FROM s1),
        |$rounds
@@ -197,15 +199,20 @@ object OpsQueries {
     QueryDef("tx_dataset_card",
       (s, d) => {
         val toks = size(TextFns.tokens(col("text")))
-        val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+        // distinct-text key is the 8-byte hash of the normalized text, not
+        // the text itself — the dd_exact_dedup discipline (a distinct over
+        // full document strings shuffles the corpus; the hash shuffles 8
+        // bytes/doc). The oracle distincts the strings — the same
+        // ~1e-9-collision equivalence every dd_ pair oracle rests on.
+        val normH = xxhash64(lower(regexp_replace(col("text"), "\\s+", " ")))
         T(s, d, "documents")
           .select(col("source"), col("lang"), toks.cast("long").as("nt"),
-            norm.as("norm"))
+            normH.as("normh"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("nt")).as("tokens_total"),
             countDistinct(col("lang")).as("n_langs"),
-            countDistinct(col("norm")).as("n_distinct_texts"),
+            countDistinct(col("normh")).as("n_distinct_texts"),
             sum(when(col("nt") < 20, 1L).otherwise(0L)).as("n_short"))
           .select(col("source"), col("n_docs"), col("tokens_total"),
             expr("(100 * tokens_total) div n_docs").as("avg_tokens_e2"),
@@ -372,7 +379,7 @@ object OpsQueries {
     // 1-row winner aggregates broadcast back, no driver collect).
     QueryDef("sim_mmr_rerank",
       (s, d) => Similarity.mmrRerank(T(s, d, "embeddings"), queryId = 0L,
-        pool = MmrPool, k = MmrK, lambdaTenths = 7).orderBy("round"),
+        pool = MmrPool, k = MmrK, lambdaTenths = MmrLambdaTenths).orderBy("round"),
       Some(mmrOracleSql)),
 
     // ------------------------------------------------------------------
