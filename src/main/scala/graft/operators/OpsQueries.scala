@@ -367,6 +367,60 @@ object OpsQueries {
              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // MERGE (upsert + conditional delete) — the lakehouse write primitive
+    // (Delta/Iceberg MERGE INTO) expressed as one keyed full-outer join +
+    // row-level CASE: base = even orderkeys, delta = multiples of 3;
+    // matched rows update (price + 100) unless orderkey % 12 = 0 (the
+    // matched-delete branch), unmatched delta rows insert. Emits the
+    // post-merge table for orderkey < 2000 with each row's action tag, so
+    // the oracle pins every branch. Scale: ONE equi-join on the merge key
+    // (co-partitionable with the table layout; Delta's implementation is
+    // exactly this join) — no windows, no skew surprises.
+    QueryDef("rel_merge_upsert",
+      (s, d) => {
+        val o = T(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val base = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("b_status"),
+            col("o_totalprice").as("b_price"))
+        val delta = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("dk"), col("o_orderstatus").as("d_status"),
+            col("o_totalprice").as("d_price"))
+        base.join(delta, col("k") === col("dk"), "full_outer")
+          .select(coalesce(col("k"), col("dk")).as("o_orderkey"),
+            when(col("dk").isNull, lit("keep"))
+              .when(col("k").isNull, lit("insert"))
+              .when(col("k") % 12 === 0, lit("delete"))
+              .otherwise(lit("update")).as("action"),
+            coalesce(col("d_status"), col("b_status")).as("status"),
+            when(col("dk").isNull, col("b_price"))
+              .when(col("k").isNull, col("d_price"))
+              .otherwise(col("b_price") + 100.0).as("price"))
+          .filter(col("action") =!= "delete")
+          .select(col("o_orderkey"), col("action"), col("status"),
+            round(col("price"), 2).as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             |           FROM orders WHERE o_orderkey < 2000),
+             |b AS (SELECT o_orderkey AS k, o_orderstatus AS b_status,
+             |             o_totalprice AS b_price FROM o WHERE o_orderkey % 2 = 0),
+             |dl AS (SELECT o_orderkey AS dk, o_orderstatus AS d_status,
+             |              o_totalprice AS d_price FROM o WHERE o_orderkey % 3 = 0),
+             |m AS (SELECT coalesce(k, dk) AS o_orderkey,
+             |             CASE WHEN dk IS NULL THEN 'keep'
+             |                  WHEN k IS NULL THEN 'insert'
+             |                  WHEN k % 12 = 0 THEN 'delete'
+             |                  ELSE 'update' END AS action,
+             |             coalesce(d_status, b_status) AS status,
+             |             CASE WHEN dk IS NULL THEN b_price
+             |                  WHEN k IS NULL THEN d_price
+             |                  ELSE b_price + 100.0 END AS price
+             |      FROM b FULL OUTER JOIN dl ON k = dk)
+             |SELECT o_orderkey, action, status, round(price, 2) AS price
+             |FROM m WHERE action <> 'delete' ORDER BY o_orderkey""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // MMR (maximal marginal relevance) diversity re-ranking — the serving
     // stage between retrieval and the context window: from the top-MmrPool
     // candidates by query relevance, greedily pick MmrK results maximizing
