@@ -46,9 +46,12 @@ object PlanAudit {
     *    file-id group) — file-count-sized, the table compaction planner's
     *    natural working set
     *  - tx_vocab_growth: running sum over a per-doc rollup under a
-    *    doc_id < 100 prefix filter pushed to the scan — 100 rows
-    *  - ts_cume_users / ts_ewma / ts_rolling_corr: running windows over
-    *    per-DAY aggregates — calendar-spine-sized (O(days), grows with
+    *    doc_id < 100 prefix filter pushed to the scan — 100 rows (a
+    *    literal filter bound the structural walk cannot prove, so the
+    *    allowlist also covers its class-0 verdict)
+    *  - ts_cume_users / ts_ewma / ts_rolling_corr / ts_lerp: running
+    *    windows over per-DAY/HOUR aggregates or the min-to-max calendar
+    *    spine (explode(sequence(min, max))) — calendar-sized (grows with
     *    time, not with corpus volume)
     *  - rel_share_of_total: share window over the returnflag rollup —
     *    dimension-sized (|returnflag| groups)
@@ -58,7 +61,7 @@ object PlanAudit {
   private val boundedSpineWindows = Set(
     "rel_histogram_eqdepth", "rel_zorder", "rel_skyline", "win_lift",
     "rel_compaction_plan", "tx_vocab_growth",
-    "ts_cume_users", "ts_ewma", "ts_rolling_corr",
+    "ts_cume_users", "ts_ewma", "ts_rolling_corr", "ts_lerp",
     "rel_share_of_total", "tx_mixture_plan")
 
   /** Unpartitioned-window scale audit (round-8 graduation of the r7
@@ -77,19 +80,41 @@ object PlanAudit {
     */
   def windowIssues(name: String,
                    lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Structural boundedness of a window INPUT, ranked Unbounded(0) <
+    // KeyedAgg(1) < Bounded(2). The r8.0 form accepted ANY Limit/scalar
+    // aggregate anywhere in the child subtree — including on the build
+    // side of a join, where it bounds nothing (corpus JOIN dim.limit(100)
+    // is still corpus-sized). This walk propagates correctly:
+    //  - GlobalLimit: bounded (k rows). LocalLimit alone is NOT evidence
+    //    (k per partition — grows with the cluster).
+    //  - scalar Aggregate: 1 row. Keyed Aggregate: distinct-key-sized —
+    //    only acceptable via the documented bounded-spine allowlist.
+    //  - Join/Union: as bounded as their WEAKEST input (a join output is
+    //    corpus-sized whenever either side is).
+    //  - Generate (explode): expands rows — weakens Bounded to KeyedAgg
+    //    (array-cardinality-bounded), passes anything else through.
+    //  - other unary nodes (Project/Filter/Sort/Window/...): pass-through.
+    //  - leaves (relations, LogicalRDD/checkpoints): unbounded.
+    def cls(p: LogicalPlan): Int = p match {
+      case _: GlobalLimit => 2
+      case a: Aggregate if a.groupingExpressions.isEmpty => 2
+      case _: Aggregate => 1
+      case j: Join => math.min(cls(j.left), cls(j.right))
+      case u: Union => u.children.map(cls).min
+      case g: Generate => math.min(cls(g.child), 1)
+      case other if other.children.size == 1 => cls(other.children.head)
+      case _ => 0
+    }
     lp.collect {
-      case w: LWindow if w.partitionSpec.isEmpty =>
-        val bounded = w.child.collectFirst {
-          case _: GlobalLimit => true
-          case _: LocalLimit => true
-          case a: Aggregate if a.groupingExpressions.isEmpty => true
-        }.isDefined
-        val keyedAgg = w.child.collectFirst { case a: Aggregate => a }.isDefined
-        if (bounded) None
-        else if (keyedAgg && boundedSpineWindows(name)) None
-        else if (keyedAgg) Some("unpartitioned window over keyed-aggregate input (not on bounded-spine allowlist)")
-        else Some("unpartitioned window over unreduced input")
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+        cls(w.child) match {
+          case 2 => None
+          case _ if boundedSpineWindows(name) => None
+          case 1 => Some("unpartitioned window over keyed-aggregate input (not on bounded-spine allowlist)")
+          case _ => Some("unpartitioned window over unreduced input")
+        }
     }.flatten.distinct
   }
 

@@ -29,6 +29,14 @@ object DistributedRank {
     * are captured AFTER an eager materialize so the size pass and the rank
     * pass see identical partitioning (a recompute could legally re-sample
     * range boundaries).
+    *
+    * Lifecycle of the per-call materialize (here and in
+    * [[globalRunningMin]]): the checkpointed blocks are referenced only
+    * through the returned frame — once the caller's query completes and
+    * the frame is garbage-collected, Spark's ContextCleaner
+    * (referenceTracking, on by default) drops the blocks. Unlike the
+    * family caches (strong references held in a map — why FamilyCache
+    * exists), nothing pins these across queries.
     */
   def globalRowNumber(df: DataFrame, keys: Seq[Column], out: String): DataFrame = {
     val ranged = Dedup.materialize(

@@ -204,7 +204,12 @@ object OpsQueries {
         // full document strings shuffles the corpus; the hash shuffles 8
         // bytes/doc). The oracle distincts the strings — the same
         // ~1e-9-collision equivalence every dd_ pair oracle rests on.
-        val normH = xxhash64(lower(regexp_replace(col("text"), "\\s+", " ")))
+        // Whitespace is an EXPLICIT char class, not \s: Java \s includes
+        // \x0B (vertical tab) where DuckDB's RE2 \s does not — a latent
+        // corpus-dependent divergence in exactly the rollup whose point
+        // is exact parity.
+        val normH = xxhash64(lower(
+          regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
         T(s, d, "documents")
           .select(col("source"), col("lang"), toks.cast("long").as("nt"),
             normH.as("normh"))
@@ -223,7 +228,7 @@ object OpsQueries {
       },
       Some(s"""WITH b AS (SELECT source, lang,
              |                  CAST(len(${TextFns.tokensSqlDuckDB("text")}) AS BIGINT) AS nt,
-             |                  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+             |                  lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
              |           FROM documents),
              |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              |             CAST(sum(nt) AS BIGINT) AS tokens_total,
@@ -497,9 +502,13 @@ object OpsQueries {
     // pair set, and this query reports exactly how far apart they are on
     // THIS corpus (pairs with J >= 0.8 but hamming > 7 are the recall
     // gap; verified-Jaccard filtering makes false positives structural
-    // zeros unless 64-char shingle truncation shifts a boundary pair).
-    // Truth side rides the cached pair stats; the approximation ships
-    // with its measurement.
+    // zeros unless the simhash path's 64-char shingle truncation shifts
+    // a boundary pair — a precision observable this query would surface).
+    // Truth side rides the cached pair stats (UNtruncated 3-gram
+    // shingles; the oracle's truth CTE `shu` replays exactly that, while
+    // its `found` side replays the truncated simhash chain — each engine
+    // side mirrors its Spark twin). The approximation ships with its
+    // measurement.
     QueryDef("dd_simhash_recall",
       (s, d) => {
         val truth = Dedup.jaccardFromStats(PipelineQueries.pairStats(s, d),
@@ -530,9 +539,13 @@ object OpsQueries {
              |          JOIN hsz sa ON sa.doc_id = a_id
              |          JOIN hsz sb ON sb.doc_id = b_id
              |          WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
-             |szj AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |shu AS (SELECT DISTINCT doc_id,
+             |               unnest(list_transform(generate_series(1, len(t) - 2),
+             |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             |        FROM tt),
+             |szj AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY 1),
              |itj AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |        FROM shu a JOIN shu b ON a.s = b.s AND a.doc_id < b.doc_id
              |        GROUP BY 1, 2),
              |truth AS (SELECT a_id, b_id FROM itj
              |          JOIN szj sa ON sa.doc_id = a_id

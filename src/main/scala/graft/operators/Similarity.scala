@@ -445,10 +445,15 @@ object Similarity {
     val q = broadcast(e.filter(col("vec_id") === queryId).select(col("e").as("qe")))
     val rel = e.filter(col("vec_id") =!= queryId).crossJoin(q)
       .select(col("vec_id"), col("e"), cosE6(col("e"), col("qe")).as("rel_e6"))
-    val cand = rel.orderBy(col("rel_e6").desc, col("vec_id")).limit(pool)
-    val candM = Dedup.materialize(cand.select("vec_id", "rel_e6"))
-    val ca = cand.select(col("vec_id").as("a_id"), col("e").as("ea"))
-    val cb = cand.select(col("vec_id").as("b_id"), col("e").as("eb"))
+    // materialize the candidates WITH their vectors: the pairwise-sim
+    // build and every greedy round then run off the pool-sized checkpoint
+    // — deriving the pair sides from the lazy top-k instead would
+    // re-execute the corpus relevance scan once per side
+    val candV = Dedup.materialize(
+      rel.orderBy(col("rel_e6").desc, col("vec_id")).limit(pool))
+    val candM = candV.select("vec_id", "rel_e6")
+    val ca = candV.select(col("vec_id").as("a_id"), col("e").as("ea"))
+    val cb = candV.select(col("vec_id").as("b_id"), col("e").as("eb"))
     val pairsM = Dedup.materialize(
       ca.join(cb, col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
@@ -475,6 +480,11 @@ object Similarity {
           col("vec_id").as("v"))).as("b"))
         .select(lit(r).as("round"), col("b.v").as("vec_id"),
           (-col("b.ns")).as("score10_e6"))
+        // a pool smaller than k exhausts before the last round — the
+        // aggregate then yields one all-null row; drop it so the result
+        // simply ends early (the BPE merge-table convention) instead of
+        // emitting null-id rounds
+        .filter(col("vec_id").isNotNull)
       val next = Dedup.materialize(
         if (selected == null) win else selected.unionAll(win))
       if (selected != null) Dedup.release(selected)

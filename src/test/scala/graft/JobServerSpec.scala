@@ -119,22 +119,37 @@ class JobServerSpec extends AnyFunSuite {
   test("family caches stay bounded across jobs on different sfDirs") {
     // Long-lived-session memory contract for the QUERY-side caches (the r7
     // JobServer got a job-registry cap; the family caches got none): run a
-    // cache-consuming query against two data dirs through the control
-    // plane and assert every family cache respects its LRU bound — a
-    // session cycling sfDirs must not pin one materialized pair set per
-    // dir forever.
+    // cache-consuming query against FIVE data dirs through the control
+    // plane — one more than the LRU cap — so the assert can only pass if
+    // eviction actually fired (the old unbounded TrieMaps would sit at 5+;
+    // a 2-dir version of this test passed against them vacuously). Dirs
+    // beyond the real fixtures are tiny synthetic corpora staged here.
     val srv = new JobServer(spark)
+    val idRe = """"job_id" : "([^"]+)"""".r
+    def submit(dir: String): Unit = {
+      val (code, resp) = post(srv.boundPort, "/mapreduce",
+        s"""{"query": "dd_minhash_lsh", "sfDir": "$dir"}""")
+      assert(code == 200, resp)
+      val id = idRe.findFirstMatchIn(resp).map(_.group(1)).getOrElse(fail(resp))
+      val out = pollUntilDone(srv.boundPort, id)
+      assert(out != "ERROR", s"$dir: $out")
+    }
     try {
-      val idRe = """"job_id" : "([^"]+)"""".r
-      for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-        val (code, resp) = post(srv.boundPort, "/mapreduce",
-          s"""{"query": "dd_minhash_lsh", "sfDir": "$dir"}""")
-        assert(code == 200, resp)
-        val id = idRe.findFirstMatchIn(resp).map(_.group(1)).getOrElse(fail(resp))
-        val out = pollUntilDone(srv.boundPort, id)
-        assert(out != "ERROR" && out.nonEmpty, s"$dir: $out")
-      }
+      import spark.implicits._
+      val dirs = (1 to 3).map { i =>
+        val dir = java.nio.file.Files.createTempDirectory(s"fc_dir$i").toString
+        (0 until 40).map { j =>
+          val base = s"alpha bravo charlie delta echo foxtrot golf hotel india x$i$j"
+          (j.toLong, base + " " + base, "en", "synth", 10L)
+        }.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      } ++ Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      dirs.foreach(submit)
       val sizes = graft.operators.PipelineQueries.familyCacheSizes
+      // minhashPairCache saw 5 distinct dirs: the LRU must sit exactly at
+      // its cap — proving an eviction happened — and nothing may exceed it
+      assert(sizes.head == 4, s"expected minhash cache at its cap after 5 dirs: $sizes")
       assert(sizes.forall(_ <= 4), s"family cache grew past its bound: $sizes")
     } finally srv.stop()
   }

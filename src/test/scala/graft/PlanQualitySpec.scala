@@ -452,11 +452,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // to the ENTIRE inventory via PlanAudit.windowIssues — every
     // unpartitioned window must sit over a Limit, a scalar aggregate, or a
     // documented bounded spine (allowlist in PlanAudit), never a raw scan
-    // or vocabulary-sized aggregate. Streaming/eager queries are skipped
-    // here (they execute on construction; PlanAudit's runMain gate covers
-    // them) — this keeps the spec a pure plan-compile sweep.
+    // or vocabulary-sized aggregate. KNOWN LIMIT of the static sweep:
+    // queries that eagerly Dedup.materialize (family caches, iterative
+    // loops) hand back plans whose checkpointed subtrees appear as opaque
+    // LogicalRDDs — windows UPSTREAM of a materialize point are invisible
+    // here and are covered instead by each operator's own construction
+    // (orderBy.limit candidate picks, d x d loop frames) and specs.
+    // Skipped outright: streaming/KV queries (execute real engines on
+    // construction; PlanAudit's runMain gate covers them) and the three
+    // loop-built spectral/MMR queries whose RETURNED frame is entirely
+    // post-checkpoint — compiling them here would run the full pipeline
+    // for a vacuous pass.
     val skip = SparkEntry.allQueries.map(_.name).filter(n =>
-      n.startsWith("st_") || n == "tx_kv_shuffle")
+      n.startsWith("st_") || n == "tx_kv_shuffle" ||
+        Set("sim_power_iteration", "sim_pca_residual", "sim_mmr_rerank")(n))
     for (q <- SparkEntry.allQueries.map(_.name) if !skip.contains(q)) {
       val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       val issues = PlanAudit.windowIssues(q, lp)
