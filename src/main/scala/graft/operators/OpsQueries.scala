@@ -513,8 +513,7 @@ object OpsQueries {
       (s, d) => {
         val truth = Dedup.jaccardFromStats(PipelineQueries.pairStats(s, d),
           minJ = 0.8).select("a_id", "b_id")
-        val found = Dedup.simhashPairsVerified(T(s, d, "documents"),
-          n = PipelineQueries.SimhashN, maxHam = 7, minJ = 0.8)
+        val found = PipelineQueries.simhashVerifiedPairs(s, d)
           .select("a_id", "b_id")
         val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
         truth.agg(count(lit(1)).as("n_truth"))

@@ -73,11 +73,24 @@ object PipelineQueries {
       Dedup.materialize(Dedup.connectedComponentsStar(
         minhashPairs(s, d).select("a_id", "b_id"))))
 
+  /** Verified SimHash pair set (scale config, PolyHash31 features) shared
+    * by dd_simhash (reports it) and dd_simhash_recall (scores it against
+    * the exact-Jaccard truth) — the same one-producer/many-consumers
+    * family pattern as the MinHash pair set above.
+    */
+  private val simhashPairCache = new FamilyCache[(SparkSession, String)]()
+
+  private[operators] def simhashVerifiedPairs(s: SparkSession, d: String) =
+    simhashPairCache.getOrElseUpdate((s, d),
+      Dedup.materialize(Dedup.simhashPairsVerified(T(s, d, "documents"),
+        n = SimhashN, maxHam = 7, minJ = 0.8)))
+
   /** Test surface for the family-cache bound (JobServerSpec's
     * multi-sfDir submission case).
     */
   private[graft] def familyCacheSizes: Seq[Int] =
-    Seq(minhashPairCache.size, pairStatsCache.size, ccLabelCache.size)
+    Seq(minhashPairCache.size, pairStatsCache.size, ccLabelCache.size,
+      simhashPairCache.size)
 
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every
@@ -783,8 +796,7 @@ object PipelineQueries {
     // candidate-free all-pairs form {ham <= 7 AND J >= 0.8} DuckDB computes
     // from the dd_simhash_bits CTE chain plus shingle-set intersections.
     QueryDef("dd_simhash",
-      (s, d) => Dedup.simhashPairsVerified(T(s, d, "documents"), n = SimhashN,
-        maxHam = 7, minJ = 0.8).orderBy("a_id", "b_id"),
+      (s, d) => simhashVerifiedPairs(s, d).orderBy("a_id", "b_id"),
       Some(s"""${simhashSimsCtes(SimhashN)},
              |hset AS (SELECT DISTINCT doc_id, h0 FROM h),
              |hsz AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
