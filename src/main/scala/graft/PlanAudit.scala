@@ -47,8 +47,10 @@ object PlanAudit {
     *    natural working set
     *  - tx_vocab_growth: running sum over a per-doc rollup under a
     *    doc_id < 100 prefix filter pushed to the scan — 100 rows (a
-    *    literal filter bound the structural walk cannot prove, so the
-    *    allowlist also covers its class-0 verdict)
+    *    literal filter bound the structural walk cannot prove; it alone
+    *    is ALSO excused a class-0 verdict via [[literalBoundedWindows]] —
+    *    the other allowlisted names stay flagged if they ever regress to
+    *    a window over an unreduced scan)
     *  - ts_cume_users / ts_ewma / ts_rolling_corr / ts_lerp: running
     *    windows over per-DAY/HOUR aggregates or the min-to-max calendar
     *    spine (explode(sequence(min, max))) — calendar-sized (grows with
@@ -64,15 +66,24 @@ object PlanAudit {
     "ts_cume_users", "ts_ewma", "ts_rolling_corr", "ts_lerp",
     "rel_share_of_total", "tx_mixture_plan")
 
+  /** The only query excused an UNREDUCED (class-0) window verdict: its
+    * bound is a literal prefix filter the structural walk cannot see.
+    */
+  private val literalBoundedWindows = Set("tx_vocab_growth")
+
   /** Unpartitioned-window scale audit (round-8 graduation of the r7
     * three-query assert to the whole inventory): a Window with an empty
     * partitionSpec executes in ONE task, so its input must be provably
-    * bounded. Accepted evidence in the window's child subtree, strongest
-    * first:
-    *  - a Limit (GlobalLimit/LocalLimit) — top-k reduced, k rows
+    * bounded. Boundedness is PROPAGATED structurally through the child
+    * subtree (see cls() below), not grepped for anywhere in it. Accepted,
+    * strongest first:
+    *  - a GlobalLimit on the input path — top-k reduced, k rows
+    *    (LocalLimit is NOT evidence: k rows PER PARTITION grows with the
+    *    cluster)
     *  - a scalar Aggregate (no grouping keys) — 1 row
-    *  - a keyed Aggregate ONLY for [[boundedSpineWindows]] queries, where
-    *    the key is a documented corpus-independent spine
+    *  - a keyed Aggregate whose own input is already bounded, or ONLY for
+    *    [[boundedSpineWindows]] queries, where the key is a documented
+    *    corpus-independent spine
     * Anything else — a bare scan, filter, join, or vocabulary-keyed
     * aggregate feeding a global window — is the single-task sort funnel
     * that dies first at 100 TB (the shape tx_bpe_* and tx_sharded_topk
@@ -86,10 +97,12 @@ object PlanAudit {
     // aggregate anywhere in the child subtree — including on the build
     // side of a join, where it bounds nothing (corpus JOIN dim.limit(100)
     // is still corpus-sized). This walk propagates correctly:
-    //  - GlobalLimit: bounded (k rows). LocalLimit alone is NOT evidence
-    //    (k per partition — grows with the cluster).
+    //  - GlobalLimit: bounded (k rows). LocalLimit is NOT accepted as
+    //    evidence on its own (k per partition — grows with the cluster);
+    //    it passes through like other unary nodes.
     //  - scalar Aggregate: 1 row. Keyed Aggregate: distinct-key-sized —
-    //    only acceptable via the documented bounded-spine allowlist.
+    //    bounded if its INPUT already is (top-k then grouped), else
+    //    class 1, acceptable only via the bounded-spine allowlist.
     //  - Join/Union: as bounded as their WEAKEST input (a join output is
     //    corpus-sized whenever either side is).
     //  - Generate (explode): expands rows — weakens Bounded to KeyedAgg
@@ -99,7 +112,7 @@ object PlanAudit {
     def cls(p: LogicalPlan): Int = p match {
       case _: GlobalLimit => 2
       case a: Aggregate if a.groupingExpressions.isEmpty => 2
-      case _: Aggregate => 1
+      case a: Aggregate => if (cls(a.child) == 2) 2 else 1
       case j: Join => math.min(cls(j.left), cls(j.right))
       case u: Union => u.children.map(cls).min
       case g: Generate => math.min(cls(g.child), 1)
@@ -111,7 +124,8 @@ object PlanAudit {
           if w.partitionSpec.isEmpty =>
         cls(w.child) match {
           case 2 => None
-          case _ if boundedSpineWindows(name) => None
+          case 1 if boundedSpineWindows(name) => None
+          case 0 if literalBoundedWindows(name) => None
           case 1 => Some("unpartitioned window over keyed-aggregate input (not on bounded-spine allowlist)")
           case _ => Some("unpartitioned window over unreduced input")
         }

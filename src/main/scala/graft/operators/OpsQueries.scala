@@ -538,10 +538,7 @@ object OpsQueries {
              |          JOIN hsz sa ON sa.doc_id = a_id
              |          JOIN hsz sb ON sb.doc_id = b_id
              |          WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
-             |shu AS (SELECT DISTINCT doc_id,
-             |               unnest(list_transform(generate_series(1, len(t) - 2),
-             |                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-             |        FROM tt),
+             |shu AS (${PipelineQueries.shingleUnnestSql("tt")}),
              |szj AS (SELECT doc_id, count(*) AS n FROM shu GROUP BY 1),
              |itj AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
              |        FROM shu a JOIN shu b ON a.s = b.s AND a.doc_id < b.doc_id

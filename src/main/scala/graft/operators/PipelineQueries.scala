@@ -96,12 +96,20 @@ object PipelineQueries {
     * single source of truth for "what is a near-dup pair" across every
     * oracle that needs it (change the shingle definition here only).
     */
-  private[operators] val jaccardCtes =
-    s"""tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
+  /** The untruncated 3-gram shingle body (`SELECT ... FROM <ttRef>`) —
+    * THE single definition of the truth-side shingle; jaccardCtes' `sh`
+    * and dd_simhash_recall's `shu` both interpolate it, so a shingle
+    * change cannot drift the two truth sets apart.
+    */
+  private[operators] def shingleUnnestSql(ttRef: String): String =
+    s"""SELECT DISTINCT doc_id,
       |              unnest(list_transform(generate_series(1, len(t) - 2),
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      |       FROM tt),
+      |       FROM $ttRef""".stripMargin
+
+  private[operators] val jaccardCtes =
+    s"""tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
+      |sh AS (${shingleUnnestSql("tt")}),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -126,26 +126,31 @@ class JobServerSpec extends AnyFunSuite {
     // beyond the real fixtures are tiny synthetic corpora staged here.
     val srv = new JobServer(spark)
     val idRe = """"job_id" : "([^"]+)"""".r
-    def submit(dir: String): Unit = {
+    def submit(dir: String, expectRows: Boolean): Unit = {
       val (code, resp) = post(srv.boundPort, "/mapreduce",
         s"""{"query": "dd_minhash_lsh", "sfDir": "$dir"}""")
       assert(code == 200, resp)
       val id = idRe.findFirstMatchIn(resp).map(_.group(1)).getOrElse(fail(resp))
       val out = pollUntilDone(srv.boundPort, id)
       assert(out != "ERROR", s"$dir: $out")
+      // the real fixtures must produce pairs (an empty pair set there is a
+      // pipeline regression); the synthetic corpora may legitimately not
+      if (expectRows) assert(out.nonEmpty, s"$dir: empty pair set")
     }
     try {
       import spark.implicits._
+      // JVM-exit-cleaned staging (TempDirs), not raw createTempDirectory —
+      // repeated test runs must not accumulate corpora under /tmp
       val dirs = (1 to 3).map { i =>
-        val dir = java.nio.file.Files.createTempDirectory(s"fc_dir$i").toString
+        val dir = graft.sources.TempDirs.create(s"fc_dir$i").toString
         (0 until 40).map { j =>
           val base = s"alpha bravo charlie delta echo foxtrot golf hotel india x$i$j"
           (j.toLong, base + " " + base, "en", "synth", 10L)
         }.toDF("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        dir
-      } ++ Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-      dirs.foreach(submit)
+        dir -> false
+      } ++ Seq("/root/testdata/sf0.001" -> true, "/root/testdata/sf0.01" -> true)
+      dirs.foreach { case (d, expectRows) => submit(d, expectRows) }
       val sizes = graft.operators.PipelineQueries.familyCacheSizes
       // minhashPairCache saw 5 distinct dirs: the LRU must sit exactly at
       // its cap — proving an eviction happened — and nothing may exceed it
