@@ -6,13 +6,14 @@ object Bench {
     * Aggregate(count(1)) and prune unfiltered projections — pure-projection
     * queries (fn_string, fn_json, ...) would time scan+count only.
     */
-  private def run(df: DataFrame): Unit =
+  private[graft] def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  /** The bench session config, shared with [[SoloBands]] so solo bands are
+    * measured under exactly the in-suite session settings.
+    */
+  private[graft] def benchSession(cpus: String): SparkSession =
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Static conf, default 100: the inventory compiles far more than 100
@@ -34,6 +35,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = benchSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: run every query once at the smallest SF so its
     // generated code is compiled and JIT-warmed before timing — codegen'd
@@ -71,6 +77,16 @@ object Bench {
     graft.sources.PartitionedView.eventsByDate(spark, sfDir)
     graft.sources.BucketedView.ordersLineitem(spark, sfDir)
     graft.sources.IvfView.embeddingsByLabel(spark, sfDir)
+    // Family-cache staging, same rationale as the layouts above: the
+    // shared materializations (MinHash pairs, pair stats, CC labels,
+    // SimHash pairs, Gram/power triple) are one-time prep a pipeline
+    // lands before queries run; timed in-suite they land on whichever
+    // consumer is alphabetically first and read as phantom per-query
+    // regressions (r8: three adjudicated). The warm cost stays VISIBLE
+    // as labeled `_warm:` lines (below) rather than inside some query.
+    val warms =
+      graft.operators.PipelineQueries.stageFamilyCaches(spark, sfDir) ++
+        graft.operators.OpsQueries.stageGramCache(spark, sfDir)
     // SPARK_GRAFT_REPEAT=N: time each query N times (tail-latency hunting).
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     // Per-query history FILE in the repo: the driver's tail capture keeps
@@ -92,6 +108,11 @@ object Bench {
         Some(new java.io.PrintWriter(
           new java.io.FileWriter(s"BENCH_LOCAL$roundTag.jsonl", false)))
       else None
+    warms.foreach { case (label, sec) =>
+      val line = s"""{"q":"_warm:$label","sec":$sec}"""
+      println(line)
+      localLog.foreach { w => w.println(line); w.flush() }
+    }
     val results = selected.flatMap { case (name, fn) =>
       (1 to repeat).map(i => (if (repeat == 1) name else s"$name#$i") -> fn)
     }.map { case (name, fn) =>
@@ -123,6 +144,20 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     localLog.foreach { w =>
       w.println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+      w.close()
+    }
+    // Streaming throughput artifact: per-tag micro-batch metrics captured
+    // from the engine's own StreamingQueryProgress during the timed run
+    // (last run per tag wins = the timed-sfDir execution). The 13 st_*
+    // shapes gate CORRECTNESS; this file is the committed speed record a
+    // streaming perf regression would show up in.
+    if (args.isEmpty && new java.io.File("build.sbt").exists()) {
+      val w = new java.io.PrintWriter(
+        new java.io.FileWriter(s"STREAM_METRICS$roundTag.jsonl", false))
+      graft.streaming.StreamGate.metricsSnapshot.toSeq.sortBy(_._1).foreach {
+        case (t, m) =>
+          w.println(f"""{"tag":"$t","batches":${m.batches}%d,"input_rows":${m.inputRows}%d,"trigger_ms":${m.triggerMs}%d,"rows_per_sec":${m.rowsPerSec}%.1f}""")
+      }
       w.close()
     }
     spark.stop()

@@ -33,7 +33,7 @@ object PlanAudit {
   private val nlAllowed = Set(
     "dd_embedding_cosine", "dd_ngram_jaccard", "dd_containment",
     "dd_neardup_filter", "dd_threshold_sweep",
-    "fn_levenshtein", "rel_join_theta", "sim_threshold_tuning")
+    "fn_levenshtein", "rel_join_theta")
 
   /** Queries allowed an unpartitioned window whose only reduction below it
     * is a KEYED aggregate — each documented as a bounded spine whose key
@@ -156,10 +156,13 @@ object PlanAudit {
   private def tinySide(p: SparkPlan): Boolean = walk(p).exists {
     case _: HashAggregateExec | _: ObjectHashAggregateExec |
          _: SortAggregateExec => true
-    // a Limit/top-k bounds the build side to k rows by construction
-    // (sim_mmr_rerank's 20-candidate pairwise-sim build)
+    // a planned GLOBAL limit bounds the build side to k rows by
+    // construction (sim_mmr_rerank's 20-candidate pairwise-sim build) and
+    // always contains the GlobalLimitExec/TakeOrderedAndProject node.
+    // LocalLimitExec alone is NOT accepted: it bounds k rows PER PARTITION
+    // (grows with the cluster) — the same reason windowIssues rejects
+    // LocalLimit as boundedness evidence.
     case _: org.apache.spark.sql.execution.GlobalLimitExec |
-         _: org.apache.spark.sql.execution.LocalLimitExec |
          _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case l: LocalTableScanExec => l.rows.size <= 100
     case f: org.apache.spark.sql.execution.FilterExec =>
@@ -188,6 +191,16 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.allQueries.map(_.name)
     var flagged = 0
+    // Allowlist liveness: a gate allowlist containing dead names rots
+    // silently (r8 carried "sim_threshold_tuning", which was never a query
+    // name) — every exempted name must be a live inventory query, or the
+    // audit itself fails.
+    val live = SparkEntry.queries.keySet
+    (nlAllowed ++ boundedSpineWindows ++ literalBoundedWindows)
+      .filterNot(live).toSeq.sorted.foreach { dead =>
+        flagged += 1
+        println(s"FLAG allowlist: '$dead' is not a live query name")
+      }
     names.foreach { n =>
       try {
         val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution

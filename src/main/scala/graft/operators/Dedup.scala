@@ -768,6 +768,33 @@ object Dedup {
     * side. Hash collisions (~1e-9 at 1e5 distinct shingles) are the same
     * accepted equivalence the Jaccard pipeline runs on.
     */
+  /** Blocked fuzzy string matching — the SCALE twin of the exact all-pairs
+    * Levenshtein anchor (fn_levenshtein, a 25-row dimension cross; fine
+    * there, allowlisted, quadratic anywhere else). Standard blocking:
+    * assign every name a block key (prefixLen-char prefix, length DIV
+    * lenBand), EQUI-JOIN on the key, and run the O(|a|·|b|) edit-distance
+    * DP only within blocks — pair cost drops from n² to Σ per-block².
+    *
+    * Recall tradeoff, by construction: a pair whose edit sits inside the
+    * prefix, or that straddles a length band, never shares a block and is
+    * missed — the documented blocking compromise every production fuzzy
+    * matcher makes (candidate recall < 1; the exact anchor stays the
+    * correctness baseline). Input is a 1-column `name` frame (callers
+    * pass a DISTINCT vocabulary — matching runs on the name space, not
+    * the row space).
+    */
+  def fuzzyBlockedPairs(names: DataFrame, prefixLen: Int = 2, lenBand: Int = 8,
+                        maxDist: Int = 4): DataFrame = {
+    val b = names.select(col("name"),
+      substring(col("name"), 1, prefixLen).as("pfx"),
+      floor(length(col("name")) / lenBand).as("lb"))
+    b.select(col("name").as("a"), col("pfx"), col("lb"))
+      .join(b.select(col("name").as("b"), col("pfx"), col("lb")), Seq("pfx", "lb"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("a"), col("b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def decontaminate(docs: DataFrame, isTest: Column, n: Int = 8): DataFrame = {
     // isTest is evaluated against DOCS (any docs column works, e.g.
     // col("split") === "test"), then carried to the shingle rows by a

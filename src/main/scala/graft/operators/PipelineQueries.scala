@@ -37,7 +37,7 @@ object PipelineQueries {
   // exit — a leak for a long-lived JobServer session cycling data dirs).
   // See FamilyCache for the eviction-safety contract; JobServerSpec
   // exercises submissions across multiple sfDirs against the bound.
-  private val minhashPairCache = new FamilyCache[(SparkSession, String)]()
+  private val minhashPairCache = FamilyCache.frames[(SparkSession, String)]()
 
   private def minhashPairs(s: SparkSession, d: String) =
     minhashPairCache.getOrElseUpdate((s, d),
@@ -51,7 +51,7 @@ object PipelineQueries {
     * equi-join, so the expensive pair generation runs once per (session,
     * sfDir) — the same family-cache pattern as the MinHash pair set above.
     */
-  private val pairStatsCache = new FamilyCache[(SparkSession, String)]()
+  private val pairStatsCache = FamilyCache.frames[(SparkSession, String)]()
 
   private[operators] def pairStats(s: SparkSession, d: String) =
     pairStatsCache.getOrElseUpdate((s, d),
@@ -66,7 +66,7 @@ object PipelineQueries {
     * detail) — same family-cache pattern as the pair sets above. The label
     * table is O(near-dup docs).
     */
-  private val ccLabelCache = new FamilyCache[(SparkSession, String)]()
+  private val ccLabelCache = FamilyCache.frames[(SparkSession, String)]()
 
   private[operators] def ccLabels(s: SparkSession, d: String) =
     ccLabelCache.getOrElseUpdate((s, d),
@@ -78,7 +78,7 @@ object PipelineQueries {
     * the exact-Jaccard truth) — the same one-producer/many-consumers
     * family pattern as the MinHash pair set above.
     */
-  private val simhashPairCache = new FamilyCache[(SparkSession, String)]()
+  private val simhashPairCache = FamilyCache.frames[(SparkSession, String)]()
 
   private[operators] def simhashVerifiedPairs(s: SparkSession, d: String) =
     simhashPairCache.getOrElseUpdate((s, d),
@@ -91,6 +91,30 @@ object PipelineQueries {
   private[graft] def familyCacheSizes: Seq[Int] =
     Seq(minhashPairCache.size, pairStatsCache.size, ccLabelCache.size,
       simhashPairCache.size)
+
+  /** Stage every dedup family cache for (s, d) OFF the bench clock,
+    * returning (label, build-seconds) per cache. Why: in-suite per-query
+    * times otherwise fold each shared materialization into whichever
+    * consumer alphabetically reaches the cache first (r8: dd_cc_clusters
+    * carried the CC-label+pair-set warm at 3.36s, solo band 1.1-1.6s),
+    * which manufactured phantom bench regressions. A production pipeline
+    * lands these shared intermediates in an ingest/prep stage anyway —
+    * exactly like the PartitionedView/BucketedView layout staging Bench
+    * already does — so the bench clock should start where query latency
+    * starts. The warm cost itself stays visible: Bench emits each
+    * returned pair as its own labeled `_warm:` line.
+    */
+  private[graft] def stageFamilyCaches(s: SparkSession, d: String): Seq[(String, Double)] = {
+    def timed(label: String)(thunk: => Any): (String, Double) = {
+      val t0 = System.nanoTime(); thunk
+      (label, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("minhash_pairs") { minhashPairs(s, d) },
+      timed("pair_stats") { pairStats(s, d) },
+      timed("cc_labels") { ccLabels(s, d) },
+      timed("simhash_pairs") { simhashVerifiedPairs(s, d) })
+  }
 
   /** Shared CTE chain computing exact 3-gram shingle intersections — the
     * single source of truth for "what is a near-dup pair" across every
@@ -754,6 +778,27 @@ object PipelineQueries {
              |FROM j JOIN (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)
              |  ON jaccard >= t
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Blocked fuzzy matching over the part-name vocabulary: the scale twin
+    // that completes the every-anchor-has-a-scale-twin invariant for
+    // fn_levenshtein (the one dedup-family member that was all-pairs-only).
+    // Block key = (2-char prefix, length DIV 8): the join is an EQUI-join
+    // on the key — no nested loop anywhere in the plan (PlanQualitySpec
+    // asserts it) — and Levenshtein runs only within blocks. Both engines
+    // ship the same DP distance and the same blocking, so the (documented)
+    // recall loss is deterministic and the outputs hash-match.
+    QueryDef("dd_fuzzy_blocked",
+      (s, d) => Dedup.fuzzyBlockedPairs(
+          T(s, d, "part").select(col("p_name").as("name")).distinct())
+        .orderBy("a", "b"),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+             |b AS (SELECT name, substr(name, 1, 2) AS pfx, len(name) // 8 AS lb
+             |      FROM n)
+             |SELECT a.name AS a, b.name AS b,
+             |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+             |FROM b a JOIN b b ON a.pfx = b.pfx AND a.lb = b.lb AND a.name < b.name
+             |WHERE levenshtein(a.name, b.name) <= 4
+             |ORDER BY a, b""".stripMargin)),
 
     // Shingle-sharing skew profile: for each sharing level f (docs per
     // distinct shingle), how many shingles sit at that level — the skew

@@ -431,6 +431,13 @@ object Similarity {
     * greedy round run on <= pool-row frames, each round's winner a 1-row
     * aggregate broadcast back (the k-means-centroid loop pattern — no
     * driver collect).
+    *
+    * Latency note: greedy MMR is inherently k SEQUENTIAL rounds = k Spark
+    * job launches, so at interactive scale the job-launch overhead — not
+    * data volume — dominates wall time (every round frame is pool-sized).
+    * For latency-critical serving, run the greedy loop on the pool
+    * locally after the distributed top-k; the distributed form here is
+    * the batch/offline shape.
     */
   def mmrRerank(embs: DataFrame, queryId: Long, pool: Int, k: Int,
                 lambdaTenths: Int): DataFrame = {

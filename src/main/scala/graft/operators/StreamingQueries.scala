@@ -39,7 +39,7 @@ object StreamingQueries {
   // reference — the sink dir itself is TempDirs JVM-exit-cleaned), so
   // eviction can never invalidate an in-flight consumer the way a
   // released checkpoint could; re-entry after eviction re-RUNS the stream
-  private val winEmitCache = new FamilyCache[(SparkSession, String)]()
+  private val winEmitCache = FamilyCache.frames[(SparkSession, String)]()
 
   private def windowedEmissions(s: SparkSession, d: String) =
     winEmitCache.getOrElseUpdate((s, d),

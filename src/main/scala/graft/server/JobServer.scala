@@ -64,7 +64,18 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
     * whole cluster). Raise this for concurrent multi-tenant jobs — each
     * worker just blocks on a Spark action.
     */
-  private val pool = Executors.newFixedThreadPool(2)
+  private val jobWorkers = 2
+  // Eviction safety of the family caches (FamilyCache scaladoc): an
+  // in-flight job's localCheckpoint frame must never be evicted+released
+  // mid-action, which holds when cache cap >= 2 x concurrent consumers.
+  // Enforce the coupling HERE, where concurrency is configured — raising
+  // jobWorkers without widening FamilyCache.DefaultCap must fail loudly
+  // at construction, not surface later as unrecomputable missing blocks.
+  require(2 * jobWorkers <= graft.operators.FamilyCache.DefaultCap,
+    s"jobWorkers=$jobWorkers needs FamilyCache cap >= ${2 * jobWorkers} " +
+      s"(have ${graft.operators.FamilyCache.DefaultCap}) — widen the caches " +
+      "before raising server concurrency")
+  private val pool = Executors.newFixedThreadPool(jobWorkers)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort

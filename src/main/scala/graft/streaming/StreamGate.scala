@@ -24,6 +24,25 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamGate {
 
+  /** Per-run streaming throughput, captured from the engine's own
+    * `StreamingQueryProgress` after every gate execution: micro-batch
+    * count, total input rows, summed trigger-execution time, and derived
+    * rows/sec. The correctness gate (13 st_* shapes) said nothing about
+    * SPEED until round 9 — a streaming perf regression was invisible to
+    * the committed artifacts; Bench now snapshots this map into
+    * STREAM_METRICS_r<N>.json per round.
+    */
+  final case class StreamMetrics(tag: String, batches: Int, inputRows: Long,
+                                 triggerMs: Long, rowsPerSec: Double)
+
+  private val lastMetrics = TrieMap.empty[String, StreamMetrics]
+
+  /** Latest metrics per gate tag (a re-run of the same tag overwrites, so
+    * the snapshot reflects the most recent — for Bench, the timed-sfDir —
+    * execution of each shape).
+    */
+  def metricsSnapshot: Map[String, StreamMetrics] = lastMetrics.toMap
+
   /** FileStreamSource lists a directory; the testdata tables are single
     * parquet FILES. Stage via symlink (fallback: copy) into a temp dir —
     * cached per source path, so the four st_* queries (and bench repeats)
@@ -83,13 +102,18 @@ object StreamGate {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val inputRows = q.recentProgress.map(_.numInputRows).sum
+        val prog = q.recentProgress
+        val inputRows = prog.map(_.numInputRows).sum
         // execution proof: zero processed rows is only legitimate when the
         // source itself is empty — don't conflate "engine didn't run" with
         // "input had no rows"
         require(inputRows > 0 ||
             spark.read.schema(schema).parquet(in).isEmpty,
           s"stream $tag reported no processed rows — not a streaming execution?")
+        val trigMs = prog.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum
+        lastMetrics.put(tag, StreamMetrics(tag, prog.length, inputRows, trigMs,
+          if (trigMs > 0) inputRows * 1000.0 / trigMs else 0.0))
       } finally spark.conf.set(partsKey, prevParts)
     }
     spark.read.schema(transformed.schema).parquet(dataDir)

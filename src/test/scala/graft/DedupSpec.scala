@@ -252,6 +252,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(("w1", 2L, 1L, 1L), ("w2", 1L, 1L, 0L)), got)
   }
 
+  test("fuzzyBlockedPairs: exact within blocks, documented misses across them") {
+    val names = Seq("grafting", "graftings", "crafting", "kraftwerk", "graft")
+      .toDF("name")
+    val got = Dedup.fuzzyBlockedPairs(names, prefixLen = 2, lenBand = 8, maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    // same block (pfx "gr", len 8-9 -> band 1): grafting~graftings dist 1
+    assert(got == Set(("grafting", "graftings", 1)), got)
+    // crafting (pfx "cr") is dist 1 from grafting but BLOCKED OUT by the
+    // prefix bucket; graft (len 5 -> band 0) by the length band — the
+    // deterministic recall loss the scaladoc documents
+    val exact = names.as("x").crossJoin(names.as("y"))
+      .filter($"x.name" < $"y.name")
+      .filter(levenshtein($"x.name", $"y.name") <= 2).count()
+    assert(exact > got.size, "blocking should be a strict candidate subset here")
+  }
+
   test("dedup is idempotent: no pairs among deduplicated docs") {
     val deduped = corpus.join(
       Dedup.ngramJaccardPairs(corpus, minJ = 0.5).select($"b_id".as("doc_id")),

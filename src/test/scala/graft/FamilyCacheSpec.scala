@@ -17,10 +17,24 @@ class FamilyCacheSpec extends AnyFunSuite {
     Seq(tag).toDF("v")
   }
 
+  test("tuple-valued cache (gram/power family) releases every member on evict") {
+    // the r9 generalization to FamilyCache[K, V]: OpsQueries caches the
+    // (gU, g, v) spectral triple with an onEvict that must release ALL
+    // THREE frames — a partial release would leak two checkpoints per
+    // evicted data dir
+    val released = scala.collection.mutable.ArrayBuffer.empty[Int]
+    type Triple = (Int, Int, Int)
+    val cache = new FamilyCache[String, Triple](maxEntries = 1,
+      onEvict = { case (a, b, c) => released ++= Seq(a, b, c) })
+    cache.getOrElseUpdate("d1", (1, 2, 3))
+    cache.getOrElseUpdate("d2", (4, 5, 6))
+    assert(cache.size == 1 && released.toSeq == Seq(1, 2, 3), released)
+  }
+
   test("bounded LRU: capacity, touch-on-hit, eviction order, single-fire hook") {
     val evicted = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val cache = new FamilyCache[Int](maxEntries = 2,
-      onEvict = d => evicted += d.head().getInt(0))
+    val cache = new FamilyCache[Int, org.apache.spark.sql.DataFrame](
+      maxEntries = 2, onEvict = d => evicted += d.head().getInt(0))
     val (a, b, c) = (df(1), df(2), df(3))
     assert(cache.getOrElseUpdate(1, a) eq a)
     assert(cache.getOrElseUpdate(2, b) eq b)

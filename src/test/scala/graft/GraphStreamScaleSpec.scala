@@ -43,7 +43,9 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     * (a_id < b_id) pair-frame contract of the Graph operators.
     */
   private def stageEdges(nEdges: Long, nNodes: Long): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"grscale_$nEdges").toString
+    // JVM-exit-cleaned staging: a 10x corpus is ~1M rows of parquet, and
+    // repeated test runs must not accumulate copies under /tmp
+    val dir = graft.sources.TempDirs.create(s"grscale_$nEdges").toString
     spark.range(nEdges).selectExpr(
         s"CAST($nNodes * pow(pmod(hash(id, 3), 1000003) / 1000003.0, 2.0) AS BIGINT) AS x",
         s"CAST($nNodes * pow(pmod(hash(id, 7), 1000003) / 1000003.0, 2.0) AS BIGINT) AS y")
@@ -101,7 +103,7 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     * generation, no driver loops.
     */
   private def stageEvents(n: Long, users: Long): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"stscale_$n").toString
+    val dir = graft.sources.TempDirs.create(s"stscale_$n").toString
     val tmp = s"$dir/_gen"
     spark.range(n).selectExpr(
         "id AS event_id",

@@ -371,6 +371,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("blocked fuzzy match equi-joins on the block key, no nested-loop") {
+    // the scale twin of the fn_levenshtein all-pairs anchor: the pair space
+    // must come from an EQUI-join on (prefix, length-band) — a nested loop
+    // here would mean the blocking silently degenerated to all-pairs
+    val p = plan("dd_fuzzy_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("incremental aggregate merge keeps both partials map-side") {
     val p = plan("rel_incr_agg")
     assert(p.contains("partial_count") && p.contains("partial_sum"), p)

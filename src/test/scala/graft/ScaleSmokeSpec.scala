@@ -54,7 +54,9 @@ class ScaleSmokeSpec extends AnyFunSuite {
   }
 
   private def stage(nDocs: Int, nVecs: Int): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"scale_$nDocs").toString
+    // JVM-exit-cleaned (TempDirs), same rationale as GraphStreamScaleSpec:
+    // the 10x corpora must not accumulate under /tmp across runs
+    val dir = graft.sources.TempDirs.create(s"scale_$nDocs").toString
     corpus(nDocs).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     vectors(nVecs).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
@@ -76,6 +78,46 @@ class ScaleSmokeSpec extends AnyFunSuite {
     val a = once()
     val b = once()
     (math.min(a._1, b._1), b._2)
+  }
+
+  /** Operator-level twin of the query test below for the two TEXT-dedup
+    * pair pipelines — the highest-volume operators of the north-star
+    * mandate, and (through r8) the one family without a committed growth
+    * band. Times `Dedup.minhashLshPairs` (band → bucket → capped pair
+    * expansion → verify) and `Dedup.simhashPairsVerified` (16-bit
+    * multi-probe chunk candidates → hamming+Jaccard verify) DIRECTLY —
+    * not through the query layer, whose family caches would hide the
+    * pipeline cost behind a one-time warm. Sub-quadratic bound: linear
+    * shapes land near 10x, a candidate stage degenerating to all-pairs
+    * lands near 100x.
+    */
+  test("text-dedup pair pipelines (minhash bands, simhash chunks) grow ~linearly", Slow) {
+    import graft.operators.Dedup
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("minhashLshPairs/op", d => Dedup.minhashLshPairs(d)),
+      ("simhashPairsVerified/op", d => Dedup.simhashPairsVerified(d)))
+    // JIT/codegen warmup on the real small fixture, off the clock
+    val warm = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ops.foreach { case (_, op) => op(warm).count() }
+    val base = stage(BaseDocs, 0)
+    val big = stage(BaseDocs * Factor, 0)
+    ops.foreach { case (name, op) =>
+      def once(dir: String): (Double, Long) = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val t0 = System.nanoTime()
+        val rows = op(docs).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (t1a, _) = once(base); val (t1, r1) = { val b = once(base); (math.min(t1a, b._1), b._2) }
+      val (t10a, _) = once(big); val (t10, r10) = { val b = once(big); (math.min(t10a, b._1), b._2) }
+      val growth = t10 / t1
+      info(f"$name%-24s base=$t1%6.2fs rows=$r1%6d  10x=$t10%7.2fs rows=$r10%7d  growth=$growth%5.1fx")
+      assert(r1 > 0, s"$name degenerate at base scale (planted twins not found)")
+      assert(r10 > 0, s"$name degenerate at 10x scale")
+      assert(growth < 30.0,
+        s"$name grew ${growth}x for ${Factor}x docs — candidate stage " +
+          "degenerating toward all-pairs (band/bucket/chunk blocking lost)")
+    }
   }
 
   test("dedup/similarity growth is ~linear from bench scale to 10x", Slow) {
