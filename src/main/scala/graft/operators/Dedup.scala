@@ -233,39 +233,55 @@ object Dedup {
       s"bands ($bands) must divide the signature width k ($k) — otherwise " +
         "the banding would silently read only bands*(k/bands) of the " +
         "computed min-hashes and recall would differ from the requested k")
-    val rows = k / bands
-    // ONE aggregation over the (doc, shingle-hash) rows produces both the
-    // k-wide MinHash signature (codegen'd MIN aggregates with map-side
-    // partial min) and the sorted hash set used for exact-Jaccard
-    // verification — the shingle pipeline runs once, and all later joins
-    // carry compact longs instead of shingle strings.
-    val hrows = materialize(shingleHashRows(docs, n) // consumed by signature agg + verify sets
+    val hrows = minhashHashRows(docs, n)
+    val buckets = bandKeyRows(hrows, k, bands)
+      .groupBy("band", "key")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val candM = materialize(bucketPairs(buckets, maxBucket)) // tiny; consumed by the id semi-join + both verify joins
+    verifiedJaccard(hrows, candM).filter(col("jaccard") >= minJ)
+  }
+
+  /** Minhash'd shingle rows (doc_id, hraw, h), materialized — the shared
+    * input of the signature aggregate and the verification hash sets: one
+    * aggregation over these rows produces both, so the shingle pipeline
+    * runs once and all later joins carry compact longs instead of shingle
+    * strings.
+    */
+  private def minhashHashRows(docs: DataFrame, n: Int): DataFrame =
+    materialize(shingleHashRows(docs, n)
       .select(col("doc_id"), col("hraw"), pmod(col("hraw"), lit(TextFns.HashP)).as("h")))
+
+  /** (doc_id, band, key) LSH band-key rows from the k-wide signature.
+    * The signature aggregate is PURE codegen'd min-aggregation — mixing a
+    * collect_set into it forced the whole corpus-wide aggregate into
+    * interpreted ObjectHashAggregate (observed bimodal 4s-60s runtimes).
+    * Verification hash sets are collected separately for candidate docs
+    * only, which is also the 100 TB shape: never materialize per-doc sets
+    * for the whole corpus.
+    */
+  private def bandKeyRows(hrows: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val minCols = (0 until k).map(i =>
       min(pmod(lit(TextFns.minhashA(i)) * col("h") + lit(TextFns.minhashB(i)), lit(TextFns.HashP)))
         .as(s"m$i"))
-    // Signature aggregate is PURE codegen'd min-aggregation — mixing a
-    // collect_set into it forced the whole corpus-wide aggregate into
-    // interpreted ObjectHashAggregate (observed bimodal 4s-60s runtimes).
-    // Verification hash sets are collected further down for candidate docs
-    // only, which is also the 100 TB shape: never materialize per-doc sets
-    // for the whole corpus.
-    val perDoc = hrows
+    hrows
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         TextFns.lshBandKeys(array((0 until k).map(i => col(s"m$i")): _*), bands, rows)
           .as("bandkeys"))
-    val buckets = perDoc
       .select(col("doc_id"), posexplode(col("bandkeys")).as(Seq("band", "key")))
-      .groupBy("band", "key")
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val candM = materialize(bucketPairs(buckets, maxBucket)) // tiny; consumed by the id semi-join + both verify joins
-    // Exact-Jaccard verification: hash sets are collected ONLY for docs that
-    // appear in a candidate pair (semi-join first), and the joins broadcast
-    // the bounded candidate side — pins the strategy, which otherwise
-    // flapped between broadcast and SMJ (observed 3-24s swings).
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: hash sets are
+    * collected ONLY for docs that appear in a candidate pair (semi-join
+    * first), and the joins broadcast the bounded candidate side — pins
+    * the strategy, which otherwise flapped between broadcast and SMJ
+    * (observed 3-24s swings). Returns (a_id, b_id, jaccard), unfiltered —
+    * callers apply their threshold.
+    */
+  private def verifiedJaccard(hrows: DataFrame, candM: DataFrame): DataFrame = {
     val candIds = candM.select(col("a_id").as("doc_id"))
       .union(candM.select(col("b_id").as("doc_id"))).distinct()
     val hsets = hrows
@@ -279,7 +295,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
           size(array_union(col("ha"), col("hb"))), 4).as("jaccard"))
+  }
+
+  /** Incremental MinHash admission — the INDEX-PROBE shape of near-dup
+    * dedup at 100 TB: the landed corpus's LSH bucket table is a persisted
+    * ingest artifact; an incoming batch computes signatures for its OWN
+    * docs, probes the landed buckets by (band, key) EQUI-join, and
+    * verifies candidates with exact Jaccard — never re-pairing the landed
+    * corpus against itself. Probe cost is O(batch x bucket-hit rate); the
+    * full-corpus signature recompute here exists only because the gate
+    * derives both sides from one table — the plan downstream of the
+    * signature aggregate is the production probe plan.
+    *
+    * Returns (new_id, landed_id, jaccard >= minJ) — the admission
+    * verdict per incoming doc. Recall bound is [[minhashLshPairs]]'s
+    * (32 bands x 4 rows). Over-full landed buckets are capped to their
+    * maxBucket smallest members — the min-id keeper convention keeps
+    * every batch doc linked to a bucket's canonical representatives.
+    */
+  def incrementalMinhashProbe(docs: DataFrame, isNew: Column, n: Int = 3,
+                              k: Int = 128, bands: Int = 32, minJ: Double = 0.8,
+                              maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature width k ($k)")
+    val flags = docs.select(col("doc_id"), isNew.as("is_new"))
+    val hrows = minhashHashRows(docs, n)
+    val keyed = bandKeyRows(hrows, k, bands).join(flags, "doc_id")
+    val landedBuckets = keyed.filter(!col("is_new"))
+      .groupBy("band", "key")
+      .agg(slice(array_sort(collect_set(col("doc_id"))), 1, maxBucket).as("ids"))
+    val candM = materialize(
+      keyed.filter(col("is_new"))
+        .select(col("doc_id").as("a_id"), col("band"), col("key"))
+        .join(landedBuckets, Seq("band", "key"))
+        .select(col("a_id"), explode(col("ids")).as("b_id"))
+        .distinct())
+    verifiedJaccard(hrows, candM)
       .filter(col("jaccard") >= minJ)
+      .select(col("a_id").as("new_id"), col("b_id").as("landed_id"), col("jaccard"))
   }
 
   /** All (a < b) pairs from a sorted id array, as structs. */

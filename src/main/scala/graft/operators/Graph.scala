@@ -54,6 +54,52 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart): teleportation mass
+    * goes to a SOURCE set instead of the uniform vector — "centrality as
+    * seen from these seeds", the similar-item/recommendation scorer on a
+    * duplicate/reference graph (scores concentrate in the seeds'
+    * neighborhoods; far components get exactly 0 under a fixed iteration
+    * count with no dangling mass).
+    *
+    * `isSource` is a boolean expression over the node id column `id`
+    * (e.g. `col("id") % 2 === 0`) — keeping the seed set a declarative
+    * predicate lets both engines derive it without a literal id list.
+    * Same per-round shape and materialization discipline as [[pageRank]]:
+    * the loop-invariant (src, dst, deg) table is materialized once, each
+    * round is one co-partitioned join + aggregate, and the fixed `iters`
+    * keeps the result a pure function of the graph for the unrolled SQL
+    * oracle.
+    */
+  def personalizedPageRank(pairs: DataFrame, isSource: org.apache.spark.sql.Column,
+                           iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = Dedup.materialize(edges.join(deg, "src"))
+    val flagged = deg.select(col("src").as("id"))
+      .withColumn("is_src", when(isSource, 1).otherwise(0))
+    val ns = broadcast(flagged.agg(sum(col("is_src")).as("ns")))
+    val nodes = Dedup.materialize(flagged.crossJoin(ns))
+    // operand order mirrors the oracle text exactly (left-assoc
+    // is_src * 1.0 / ns, 0.15 * is_src / ns) — double arithmetic is not
+    // associative, and the gate rounds at 6 only
+    var ranks = nodes.select(col("id"),
+      (col("is_src") * lit(1.0) / col("ns")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) * col("is_src") / col("ns")
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** Triangle count + global clustering coefficient over an oriented pair
     * table (a_id < b_id). A triangle x<y<z is one row in the self-join
     * e(x,y) ⋈ e(y,z) ⋈ e(x,z); wedges come from plain degree counts, and

@@ -224,6 +224,67 @@ object PipelineQueries {
        |SELECT id, round(pr, 6) AS pr FROM p$iters ORDER BY id""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank oracle — [[pagerankOracleSql]] with
+    * the teleport vector concentrated on the seed predicate (s % 2 = 0
+    * over graph nodes) instead of uniform; operand order mirrors
+    * [[Graph.personalizedPageRank]] exactly.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""p$k AS (SELECT dd.s AS id, 0.15 * dd.is_src / ns.ns + 0.85*coalesce(ct.contrib, 0) AS ppr
+         |       FROM deg2 dd CROSS JOIN ns
+         |       LEFT JOIN (SELECT e.d AS id, sum(p.ppr/dg.dg) AS contrib
+         |                  FROM e JOIN deg dg ON dg.s = e.s
+         |                  JOIN p${k - 1} p ON p.id = e.s GROUP BY 1) ct
+         |         ON ct.id = dd.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+       |prs AS (SELECT a_id, b_id FROM inter
+       |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+       |e AS (SELECT a_id AS s, b_id AS d FROM prs
+       |      UNION SELECT b_id, a_id FROM prs),
+       |deg AS (SELECT s, count(*) AS dg FROM e GROUP BY 1),
+       |deg2 AS (SELECT s, dg, CASE WHEN s % 2 = 0 THEN 1 ELSE 0 END AS is_src FROM deg),
+       |ns AS (SELECT sum(is_src) AS ns FROM deg2),
+       |p0 AS (SELECT s AS id, is_src * 1.0 / ns.ns AS ppr FROM deg2 CROSS JOIN ns),
+       |$rounds
+       |SELECT id, round(ppr, 6) AS ppr FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** Shared IVF+PQ oracle CTE chain (query vec_id=0, nprobe=2, subDim=16)
+    * ending in `codes(vec_id, label, ss, code)` + `dt(ss, code, dq)` —
+    * THE single definition of the composed serving path's replay;
+    * sim_ivfpq_search (the ranking) and sim_ivfpq_recall (its
+    * measurement) both interpolate it, so the two can never drift.
+    * Mirrors [[Similarity.ivfPqSearch]] stage for stage: coarse probe
+    * LIMIT 2, global sub-codebooks, label-restricted candidate encoding.
+    */
+  private val ivfpqCtes: String =
+    """ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |                   unnest(generate_series(1, len(embedding))) AS i
+      |            FROM embeddings),
+      |e2 AS (SELECT vec_id, label, x, i, CAST((i - 1) // 16 AS BIGINT) AS ss FROM ex),
+      |cent AS (SELECT label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+      |q AS (SELECT i, x FROM ex WHERE vec_id = 0),
+      |qn AS (SELECT sqrt(sum(x * x)) AS n FROM q),
+      |cn AS (SELECT label, sqrt(sum(cx * cx)) AS n FROM cent GROUP BY 1),
+      |cdot AS (SELECT c.label, sum(c.cx * q.x) AS dp FROM cent c JOIN q ON c.i = q.i GROUP BY 1),
+      |best AS (SELECT cdot.label FROM cdot, qn JOIN cn ON cn.label = cdot.label
+      |         ORDER BY cdot.dp / (qn.n * cn.n) DESC, cdot.label LIMIT 2),
+      |scent AS (SELECT label AS c_label, ss, i, avg(x) AS cx FROM e2 GROUP BY 1, 2, 3),
+      |dt AS (SELECT e2.ss, scent.c_label AS code,
+      |              sum((e2.x - scent.cx) * (e2.x - scent.cx)) AS dq
+      |       FROM e2 JOIN scent ON e2.i = scent.i AND e2.ss = scent.ss
+      |       WHERE e2.vec_id = 0 GROUP BY 1, 2),
+      |dd AS (SELECT e2.vec_id, e2.label, e2.ss, scent.c_label,
+      |              sum((e2.x - scent.cx) * (e2.x - scent.cx)) AS d2
+      |       FROM e2 JOIN scent ON e2.i = scent.i AND e2.ss = scent.ss
+      |       WHERE e2.vec_id <> 0 AND e2.label IN (SELECT label FROM best)
+      |       GROUP BY 1, 2, 3, 4),
+      |codes AS (SELECT vec_id, label, ss, (min({'d2': d2, 'c': c_label})).c AS code
+      |          FROM dd GROUP BY 1, 2, 3)""".stripMargin
+
   /** DuckDB replay of [[Similarity.lshTopK]]'s exact semantics. The RHP
     * planes ([[graft.functions.VectorFns.rhpPlanes]]) are deterministic
     * functions of (table, bit, dim), so their float coefficients are inlined
@@ -338,6 +399,30 @@ object PipelineQueries {
              |FROM inc LEFT JOIN corpus c ON inc.text = c.text
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Incremental NEAR-dup admission — the index-probe companion to
+    // dd_incremental's exact-hash check: an incoming batch (doc_id % 10 =
+    // 0, ~10% of the corpus) probes the landed corpus's LSH bucket table
+    // by (band, key) equi-join and verifies candidates with exact Jaccard
+    // — the landed corpus is never re-paired against itself, which is THE
+    // dedup cost model at 100 TB (per-batch probe, not per-corpus
+    // recompute). Oracle = the exact cross-pair truth set (recall-1
+    // banding bound, same argument as dd_minhash_lsh's oracle).
+    QueryDef("dd_incremental_minhash",
+      (s, d) => Dedup.incrementalMinhashProbe(T(s, d, "documents"),
+          isNew = col("doc_id") % 10 === 0)
+        .orderBy("new_id", "landed_id"),
+      Some(s"""WITH $jaccardCtes,
+             |p AS (SELECT a_id, b_id, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             |      FROM inter
+             |      JOIN sz sa ON sa.doc_id = a_id
+             |      JOIN sz sb ON sb.doc_id = b_id
+             |      WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8)
+             |SELECT CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS new_id,
+             |       CASE WHEN a_id % 10 = 0 THEN b_id ELSE a_id END AS landed_id,
+             |       jaccard
+             |FROM p WHERE (a_id % 10 = 0) <> (b_id % 10 = 0)
+             |ORDER BY new_id, landed_id""".stripMargin)),
+
     QueryDef("dd_ngram_jaccard",
       (s, d) => Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
         .orderBy("a_id", "b_id"),
@@ -422,6 +507,21 @@ object PipelineQueries {
         .select(col("id"), round(col("rank"), 6).as("pr"))
         .orderBy("id"),
       Some(pagerankOracleSql(10))),
+
+    // Personalized PageRank over the near-dup graph: teleport mass on the
+    // even-id seed set — "centrality as seen from these seeds" (the
+    // recommendation/similar-item scorer). Same fixed-round join+agg
+    // fixpoint and materialization discipline as gr_pagerank; the seed
+    // set is a declarative predicate so the unrolled oracle derives it
+    // without a literal id list.
+    QueryDef("gr_ppr",
+      (s, d) => Graph.personalizedPageRank(
+          Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+            .select("a_id", "b_id"),
+          isSource = col("id") % 2 === 0, iters = 10)
+        .select(col("id"), round(col("rank"), 6).as("ppr"))
+        .orderBy("id"),
+      Some(pprOracleSql(10))),
 
     // Triangle count + global clustering coefficient over the same near-dup
     // pair graph: how CLIQUISH the duplicate structure is (pure pairwise
@@ -1442,6 +1542,78 @@ object PipelineQueries {
              |JOIN nrm nq ON nq.vec_id = 0
              |JOIN nrm nv ON nv.vec_id = d.vec_id
              |ORDER BY cos_sim DESC, d.vec_id LIMIT 5""".stripMargin)),
+
+    // The full IVF+PQ serving read — composes the two gated halves
+    // (sim_ivf_partitioned's coarse probe + directory pruning,
+    // sim_pq_adc's code-table scoring) into the production ANN path:
+    // nprobe=2 coarse cells opened from the label-partitioned layout,
+    // candidates scored by asymmetric distance through global
+    // sub-codebooks, raw vectors never touched at scoring time. Oracle
+    // replays the identical quantized pipeline (coarse probe LIMIT 2 +
+    // label-restricted codes/distance-table join).
+    QueryDef("sim_ivfpq_search",
+      (s, d) => {
+        val layout = s.read.parquet(graft.sources.IvfView.embeddingsByLabel(s, d))
+        Similarity.ivfPqSearch(layout, T(s, d, "embeddings"), queryId = 0L,
+          k = 10, nprobe = 2, subDim = 16)
+      },
+      Some(s"""WITH $ivfpqCtes
+             |SELECT codes.vec_id, CAST(codes.label AS BIGINT) AS label,
+             |       round(sum(dt.dq), 3) AS adc_d2
+             |FROM codes JOIN dt ON dt.ss = codes.ss AND dt.code = codes.code
+             |GROUP BY 1, 2 ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin)),
+
+    // The IVFPQ read ships with its measurement (the sim_recall_eval /
+    // dd_simhash_recall pattern applied to the composed path): recall@10
+    // of the nprobe=2 + subDim=16 ADC ranking against the exact-cosine
+    // top-10 — both rankings round at 3 and tie-break on vec_id, so both
+    // SETS are deterministic and the recall is exact. Shares the whole
+    // IVFPQ CTE chain with sim_ivfpq_search's oracle (one definition, no
+    // drift). Expect LOW recall on this corpus and that is the point:
+    // the driver embeddings are near-random, the adversarial case for
+    // any cell-probing ANN (the exact top-10 spreads across all cells, so
+    // nprobe=2 of 16 structurally caps recall) — the favorable clustered
+    // case is gated separately in SimilaritySpec ("ANN on clustered
+    // data: high recall at a small scan fraction"). A pipeline reads this
+    // number to decide whether IVFPQ is admissible for ITS corpus.
+    QueryDef("sim_ivfpq_recall",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val layout = s.read.parquet(graft.sources.IvfView.embeddingsByLabel(s, d))
+        val approx = Similarity.ivfPqSearch(layout, embs, queryId = 0L, k = 10,
+          nprobe = 2, subDim = 16).select(col("vec_id"))
+        val exact = Similarity.bruteForceTopK(embs, queryId = 0L, k = 10)
+          .select(col("vec_id").as("ev"))
+        val hits = exact.join(approx, col("ev") === col("vec_id"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_exact"), col("n_approx"), col("n_hits"),
+            expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE (10000 * n_hits) div n_exact END").as("recall_bp"))
+      },
+      Some(s"""WITH $ivfpqCtes,
+             |apx AS (SELECT codes.vec_id, round(sum(dt.dq), 3) AS adc_d2
+             |        FROM codes JOIN dt ON dt.ss = codes.ss AND dt.code = codes.code
+             |        GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 10),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT b.vec_id, sum(a.x * b.x) AS dp
+             |         FROM (SELECT i, x FROM ex WHERE vec_id = 0) a
+             |         JOIN ex b ON a.i = b.i
+             |         WHERE b.vec_id <> 0 GROUP BY 1),
+             |exact AS (SELECT d.vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |          FROM dots d
+             |          JOIN nrm nq ON nq.vec_id = 0
+             |          JOIN nrm nv ON nv.vec_id = d.vec_id
+             |          ORDER BY cos_sim DESC, d.vec_id LIMIT 10),
+             |hit AS (SELECT vec_id FROM exact SEMI JOIN apx USING (vec_id)),
+             |cnt AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+             |               (SELECT count(*) FROM apx) AS n_approx,
+             |               (SELECT count(*) FROM hit) AS n_hits)
+             |SELECT n_exact, n_approx, n_hits,
+             |       CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT)
+             |            ELSE (10000 * n_hits) // n_exact END AS recall_bp
+             |FROM cnt""".stripMargin)),
 
     // Maximum-inner-product top-k: rank by raw dot, not cosine — the
     // objective when magnitudes carry signal. See Similarity.mipsTopK for

@@ -70,6 +70,33 @@ object RelationalQueries2 {
              |WHERE levenshtein(a.n_name, b.n_name) <= 1
              |ORDER BY a, b""".stripMargin)),
 
+    // Jaro-Winkler fuzzy matching — the prefix-weighted scorer Spark lacks
+    // natively, shipped as a CODEGEN'D Catalyst expression
+    // (plans.JaroWinklerSim -> one static kernel call per row inside
+    // whole-stage codegen; semantics empirically pinned to the oracle
+    // engine's jaro_winkler_similarity, see functions.JaroWinkler). Same
+    // blocked-pair discipline as dd_fuzzy_blocked: equi-join on the
+    // first-token block, score only within blocks — no nested loop.
+    QueryDef("fn_jaro_winkler",
+      (s, d) => {
+        val n = T(s, d, "part").select(col("p_name").as("name")).distinct()
+          .withColumn("blk", split(col("name"), " ").getItem(0))
+        val jw = graft.plans.StringExpressions.jaroWinkler(col("a"), col("b"))
+        n.select(col("name").as("a"), col("blk"))
+          .join(n.select(col("name").as("b"), col("blk")), "blk")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), round(jw, 4).as("jw"))
+          .filter(col("jw") >= 0.85)
+          .orderBy("a", "b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+             |b AS (SELECT name, split_part(name, ' ', 1) AS blk FROM n)
+             |SELECT a.name AS a, b.name AS b,
+             |       round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+             |FROM b a JOIN b b ON a.blk = b.blk AND a.name < b.name
+             |WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.85
+             |ORDER BY a, b""".stripMargin)),
+
     // Pivot: per-day event counts by type as columns; oracle via FILTER aggs.
     QueryDef("rel_pivot",
       (s, d) => T(s, d, "events")

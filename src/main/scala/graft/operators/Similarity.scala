@@ -344,6 +344,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF+PQ serving path — the full production ANN read, composed from
+    * the two halves this inventory gates separately ([[ivfSearch]]'s
+    * coarse probe + partition pruning, [[pqAdcTopK]]'s asymmetric-distance
+    * scoring): route the query to its `nprobe` nearest coarse cells,
+    * prune the label-partitioned layout to those directories (the
+    * broadcast probe join → dynamic partition pruning, as
+    * sim_ivf_partitioned proves at the metric level), then rank the
+    * surviving candidates by PQ asymmetric distance — candidate vectors
+    * are ENCODED (global sub-codebooks, trained offline in production)
+    * and scored through a broadcast (subspace × codebook) distance
+    * table.
+    *
+    * The 100 TB cost model this composes: scan ~nprobe/cells of the
+    * corpus (IVF), at ~dim/subDim bytes per scanned vector (PQ codes,
+    * never raw floats at scoring time), query-side work O(dim × codebook)
+    * — the memory/IO budget every production vector store (FAISS-style
+    * IVFPQ) runs on. Returns (vec_id, label, adc_d2) ascending.
+    */
+  def ivfPqSearch(corpus: DataFrame, embs: DataFrame, queryId: Long, k: Int,
+                  nprobe: Int = 2, subDim: Int = 16): DataFrame = {
+    // coarse probe: identical device to ivfSearch (nprobe nearest
+    // centroids by cosine, ties on label)
+    val cents = centroids(embs)
+    val q = broadcast(embs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    val qdot = aggregate(
+      zip_with(col("q_emb").cast("array<double>"), col("centroid"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val qn = sqrt(aggregate(transform(col("q_emb").cast("array<double>"), a => a * a),
+      lit(0.0), (acc, x) => acc + x))
+    val cn = sqrt(aggregate(transform(col("centroid"), a => a * a),
+      lit(0.0), (acc, x) => acc + x))
+    val best = cents.crossJoin(q)
+      .select(col("label"), (qdot / (qn * cn)).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label"))
+    // GLOBAL sub-codebooks + the query's ADC distance table (codebook
+    // training is corpus-wide and offline; only the PROBE is per-query)
+    val ex = embs.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / subDim).cast("bigint").as("ss"), col("i"), col("x"))
+    val subCents = ex.groupBy(col("label").as("c_label"), col("ss"), col("i"))
+      .agg(avg(col("x")).as("cx"))
+    val dt = ex.filter(col("vec_id") === queryId)
+      .join(broadcast(subCents), Seq("ss", "i"))
+      .groupBy(col("ss"), col("c_label").as("code"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dq"))
+    // candidates: ONLY the probed partitions of the layout are opened;
+    // encode them against the global codebooks and score via dt
+    val cand = corpus.join(broadcast(best), "label")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / subDim).cast("bigint").as("ss"), col("i"), col("x"))
+    cand.join(broadcast(subCents), Seq("ss", "i"))
+      .groupBy(col("vec_id"), col("label"), col("ss"), col("c_label"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+      .groupBy("vec_id", "label", "ss")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("label"), col("ss"), col("best.c_label").as("code"))
+      .join(broadcast(dt), Seq("ss", "code"))
+      .groupBy("vec_id", "label")
+      .agg(round(sum(col("dq")), 3).as("adc_d2"))
+      .select(col("vec_id"), col("label").cast("bigint").as("label"), col("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Single-table RHP bucket key (compat/spec surface over
     * [[VectorFns.rhpKeys]]): sign bits of dot products with deterministic
     * pseudo-random hyperplanes. Vectors of any dimension hash (planes are

@@ -929,6 +929,42 @@ object TextQueries {
              |       greatest(1, CAST(floor((budget_share + tokens - 1) * 1.0 / tokens) AS BIGINT)) AS epochs
              |FROM b ORDER BY source""".stripMargin)),
 
+    // Mixture-sample EXECUTION: apply per-source sampling rates with the
+    // repo's mandated deterministic hash (HashFns.knuthU — reproducible
+    // across runs, engines, and partitionings) and report realized vs
+    // target mixture per source. The keep test is exact in signed 64
+    // (u * 10000 < rate_bp * 2^32 — no float cut point), the per-source
+    // rate is derived deterministically from the source name, and the
+    // whole query is one scan + one keyed aggregate: the assembly step a
+    // training-mix build runs after tx_mixture_plan chooses rates.
+    QueryDef("tx_mixture_sample",
+      (s, d) => {
+        val u = graft.functions.HashFns.knuthU(col("doc_id"))
+        T(s, d, "documents")
+          .withColumn("rate_bp",
+            (lit(1000) + lit(800) * (ascii(expr("right(source, 1)")) % 10))
+              .cast("long"))
+          .withColumn("keep", u * 10000 < col("rate_bp") * lit(4294967296L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            max(col("rate_bp")).as("rate_bp"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+          .withColumn("kept_bp", expr("(10000 * n_kept) div n_docs"))
+          .select("source", "n_docs", "n_kept", "rate_bp", "kept_bp", "chars_kept")
+          .orderBy("source")
+      },
+      Some(s"""WITH r AS (SELECT doc_id, source, n_chars,
+             |                  ${graft.functions.HashFns.knuthUSql("doc_id")} AS u,
+             |                  CAST(1000 + 800 * (ascii(right(source, 1)) % 10) AS BIGINT) AS rate_bp
+             |           FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(count(*) FILTER (WHERE u * 10000 < rate_bp * 4294967296) AS BIGINT) AS n_kept,
+             |       max(rate_bp) AS rate_bp,
+             |       (10000 * count(*) FILTER (WHERE u * 10000 < rate_bp * 4294967296)) // count(*) AS kept_bp,
+             |       CAST(coalesce(sum(n_chars) FILTER (WHERE u * 10000 < rate_bp * 4294967296), 0) AS BIGINT) AS chars_kept
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic 90/5/5 train/val/test assignment by multiplicative hash
     // of doc_id (the dataset-split assembly step — reproducible across
     // runs, engines, and partitionings, unlike randomSplit). Same

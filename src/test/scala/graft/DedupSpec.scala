@@ -252,6 +252,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(("w1", 2L, 1L, 1L), ("w2", 1L, 1L, 0L)), got)
   }
 
+  test("incrementalMinhashProbe: batch probes landed buckets, landed never re-paired") {
+    // "new" = the planted dups (ids >= 100); their bases are landed. Every
+    // planted pair must be recovered as (new, landed); landed-landed and
+    // new-new pairs must NOT appear (the probe only joins batch -> landed).
+    val got = Dedup.incrementalMinhashProbe(corpus, isNew = col("doc_id") >= 100L,
+        minJ = 0.5)
+      .select("new_id", "landed_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 3L), (101L, 7L), (102L, 5L)), got)
+    // flipping the flag finds nothing: the bases are not near-dups of each
+    // other, so a batch of only-bases probing the dup-side corpus still
+    // finds the same pairs mirrored
+    val flipped = Dedup.incrementalMinhashProbe(corpus, isNew = col("doc_id") < 100L,
+        minJ = 0.5)
+      .select("new_id", "landed_id").as[(Long, Long)].collect().toSet
+    assert(flipped == Set((3L, 100L), (7L, 101L), (5L, 102L)), flipped)
+  }
+
   test("fuzzyBlockedPairs: exact within blocks, documented misses across them") {
     val names = Seq("grafting", "graftings", "crafting", "kraftwerk", "graft")
       .toDF("name")

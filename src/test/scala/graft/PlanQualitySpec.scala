@@ -220,6 +220,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"probe did not prune: read $readParts of $totalLabels cluster partitions")
   }
 
+  test("IVF+PQ serving read prunes to the nprobe probed cluster directories") {
+    // the composed serving path must keep sim_ivf_partitioned's pruning:
+    // nprobe=2 of the k label directories opened — if composition with the
+    // PQ scoring joins ever defeats DPP, the scan count regresses to k and
+    // this catches it
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val df = SparkEntry.queries("sim_ivfpq_search")(spark, sf)
+    df.collect()
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.metrics.contains("staticFilesNum"))
+      .getOrElse(fail("no scan with dynamic-pruning metrics in the executed plan"))
+    val totalLabels = graft.Tables.t(spark, sf, "embeddings")
+      .select("label").distinct().count()
+    val readParts = scan.metrics("numPartitions").value
+    assert(readParts >= 1, "scan read no partitions")
+    assert(readParts * 2 <= totalLabels,
+      s"probe did not prune: read $readParts of $totalLabels cluster partitions")
+  }
+
   test("runtime row-level Bloom filter injects on a selective shuffle join") {
     // The row-level sibling of DPP: when a shuffle join's build side is
     // selective, Catalyst plants a bloom_filter_agg on it and a

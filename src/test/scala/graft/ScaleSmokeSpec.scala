@@ -93,9 +93,17 @@ class ScaleSmokeSpec extends AnyFunSuite {
     */
   test("text-dedup pair pipelines (minhash bands, simhash chunks) grow ~linearly", Slow) {
     import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       ("minhashLshPairs/op", d => Dedup.minhashLshPairs(d)),
-      ("simhashPairsVerified/op", d => Dedup.simhashPairsVerified(d)))
+      ("simhashPairsVerified/op", d => Dedup.simhashPairsVerified(d)),
+      // the r9 incremental admission probe: same banding, but the pair
+      // space is batch x landed-bucket — must stay linear like the full
+      // pair pass (a probe degenerating to corpus re-pairing would land
+      // near 100x here)
+      ("incrementalMinhashProbe/op",
+        d => Dedup.incrementalMinhashProbe(d, isNew = col("doc_id") % 10 === 0,
+          minJ = 0.5)))
     // JIT/codegen warmup on the real small fixture, off the clock
     val warm = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     ops.foreach { case (_, op) => op(warm).count() }

@@ -118,6 +118,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.contains(1L) && top.size >= 2) // second probed cluster adds members
   }
 
+  test("ivfPqSearch: probes coarse cells and ranks by ADC, never raw vectors") {
+    // subDim=1 -> per-dimension codebooks are the per-label means. Query 0
+    // (label 0): nprobe=1 opens cell 0 only -> candidate set {1}; its ADC
+    // is the summed per-dim (query - code-centroid)^2 = 0.0025+0.0025+0.
+    val one = Similarity.ivfPqSearch(vecs, vecs, queryId = 0L, k = 5,
+        nprobe = 1, subDim = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(one.map(_._1).toSeq == Seq(1L), one.toSeq)
+    assert(one.head._2 == 0L && math.abs(one.head._3 - 0.005) < 1e-9, one.head)
+    // nprobe=2 widens to cell 1 (cos 0 beats cell 2's cos -1); the
+    // same-cell near-dup still ranks first by ADC
+    val two = Similarity.ivfPqSearch(vecs, vecs, queryId = 0L, k = 5,
+        nprobe = 2, subDim = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(two.map(_._1).toSet == Set(1L, 2L, 3L), two.toSeq)
+    assert(two.head._1 == 1L, "same-cell near-dup must rank first")
+  }
+
   test("LSH top-k returns a subset of brute-force candidates, deterministically") {
     val a = Similarity.lshTopK(vecs, queryId = 0L, k = 5, nBits = 2)
       .as[(Long, Double)].collect().toSeq

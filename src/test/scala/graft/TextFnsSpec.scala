@@ -55,4 +55,34 @@ class TextFnsSpec extends AnyFunSuite {
       .select(TextFns.hamming(col("a"), col("b")).as("h"))
     assert(df.as[Int].head() == 64)
   }
+
+  test("JaroWinkler kernel matches the oracle engine's probed values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // values probed from DuckDB jaro_winkler_similarity (the oracle
+    // engine) — including the textbook classics, the integer-transposition
+    // case ('abcdef'/'bcadef': float halving would give 0.916667), the
+    // exact-0.7 boost boundary, and unboosted sub-0.7 prefixed pairs
+    val probed = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),
+      ("DIXON", "DICKSONX", 0.8133333333),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("CRATE", "TRACE", 0.7333333333),
+      ("small ring", "small rod", 0.8955555556),
+      ("DwAyNE", "DuANE", 0.84),
+      ("arnab", "aranb", 0.9466666667),
+      ("abcdefgh", "abehcdfg", 0.8952380952),
+      ("abcxx", "abcyyy", 0.79),
+      ("abcdxxxxxx", "abcdyyyyyyzzzz", 0.5619047619),
+      ("abc", "abzzzzzzzzzz", 0.6111111111))
+    probed.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-9, s"jw($a, $b) = ${jw(a, b)}, want $want")
+      assert(jw(a, b) == jw(b, a), "symmetry")
+    }
+    assert(jw("", "abc") == 0.0 && jw("a", "") == 0.0 && jw("abc", "abc") == 1.0)
+    // the odd-transposition integer-halving probe
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444) < 1e-9)
+  }
 }
