@@ -252,6 +252,31 @@ object PipelineQueries {
        |SELECT id, round(ppr, 6) AS ppr FROM p$iters ORDER BY id""".stripMargin
   }
 
+  /** Shared pHash pixel-replay CTE chain ending in `bits(doc_id, cell, b)`
+    * — the closed-form synthPng pixel stream, integer-luma cell sums, and
+    * cross-multiplied threshold bits. mm_image_phash (per-doc hash) and
+    * mm_phash_dedup (duplicate groups) both interpolate it, so the hash
+    * definition cannot drift between the value gate and the dedup rollup.
+    */
+  private val phashCtes: String =
+    """dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      |              FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |              unnest(generate_series(0, w * h - 1)) AS i
+      |       FROM dims),
+      |lp AS (SELECT doc_id,
+      |         2126 * ((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256)
+      |       + 7152 * ((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256)
+      |       +  722 * ((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256) AS li,
+      |         ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cell
+      |       FROM px),
+      |cells AS (SELECT doc_id, cell, sum(li) AS cs, count(*) AS cc
+      |          FROM lp GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc FROM cells GROUP BY 1),
+      |bits AS (SELECT cells.doc_id AS doc_id, cell,
+      |                CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS b
+      |         FROM cells JOIN tot ON cells.doc_id = tot.doc_id)""".stripMargin
+
   /** Shared IVF+PQ oracle CTE chain (query vec_id=0, nprobe=2, subDim=16)
     * ending in `codes(vec_id, label, ss, code)` + `dt(ss, code, dq)` —
     * THE single definition of the composed serving path's replay;
@@ -2076,27 +2101,36 @@ object PipelineQueries {
         .select(col("doc_id"), col("phash").cast("bigint").as("phash"),
           col("n_set").cast("bigint").as("n_set"))
         .orderBy("doc_id"),
-      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
-             |              FROM documents),
-             |px AS (SELECT doc_id, w, h,
-             |              unnest(generate_series(0, w * h - 1)) AS i
-             |       FROM dims),
-             |lp AS (SELECT doc_id,
-             |         2126 * ((doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256)
-             |       + 7152 * ((doc_id * 11 + (i % w) * 3 + (i // w) * 17) % 256)
-             |       +  722 * ((doc_id * 5 + (i % w) * 23 + (i // w) * 29) % 256) AS li,
-             |         ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cell
-             |       FROM px),
-             |cells AS (SELECT doc_id, cell, sum(li) AS cs, count(*) AS cc
-             |          FROM lp GROUP BY 1, 2),
-             |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc FROM cells GROUP BY 1),
-             |bits AS (SELECT cells.doc_id AS doc_id, cell,
-             |                CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS b
-             |         FROM cells JOIN tot ON cells.doc_id = tot.doc_id)
+      Some(s"""WITH $phashCtes
              |SELECT doc_id,
              |       CAST(sum(CAST(b AS BIGINT) << cell) AS BIGINT) AS phash,
              |       CAST(sum(b) AS BIGINT) AS n_set
              |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Perceptual-hash image dedup — the MULTIMODAL twin of dd_exact_dedup:
+    // duplicate-image groups by exact pHash equality over the real-decode
+    // pipeline (mapPartitions decode -> 16-bit cell-mean hash -> ONE keyed
+    // groupBy; at 100 TB the decode is partition-local and the only
+    // shuffle is hash-keyed group formation). Exact-bucket grouping, not
+    // hamming pairs, on purpose: a 16-bit hash over a synthetic corpus
+    // collides freely (ham<=2 pairs grow quadratically in bucket sizes),
+    // and production image dedup at 64-bit pHash treats equal-hash as THE
+    // duplicate signal. Shares the pixel-replay CTE chain with
+    // mm_image_phash (one definition, no drift).
+    QueryDef("mm_phash_dedup",
+      (s, d) => Multimodal.imagePHashColumn(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthPng))
+        .groupBy(col("phash").cast("bigint").as("phash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_imgs"))
+        .filter(col("n_imgs") > 1)
+        .select(col("keeper"), col("n_imgs"), col("phash"))
+        .orderBy("keeper"),
+      Some(s"""WITH $phashCtes,
+             |ph AS (SELECT doc_id, CAST(sum(CAST(b AS BIGINT) << cell) AS BIGINT) AS phash
+             |       FROM bits GROUP BY 1)
+             |SELECT min(doc_id) AS keeper, count(*) AS n_imgs, phash
+             |FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY keeper""".stripMargin)),
 
     QueryDef("mm_image_stats",
       (s, d) => Multimodal.decodeImageColumn(

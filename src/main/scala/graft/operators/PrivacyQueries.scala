@@ -102,6 +102,27 @@ object PrivacyQueries {
         sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
       .orderBy("segment")
 
+  /** l-diversity audit — k-anonymity's standard companion (a group can be
+    * large yet still leak if everyone in it shares the sensitive value):
+    * per quasi-identifier group (segment, nation), the number of DISTINCT
+    * sensitive values (balance band); rolled per segment to the achieved
+    * min diversity and the groups/rows below l. Same two-aggregate shape
+    * as [[kAnonymity]] — one shuffle on the QI tuple, O(groups) rollup.
+    */
+  def lDiversity(customer: DataFrame, l: Int): DataFrame =
+    customer
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 2000).cast("bigint").as("bal_band"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("sz"), count_distinct(col("bal_band")).as("nsv"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("nsv")).as("min_diversity"),
+        sum(when(col("nsv") < l, 1L).otherwise(0L)).as("n_low_groups"),
+        sum(when(col("nsv") < l, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
+      .orderBy("segment")
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -133,6 +154,18 @@ object PrivacyQueries {
              |       min(sz) AS min_group_size,
              |       CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
              |       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+             |FROM qi GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("rel_ldiversity",
+      (s, d) => lDiversity(T(s, d, "customer"), l = 3),
+      Some("""WITH qi AS (SELECT c_mktsegment, c_nationkey, count(*) AS sz,
+             |                   count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS nsv
+             |            FROM customer GROUP BY 1, 2)
+             |SELECT c_mktsegment AS segment,
+             |       count(*) AS n_groups,
+             |       min(nsv) AS min_diversity,
+             |       CAST(sum(CASE WHEN nsv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_groups,
+             |       CAST(sum(CASE WHEN nsv < 3 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
              |FROM qi GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

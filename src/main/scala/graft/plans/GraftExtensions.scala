@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("float_cosine", args, 2)
         FloatCosineSimilarity(args(0), args(1))
       }))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - codegen'd Jaro-Winkler similarity"),
+      (args: Seq[Expression]) => {
+        arity("jaro_winkler", args, 2)
+        JaroWinklerSim(args(0), args(1))
+      }))
     // the native as-of join ([[AsofJoinStrategy]]) — sessions built without
     // extensions get it lazily via AsofJoin.asofNative's ensureStrategy
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)

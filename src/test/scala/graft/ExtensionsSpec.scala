@@ -26,11 +26,13 @@ class ExtensionsSpec extends AnyFunSuite {
           |               CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c,
           |  float_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
           |            CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d,
-          |  size(rhp_table_keys(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), 2, 4, 3)) AS n
+          |  size(rhp_table_keys(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), 2, 4, 3)) AS n,
+          |  jaro_winkler('MARTHA', 'MARHTA') AS jw
           |""".stripMargin).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(r.getDouble(1) == 11.0)
       assert(r.getInt(2) == 3)
+      assert(math.abs(r.getDouble(3) - 0.9611111111) < 1e-9)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -54,6 +54,24 @@ class PrivacySpec extends AnyFunSuite {
       ("BUILDING", 1L, 1L, 1L, 1L)))
   }
 
+  test("lDiversity: a large group with one sensitive value is still flagged") {
+    val rows = Seq(
+      // AUTOMOBILE nation 1: 5 rows but only ONE balance band — the case
+      // k-anonymity passes (size 5 >= k) and l-diversity must flag
+      ("AUTOMOBILE", 1, 100.0), ("AUTOMOBILE", 1, 200.0), ("AUTOMOBILE", 1, 300.0),
+      ("AUTOMOBILE", 1, 400.0), ("AUTOMOBILE", 1, 500.0),
+      // AUTOMOBILE nation 2: 3 rows across 3 bands (diverse, safe at l=3)
+      ("AUTOMOBILE", 2, 100.0), ("AUTOMOBILE", 2, 2100.0), ("AUTOMOBILE", 2, 4100.0),
+      // BUILDING nation 1: 2 bands (below l=3)
+      ("BUILDING", 1, 100.0), ("BUILDING", 1, 2100.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = PrivacyQueries.lDiversity(rows, l = 3)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("AUTOMOBILE", 2L, 1L, 1L, 5L), // min diversity 1, 5 rows at risk
+      ("BUILDING", 1L, 2L, 1L, 2L)), got)
+  }
+
   test("z-order chunking bounds both dimensions tighter than a linear sort") {
     // Chunking the x-sorted order leaves each chunk's y extent near full
     // range, while interleaved-bit order bounds both dimensions — the

@@ -269,4 +269,17 @@ class StreamingSpec extends AnyFunSuite {
       .select($"segment", $"n").as[(String, Long)].collect().toMap
     assert(out == Map("AUTO" -> 2L, "BUILDING" -> 1L), out)
   }
+
+  test("StreamGate records throughput metrics for every executed tag") {
+    // the r9 streaming-metrics artifact (STREAM_METRICS_r<N>.jsonl) is only
+    // as good as its capture path: after a gate execution the snapshot must
+    // hold real engine numbers (batches, input rows, trigger time) for the
+    // tag — a refactor that silently stops populating it would otherwise
+    // surface only as an empty committed artifact next round
+    SparkEntry.queries("st_sliding_counts")(spark, "/root/testdata/sf0.001").count()
+    val m = graft.streaming.StreamGate.metricsSnapshot.get("st_slide")
+      .getOrElse(fail("no metrics captured for tag st_slide"))
+    assert(m.batches >= 1 && m.inputRows > 0 && m.triggerMs > 0, m)
+    assert(m.rowsPerSec > 0.0, m)
+  }
 }
