@@ -750,6 +750,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
   }
 
+  /** SemDeDup-style cluster-blocked semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest centroid,
+    * then compare cosines only WITHIN a cluster — the blocking that turns
+    * the quadratic all-pairs space into k independent per-cluster pair
+    * sets. A vector is dropped when a same-cluster vector with a smaller
+    * id matches it at >= `minCos` (deterministic min-id keeper, the same
+    * rule as the exact-dedup family). Returns the per-cluster dedup
+    * report: (cluster, n_vecs, n_dropped, n_kept).
+    *
+    * Scale shape: assignment is the broadcast-centroid E-step
+    * ([[Similarity.assignVectors]] — one corpus scan, no shuffle beyond
+    * the keyed argmin); the pair join is an EQUI-join on the cluster key,
+    * so each cluster's pair set is produced shuffle-local and AQE can
+    * split a skewed cluster. At 100 TB the cluster count is sized so
+    * per-cluster cardinality stays bounded (the paper's sqrt(n) rule);
+    * per-cluster pair volume is then O(n) total. The cosine is the fused
+    * codegen'd expression — no UDF on the n·(cluster size) hot path.
+    */
+  def semDedup(embs: DataFrame, minCos: Double): DataFrame = {
+    val assigned = Similarity.assignVectors(embs, Similarity.centroids(embs))
+      .select("vec_id", "cluster")
+    val v = embs.select(col("vec_id"), col("embedding")).join(assigned, "vec_id")
+    val pairs = v.select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"))
+      .join(v.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("eb")), Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(VectorFns.cosine(col("ea"), col("eb")), 3) >= minCos)
+    val dropped = pairs.select(col("cluster"), col("b_id")).distinct()
+      .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped, Seq("cluster"), "left_outer")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cluster")
+  }
+
   /** Embedding near-dup pairs at scale: multi-table random-hyperplane LSH
     * candidate generation + exact fused-cosine verification — the 100 TB
     * replacement for [[embeddingNearDupPairs]]'s all-pairs join.

@@ -1088,6 +1088,60 @@ object PipelineQueries {
              |WHERE round(dp / (na.n * nb.n), 3) >= 0.9
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // SemDeDup (cluster-blocked semantic dedup) under the oracle: 10% of
+    // the corpus gets an EXACT planted copy (+1000000 id, same embedding +
+    // label), the augmented corpus is assigned to label-centroids, and
+    // same-cluster pairs at cosine >= 0.9 mark the higher id dropped. An
+    // exact copy has identical per-centroid d2 (same struct-min cluster as
+    // its original — the pair can never straddle a block) and cosine
+    // exactly 1.0, while this corpus's natural max pairwise cosine is
+    // ~0.5, so the planted dups are found with recall 1 at any threshold
+    // above the natural ceiling and the report is deterministic. DuckDB
+    // replays centroid derivation, assignment, the within-cluster pair
+    // space, and the drop rule end to end.
+    QueryDef("dd_semdedup",
+      (s, d) => {
+        val base = T(s, d, "embeddings").select("vec_id", "embedding", "label")
+        val planted = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("embedding"), col("label"))
+        Dedup.semDedup(base.union(planted), minCos = 0.9)
+      },
+      Some("""WITH aug AS (SELECT vec_id, embedding, label FROM embeddings
+             |             UNION ALL
+             |             SELECT vec_id + 1000000 AS vec_id, embedding, label
+             |             FROM embeddings WHERE vec_id % 10 = 0),
+             |ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i
+             |       FROM aug),
+             |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+             |d AS (SELECT ex.vec_id, cent.c_label,
+             |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+             |      FROM ex JOIN cent ON ex.i = cent.i
+             |      GROUP BY 1, 2),
+             |a AS (SELECT vec_id,
+             |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster
+             |      FROM d GROUP BY 1),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |pr AS (SELECT aa.cluster, aa.vec_id AS a_id, ab.vec_id AS b_id,
+             |              sum(ea.x * eb.x) AS dp
+             |       FROM a aa JOIN a ab ON aa.cluster = ab.cluster
+             |                          AND aa.vec_id < ab.vec_id
+             |       JOIN ex ea ON ea.vec_id = aa.vec_id
+             |       JOIN ex eb ON eb.vec_id = ab.vec_id AND ea.i = eb.i
+             |       GROUP BY 1, 2, 3),
+             |dup AS (SELECT DISTINCT pr.cluster, pr.b_id
+             |        FROM pr JOIN nrm na ON na.vec_id = pr.a_id
+             |                JOIN nrm nb ON nb.vec_id = pr.b_id
+             |        WHERE round(dp / (na.n * nb.n), 3) >= 0.9),
+             |sizes AS (SELECT cluster, count(*) AS n_vecs FROM a GROUP BY 1),
+             |drops AS (SELECT cluster, count(*) AS n_dropped FROM dup GROUP BY 1)
+             |SELECT s.cluster, n_vecs,
+             |       COALESCE(n_dropped, 0) AS n_dropped,
+             |       n_vecs - COALESCE(n_dropped, 0) AS n_kept
+             |FROM sizes s LEFT JOIN drops USING (cluster)
+             |ORDER BY 1""".stripMargin)),
+
     QueryDef("sim_topk_bruteforce",
       (s, d) => Similarity.bruteForceTopK(T(s, d, "embeddings"), queryId = 0L, k = 10),
       Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1165,6 +1219,38 @@ object PipelineQueries {
              |       CAST(win.label AS BIGINT) AS pred_label, votes
              |FROM win JOIN embeddings t ON t.vec_id = win.q_id
              |WHERE win.rn = 1 ORDER BY win.q_id""".stripMargin)),
+
+    // Hard-negative mining — the contrastive-training batch builder: per
+    // query vector, the top-10 most-similar vectors of a DIFFERENT label
+    // (the out-of-class examples an embedding model trains hardest
+    // against). One corpus scan for the 5-query batch, WindowGroupLimit
+    // top-k, label mismatch evaluated before the fused cosine.
+    QueryDef("sim_hard_negatives",
+      (s, d) => Similarity.hardNegatives(T(s, d, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10),
+      Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |                   unnest(generate_series(1, len(embedding))) AS i
+             |            FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id NOT IN (0, 1, 2, 3, 4)
+             |         GROUP BY 1, 2),
+             |scored AS (SELECT q_id, dots.vec_id AS vec_id,
+             |                  CAST(lb.label AS BIGINT) AS neg_label,
+             |                  round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |           FROM dots
+             |           JOIN nrm nq ON nq.vec_id = dots.q_id
+             |           JOIN nrm nv ON nv.vec_id = dots.vec_id
+             |           JOIN embeddings lb ON lb.vec_id = dots.vec_id
+             |           JOIN embeddings lq ON lq.vec_id = dots.q_id
+             |           WHERE lb.label <> lq.label),
+             |ranked AS (SELECT q_id, vec_id, neg_label, cos_sim,
+             |                  CAST(row_number() OVER (PARTITION BY q_id
+             |                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+             |           FROM scored)
+             |SELECT q_id, vec_id, neg_label, cos_sim, rn FROM ranked WHERE rn <= 10
+             |ORDER BY q_id, rn""".stripMargin)),
 
     // K-means assignment (E-step) under the oracle: assign every vector to
     // its nearest label-centroid, report cluster sizes + inertia. With

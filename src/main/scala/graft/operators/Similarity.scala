@@ -66,6 +66,32 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each query vector, the top-k most-similar corpus vectors
+    * with a DIFFERENT label — the maximally-confusable out-of-class
+    * examples a contrastive batch wants. Same one-scan broadcast-query
+    * shape as [[batchTopK]] with the label-mismatch predicate evaluated
+    * before the cosine (cheap int compare gates the fused dot product);
+    * WindowGroupLimit keeps the shuffle O(queries·k).
+    */
+  def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val ids = queryIds.map(l => l: Any)
+    val qs = broadcast(embs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    embs.filter(!col("vec_id").isin(ids: _*))
+      .crossJoin(qs)
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        col("label").cast("bigint").as("neg_label"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   /** Exact brute-force cosine top-k against a single query vector (row
     * `queryId` of the same table). One corpus scan + TakeOrderedAndProject.
     */

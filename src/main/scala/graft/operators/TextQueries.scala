@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFns
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,50 @@ object TextQueries {
     * dropped) — interpolated into every token-based oracle below.
     */
   private val tk = TextFns.tokensSqlDuckDB("text")
+
+  /** BM25-scored top-`n` documents for `terms` (k1=1.2, b=0.75, Robertson
+    * idf with +1) — the one lexical-ranker definition shared by tx_bm25
+    * and sim_rrf_fusion. See tx_bm25's comment for the scale shape.
+    */
+  private def bm25Top(s: SparkSession, d: String, terms: Seq[String], n: Int) = {
+    val toks = T(s, d, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * norm), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  /** DuckDB twin of [[bm25Top]] (un-limited): CTE chain ending in
+    * `bm(doc_id, bm25)`; consumers append their own ORDER BY/LIMIT.
+    */
+  private val bm25SqlCtes: String =
+    s"""toks AS (SELECT doc_id, unnest($tk) AS w FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |bm AS (SELECT tf.doc_id,
+       |              round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |                        * (tf.tf * 2.2
+       |                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))), 4)
+       |                AS bm25
+       |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY 1)""".stripMargin
 
   /** Shared lang-ID scoring SQL (per-doc marker scores + the same arg-max
     * CASE chain as TextAnalysis.langId, in ListMap order) — the per-doc
@@ -492,43 +536,83 @@ object TextQueries {
     // broadcast), corpus scalars (crossJoin broadcast) — so at scale the
     // only big operand is the tf explode, touched once. Every input to
     // the formula is an exact integer; the score rounds at 4 (ln parity
-    // across engines per the fn_trig precedent).
+    // across engines per the fn_trig precedent). The scorer is factored
+    // into bm25Top/bm25SqlCtes so sim_rrf_fusion below consumes the SAME
+    // ranking definition on both engines — the formula is stated once.
     QueryDef("tx_bm25",
+      (s, d) => bm25Top(s, d, Seq("hash", "join", "scan"), 20),
+      Some(s"""WITH $bm25SqlCtes
+             |SELECT doc_id, bm25 FROM bm
+             |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    // 2009): fuse the BM25 lexical top-20 (the tx_bm25 ranking, via the
+    // shared bm25Top) with the embedding-cosine top-20 for query vector 0
+    // (the sim_topk_bruteforce chain) as sum over lists of 1/(60+rank) —
+    // the standard RAG-serving combiner when lexical and dense retrieval
+    // disagree. Scale shape: each branch is TakeOrderedAndProject top-k
+    // (O(k) rows leave each ranker; the corpus is scanned once per branch),
+    // the rank windows run over GlobalLimit-bounded 20-row frames (window
+    // audit class 2), and the fusion is a 20x20 full-outer equi-join.
+    // Determinism: ranks are integers with id tie-breaks stated on both
+    // engines; contributions are floor(1e6/(60+rank)) — an exact integer
+    // on both engines (no float-sum ordering can shift the fused score).
+    // Absent-from-list is rank 0 (contributes nothing), shown explicitly
+    // so the output row says WHICH ranker surfaced the doc.
+    QueryDef("sim_rrf_fusion",
       (s, d) => {
-        val terms = Seq("hash", "join", "scan")
-        val toks = T(s, d, "documents")
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val tf = toks.filter(col("w").isin(terms: _*))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        val idf = log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-        val norm = col("tf") * lit(2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-        tf.join(broadcast(df), "w")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .groupBy("doc_id")
-          .agg(round(sum(idf * norm), 4).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(20)
+        val lex = bm25Top(s, d, Seq("hash", "join", "scan"), 20)
+          .withColumn("lex_rank",
+            row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+              .cast("bigint"))
+          .select(col("doc_id"), col("lex_rank"))
+        val vec = Similarity.bruteForceTopK(T(s, d, "embeddings"), queryId = 0L, k = 20)
+          .withColumn("vec_rank",
+            row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+              .cast("bigint"))
+          .select(col("vec_id").as("doc_id"), col("vec_rank"))
+        def contrib(rank: Column): Column =
+          when(rank > 0, floor(lit(1000000.0) / (lit(60) + rank)).cast("bigint"))
+            .otherwise(lit(0L))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+          .withColumn("rrf_micro", contrib(col("lex_rank")) + contrib(col("vec_rank")))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+          .limit(10)
       },
-      Some(s"""WITH toks AS (SELECT doc_id, unnest($tk) AS w FROM documents),
-             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-             |st AS (SELECT count(*) AS n_docs,
-             |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-             |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-             |       WHERE w IN ('hash', 'join', 'scan') GROUP BY 1, 2),
-             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
-             |SELECT tf.doc_id,
-             |       round(sum(ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
-             |                 * (tf.tf * 2.2
-             |                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))), 4)
-             |         AS bm25
-             |FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st
-             |GROUP BY 1 ORDER BY bm25 DESC, tf.doc_id LIMIT 20""".stripMargin)),
+      Some(s"""WITH $bm25SqlCtes,
+             |lt AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+             |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+             |                       AS BIGINT) AS lex_rank FROM lt),
+             |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i
+             |       FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT b.vec_id, sum(a.x * b.x) AS dp
+             |         FROM ex a JOIN ex b ON a.i = b.i
+             |         WHERE a.vec_id = 0 AND b.vec_id <> 0
+             |         GROUP BY 1),
+             |vt AS (SELECT d.vec_id, round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |       FROM dots d
+             |       JOIN nrm nq ON nq.vec_id = 0
+             |       JOIN nrm nv ON nv.vec_id = d.vec_id
+             |       ORDER BY cos_sim DESC, d.vec_id LIMIT 20),
+             |vec AS (SELECT vec_id AS doc_id,
+             |               CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+             |                    AS BIGINT) AS vec_rank FROM vt),
+             |j AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             |             COALESCE(lex_rank, 0) AS lex_rank,
+             |             COALESCE(vec_rank, 0) AS vec_rank
+             |      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+             |SELECT doc_id, lex_rank, vec_rank,
+             |       CAST(CASE WHEN lex_rank > 0
+             |                 THEN floor(1000000.0 / (60 + lex_rank)) ELSE 0 END
+             |          + CASE WHEN vec_rank > 0
+             |                 THEN floor(1000000.0 / (60 + vec_rank)) ELSE 0 END
+             |            AS BIGINT) AS rrf_micro
+             |FROM j ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin)),
 
     // URL canonicalization — the web-corpus dedup KEY step (fn_url above is
     // the parse battery; this is the normalize-then-group workflow): the

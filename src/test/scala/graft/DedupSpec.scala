@@ -291,4 +291,21 @@ class DedupSpec extends AnyFunSuite {
       Seq("doc_id"), "left_anti")
     assert(Dedup.ngramJaccardPairs(deduped, minJ = 0.5).count() == 0)
   }
+
+  test("semDedup drops higher-id near-identical vectors within a cluster only") {
+    // cluster 0 holds an exact dup (10 of 0) and a perturbed near-dup
+    // (1 of 0, cos ~0.999); clusters 1 and 2 are singletons — min-id
+    // keeper retains exactly one vector of the similarity group.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.95f, 0.05f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 1),
+      (3L, Array(0f, 0f, 1f), 2),
+      (10L, Array(1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rep = Dedup.semDedup(vecs, minCos = 0.9)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((0, 3L, 2L, 1L), (1, 1L, 0L, 1L), (2, 1L, 0L, 1L)), rep)
+  }
 }

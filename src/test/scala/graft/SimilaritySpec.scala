@@ -256,4 +256,32 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("hardNegatives excludes same-label vectors and ranks by similarity") {
+    // query 0 (label 0): same-label vec 1 must NOT appear; the other-label
+    // candidates rank 2, 3 (cos 0.0, id tie-break), then 4 (cos -1)
+    val got = Similarity.hardNegatives(vecs, Seq(0L), k = 3)
+      .select("vec_id", "neg_label").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 3L, 4L), got)
+    assert(got.forall(_._2 != 0L), got)
+  }
+
+  test("sim_rrf_fusion: fused score is exactly the stated function of the ranks") {
+    // In-Scala twin of the oracle's arithmetic gate: every output row's
+    // rrf_micro must equal floor(1e6/(60+rank)) summed over the lists the
+    // doc appears in (rank 0 = absent contributes nothing), and a row can
+    // only surface via at least one ranker.
+    val rows = SparkEntry.queries("sim_rrf_fusion")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    def c(r: Long): Long = if (r > 0) 1000000L / (60L + r) else 0L
+    rows.foreach { r =>
+      val (lex, vec, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lex >= 0 && vec >= 0 && (lex > 0 || vec > 0), r)
+      assert(rrf == c(lex) + c(vec), r)
+    }
+    // ordering: fused score is non-increasing down the result
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted.reverse, scores)
+  }
 }
