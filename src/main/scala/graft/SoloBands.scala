@@ -21,7 +21,11 @@ object SoloBands {
     require(args.nonEmpty, "usage: SoloBands <query> [query ...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "5").toInt
-    val spark = Bench.benchSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Bench.envCpus, NOT a local default: a band measured at a different
+    // local[N] than the suite it adjudicates turns a pure parallelism
+    // mismatch into a false "suite noise" verdict (tools/solo_bands.sh
+    // still pins 32 explicitly for the committed artifacts).
+    val spark = Bench.benchSession(Bench.envCpus)
     spark.sparkContext.setLogLevel("WARN")
     // identical off-the-clock staging to Bench: solo bands must measure
     // the same quantity as the in-suite clock, minus the suite
@@ -42,7 +46,10 @@ object SoloBands {
         (System.nanoTime() - t0) / 1e9
       }
       val s = runs.sorted
-      println(s"""{"q":"$name","sf":"$sfDir","runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"min":${f"${s.head}%.3f"},"med":${f"${s(s.size / 2)}%.3f"},"max":${f"${s.last}%.3f"}}""")
+      // Bench.fmt = Locale.ROOT: a comma-decimal default locale would
+      // commit malformed JSON into SOLO_BANDS_r<N>.jsonl
+      def d3(x: Double) = Bench.fmt("%.3f", x)
+      println(s"""{"q":"$name","sf":"$sfDir","runs":[${runs.map(d3).mkString(",")}],"min":${d3(s.head)},"med":${d3(s(s.size / 2))},"max":${d3(s.last)}}""")
     }
     spark.stop()
   }

@@ -330,9 +330,18 @@ object Dedup {
         .join(landedBuckets, Seq("band", "key"))
         .select(col("a_id"), explode(col("ids")).as("b_id"))
         .distinct())
-    verifiedJaccard(hrows, candM)
+    // Materialize the (small, O(admission verdicts)) result and RELEASE the
+    // two corpus-sized intermediates this probe pinned (the shingle hash
+    // rows inside minhashHashRows and the candidate set) — the probe was
+    // the one dedup-family member whose per-execution checkpoints outlived
+    // the call (a leak under bench REPEAT and long JobServer sessions; the
+    // family-cache siblings release via LRU evict, this path releases
+    // inline).
+    val out = materialize(verifiedJaccard(hrows, candM)
       .filter(col("jaccard") >= minJ)
-      .select(col("a_id").as("new_id"), col("b_id").as("landed_id"), col("jaccard"))
+      .select(col("a_id").as("new_id"), col("b_id").as("landed_id"), col("jaccard")))
+    release(hrows); release(candM)
+    out
   }
 
   /** All (a < b) pairs from a sorted id array, as structs. */

@@ -25,7 +25,8 @@ object Graph {
     * should checkpoint every few rounds (see Dedup.materialize); at
     * inventory scale the chain compiles and runs in one job.
     */
-  def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               teleport: Double = 0.15): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
@@ -45,10 +46,14 @@ object Graph {
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("contrib"))
+      // teleport is its OWN literal, not 1 - damping: the binary 1 - 0.85
+      // is 2 ulps above the double the oracle's decimal text "0.15" parses
+      // to, and the unrolled-SQL contract is bit-exact operand parity (the
+      // 6-decimal gate rounding made the mismatch latent, never safe).
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(1 - damping) / col("n")
+          (lit(teleport) / col("n")
             + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
     }
     ranks
@@ -71,7 +76,8 @@ object Graph {
     * oracle.
     */
   def personalizedPageRank(pairs: DataFrame, isSource: org.apache.spark.sql.Column,
-                           iters: Int = 10, damping: Double = 0.85): DataFrame = {
+                           iters: Int = 10, damping: Double = 0.85,
+                           teleport: Double = 0.15): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
@@ -79,7 +85,16 @@ object Graph {
     val edgesDeg = Dedup.materialize(edges.join(deg, "src"))
     val flagged = deg.select(col("src").as("id"))
       .withColumn("is_src", when(isSource, 1).otherwise(0))
-    val ns = broadcast(flagged.agg(sum(col("is_src")).as("ns")))
+    // Fail LOUDLY on an empty seed set: sum(is_src) = 0 would otherwise
+    // flow ns = 0 into every rank's division, which Spark SQL yields as
+    // NULL (not an error) — a full frame of silently-NULL ranks. The guard
+    // is on the ONE-ROW aggregate (no per-row cost) and fires eagerly at
+    // the `nodes` materialization below.
+    val ns = broadcast(flagged.agg(sum(col("is_src")).as("ns0"))
+      .select(when(col("ns0") > 0, col("ns0"))
+        .otherwise(raise_error(
+          lit("personalizedPageRank: isSource matches no graph node")))
+        .as("ns")))
     val nodes = Dedup.materialize(flagged.crossJoin(ns))
     // operand order mirrors the oracle text exactly (left-assoc
     // is_src * 1.0 / ns, 0.15 * is_src / ns) — double arithmetic is not
@@ -93,8 +108,10 @@ object Graph {
         .groupBy("id").agg(sum(col("c")).as("contrib"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
+        // teleport stated as its own literal — see pageRank on why
+        // 1 - damping is NOT the double the oracle's "0.15" parses to
         .select(col("id"),
-          (lit(1 - damping) * col("is_src") / col("ns")
+          (lit(teleport) * col("is_src") / col("ns")
             + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
     }
     ranks

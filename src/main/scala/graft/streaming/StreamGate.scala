@@ -93,9 +93,18 @@ object StreamGate {
     // object: two concurrent gate runs would otherwise save each other's
     // temporary "8" as prev and leave it permanent (and any batch query
     // planned inside the window would silently run at 8 partitions).
+    // recentProgress is a RING buffer capped by this conf (default 100):
+    // a run past 100 micro-batches would silently drop its oldest progress
+    // events, and both the execution-proof require and the throughput
+    // metrics below would undercount. 10000 is two orders past any gate
+    // shape (AvailableNow over bounded testdata); a TRULY unbounded
+    // deployment would accumulate via a StreamingQueryListener instead.
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
     StreamGate.synchronized {
       val prevParts = spark.conf.get(partsKey)
+      val prevProg = spark.conf.get(progKey)
       spark.conf.set(partsKey, "8")
+      spark.conf.set(progKey, "10000")
       try {
         val q = sink(transformed, dataDir)
           .option("checkpointLocation", s"$out/ckpt")
@@ -114,7 +123,10 @@ object StreamGate {
           Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum
         lastMetrics.put(tag, StreamMetrics(tag, prog.length, inputRows, trigMs,
           if (trigMs > 0) inputRows * 1000.0 / trigMs else 0.0))
-      } finally spark.conf.set(partsKey, prevParts)
+      } finally {
+        spark.conf.set(partsKey, prevParts)
+        spark.conf.set(progKey, prevProg)
+      }
     }
     spark.read.schema(transformed.schema).parquet(dataDir)
   }

@@ -69,16 +69,18 @@ class ScaleSmokeSpec extends AnyFunSuite {
     * the contention-free cost, which is the quantity the quadratic-creep
     * assertion is actually about.
     */
-  private def time(name: String, dir: String): (Double, Long) = {
-    def once(): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, rows)
-    }
+  private def best2(once: () => (Double, Long)): (Double, Long) = {
     val a = once()
     val b = once()
     (math.min(a._1, b._1), b._2)
   }
+
+  private def time(name: String, dir: String): (Double, Long) =
+    best2(() => {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    })
 
   /** Operator-level twin of the query test below for the two TEXT-dedup
     * pair pipelines — the highest-volume operators of the north-star
@@ -116,8 +118,8 @@ class ScaleSmokeSpec extends AnyFunSuite {
         val rows = op(docs).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      val (t1a, _) = once(base); val (t1, r1) = { val b = once(base); (math.min(t1a, b._1), b._2) }
-      val (t10a, _) = once(big); val (t10, r10) = { val b = once(big); (math.min(t10a, b._1), b._2) }
+      val (t1, r1) = best2(() => once(base))
+      val (t10, r10) = best2(() => once(big))
       val growth = t10 / t1
       info(f"$name%-24s base=$t1%6.2fs rows=$r1%6d  10x=$t10%7.2fs rows=$r10%7d  growth=$growth%5.1fx")
       assert(r1 > 0, s"$name degenerate at base scale (planted twins not found)")
