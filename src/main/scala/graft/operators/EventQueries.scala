@@ -710,6 +710,65 @@ object EventQueries {
              |WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Association rules (the Apriori/market-basket classic) over daily
+    // per-user baskets: basket = (user_id, day), items = the distinct
+    // event types it contains; for every unordered pair the support,
+    // both directed confidences, and lift. ts_transitions above is the
+    // ORDERED sequential pair (Markov); this is the unordered
+    // co-occurrence miner a recommender/affinity pipeline runs. Scale
+    // shape: the corpus collapses to O(baskets × item-kinds) distinct
+    // rows in one shuffle; the pair join is EQUI on the basket key
+    // (co-partitioned, per-basket fan-out bounded by the item-kind count,
+    // AQE-splittable); counts roll up to O(item-kinds²) rows; the basket
+    // total is a broadcast scalar. Every count is an exact integer and
+    // each ratio rounds once with operand order stated identically on
+    // both engines.
+    QueryDef("rel_assoc_rules",
+      (s, d) => {
+        val bt = T(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type").as("t"))
+          .distinct()
+        val nb = broadcast(bt.select("user_id", "day").distinct()
+          .agg(count(lit(1)).as("n_baskets")))
+        val ic = bt.groupBy("t").agg(count(lit(1)).as("n_t"))
+        bt.select(col("user_id"), col("day"), col("t").as("a"))
+          .join(bt.select(col("user_id"), col("day"), col("t").as("b")),
+            Seq("user_id", "day"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(ic.select(col("t").as("a"), col("n_t").as("n_a"))), "a")
+          .join(broadcast(ic.select(col("t").as("b"), col("n_t").as("n_b"))), "b")
+          .crossJoin(nb)
+          .select(col("a").as("antecedent"), col("b").as("consequent"),
+            col("n_ab"),
+            round(col("n_ab") * lit(1.0) / col("n_baskets"), 4).as("support"),
+            round(col("n_ab") * lit(1.0) / col("n_a"), 4).as("conf_a_to_b"),
+            round(col("n_ab") * lit(1.0) / col("n_b"), 4).as("conf_b_to_a"),
+            round(col("n_ab") * lit(1.0) * col("n_baskets")
+              / (col("n_a") * lit(1.0) * col("n_b")), 4).as("lift"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH bt AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |                   event_type AS t
+             |            FROM events),
+             |nb AS (SELECT count(*) AS n_baskets
+             |       FROM (SELECT DISTINCT user_id, day FROM bt)),
+             |ic AS (SELECT t, count(*) AS n_t FROM bt GROUP BY 1),
+             |pr AS (SELECT a.t AS a, b.t AS b, count(*) AS n_ab
+             |       FROM bt a JOIN bt b ON a.user_id = b.user_id
+             |                          AND a.day = b.day AND a.t < b.t
+             |       GROUP BY 1, 2)
+             |SELECT pr.a AS antecedent, pr.b AS consequent, n_ab,
+             |       round(n_ab * 1.0 / nb.n_baskets, 4) AS support,
+             |       round(n_ab * 1.0 / ia.n_t, 4) AS conf_a_to_b,
+             |       round(n_ab * 1.0 / ib.n_t, 4) AS conf_b_to_a,
+             |       round(n_ab * 1.0 * nb.n_baskets / (ia.n_t * 1.0 * ib.n_t), 4)
+             |         AS lift
+             |FROM pr JOIN ic ia ON ia.t = pr.a JOIN ic ib ON ib.t = pr.b
+             |CROSS JOIN nb
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Local-maximum (peak) detection: rows whose value strictly exceeds
     // both time-neighbors within their type — alert/spike extraction with
     // one lag + one lead over a single (event_type) shuffle. Endpoint rows
@@ -1042,6 +1101,53 @@ object EventQueries {
              |       floor(b.dow_sum * t.tot_days * 10000.0 / (b.n_days * t.tot_sum)) / 10000 AS idx
              |FROM bydow b JOIN tot t ON b.event_type = t.event_type
              |ORDER BY b.event_type, b.dow""".stripMargin)),
+
+    // Additive seasonal decomposition (STL-lite) per event_type series:
+    // trend = centered 7-day moving sum, detrended value kept as the EXACT
+    // INTEGER 7·x − trend7 (no division on the hot path, so every
+    // aggregate sums exact integers and the per-dow seasonal index is the
+    // single rounding site). Interior days only (full 7-row frame; on a
+    // gappy series the frame spans the 7 nearest OBSERVED days — the
+    // ts_meanshift convention). Unlike ts_dow_seasonality above (raw dow
+    // share), this removes the trend first, so a ramping series doesn't
+    // masquerade as weekday seasonality. Scale shape: the raw corpus
+    // collapses to O(types × days) in one keyed aggregate; the window is
+    // PARTITIONED by series id with a bounded 7-row frame — the per-metric
+    // decomposition shape at millions of series; the rollup is O(types×7).
+    QueryDef("ts_decompose",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        val w7 = Window.partitionBy("event_type").orderBy("d0").rowsBetween(-3, 3)
+        daily
+          .withColumn("trend7", sum(col("x")).over(w7))
+          .withColumn("n7", count(lit(1)).over(w7))
+          .filter(col("n7") === 7)
+          .withColumn("dd", lit(7) * col("x") - col("trend7"))
+          .groupBy(col("event_type"), dayofweek(col("d0")).cast("bigint").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("dd")).as("sum_d"))
+          .select(col("event_type"), col("dow"), col("n_days"), col("sum_d"),
+            round(col("sum_d") * lit(1.0) / (lit(7) * col("n_days")), 4).as("seasonal"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |tr AS (SELECT event_type, d0, x,
+             |              CAST(sum(x) OVER w AS BIGINT) AS trend7,
+             |              count(*) OVER w AS n7
+             |       FROM daily
+             |       WINDOW w AS (PARTITION BY event_type ORDER BY d0
+             |                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |det AS (SELECT event_type, CAST(dayofweek(d0) + 1 AS BIGINT) AS dow,
+             |               7 * x - trend7 AS dd
+             |        FROM tr WHERE n7 = 7),
+             |agg AS (SELECT event_type, dow, count(*) AS n_days,
+             |               CAST(sum(dd) AS BIGINT) AS sum_d
+             |        FROM det GROUP BY 1, 2)
+             |SELECT event_type, dow, n_days, sum_d,
+             |       round(sum_d * 1.0 / (7 * n_days), 4) AS seasonal
+             |FROM agg ORDER BY event_type, dow""".stripMargin)),
 
     // Two-window mean-shift changepoint detection over the daily volume
     // series: for each day with k=7 OBSERVED days on both sides (row
