@@ -245,4 +245,61 @@ class PipelinePropertySpec extends AnyFunSuite {
         info(s"seed=$seed: signed-64 ordering would have picked $wrapped over $expected")
     }
   }
+
+  // --- association rules / seasonal decomposition (round-9) ---------------
+
+  test("rel_assoc_rules == in-Scala basket enumeration on the gate corpus") {
+    val d = "/root/testdata/sf0.001"
+    val bt = graft.Tables.t(spark, d, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+        col("event_type"))
+      .as[(Long, String, String)].collect()
+      .map { case (u, day, t) => ((u, day), t) }.distinct
+    val byBasket = bt.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nB = byBasket.size
+    val itemCount = bt.groupBy(_._2).map { case (t, v) => t -> v.length }
+    val pairCount = byBasket.values.toSeq.flatMap { s =>
+      val l = s.toList.sorted
+      for { i <- l.indices; j <- (i + 1) until l.size } yield (l(i), l(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val got = SparkEntry.queries("rel_assoc_rules")(spark, d).collect()
+    assert(got.length == pairCount.size && got.nonEmpty, got.length)
+    got.foreach { r =>
+      val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, r)
+      assert(nab == pairCount((a, b)), s"($a,$b)")
+      assert(math.abs(r.getDouble(3) - nab.toDouble / nB) < 1e-4, s"support $r")
+      assert(math.abs(r.getDouble(4) - nab.toDouble / itemCount(a)) < 1e-4, r)
+      assert(math.abs(r.getDouble(5) - nab.toDouble / itemCount(b)) < 1e-4, r)
+      assert(math.abs(r.getDouble(6) -
+        nab.toDouble * nB / (itemCount(a).toDouble * itemCount(b))) < 1e-4, r)
+    }
+  }
+
+  test("ts_decompose == in-Scala centered-sum detrending on the gate corpus") {
+    val d = "/root/testdata/sf0.001"
+    val daily = graft.Tables.t(spark, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d0"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, String, Long)].collect()
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val xs = sorted.map(_._3)
+      for (i <- 3 until sorted.length - 3) yield {
+        val trend7 = (i - 3 to i + 3).map(xs).sum
+        // Spark dayofweek: Sunday=1..Saturday=7; LocalDate ISO: Monday=1..Sunday=7
+        val dow = java.time.LocalDate.parse(sorted(i)._2).getDayOfWeek.getValue % 7 + 1
+        (t, dow.toLong, 7 * xs(i) - trend7)
+      }
+    }.groupBy(r => (r._1, r._2))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._3).sum) }
+    val got = SparkEntry.queries("ts_decompose")(spark, d).collect()
+    assert(got.length == expected.size && got.nonEmpty, got.length)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (nDays, sumD) = expected(k)
+      assert(r.getLong(2) == nDays && r.getLong(3) == sumD, s"$k")
+      assert(math.abs(r.getDouble(4) - sumD.toDouble / (7 * nDays)) < 1e-3, s"$k")
+    }
+  }
 }
