@@ -579,6 +579,159 @@ object EventQueries {
              |             / sum(wt) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING), 4) AS ewma
              |FROM wtd ORDER BY day""".stripMargin)),
 
+    // Holt double-exponential smoothing (level + trend, alpha = beta = 0.5)
+    // per event_type series — the next-step volume forecaster ts_ewma can't
+    // be (EWMA has no trend state; on a ramping series it lags forever).
+    // The recursion l' = a·x + (1-a)(l+b), b' = b·(l'-l) + (1-b)·b is a
+    // sequential fold per series: expressed as the codegen'd higher-order
+    // `aggregate` over the date-sorted value array — the right Spark shape
+    // for per-KEY recursions (state stays in one combiner; no driver loop,
+    // no UDF). Scale: the corpus collapses to O(types × days) first; each
+    // series folds independently, so millions of series parallelize by key;
+    // a series too long for one array would chunk via per-segment folds
+    // (the (l,b) state is the only carry). Determinism: both engines fold
+    // the same doubles in the same date order with operand-identical
+    // arithmetic (l' restated verbatim inside b'), so the final state is
+    // bit-identical; rounding happens once at output.
+    QueryDef("ts_holt",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("d0"), col("x")))).as("ser"))
+          .select(col("event_type"),
+            expr("transform(ser, e -> CAST(e.x AS DOUBLE))").as("xs"))
+          .select(col("event_type"), size(col("xs")).cast("bigint").as("n_days"),
+            expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                    named_struct('l', xs[0], 'b', CAST(0.0 AS DOUBLE)),
+                    (a, x) -> named_struct(
+                      'l', 0.5 * x + 0.5 * (a.l + a.b),
+                      'b', 0.5 * ((0.5 * x + 0.5 * (a.l + a.b)) - a.l) + 0.5 * a.b))""")
+              .as("st"))
+          .select(col("event_type"), col("n_days"),
+            round(col("st.l"), 4).as("level"),
+            round(col("st.b"), 4).as("trend"),
+            round(col("st.l") + col("st.b"), 4).as("forecast_next"))
+          .orderBy("event_type")
+      },
+      // The oracle unrolls the recursion as a RECURSIVE CTE keyed on the
+      // day index, not a list_reduce lambda: DuckDB 1.0's list_reduce does
+      // not reproduce a strict sequential left fold for a multi-field
+      // struct state (verified against an independent in-Scala/Python
+      // reference — only associative folds agree), so the lambda form
+      // cannot serve as a truth side. The CTE recursion applies the
+      // operand-identical update once per day row.
+      Some("""WITH RECURSIVE
+             |daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
+             |          FROM events GROUP BY 1, 2),
+             |drn AS (SELECT event_type, x,
+             |               row_number() OVER (PARTITION BY event_type
+             |                                  ORDER BY d0) AS rn
+             |        FROM daily),
+             |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+             |holt(event_type, i, l, b) AS (
+             |  SELECT event_type, 1, CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)
+             |  FROM drn WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.event_type, h.i + 1,
+             |         0.5 * d.x + 0.5 * (h.l + h.b),
+             |         0.5 * ((0.5 * d.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+             |  FROM holt h JOIN drn d ON d.event_type = h.event_type
+             |                        AND d.rn = h.i + 1)
+             |SELECT h.event_type, nd.n_days, round(h.l, 4) AS level,
+             |       round(h.b, 4) AS trend,
+             |       round(h.l + h.b, 4) AS forecast_next
+             |FROM holt h JOIN nd ON nd.event_type = h.event_type
+             |                   AND h.i = nd.n_days
+             |ORDER BY h.event_type""".stripMargin)),
+
+    // Theil–Sen robust trend per event_type series: the median of all
+    // pairwise day-slopes — outlier-days move an OLS slope arbitrarily but
+    // shift a slope median by at most one rank (the robust-regression
+    // classic). Pair space is days², but DAYS per series, not events: the
+    // corpus collapses to O(types × days) first, the pair join is equi on
+    // the series key (AQE-splittable), and the median is picked by rank
+    // inside a PARTITIONED window — bounded days²-per-series frames, no
+    // global sort. Lower median ((n+1) div 2) stated on both engines; ties
+    // in slope make the row choice arbitrary but the VALUE picked
+    // identical, so the output is deterministic. Each slope is exact
+    // integers divided once; rounding happens once at output.
+    QueryDef("ts_theil_sen",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        val a = daily.select(col("event_type"), col("d0").as("da"), col("x").as("xa"))
+        val b = daily.select(col("event_type"), col("d0").as("db"), col("x").as("xb"))
+        val slopes = a.join(b, Seq("event_type"))
+          .filter(col("da") < col("db"))
+          .select(col("event_type"),
+            ((col("xb") - col("xa")) * lit(1.0)
+              / datediff(col("db"), col("da"))).as("slope"))
+        val wOrd = Window.partitionBy("event_type").orderBy("slope")
+        val wAll = Window.partitionBy("event_type")
+        slopes
+          .withColumn("rn", row_number().over(wOrd).cast("bigint"))
+          .withColumn("n_pairs", count(lit(1)).over(wAll))
+          .filter(col("rn") === expr("CAST((n_pairs + 1) DIV 2 AS BIGINT)"))
+          .select(col("event_type"), col("n_pairs"),
+            round(col("slope"), 6).as("theil_slope"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |sl AS (SELECT a.event_type,
+             |              (b.x - a.x) * 1.0 / date_diff('day', a.d0, b.d0) AS slope
+             |       FROM daily a JOIN daily b ON a.event_type = b.event_type
+             |                                AND a.d0 < b.d0),
+             |rk AS (SELECT event_type, slope,
+             |              row_number() OVER (PARTITION BY event_type
+             |                                 ORDER BY slope) AS rn,
+             |              count(*) OVER (PARTITION BY event_type) AS n_pairs
+             |       FROM sl)
+             |SELECT event_type, n_pairs, round(slope, 6) AS theil_slope
+             |FROM rk WHERE rn = (n_pairs + 1) // 2
+             |ORDER BY event_type""".stripMargin)),
+
+    // Mann–Kendall trend test per event_type series — the nonparametric
+    // significance companion to ts_theil_sen's slope estimate: S = Σ
+    // sign(x_j − x_i) over ordered day pairs, Kendall's tau = S scaled by
+    // the pair count in basis points. EVERY quantity is an exact integer
+    // (sign sums, pair counts, a single integer-floored scaling), so the
+    // result is bit-identical cross-engine with no rounding conventions at
+    // all. Same O(types × days²) equi-join pair space as the slope — days
+    // per series, not events — rolled up to one row per series.
+    QueryDef("ts_mk_trend",
+      (s, d) => {
+        val daily = T(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d0"))
+          .agg(count(lit(1)).as("x"))
+        val a = daily.select(col("event_type"), col("d0").as("da"), col("x").as("xa"))
+        val b = daily.select(col("event_type"), col("d0").as("db"), col("x").as("xb"))
+        a.join(b, Seq("event_type"))
+          .filter(col("da") < col("db"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(signum(col("xb") - col("xa")).cast("bigint")).as("mk_s"))
+          .select(col("event_type"), col("n_pairs"), col("mk_s"),
+            floor(col("mk_s") * lit(10000L) / col("n_pairs")).cast("bigint")
+              .as("tau_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d0, count(*) AS x
+             |               FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type,
+             |              CAST(sign(b.x - a.x) AS BIGINT) AS sg
+             |       FROM daily a JOIN daily b ON a.event_type = b.event_type
+             |                                AND a.d0 < b.d0),
+             |ag AS (SELECT event_type, count(*) AS n_pairs,
+             |              CAST(sum(sg) AS BIGINT) AS mk_s
+             |       FROM pr GROUP BY 1)
+             |SELECT event_type, n_pairs, mk_s,
+             |       CAST(floor(mk_s * 10000 / n_pairs) AS BIGINT) AS tau_bp
+             |FROM ag ORDER BY event_type""".stripMargin)),
+
     // Lag-1 autocorrelation of daily event volume per event type: is
     // traffic momentum-driven (r > 0), mean-reverting (r < 0), or white
     // noise? corr over the (x_t, x_{t-1}) pairs of the tiny per-day

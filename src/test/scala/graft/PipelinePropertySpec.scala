@@ -276,6 +276,75 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Shared daily (type, date-string, count) series off the gate corpus. */
+  private def dailySeries(d: String): Map[String, Seq[Long]] =
+    graft.Tables.t(spark, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d0"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) => t -> rows.sortBy(_._2).map(_._3).toSeq }
+
+  test("ts_holt == in-Scala sequential fold on the gate corpus") {
+    // The reference that exposed DuckDB 1.0's list_reduce mis-fold (the
+    // oracle is a recursive CTE for that reason): a strict sequential
+    // left fold in plain Scala doubles, operand order matching the query.
+    val d = "/root/testdata/sf0.001"
+    val expected = dailySeries(d).map { case (t, xs) =>
+      var l = xs.head.toDouble; var b = 0.0
+      xs.tail.foreach { xi =>
+        val x = xi.toDouble
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l2 - l) + 0.5 * b
+        l = l2
+      }
+      t -> (xs.length.toLong, l, b)
+    }
+    val got = SparkEntry.queries("ts_holt")(spark, d).collect()
+    assert(got.length == expected.size && got.nonEmpty, got.length)
+    got.foreach { r =>
+      val (n, l, b) = expected(r.getString(0))
+      assert(r.getLong(1) == n, r)
+      assert(math.abs(r.getDouble(2) - l) < 1e-4, s"level $r vs $l")
+      assert(math.abs(r.getDouble(3) - b) < 1e-4, s"trend $r vs $b")
+      assert(math.abs(r.getDouble(4) - (l + b)) < 1e-4, s"forecast $r")
+    }
+  }
+
+  test("ts_theil_sen and ts_mk_trend == in-Scala pair enumeration on the gate corpus") {
+    val d = "/root/testdata/sf0.001"
+    // dates are consecutive per type on this corpus is NOT assumed: recompute
+    // with real date gaps
+    val daily = graft.Tables.t(spark, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d0"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) => t -> rows.sortBy(_._2) }
+    val ref = daily.map { case (t, rows) =>
+      val pts = rows.map { case (_, ds, x) =>
+        (java.time.LocalDate.parse(ds).toEpochDay, x) }
+      val pairs = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(i), pts(j))
+      val slopes = pairs.map { case ((da, xa), (db, xb)) =>
+        (xb - xa) * 1.0 / (db - da) }.sorted
+      val mkS = pairs.map { case ((_, xa), (_, xb)) => java.lang.Long.signum(xb - xa).toLong }.sum
+      t -> (pairs.length.toLong, slopes((pairs.length + 1) / 2 - 1), mkS)
+    }
+    val ts = SparkEntry.queries("ts_theil_sen")(spark, d).collect()
+    assert(ts.length == ref.size && ts.nonEmpty)
+    ts.foreach { r =>
+      val (np, med, _) = ref(r.getString(0))
+      assert(r.getLong(1) == np, r)
+      assert(math.abs(r.getDouble(2) - med) < 1e-6, s"median $r vs $med")
+    }
+    val mk = SparkEntry.queries("ts_mk_trend")(spark, d).collect()
+    mk.foreach { r =>
+      val (np, _, s) = ref(r.getString(0))
+      assert(r.getLong(1) == np && r.getLong(2) == s, r)
+      assert(r.getLong(3) == math.floor(s * 10000.0 / np).toLong, r)
+    }
+  }
+
   test("ts_decompose == in-Scala centered-sum detrending on the gate corpus") {
     val d = "/root/testdata/sf0.001"
     val daily = graft.Tables.t(spark, d, "events")
