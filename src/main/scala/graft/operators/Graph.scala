@@ -341,6 +341,48 @@ object Graph {
     out
   }
 
+  /** Closeness centrality over the undirected pair graph, exact within
+    * `maxHops`: per-source shortest-path relaxation carried as one
+    * (src, v, d) table — bounded-hop all-pairs BFS run from every node at
+    * once. On a DEDUP graph this is the right cost model: components are
+    * near-dup clusters (small diameter, bounded size), so the state is
+    * per-COMPONENT quadratic, never corpus-quadratic, and each round is
+    * the same co-partitioned frontier⋈edges join + min-aggregate as
+    * [[bfsHops]]. Returns per node: peers reached (self excluded, within
+    * maxHops), total hop distance, and closeness in basis points
+    * (floor(10000·n/Σd) — exact integers divided once, floored once; a
+    * pair-graph node always reaches ≥1 peer, so the divisor is never 0).
+    * The O(component²) distance table is released once the O(nodes)
+    * report is materialized — only the small frame outlives the call.
+    */
+  def closenessStats(pairs: DataFrame, maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1, s"bad maxHops $maxHops")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("v"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("v"), col("a_id").as("nb")))
+        .distinct())
+    var dist = es.select(col("v")).distinct()
+      .select(col("v").as("src"), col("v"), lit(0L).as("d"))
+    var prev: DataFrame = null
+    for (_ <- 1 to maxHops) {
+      val next = Dedup.materialize(
+        dist.union(
+            dist.join(es, "v")
+              .select(col("src"), col("nb").as("v"), (col("d") + 1).as("d")))
+          .groupBy("src", "v").agg(min("d").as("d")))
+      Dedup.release(prev); prev = dist; dist = next
+    }
+    val out = Dedup.materialize(
+      dist.filter(col("v") =!= col("src"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"), sum("d").as("sum_dist"))
+        .select(col("src").as("id"), col("n_reached"), col("sum_dist"),
+          floor(lit(10000L) * col("n_reached") / col("sum_dist")).cast("bigint")
+            .as("closeness_bp")))
+    Dedup.release(prev); Dedup.release(dist); Dedup.release(es)
+    out
+  }
+
   /** HITS hubs & authorities over a DIRECTED edge table (src, dst), `iters`
     * full rounds of the mutual recurrence a ← Aᵀh, h ← A·a — link-economy
     * scoring where PageRank's single score conflates the two roles (here:

@@ -599,6 +599,40 @@ object PipelineQueries {
              |                  ELSE 3.0 * n_triangles / n_wedges END, 4) AS clustering
              |FROM tri CROSS JOIN w""".stripMargin)),
 
+    // Closeness centrality over the same near-dup graph: bounded-hop
+    // all-pairs BFS (10 hops >> any dedup-cluster diameter) carried as one
+    // (src, node, dist) relaxation table — per-COMPONENT quadratic state,
+    // the right cost model on a cluster graph; every quantity is an exact
+    // integer (floor-scaled basis points, no float sums). The oracle
+    // replays the walk as a depth-bounded recursive CTE and takes min
+    // distance per (src, node).
+    QueryDef("gr_closeness",
+      (s, d) => Graph.closenessStats(
+          Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+            .select("a_id", "b_id"), maxHops = 10)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id
+             |        JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS t FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |nodes AS (SELECT DISTINCT s AS id FROM e),
+             |walk(src, v, d) AS (
+             |  SELECT id, id, 0 FROM nodes
+             |  UNION
+             |  SELECT w.src, e.t, w.d + 1
+             |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+             |md AS (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2),
+             |ag AS (SELECT src, count(*) AS n_reached,
+             |              CAST(sum(d) AS BIGINT) AS sum_dist
+             |       FROM md WHERE v <> src GROUP BY 1)
+             |SELECT src AS id, n_reached, sum_dist,
+             |       CAST(floor(10000 * n_reached / sum_dist) AS BIGINT)
+             |         AS closeness_bp
+             |FROM ag ORDER BY id""".stripMargin)),
+
     // k-core backbone of the shares->=3-shingles graph (same edge set as
     // gr_common_neighbors — the Jaccard>=0.8 graph is all 2-cliques with
     // an empty 2-core): 10 peel rounds at k=2, enough for this graph's

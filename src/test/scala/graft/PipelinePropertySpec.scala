@@ -79,6 +79,31 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("closenessStats == Floyd-Warshall on random graphs") {
+    for (seed <- 21L to 28L) {
+      val edges = graphGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.size
+      val INF = Int.MaxValue / 4
+      val d = Array.fill(n, n)(INF)
+      nodes.indices.foreach(i => d(i)(i) = 0)
+      edges.foreach { case (a, b) => d(idx(a))(idx(b)) = 1; d(idx(b))(idx(a)) = 1 }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+      val expected = nodes.zipWithIndex.map { case (id, i) =>
+        // graphGen graphs are tiny: every finite distance is << the 10-hop
+        // cap, so Floyd-Warshall reachability == the bounded-hop result
+        val ds = nodes.indices.filter(j => j != i && d(i)(j) < INF).map(j => d(i)(j).toLong)
+        (id, ds.size.toLong, ds.sum,
+          math.floor(10000.0 * ds.size / ds.sum).toLong)
+      }.filter(_._2 > 0)
+      val got = Graph.closenessStats(edges.toDF("a_id", "b_id"))
+        .orderBy("id").as[(Long, Long, Long, Long)].collect().toList
+      assert(got == expected, s"seed=$seed got=$got exp=$expected")
+    }
+  }
+
   test("commonNeighbors == brute-force wedge endpoints on random graphs") {
     for (seed <- 11L to 18L) {
       val edges = graphGen.apply(Gen.Parameters.default, rng.Seed(seed)).get
