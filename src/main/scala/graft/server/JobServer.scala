@@ -188,6 +188,24 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
       case None => respond(ex, 404, "ERROR : Job log fetch failed")
     })
 
+  // Observability beyond the reference's three routes: one JSON line a
+  // long-lived session's operator reads to see resident-state pressure
+  // (the family-cache LRUs whose eviction safety the jobWorkers require
+  // above couples to) and job-registry health, without attaching a
+  // debugger. Counting statuses is an O(retained) scan, bounded by the
+  // retention cap.
+  server.createContext("/metrics", (ex: HttpExchange) => {
+    val byStatus = jobs.values.toSeq.groupBy(_.status).map {
+      case (s, v) => s"""\"${s.toLowerCase}\":${v.size}"""
+    }.toSeq.sorted.mkString(",")
+    val caches = graft.operators.PipelineQueries.familyCacheSizes
+    respond(ex, 200,
+      s"""{"jobs_retained":${jobs.size},"jobs":{$byStatus},""" +
+        s""""family_cache_entries":${caches.sum},""" +
+        s""""family_caches":[${caches.mkString(",")}],""" +
+        s""""job_workers":$jobWorkers,"retention_cap":$maxRetainedJobs}""")
+  })
+
   // kept referenced: HttpServer.stop() does NOT terminate a caller-supplied
   // executor, and its 4 non-daemon workers would otherwise pin the JVM
   // after stop()

@@ -68,6 +68,18 @@ class JobServerSpec extends AnyFunSuite {
       val (lc, log) = get(srv.boundPort, s"/getjoblog?jobid=$jobId")
       assert(lc == 200 && log.contains("Step 3 : Consolidating output file")
         && log.contains("Job COMPLETED"), log)
+
+      // observability route: real registry + cache-pressure numbers
+      val (mc, metrics) = get(srv.boundPort, "/metrics")
+      assert(mc == 200, metrics)
+      assert(metrics.contains(""""jobs_retained":1""")
+        && metrics.contains(""""completed":1""")
+        && metrics.contains(""""retention_cap":256"""), metrics)
+      val cacheTotal = """"family_cache_entries":(\d+)""".r
+        .findFirstMatchIn(metrics).map(_.group(1).toInt)
+        .getOrElse(fail(s"no cache total in $metrics"))
+      assert(cacheTotal == graft.operators.PipelineQueries.familyCacheSizes.sum,
+        metrics)
     } finally srv.stop()
   }
 
