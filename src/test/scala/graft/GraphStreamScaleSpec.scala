@@ -95,6 +95,45 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  /** Cluster graph for the closeness smoke: MANY SMALL components (edges
+    * only within 16-node groups) — the dedup-cluster regime
+    * [[graft.operators.Graph.closenessStats]] is designed for, where the
+    * (src, v, d) state is Σ component² = LINEAR in component count. The
+    * hub-heavy giant-component graph above is exactly the input the
+    * operator's scaladoc excludes (one 20k-node component would make the
+    * state 400M rows): this test pins the shape the operator claims, and
+    * 10× more components must cost ~10×, not component-count².
+    */
+  private def stageClusterEdges(nEdges: Long, nGroups: Long): String = {
+    val dir = graft.sources.TempDirs.create(s"grclscale_$nEdges").toString
+    spark.range(nEdges).selectExpr(
+        s"pmod(hash(id, 11), $nGroups) AS g",
+        "pmod(hash(id, 3), 16) AS h1",
+        "pmod(hash(id, 7), 16) AS h2")
+      .selectExpr("g * 16 + least(h1, h2) AS a_id", "g * 16 + greatest(h1, h2) AS b_id")
+      .filter("a_id < b_id")
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+    dir
+  }
+
+  test("closeness growth is ~linear in component count on cluster graphs", Slow) {
+    import graft.operators.Graph
+    val op: DataFrame => DataFrame = e => Graph.closenessStats(e, maxHops = 10)
+    val base = stageClusterEdges(50000L, 2000L)
+    val big = stageClusterEdges(50000L * Factor, 2000L * Factor)
+    op(spark.read.parquet(s"$base/edges.parquet").limit(2000)).count() // warm
+    val (t1, r1) = timeGraph(op, base)
+    val (t10, r10) = timeGraph(op, big)
+    val growth = t10 / t1
+    info(f"closenessStats/op base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
+    assert(r1 > 0 && r10 > 0, s"degenerate closeness smoke ($r1, $r10)")
+    assert(r10 > 5 * r1, s"10x components must report ~10x nodes ($r1 -> $r10)")
+    assert(growth < 30.0,
+      s"closenessStats grew ${growth}x for ${Factor}x components — state no " +
+        "longer component-bounded (giant component or lost min-aggregation)")
+  }
+
   // ---- streaming ------------------------------------------------------
 
   /** Synthetic events at the driver table's schema and value domains:
