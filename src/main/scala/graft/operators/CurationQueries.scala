@@ -894,6 +894,51 @@ object CurationQueries {
     // trees shared verbatim with the oracle ([[sqPowSql]] — no libm pow),
     // and each pair's probability is floor-quantized to an integer before
     // the engine-order-dependent SUM, so the aggregate is exact BIGINT.
+    // Content-defined chunking dedup — boundaries wherever the trailing
+    // 16-char window's positional 31-polynomial lands on 0 mod 64 (see
+    // Dedup.cdcChunkStats for the scale shape and why CDC catches shared
+    // passages whole-doc and pair dedup both miss). The oracle replays
+    // the window hash as ONE inline 16-term weighted sum — exact in
+    // BIGINT (16 terms < 2^42), and a single end-mod equals the Horner
+    // per-step mod because mod is a ring homomorphism.
+    QueryDef("dd_cdc_chunks",
+      (s, d) => Dedup.cdcChunkStats(T(s, d, "documents")),
+      Some {
+        val w = 16
+        val P = TextFns.HashP
+        val terms = (1 to w).map { j =>
+          val off = w - j // char j of the window is substr(text, i - off, 1)
+          val weight = Dedup.pow31(off)
+          s"CAST(ascii(substr(text, i - $off, 1)) AS BIGINT) * $weight"
+        }.mkString(" +\n             |           ")
+        s"""WITH base AS (SELECT doc_id, text FROM documents
+           |              WHERE length(text) >= 1),
+           |pos AS (SELECT doc_id, text,
+           |               unnest(generate_series($w, length(text))) AS i
+           |        FROM base WHERE length(text) >= $w),
+           |b AS (SELECT doc_id, i FROM pos
+           |      WHERE (($terms) % $P) % 64 = 0),
+           |ab AS (SELECT DISTINCT doc_id, i FROM (
+           |         SELECT doc_id, i FROM b
+           |         UNION ALL
+           |         SELECT doc_id, length(text) FROM base) q),
+           |st AS (SELECT doc_id, i,
+           |              coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+           |                       0) + 1 AS st
+           |       FROM ab),
+           |ch AS (SELECT substr(text, st, i - st + 1) AS chunk
+           |       FROM st JOIN base USING (doc_id)),
+           |g AS (SELECT chunk, count(*) AS copies FROM ch GROUP BY 1)
+           |SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+           |       count(*) AS n_distinct_chunks,
+           |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_dup_groups,
+           |       CAST(sum((copies - 1) * length(chunk)) AS BIGINT) AS dup_bytes,
+           |       CAST((100 * sum(copies * length(chunk))) // sum(copies)
+           |            AS BIGINT) AS avg_len_x100
+           |FROM g""".stripMargin
+      }),
+
     QueryDef("dd_lsh_tuning",
       (s, d) => {
         val st = PipelineQueries.pairStats(s, d)

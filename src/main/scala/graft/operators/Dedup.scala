@@ -910,4 +910,62 @@ object Dedup {
       .agg(count_distinct(col("test_id")).as("n_test_docs"),
         count(lit(1)).as("n_shared"))
   }
+
+  /** Content-defined chunking dedup (Rabin/FastCDC family): a boundary is
+    * cut after every position whose trailing w-char window hashes to
+    * 0 mod `modulus` ([[graft.plans.VectorExpressions.polyHash31]] — the
+    * same SQL-replayable positional polynomial the SimHash oracle gates),
+    * so chunk boundaries depend only on LOCAL content and re-align after
+    * insertions — the dedup granularity that catches shared passages
+    * exact-hash and shingle dedup both miss (exact needs whole-doc
+    * equality, shingles need pair enumeration). Expected chunk length is
+    * `modulus` chars; the final chunk of each doc ends at the text end.
+    * (Production CDC adds min/max chunk bounds against degenerate runs;
+    * the word-salad corpus has no such runs, and bounds would only add
+    * two more comparisons to the same plan.)
+    *
+    * Reported corpus-wide, all exact integers: chunk count, distinct
+    * chunks, duplicate groups, reclaimable duplicate bytes
+    * (Σ (copies−1)·len), and mean chunk length ×100.
+    *
+    * Shape at 100 TB: the boundary scan is a narrow per-doc explode
+    * (positions × O(1) codegen'd hash, no shuffle), chunk assembly is one
+    * per-doc window (partitioned by doc_id, partitions bounded by doc
+    * length / modulus), and the dedup rollup is one groupBy on the chunk
+    * key — the same explode+groupBy scaling as the shingle pipelines. At
+    * production scale the groupBy key would be an 8-byte chunk hash, not
+    * the chunk text; the text key here keeps the oracle mechanism-free.
+    */
+  def cdcChunkStats(docs: DataFrame, w: Int = 16, modulus: Int = 64): DataFrame = {
+    require(w >= 2 && w <= 64, s"window $w outside pow31 range")
+    require(modulus >= 2, s"bad modulus $modulus")
+    val base = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+    // Docs shorter than the window cannot host an interior boundary; they
+    // still emit their whole-doc chunk through the end-of-text boundary.
+    val pos = base.filter(length(col("text")) >= w)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(w), length(col("text")))).as("i"))
+    val bounds = pos
+      .filter(pmod(graft.plans.VectorExpressions.polyHash31(
+        expr(s"substring(text, i - ${w - 1}, $w)")), lit(modulus.toLong)) === 0)
+      .select(col("doc_id"), col("i"))
+    val allBounds = bounds
+      .union(base.select(col("doc_id"), length(col("text")).as("i")))
+      .distinct()
+    val ws = Window.partitionBy("doc_id").orderBy("i")
+    val chunks = allBounds
+      .select(col("doc_id"), col("i"),
+        (coalesce(lag(col("i"), 1).over(ws), lit(0)) + 1).as("st"))
+      .join(base, "doc_id")
+      .select(expr("substring(text, st, i - st + 1)").as("chunk"))
+    chunks.groupBy("chunk").agg(count(lit(1)).as("copies"))
+      .agg(
+        sum(col("copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum((col("copies") - 1) * length(col("chunk")).cast("long")).as("dup_bytes"),
+        expr("(100 * sum(copies * CAST(length(chunk) AS BIGINT))) div sum(copies)")
+          .as("avg_len_x100"))
+  }
 }

@@ -356,6 +356,28 @@ object Graph {
     * report is materialized — only the small frame outlives the call.
     */
   def closenessStats(pairs: DataFrame, maxHops: Int = 10): DataFrame = {
+    val dist = allPairsDist(pairs, maxHops)
+    val out = Dedup.materialize(
+      dist.filter(col("v") =!= col("src"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"), sum("d").as("sum_dist"))
+        .select(col("src").as("id"), col("n_reached"), col("sum_dist"),
+          floor(lit(10000L) * col("n_reached") / col("sum_dist")).cast("bigint")
+            .as("closeness_bp")))
+    Dedup.release(dist)
+    out
+  }
+
+  /** Bounded-hop all-pairs distance table (src, v, d) over the undirected
+    * pair graph — the shared relaxation behind [[closenessStats]] and
+    * [[eccentricityStats]]: per-source BFS run from every node at once as
+    * one frontier⋈edges join + min-aggregate per round, per-round
+    * materialize + release. Per-COMPONENT quadratic state (dedup clusters
+    * are small-diameter and bounded), never corpus-quadratic. Returns the
+    * MATERIALIZED table including the (src, src, 0) self rows; the caller
+    * owns the release.
+    */
+  private def allPairsDist(pairs: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bad maxHops $maxHops")
     val es = Dedup.materialize(
       pairs.select(col("a_id").as("v"), col("b_id").as("nb"))
@@ -372,14 +394,38 @@ object Graph {
           .groupBy("src", "v").agg(min("d").as("d")))
       Dedup.release(prev); prev = dist; dist = next
     }
+    Dedup.release(prev); Dedup.release(es)
+    dist
+  }
+
+  /** Per-component BFS geometry over the undirected pair graph, exact
+    * within `maxHops` (choose maxHops > any component diameter and the
+    * bound is vacuous): eccentricity per node = max shortest-path hop to
+    * any peer, rolled per component (labeled by its min node id, the
+    * keeper convention dd_cc_* uses) to node count, diameter = max ecc,
+    * radius = min ecc, and the number of center nodes (ecc == radius) —
+    * the cluster-shape report that distinguishes a star-shaped duplicate
+    * family (radius 1) from a drifted chain (diameter ≈ n). All exact
+    * integers: hop counts min/max-aggregated, no division at all.
+    */
+  def eccentricityStats(pairs: DataFrame, maxHops: Int = 10): DataFrame = {
+    val dist = allPairsDist(pairs, maxHops)
+    // self rows (d = 0) never win a max over a nonempty peer set and keep
+    // min(v) covering singleton sources; comp = min reachable id is the
+    // component label whenever maxHops covers the component.
+    val ecc = dist.groupBy("src")
+      .agg(max(col("d")).as("ecc"), min(col("v")).as("comp"))
+    val per = ecc.groupBy("comp")
+      .agg(count(lit(1)).as("n_nodes"),
+        max(col("ecc")).as("diameter"), min(col("ecc")).as("radius"))
+    val centers = ecc.join(per.select(col("comp"), col("radius")), "comp")
+      .filter(col("ecc") === col("radius"))
+      .groupBy("comp").agg(count(lit(1)).as("n_centers"))
     val out = Dedup.materialize(
-      dist.filter(col("v") =!= col("src"))
-        .groupBy("src")
-        .agg(count(lit(1)).as("n_reached"), sum("d").as("sum_dist"))
-        .select(col("src").as("id"), col("n_reached"), col("sum_dist"),
-          floor(lit(10000L) * col("n_reached") / col("sum_dist")).cast("bigint")
-            .as("closeness_bp")))
-    Dedup.release(prev); Dedup.release(dist); Dedup.release(es)
+      per.join(centers, "comp")
+        .select(col("comp"), col("n_nodes"), col("diameter"), col("radius"),
+          col("n_centers")))
+    Dedup.release(dist)
     out
   }
 

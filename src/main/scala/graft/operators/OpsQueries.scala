@@ -23,6 +23,56 @@ object OpsQueries {
   private val MmrLambdaTenths = 7 // sim_mmr_rerank: lambda in exact tenths
   private val PowerRounds = 10  // sim_power_iteration: matvec rounds
 
+  private val KCenterK = 6      // sim_kcenter_coreset: centers to select
+
+  /** DuckDB replay of the farthest-point-sampling loop: [[KCenterK]]
+    * unrolled rounds, each materializing (a) the argmax of the running
+    * min-distance table — ties to the smaller vec_id, matching the
+    * Spark side's (mind, −id) struct max — and (b) the distance column
+    * to JUST the new center (corpus × 1, the same running-min shape the
+    * Spark plan executes; never an all-pairs table). Distances are
+    * e6-quantized BIGINTs before any comparison, the mmr convention.
+    */
+  private def kcenterOracleSql: String = {
+    val rounds = (2 to KCenterK).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT $r AS round, vec_id, mind AS radius_e6
+         |      FROM m${r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT b.vec_id,
+         |        CAST(1000000 - round(sum(a.x * b.x) / (na.n * nb.n) * 1e6)
+         |             AS BIGINT) AS d_e6
+         |      FROM s$r sr
+         |      JOIN ex a ON a.vec_id = sr.vec_id
+         |      JOIN ex b ON b.i = a.i AND b.vec_id <> sr.vec_id
+         |      JOIN nrm na ON na.vec_id = sr.vec_id
+         |      JOIN nrm nb ON nb.vec_id = b.vec_id
+         |      GROUP BY b.vec_id, na.n, nb.n),
+         |m$r AS MATERIALIZED (SELECT m.vec_id, least(m.mind, d.d_e6) AS mind
+         |      FROM m${r - 1} m JOIN d$r d ON d.vec_id = m.vec_id
+         |      WHERE m.vec_id NOT IN (SELECT vec_id FROM s$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    val sels = (1 to KCenterK).map(r => s"SELECT * FROM s$r").mkString("\n       | UNION ALL ")
+    s"""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |                   unnest(generate_series(1, len(embedding))) AS i
+       |            FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+       |s1 AS (SELECT 1 AS round, CAST(0 AS BIGINT) AS vec_id,
+       |              CAST(0 AS BIGINT) AS radius_e6),
+       |d1 AS MATERIALIZED (SELECT b.vec_id,
+       |        CAST(1000000 - round(sum(a.x * b.x) / (na.n * nb.n) * 1e6)
+       |             AS BIGINT) AS d_e6
+       |      FROM ex a
+       |      JOIN ex b ON b.i = a.i AND b.vec_id <> 0
+       |      JOIN nrm na ON na.vec_id = 0
+       |      JOIN nrm nb ON nb.vec_id = b.vec_id
+       |      WHERE a.vec_id = 0
+       |      GROUP BY b.vec_id, na.n, nb.n),
+       |m1 AS MATERIALIZED (SELECT vec_id, d_e6 AS mind FROM d1),
+       |$rounds
+       |SELECT round, vec_id, radius_e6 FROM ($sels) q ORDER BY round"""
+      .stripMargin
+  }
+
   /** DuckDB replay of the MMR greedy loop: candidate pool and pairwise
     * sims from exact array math (every score quantized to a BIGINT e6
     * BEFORE any comparison, so ordering is integer-deterministic on both
@@ -469,6 +519,19 @@ object OpsQueries {
       (s, d) => Similarity.mmrRerank(T(s, d, "embeddings"), queryId = 0L,
         pool = MmrPool, k = MmrK, lambdaTenths = MmrLambdaTenths).orderBy("round"),
       Some(mmrOracleSql)),
+
+    // ------------------------------------------------------------------
+    // Greedy k-center coreset (farthest-point sampling) — the diversity
+    // selection behind coreset construction and embedding-space data
+    // pruning; reports each round's coverage radius (the k-center
+    // objective). Running-min formulation: one corpus-resident min-dist
+    // frame, each round joins ONLY the broadcast 1-row new center — k
+    // narrow corpus passes, no pairwise table (see
+    // Similarity.kCenterCoreset).
+    QueryDef("sim_kcenter_coreset",
+      (s, d) => Similarity.kCenterCoreset(T(s, d, "embeddings"),
+        k = KCenterK, seedId = 0L).orderBy("round"),
+      Some(kcenterOracleSql)),
 
     // ------------------------------------------------------------------
     // Top principal direction of the embedding GRAM matrix by power

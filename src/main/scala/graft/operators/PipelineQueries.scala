@@ -633,6 +633,46 @@ object PipelineQueries {
              |         AS closeness_bp
              |FROM ag ORDER BY id""".stripMargin)),
 
+    // Cluster-geometry report over the same near-dup graph: per-node
+    // eccentricity from the shared bounded-hop all-pairs BFS, rolled per
+    // component (min-id label) to diameter / radius / center count — the
+    // shape diagnostic that separates star-like duplicate families
+    // (radius 1: one canonical doc everything copies) from drifted chains
+    // (diameter ≈ n: serial near-copies each ~0.8 from the next). Pure
+    // integer min/max aggregates, no division anywhere.
+    QueryDef("gr_eccentricity",
+      (s, d) => Graph.eccentricityStats(
+          Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+            .select("a_id", "b_id"), maxHops = 10)
+        .orderBy("comp"),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id
+             |        JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS t FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |nodes AS (SELECT DISTINCT s AS id FROM e),
+             |walk(src, v, d) AS (
+             |  SELECT id, id, 0 FROM nodes
+             |  UNION
+             |  SELECT w.src, e.t, w.d + 1
+             |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+             |md AS (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2),
+             |ecc AS (SELECT src, CAST(max(d) AS BIGINT) AS ecc,
+             |               min(v) AS comp
+             |        FROM md GROUP BY 1),
+             |per AS (SELECT comp, count(*) AS n_nodes,
+             |               max(ecc) AS diameter, min(ecc) AS radius
+             |        FROM ecc GROUP BY 1),
+             |cen AS (SELECT e.comp, count(*) AS n_centers
+             |        FROM ecc e JOIN per p ON p.comp = e.comp
+             |                              AND e.ecc = p.radius
+             |        GROUP BY 1)
+             |SELECT per.comp, n_nodes, diameter, radius, n_centers
+             |FROM per JOIN cen ON cen.comp = per.comp
+             |ORDER BY per.comp""".stripMargin)),
+
     // k-core backbone of the shares->=3-shingles graph (same edge set as
     // gr_common_neighbors — the Jaccard>=0.8 graph is all 2-cliques with
     // an empty 2-core): 10 peel rounds at k=2, enough for this graph's

@@ -123,6 +123,68 @@ object PrivacyQueries {
         sum(when(col("nsv") < l, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
       .orderBy("segment")
 
+  /** t-closeness audit — the third member of the release triad (a group
+    * can be large AND diverse yet still leak if its sensitive-value
+    * DISTRIBUTION differs from the corpus-wide one): per quasi-identifier
+    * group (segment, nation), the ordered earth-mover's distance between
+    * the group's balance-band distribution and the global one,
+    * EMD = Σ_i |cum_i(P_g − Q)| / (m−1) over the m globally-present bands
+    * in band order; rolled per segment to the worst EMD and the
+    * groups/rows above t.
+    *
+    * Determinism: the EMD is evaluated on the exact integer lattice —
+    * every cumulative term is Σ(cnt·N − gcnt·sz), a BIGINT, and the basis
+    * points are one integer division at the end — no float accumulates
+    * across rows. (At ≥1e9 rows the cnt·N products outgrow BIGINT and the
+    * lattice needs a DECIMAL(38,0) widening, the same move
+    * rel_table_checksum documents; group/band counts themselves stay
+    * bounded by |QI| × m.)
+    *
+    * Shape at 100 TB: two aggregates over the fact rows (per-cell and
+    * per-group), one broadcast of the m-row global band table, and a
+    * window over the |QI| × m grid — the grid is cardinality-bounded
+    * (thousands of rows), never fact-sized, and the band window is
+    * partitioned per group with m-row partitions.
+    */
+  def tCloseness(customer: DataFrame, tBp: Long): DataFrame = {
+    val rows = customer.select(col("c_mktsegment"), col("c_nationkey"),
+      floor(col("c_acctbal") / 2000).cast("bigint").as("bal_band"))
+    val groups = rows.groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("sz"))
+    val bands = rows.groupBy("bal_band").agg(count(lit(1)).as("gcnt"))
+    val scalars = rows.agg(count(lit(1)).as("n_total"),
+      count_distinct(col("bal_band")).as("m"))
+    val cells = rows.groupBy("c_mktsegment", "c_nationkey", "bal_band")
+      .agg(count(lit(1)).as("cnt"))
+    val grid = groups
+      .crossJoin(broadcast(bands))
+      .join(cells, Seq("c_mktsegment", "c_nationkey", "bal_band"), "left")
+      .select(col("c_mktsegment"), col("c_nationkey"), col("bal_band"),
+        col("sz"), col("gcnt"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .crossJoin(broadcast(scalars))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment", "c_nationkey").orderBy("bal_band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val emd = grid
+      .select(col("c_mktsegment"), col("c_nationkey"), col("sz"),
+        col("n_total"), col("m"),
+        abs(sum(col("cnt") * col("n_total") - col("gcnt") * col("sz")).over(w))
+          .as("abs_cum"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(first(col("sz")).as("sz"), first(col("n_total")).as("n_total"),
+        first(col("m")).as("m"), sum(col("abs_cum")).as("emd_num"))
+      .select(col("c_mktsegment"), col("sz"),
+        expr("CASE WHEN m <= 1 THEN CAST(0 AS BIGINT) " +
+          "ELSE (10000 * emd_num) div (sz * n_total * (m - 1)) END").as("emd_bp"))
+    emd.groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        max(col("emd_bp")).as("max_emd_bp"),
+        sum(when(col("emd_bp") > tBp, 1L).otherwise(0L)).as("n_loose_groups"),
+        sum(when(col("emd_bp") > tBp, col("sz")).otherwise(0L)).as("n_rows_at_risk"))
+      .orderBy("segment")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -166,6 +228,46 @@ object PrivacyQueries {
              |       min(nsv) AS min_diversity,
              |       CAST(sum(CASE WHEN nsv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_groups,
              |       CAST(sum(CASE WHEN nsv < 3 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
-             |FROM qi GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM qi GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("rel_tcloseness",
+      (s, d) => tCloseness(T(s, d, "customer"), tBp = 2000),
+      Some("""WITH rows_ AS (SELECT c_mktsegment, c_nationkey,
+             |                      CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+             |               FROM customer),
+             |grp AS (SELECT c_mktsegment, c_nationkey, count(*) AS sz
+             |        FROM rows_ GROUP BY 1, 2),
+             |bnd AS (SELECT bal_band, count(*) AS gcnt FROM rows_ GROUP BY 1),
+             |sc AS (SELECT count(*) AS n_total,
+             |              count(DISTINCT bal_band) AS m FROM rows_),
+             |cel AS (SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS cnt
+             |        FROM rows_ GROUP BY 1, 2, 3),
+             |grid AS (SELECT g.c_mktsegment, g.c_nationkey, b.bal_band, g.sz,
+             |                b.gcnt, coalesce(c.cnt, 0) AS cnt, sc.n_total, sc.m
+             |         FROM grp g CROSS JOIN bnd b CROSS JOIN sc
+             |         LEFT JOIN cel c ON c.c_mktsegment = g.c_mktsegment
+             |                        AND c.c_nationkey = g.c_nationkey
+             |                        AND c.bal_band = b.bal_band),
+             |cum AS (SELECT c_mktsegment, c_nationkey, sz, n_total, m,
+             |               abs(sum(cnt * n_total - gcnt * sz) OVER (
+             |                 PARTITION BY c_mktsegment, c_nationkey
+             |                 ORDER BY bal_band
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |                 AS abs_cum
+             |        FROM grid),
+             |emd AS (SELECT c_mktsegment, any_value(sz) AS sz,
+             |               CAST(CASE WHEN any_value(m) <= 1 THEN 0
+             |                    ELSE (10000 * sum(abs_cum)) //
+             |                         (any_value(sz) * any_value(n_total) *
+             |                          (any_value(m) - 1)) END AS BIGINT) AS emd_bp
+             |        FROM cum GROUP BY c_mktsegment, c_nationkey)
+             |SELECT c_mktsegment AS segment,
+             |       count(*) AS n_groups,
+             |       max(emd_bp) AS max_emd_bp,
+             |       CAST(sum(CASE WHEN emd_bp > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_loose_groups,
+             |       CAST(sum(CASE WHEN emd_bp > 2000 THEN sz ELSE 0 END) AS BIGINT)
+             |         AS n_rows_at_risk
+             |FROM emd GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

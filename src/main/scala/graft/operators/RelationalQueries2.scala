@@ -394,6 +394,69 @@ object RelationalQueries2 {
              |       CAST(bit_count(event_id) AS BIGINT) AS popcount
              |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin)),
 
+    // Network-address family — the web-crawl curation staple (per-host
+    // rate caps, private-range drops, /24 dedup keys) expressed as pure
+    // integer arithmetic: IPv4s planted deterministically from event_id
+    // (first octet cycles a private/public mix so every classifier branch
+    // is exercised), then aton (split + positional weights), ntoa
+    // (shift + mask reassembly), RFC-1918 classification, /24 subnet key,
+    // and the aton∘ntoa round trip asserted per row. All codegen'd
+    // expressions, no UDF, no shuffle — a narrow map at any scale.
+    QueryDef("fn_ip",
+      (s, d) => {
+        val e = T(s, d, "events").filter(col("event_id") < 2000)
+        val o1 = expr("CASE WHEN event_id % 4 = 0 THEN 10 " +
+          "WHEN event_id % 4 = 1 THEN 172 " +
+          "WHEN event_id % 4 = 2 THEN 192 ELSE 203 END").cast("long")
+        val o2 = (col("event_id") % 256).cast("long")
+        val o3 = ((col("event_id") * 7) % 256).cast("long")
+        val o4 = ((col("event_id") * 13) % 256).cast("long")
+        val base = e.select(col("event_id"),
+          concat_ws(".", o1, o2, o3, o4).as("ip"),
+          (o1 * 16777216L + o2 * 65536L + o3 * 256L + o4).as("u32"))
+        val oct = (i: Int) =>
+          element_at(split(col("ip"), "\\."), i).cast("long")
+        val parsed = oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)
+        val b1 = shiftright(col("u32"), 24)
+        val b2 = shiftright(col("u32"), 16).bitwiseAND(lit(255L))
+        base.select(col("event_id"), col("ip"), col("u32"),
+          (parsed === col("u32")).as("roundtrip_ok"),
+          (b1 === 10 || (b1 === 172 && b2 >= 16 && b2 <= 31) ||
+            (b1 === 192 && b2 === 168)).as("is_private"),
+          shiftright(col("u32"), 8).as("subnet24"),
+          col("u32").bitwiseAND(lit(255L)).as("host_in_24"),
+          concat_ws(".", b1, b2,
+            shiftright(col("u32"), 8).bitwiseAND(lit(255L)),
+            col("u32").bitwiseAND(lit(255L))).as("ntoa"))
+          .orderBy("event_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id,
+             |         o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+             |         o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS u32
+             |  FROM (SELECT event_id,
+             |          CAST(CASE WHEN event_id % 4 = 0 THEN 10
+             |               WHEN event_id % 4 = 1 THEN 172
+             |               WHEN event_id % 4 = 2 THEN 192 ELSE 203 END AS BIGINT) AS o1,
+             |          event_id % 256 AS o2,
+             |          (event_id * 7) % 256 AS o3,
+             |          (event_id * 13) % 256 AS o4
+             |        FROM events WHERE event_id < 2000) q)
+             |SELECT event_id, ip, u32,
+             |       CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+             |       CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+             |       CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+             |       CAST(string_split(ip, '.')[4] AS BIGINT) = u32 AS roundtrip_ok,
+             |       (u32 >> 24) = 10
+             |         OR ((u32 >> 24) = 172 AND (u32 >> 16) & 255 BETWEEN 16 AND 31)
+             |         OR ((u32 >> 24) = 192 AND (u32 >> 16) & 255 = 168)
+             |         AS is_private,
+             |       u32 >> 8 AS subnet24,
+             |       u32 & 255 AS host_in_24,
+             |       (u32 >> 24) || '.' || ((u32 >> 16) & 255) || '.' ||
+             |       ((u32 >> 8) & 255) || '.' || (u32 & 255) AS ntoa
+             |FROM base ORDER BY event_id""".stripMargin)),
+
     QueryDef("fn_conditional",
       (s, d) => T(s, d, "customer")
         .select(col("c_custkey"),

@@ -597,6 +597,65 @@ object Similarity {
     selected
   }
 
+  /** Greedy k-center coreset (farthest-point sampling) — the diversity
+    * selection primitive behind coreset construction, k-means++-style
+    * seeding, and embedding-space data pruning: starting from `seedId`,
+    * each round adds the point FARTHEST (max cosine distance, 1e6 − cos·1e6
+    * integer units) from everything selected so far, and reports that
+    * distance — the coverage radius, the k-center objective value, which
+    * is what a data-pruning run reads to decide when additional selections
+    * stop buying diversity.
+    *
+    * Scale shape: the classic running-min formulation — ONE corpus-resident
+    * (vec_id, vector, min-dist) frame, and each round joins it against the
+    * single broadcast 1-row new center (never against the whole selected
+    * set), so k rounds cost k narrow corpus passes with O(1) broadcast
+    * each, no pairwise table, no driver collect. Latency at interactive
+    * scale is the k job launches, not data volume (the mmrRerank note).
+    * Determinism: distances are e6-quantized integers; argmax ties break
+    * to the smaller vec_id via the (mind, −id) struct max.
+    */
+  def kCenterCoreset(embs: DataFrame, k: Int, seedId: Long = 0L): DataFrame = {
+    require(k >= 2, s"bad k $k")
+    import org.apache.spark.sql.Column
+    def ddot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def distE6(a: Column, b: Column): Column =
+      lit(1000000L) - round(ddot(a, b) / (sqrt(ddot(a, a)) * sqrt(ddot(b, b)))
+        * lit(1e6)).cast("long")
+    val e = Dedup.materialize(
+      embs.select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+    val seed = broadcast(e.filter(col("vec_id") === seedId)
+      .select(col("e").as("ce")))
+    var state = Dedup.materialize(
+      e.filter(col("vec_id") =!= seedId).crossJoin(seed)
+        .select(col("vec_id"), col("e"), distE6(col("e"), col("ce")).as("mind_e6")))
+    var out = Dedup.materialize(
+      e.filter(col("vec_id") === seedId)
+        .select(lit(1).as("round"), col("vec_id"), lit(0L).as("radius_e6")))
+    for (r <- 2 to k) {
+      val pick = state
+        .agg(max(struct(col("mind_e6").as("m"), (-col("vec_id")).as("n"))).as("b"))
+        .select((-col("b.n")).as("pid"), col("b.m").as("radius_e6"))
+      val pickV = broadcast(pick.join(e, col("pid") === col("vec_id"))
+        .select(col("pid"), col("radius_e6"), col("e").as("ce")))
+      // out rows must outlive this round's state release — materialize the
+      // union before the old frames go away
+      val nextOut = Dedup.materialize(out.unionAll(
+        pickV.select(lit(r).as("round"), col("pid").as("vec_id"),
+          col("radius_e6"))))
+      Dedup.release(out); out = nextOut
+      val nextState = Dedup.materialize(
+        state.crossJoin(broadcast(pickV.select(col("pid"), col("ce"))))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(col("vec_id"), col("e"),
+            least(col("mind_e6"), distE6(col("e"), col("ce"))).as("mind_e6")))
+      Dedup.release(state); state = nextState
+    }
+    Dedup.release(state); Dedup.release(e)
+    out
+  }
+
   /** Upper-triangle Gram matrix of the embedding column as (i, j, g_e8)
     * rows, i <= j, via the single-pass d²/2 mutable-buffer accumulator
     * ([[graft.functions.Aggregators.gramUpper]] — each product quantized

@@ -379,6 +379,87 @@ object TextQueries {
              |FROM bg JOIN cb USING (bigram) JOIN cw USING (w1)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc by
+    // how much its hashed-unigram profile resembles a target domain (here
+    // lang='en', the reference-corpus stand-in) — log w(doc) =
+    // Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)] with add-1
+    // smoothing over B = 1024 polyHash31 buckets. Resampling then draws
+    // docs ∝ w; this query ships the weight table that drives it.
+    //
+    // Determinism: the ONLY floats are the two ln's per bucket, and each
+    // bucket's log-ratio is floor-quantized to integer millionths BEFORE
+    // any per-doc summation — doc weights are exact BIGINT sums of 1024
+    // fixed integers, immune to summation order. (A 1-ulp engine
+    // difference in ln could only matter if a bucket's ratio landed
+    // within ~1e-10 of a quantization edge — 1024 chances per corpus,
+    // vanishing, and fixed per corpus rather than per run.)
+    //
+    // Shape at 100 TB: bucket counts are two B-row aggregates (map-side
+    // combine, B = 1024), the log-ratio table broadcasts everywhere, and
+    // the per-doc weight is one doc-keyed aggregate — the same
+    // broadcast-scalars + explode+groupBy scaling as tx_tfidf.
+    QueryDef("tx_dsir_weights",
+      (s, d) => {
+        val B = 1024
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(TextFns.tokens(col("text"))).as("w"))
+          .select(col("doc_id"), col("lang"),
+            pmod(graft.plans.VectorExpressions.polyHash31(col("w")),
+              lit(B.toLong)).as("b"))
+        val rawCnt = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tgtCnt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val totals = toks.agg(count(lit(1)).as("nr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+        val lr = rawCnt.join(tgtCnt, Seq("b"), "left")
+          .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+          .crossJoin(broadcast(totals))
+          .select(col("b"),
+            floor(lit(1000000.0) *
+              (log((col("ct") + 1L).cast("double") /
+                   (col("nt") + lit(B.toLong)).cast("double")) -
+               log((col("cr") + 1L).cast("double") /
+                   (col("nr") + lit(B.toLong)).cast("double"))))
+              .cast("long").as("lr_e6"))
+        toks.join(broadcast(lr), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lr_e6")).as("logw_e6"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val P = graft.functions.TextFns.HashP
+        val pwList = graft.operators.Dedup.pow31.mkString("[", ", ", "]")
+        s"""WITH tt AS (SELECT doc_id, lang, $tk AS t FROM documents),
+           |tok AS (SELECT doc_id, lang, unnest(t) AS w,
+           |               unnest(generate_series(1, len(t))) AS i FROM tt),
+           |ch AS (SELECT doc_id, lang, i, w,
+           |              unnest(generate_series(1, length(w))) AS k FROM tok),
+           |hb AS (SELECT doc_id, lang, i,
+           |         CAST(sum(CAST(ascii(substr(w, k, 1)) AS BIGINT) *
+           |                  ($pwList)[length(w) - k + 1]) % $P AS BIGINT)
+           |           % 1024 AS b
+           |       FROM ch GROUP BY doc_id, lang, i, w),
+           |cr AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
+           |ct AS (SELECT b, count(*) AS ct FROM hb WHERE lang = 'en' GROUP BY 1),
+           |tot AS (SELECT count(*) AS nr,
+           |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |                    AS BIGINT) AS nt
+           |        FROM hb),
+           |lr AS (SELECT cr.b,
+           |         CAST(floor(1000000.0 *
+           |           (ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) /
+           |               CAST(nt + 1024 AS DOUBLE)) -
+           |            ln(CAST(cr.cr + 1 AS DOUBLE) /
+           |               CAST(nr + 1024 AS DOUBLE)))) AS BIGINT) AS lr_e6
+           |       FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       CAST(sum(lr_e6) AS BIGINT) AS logw_e6
+           |FROM hb JOIN lr ON lr.b = hb.b
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     // Character n-gram profile per language — the TRAINING side of n-gram
     // language-ID (tx_langid applies such profiles): top character trigrams
     // per lang by frequency. Trigram explosion is per-row (sequence +

@@ -308,4 +308,41 @@ class DedupSpec extends AnyFunSuite {
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(rep == Seq((0, 3L, 2L, 1L), (1, 1L, 0L, 1L), (2, 1L, 0L, 1L)), rep)
   }
+
+  test("cdcChunkStats: identical docs duplicate every chunk; bytes reconcile") {
+    // Two byte-identical docs: content-defined boundaries land at the
+    // same offsets, so EVERY chunk has exactly 2 copies — dup_bytes must
+    // equal one full copy's length and distinct = chunks/2. The third doc
+    // is shorter than the window: exactly one whole-doc chunk.
+    val text = (0 until 40).map(j => s"tok$j word$j").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStats(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (nChunks, nDistinct, nDupGroups, dupBytes, avgX100) = got
+    assert(nChunks >= 3, got)
+    assert((nChunks - 1) % 2 == 0, got) // pair chunks + the 'tiny' chunk
+    assert(nDistinct == (nChunks - 1) / 2 + 1, got)
+    assert(nDupGroups == (nChunks - 1) / 2, got)
+    assert(dupBytes == text.length, got)
+    // mean chunk length x100 over exact integers
+    assert(avgX100 == 100L * (2 * text.length + 4) / nChunks, got)
+  }
+
+  test("cdcChunkStats: a shared passage between different docs is found") {
+    // Distinct docs sharing a long interior passage: CDC boundaries
+    // re-align inside the shared span, so at least one duplicated chunk
+    // must appear even though neither whole doc nor any fixed split
+    // matches. The passage must be long enough to contain >= 2 interior
+    // boundaries (expected every 64 chars) — 600 chars gives ~9.
+    val shared = (0 until 60).map(j => s"common$j").mkString(" ")
+    val docs = Seq(
+      (1L, "prefix one two three " + shared + " suffix alpha"),
+      (2L, "totally different head " + shared + " other tail"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunkStats(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._3 >= 1, s"no duplicate chunk group found: $got")
+    assert(got._4 > 0, s"no duplicate bytes: $got")
+  }
 }

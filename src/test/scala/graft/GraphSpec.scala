@@ -200,6 +200,18 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("eccentricityStats reports diameter/radius/centers per component") {
+    // Component {1,2,3,4}: path 1-2-3-4 → ecc (3,2,2,3), diameter 3,
+    // radius 2, centers {2,3}. Component {10,11,12,13}: star centered at
+    // 10 → ecc (1,2,2,2), diameter 2, radius 1, one center.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val got = Graph.eccentricityStats(pairs, maxHops = 10)
+      .orderBy("comp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L, 2L, 2L), (10L, 4L, 2L, 1L, 1L)), got)
+  }
+
   test("hits separates hubs from authorities on a bipartite fan") {
     // 1,2,3 each point at 8,9: pure hubs left, pure authorities right
     val df = Graph.hits(

@@ -72,6 +72,32 @@ class PrivacySpec extends AnyFunSuite {
       ("BUILDING", 1L, 2L, 1L, 2L)), got)
   }
 
+  test("tCloseness: a skewed group scores the hand-computed EMD, a matching one 0") {
+    // Global: band0 = 3, band1 = 3, N = 6, m = 2, Q = (1/2, 1/2).
+    // AUTOMOBILE/1 (all band0, P = (1,0)): cum diffs on the integer
+    // lattice are 2*6-3*2 = 6 then 0, so EMD = 6/(2*6*(2-1)) = 0.5 →
+    // 5000 bp. AUTOMOBILE/2 mirrors it on band1. BUILDING/1 matches the
+    // global distribution exactly → 0 bp.
+    val rows = Seq(
+      ("AUTOMOBILE", 1, 100.0), ("AUTOMOBILE", 1, 200.0),
+      ("AUTOMOBILE", 2, 2100.0), ("AUTOMOBILE", 2, 2200.0),
+      ("BUILDING", 1, 300.0), ("BUILDING", 1, 2300.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = PrivacyQueries.tCloseness(rows, tBp = 2000)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("AUTOMOBILE", 2L, 5000L, 2L, 4L),
+      ("BUILDING", 1L, 0L, 0L, 0L)), got)
+  }
+
+  test("tCloseness: a single global band reports 0 bp, not a zero division") {
+    val rows = Seq(("AUTOMOBILE", 1, 100.0), ("AUTOMOBILE", 2, 200.0))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = PrivacyQueries.tCloseness(rows, tBp = 2000)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("AUTOMOBILE", 2L, 0L, 0L, 0L)), got)
+  }
+
   test("z-order chunking bounds both dimensions tighter than a linear sort") {
     // Chunking the x-sorted order leaves each chunk's y extent near full
     // range, while interleaved-bit order bounds both dimensions — the
