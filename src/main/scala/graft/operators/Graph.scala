@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The teleport/damping split must stay a partition of the unit walk
+    * probability: both PageRank variants take the two as INDEPENDENT
+    * literals (teleport is deliberately NOT computed as 1 - damping — see
+    * the operand-parity comment inside pageRank), so a caller overriding
+    * damping alone would silently run a non-stochastic iteration whose
+    * ranks no longer sum to 1. Fail loudly instead.
+    */
+  private def requireStochastic(damping: Double, teleport: Double): Unit =
+    require(math.abs(teleport + damping - 1.0) < 1e-9,
+      s"damping ($damping) + teleport ($teleport) must equal 1: override both together")
+
   /** PageRank on the undirected graph given as (a_id, b_id) pairs; returns
     * (id, rank). Symmetrized edges mean no dangling nodes (every node in
     * play has degree >= 1), so no dangling-mass redistribution term is
@@ -27,6 +40,7 @@ object Graph {
     */
   def pageRank(pairs: DataFrame, iters: Int = 10, damping: Double = 0.85,
                teleport: Double = 0.15): DataFrame = {
+    requireStochastic(damping, teleport)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
@@ -78,6 +92,7 @@ object Graph {
   def personalizedPageRank(pairs: DataFrame, isSource: org.apache.spark.sql.Column,
                            iters: Int = 10, damping: Double = 0.85,
                            teleport: Double = 0.15): DataFrame = {
+    requireStochastic(damping, teleport)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
@@ -357,16 +372,26 @@ object Graph {
     */
   def closenessStats(pairs: DataFrame, maxHops: Int = 10): DataFrame = {
     val dist = allPairsDist(pairs, maxHops)
-    val out = Dedup.materialize(
+    val out = closenessFromDist(dist)
+    Dedup.release(dist)
+    out
+  }
+
+  /** Closeness report from an ALREADY-BUILT [[allPairsDist]] table — the
+    * entry point for callers sharing one distance relaxation across several
+    * geometry reports (closeness + eccentricity consume the identical
+    * table, and re-running the 10-round BFS per consumer was the dominant
+    * redundant cost in the graph family). Does NOT release `dist`: the
+    * caller owns its lifetime (a family cache, typically).
+    */
+  def closenessFromDist(dist: DataFrame): DataFrame =
+    Dedup.materialize(
       dist.filter(col("v") =!= col("src"))
         .groupBy("src")
         .agg(count(lit(1)).as("n_reached"), sum("d").as("sum_dist"))
         .select(col("src").as("id"), col("n_reached"), col("sum_dist"),
           floor(lit(10000L) * col("n_reached") / col("sum_dist")).cast("bigint")
             .as("closeness_bp")))
-    Dedup.release(dist)
-    out
-  }
 
   /** Bounded-hop all-pairs distance table (src, v, d) over the undirected
     * pair graph — the shared relaxation behind [[closenessStats]] and
@@ -377,7 +402,7 @@ object Graph {
     * MATERIALIZED table including the (src, src, 0) self rows; the caller
     * owns the release.
     */
-  private def allPairsDist(pairs: DataFrame, maxHops: Int): DataFrame = {
+  private[operators] def allPairsDist(pairs: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bad maxHops $maxHops")
     val es = Dedup.materialize(
       pairs.select(col("a_id").as("v"), col("b_id").as("nb"))
@@ -386,14 +411,31 @@ object Graph {
     var dist = es.select(col("v")).distinct()
       .select(col("v").as("src"), col("v"), lit(0L).as("d"))
     var prev: DataFrame = null
-    for (_ <- 1 to maxHops) {
+    // Non-convergence detection: dist rows grow monotonically (the union
+    // keeps every previously-reached (src, v) pair), so equal row counts
+    // across the FINAL two rounds prove the relaxation reached fixpoint
+    // within maxHops. If the last round still added rows, some component's
+    // diameter exceeds maxHops — eccentricityStats' min-reachable-id
+    // component labels would silently fragment that component into
+    // multiple rows with wrong geometry. Warn loudly (not raise: a
+    // bounded-radius question is a legitimate use) with the evidence.
+    // Cost: two count() actions on already-materialized frames, only for
+    // the final round.
+    var lastTwo = (0L, 0L)
+    for (r <- 1 to maxHops) {
       val next = Dedup.materialize(
         dist.union(
             dist.join(es, "v")
               .select(col("src"), col("nb").as("v"), (col("d") + 1).as("d")))
           .groupBy("src", "v").agg(min("d").as("d")))
+      if (r == maxHops) lastTwo = (dist.count(), next.count())
       Dedup.release(prev); prev = dist; dist = next
     }
+    if (lastTwo._1 != lastTwo._2)
+      log.warn(s"allPairsDist did NOT converge within $maxHops hops " +
+        s"(final round still added ${lastTwo._2 - lastTwo._1} pairs): " +
+        "component labels / geometry derived from this table fragment " +
+        "components whose diameter exceeds the bound")
     Dedup.release(prev); Dedup.release(es)
     dist
   }
@@ -410,6 +452,19 @@ object Graph {
     */
   def eccentricityStats(pairs: DataFrame, maxHops: Int = 10): DataFrame = {
     val dist = allPairsDist(pairs, maxHops)
+    val out = eccentricityFromDist(dist)
+    Dedup.release(dist)
+    out
+  }
+
+  /** Eccentricity/diameter/radius report from an ALREADY-BUILT
+    * [[allPairsDist]] table — same shared-relaxation contract as
+    * [[closenessFromDist]]: does NOT release `dist`, the caller owns it.
+    * allPairsDist itself warns at build time when the relaxation has not
+    * converged within its hop bound (the regime where the min-reachable-id
+    * component labels here fragment).
+    */
+  def eccentricityFromDist(dist: DataFrame): DataFrame = {
     // self rows (d = 0) never win a max over a nonempty peer set and keep
     // min(v) covering singleton sources; comp = min reachable id is the
     // component label whenever maxHops covers the component.
@@ -421,11 +476,74 @@ object Graph {
     val centers = ecc.join(per.select(col("comp"), col("radius")), "comp")
       .filter(col("ecc") === col("radius"))
       .groupBy("comp").agg(count(lit(1)).as("n_centers"))
-    val out = Dedup.materialize(
+    Dedup.materialize(
       per.join(centers, "comp")
         .select(col("comp"), col("n_nodes"), col("diameter"), col("radius"),
           col("n_centers")))
-    Dedup.release(dist)
+  }
+
+  /** Approximate closeness centrality via HyperANF-style neighborhood
+    * sketches (Boldi–Rosa–Vigna, WWW 2011): per node, an HLL sketch of the
+    * h-hop ball, advanced one hop per round by unioning each node's sketch
+    * with its neighbors' — O(nodes · sketch) state instead of
+    * [[allPairsDist]]'s O(component²) distance table. This is the GIANT-
+    * COMPONENT scale twin of [[closenessStats]]: a 100 TB dedup graph with
+    * one mega-component (the standard failure mode of a too-low threshold)
+    * makes the exact (src, v, d) table quadratic with no fallback, while
+    * the sketch state stays linear in nodes regardless of component
+    * structure. Ball-size estimates N_h are monotone in h (HLL registers
+    * only grow under union, and the estimator is monotone in the
+    * registers), so the hop-sum telescopes exactly like the neighborhood
+    * function: sum_dist ≈ Σ_h h·(N_h − N_{h−1}).
+    *
+    * Scale shape per round: one edges⋈sketches equi-join + one keyed
+    * hll_union_agg — the same co-partitioned round as [[bfsHops]], with the
+    * frontier value a fixed-width sketch instead of a growing pair set;
+    * per-round materialize + release. Estimates are exact while a ball
+    * fits the sketch's sparse mode (every dedup-cluster graph) and ~2%
+    * (lgK=12) beyond — the serving query gates them against the exact
+    * closeness with rel_approx_distinct's band-boolean pattern.
+    *
+    * Returns (id, n_reached_est, sum_dist_est, closeness_bp_est) for every
+    * node of the pair graph (self excluded from the ball count, same
+    * contract as [[closenessStats]]).
+    */
+  def closenessApprox(pairs: DataFrame, maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1, s"bad maxHops $maxHops")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+        .distinct())
+    // round-0 state: each node's sketch holds exactly itself; est = 1
+    var state = Dedup.materialize(
+      es.select(col("id")).distinct()
+        .groupBy("id").agg(hll_sketch_agg(col("id")).as("sk"))
+        .select(col("id"), col("sk"), lit(1L).as("est"), lit(0L).as("sum_d")))
+    var prev: DataFrame = null
+    for (h <- 1 to maxHops) {
+      val unioned = es
+        .join(state.select(col("id").as("nb"), col("sk")), "nb")
+        .select(col("id"), col("sk"))
+        .unionAll(state.select(col("id"), col("sk")))
+        .groupBy("id").agg(hll_union_agg(col("sk")).as("sk"))
+      val next = Dedup.materialize(
+        unioned
+          .join(state.select(col("id"), col("est").as("pe"), col("sum_d")), "id")
+          .select(col("id"), col("sk"), hll_sketch_estimate(col("sk")).as("est"),
+            col("pe"), col("sum_d"))
+          .select(col("id"), col("sk"), col("est"),
+            (col("sum_d") + lit(h.toLong) * (col("est") - col("pe"))).as("sum_d")))
+      Dedup.release(prev); prev = state; state = next
+    }
+    // est >= 2 for every pair-graph node (each has >= 1 neighbor and the
+    // 1-hop sketch is sparse-exact at 2 items), so sum_d >= 1: the bp
+    // division is safe without a guard.
+    val out = Dedup.materialize(
+      state.select(col("id"), (col("est") - 1).as("n_reached_est"),
+        col("sum_d").as("sum_dist_est"),
+        floor(lit(10000L) * (col("est") - 1) / col("sum_d")).cast("bigint")
+          .as("closeness_bp_est")))
+    Dedup.release(prev); Dedup.release(state); Dedup.release(es)
     out
   }
 

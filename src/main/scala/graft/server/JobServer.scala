@@ -195,12 +195,17 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
   // debugger. Counting statuses is an O(retained) scan, bounded by the
   // retention cap.
   server.createContext("/metrics", (ex: HttpExchange) => {
-    val byStatus = jobs.values.toSeq.groupBy(_.status).map {
+    // ONE snapshot of the concurrently-mutated registry: jobs_retained and
+    // the per-status counts must come from the same instant, or a submit
+    // racing the two reads makes the total momentarily disagree with the
+    // sum of its parts (an invariant a metrics scraper may alert on).
+    val snap = jobs.values.toSeq
+    val byStatus = snap.groupBy(_.status).map {
       case (s, v) => s"""\"${s.toLowerCase}\":${v.size}"""
     }.toSeq.sorted.mkString(",")
     val caches = graft.operators.PipelineQueries.familyCacheSizes
     respond(ex, 200,
-      s"""{"jobs_retained":${jobs.size},"jobs":{$byStatus},""" +
+      s"""{"jobs_retained":${snap.size},"jobs":{$byStatus},""" +
         s""""family_cache_entries":${caches.sum},""" +
         s""""family_caches":[${caches.mkString(",")}],""" +
         s""""job_workers":$jobWorkers,"retention_cap":$maxRetainedJobs}""")

@@ -134,6 +134,51 @@ class GraphStreamScaleSpec extends AnyFunSuite {
         "longer component-bounded (giant component or lost min-aggregation)")
   }
 
+  /** The GIANT-COMPONENT regime exact closeness excludes: the hub-heavy
+    * graph above is one mega-component of small diameter, where
+    * allPairsDist's (src, v, d) state is component² (20k nodes → 400M
+    * rows; 200k → 40B — unrunnable). Graph.closenessApprox carries one
+    * fixed-width HLL sketch per node instead, so 10× nodes must cost ~10×.
+    * Accuracy is asserted on a mid-size giant component where the exact
+    * table is still feasible: every node's ball estimate within 10% once
+    * past sparse-exact territory.
+    */
+  test("approximate closeness is ~linear on ONE giant component where exact blows up", Slow) {
+    import graft.operators.Graph
+    import org.apache.spark.sql.functions._
+    // accuracy first: 3k-node giant component, exact table ~9M rows max
+    val acc = stageEdges(15000L, 3000L)
+    val accEdges = spark.read.parquet(s"$acc/edges.parquet")
+    val exact = Graph.closenessStats(accEdges, maxHops = 10)
+    val approx = Graph.closenessApprox(accEdges, maxHops = 10)
+    val errs = exact.join(approx, "id")
+      .select(
+        (abs(col("n_reached_est") - col("n_reached")) /
+          col("n_reached")).as("re"),
+        (abs(col("sum_dist_est") - col("sum_dist")) /
+          col("sum_dist")).as("se"))
+      .agg(max("re"), max("se"), count(lit(1))).head()
+    info(f"accuracy: max rel-err reached=${errs.getDouble(0)}%.4f sum_dist=${errs.getDouble(1)}%.4f over ${errs.getLong(2)} nodes")
+    assert(errs.getLong(2) > 1000, "degenerate accuracy corpus")
+    assert(errs.getDouble(0) < 0.10 && errs.getDouble(1) < 0.10,
+      s"HLL ball estimates drifted >10% from exact closeness: $errs")
+    // scale: base = the 20k-node giant component (exact state would be
+    // ~400M rows), 10x = 200k nodes — approx state is one sketch per node
+    val op: DataFrame => DataFrame = e => Graph.closenessApprox(e, maxHops = 10)
+    val base = stageEdges(100000L, 20000L)
+    val big = stageEdges(100000L * Factor, 20000L * Factor)
+    op(spark.read.parquet(s"$base/edges.parquet").limit(2000)).count() // warm
+    val (t1, r1) = timeGraph(op, base)
+    val (t10, r10) = timeGraph(op, big)
+    val growth = t10 / t1
+    info(f"closenessApprox/op base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
+    assert(r1 > 0 && r10 > 0, s"degenerate approx-closeness smoke ($r1, $r10)")
+    assert(r10 > 5 * r1, s"10x nodes must report ~10x rows ($r1 -> $r10)")
+    assert(growth < 30.0,
+      s"closenessApprox grew ${growth}x for ${Factor}x nodes — sketch state " +
+        "no longer linear (per-round join blow-up)")
+  }
+
   // ---- streaming ------------------------------------------------------
 
   /** Synthetic events at the driver table's schema and value domains:

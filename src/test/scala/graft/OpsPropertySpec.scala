@@ -93,6 +93,40 @@ class OpsPropertySpec extends AnyFunSuite {
     assert(got == topk)
   }
 
+  /** In-Scala greedy farthest-point reference for kCenterCoreset: same e6
+    * quantization (dist = 1e6 − cos·1e6, Spark round semantics), same
+    * (mind, −id) tie-break to the smaller vec_id.
+    */
+  private def refKCenter(vecs: Seq[(Long, Array[Float])], k: Int,
+                         seedId: Long): Seq[(Int, Long, Long)] = {
+    val d = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def dist(a: Long, b: Long): Long = 1000000L - cosE6(d(a), d(b))
+    var mind = d.keys.filter(_ != seedId).map(id => id -> dist(id, seedId)).toMap
+    var out = Vector((1, seedId, 0L))
+    for (r <- 2 to k) {
+      val (pid, radius) = mind.maxBy { case (id, m) => (m, -id) }
+      out :+= ((r, pid, radius))
+      mind = (mind - pid).map { case (id, m) => id -> math.min(m, dist(id, pid)) }
+    }
+    out
+  }
+
+  test("kCenterCoreset equals the in-Scala greedy farthest-point reference") {
+    for (seed <- Seq(31, 32, 33)) {
+      val vecs = randomVecs(seed, n = 25, dim = 6)
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = Similarity.kCenterCoreset(df, k = 6, seedId = 0L)
+        .select("round", "vec_id", "radius_e6")
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = refKCenter(vecs, k = 6, seedId = 0L)
+      assert(got == want, s"seed=$seed\n got=$got\nwant=$want")
+      // the k-center objective is monotone: each added center can only
+      // shrink (never grow) the farthest remaining distance
+      val radii = got.drop(1).map(_._3)
+      assert(radii == radii.sortBy(-_), s"coverage radius not non-increasing: $radii")
+    }
+  }
+
   test("power-iteration query equals a dense in-Scala iteration on the same integer Gram") {
     val dim = 64
     val gRows = Similarity

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round gate — the checks a round must pass BEFORE its snapshot, as one
+# command (the r9 verdict's ask: a band violation must be caught in-round
+# by the builder, not post-hoc by the judge).
+#
+#   1. sbt test green (566+ ScalaTest cases)
+#   2. full Bench at sf0.1 (writes BENCH_LOCAL_r<N>.jsonl + STREAM_METRICS)
+#   3. band_check: no query's in-suite time breaches its committed solo
+#      band by >30% (tools/band_check.py, exit 1 on violation)
+#   4. stream_check: no streaming tag's rows/sec halved vs the previous
+#      round's committed STREAM_METRICS artifact
+#
+# env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+#      SPARK_GRAFT_CPUS   (default 32)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+sbt -batch test
+
+SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+sbt -batch "runMain graft.Bench" | grep -E '^\{"(q|metric)"' | tail -3
+
+python3 tools/band_check.py
+python3 tools/stream_check.py
+
+echo "round gate: ALL GREEN"
