@@ -494,6 +494,104 @@ object PipelineQueries {
              |FROM p WHERE (a_id % 10 = 0) <> (b_id % 10 = 0)
              |ORDER BY new_id, landed_id""".stripMargin)),
 
+    // Bloom-filter admission — the CHEAP FIRST TIER of the ingest-admission
+    // cascade in front of dd_incremental_minhash's LSH probe: the landed
+    // corpus's content fingerprints live in one broadcast-sized mergeable
+    // bitset (8 KiB here; sized from the landed distinct estimate at scale,
+    // shards OR together losslessly), and an incoming batch tests
+    // membership with pure per-row arithmetic BEFORE any join or shuffle —
+    // exact re-ingests and their accounting fall out of tier 1, and only
+    // n_pass docs proceed to signature work. Same replayable affine bit
+    // family as rel_bloom_join (BloomFns.bitPosSql is the single source
+    // for both engines); the content key is the cross-engine positional
+    // fingerprint (TextFns.fingerprint). Output carries the filter's own
+    // quality ledger: n_false_neg = 0 is the Bloom guarantee, n_false_pos
+    // the tier-2 overscan actually paid.
+    QueryDef("dd_bloom_admission",
+      (s, d) => {
+        import graft.functions.{BloomFns, TextFns}
+        // The corpus has no exact cross-split duplicates, so (dd_semdedup's
+        // planting convention) half the batch re-ingests a LANDED doc's
+        // text verbatim (doc_id % 20 = 0 takes doc_id+1's text — a landed
+        // id): the admission verdict exercises both outcomes, true
+        // re-ingest caught by tier 1 and novel doc passed through.
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .join(docs.select((col("doc_id") - 1).as("doc_id"),
+            col("text").as("nt")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0 && col("nt").isNotNull, col("nt"))
+              .otherwise(col("text")).as("text"))
+        val keyed = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("is_new", lit(false))
+          .unionAll(batch.withColumn("is_new", lit(true)))
+          .select(col("doc_id"),
+            TextFns.fingerprint(TextFns.tokens(col("text"))).as("k"),
+            col("is_new"))
+        val landed = keyed.filter(!col("is_new")).select("k").distinct()
+        val bloom = landed.agg(BloomFns.bloom_agg(col("k")).as("bits"))
+        keyed.filter(col("is_new"))
+          .join(landed.select(col("k"), lit(1L).as("m")), Seq("k"), "left")
+          .crossJoin(broadcast(bloom))
+          .select(col("k"), col("m"),
+            expr(BloomFns.mightContainSql("bits", "k")).as("might"))
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("might"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("m").isNotNull && !col("might"), 1L).otherwise(0L))
+              .as("n_false_neg"))
+          .select(col("n_batch"), col("n_pass"), col("n_true"),
+            (col("n_pass") - col("n_true")).as("n_false_pos"),
+            col("n_false_neg"))
+      },
+      Some {
+        import graft.functions.BloomFns
+        val bldBits = (0 until BloomFns.NumHash)
+          .map(i => s"SELECT DISTINCT ${BloomFns.bitPosSql(i, "k", spark = false)} AS p FROM bld")
+          .mkString("\n       UNION\n       ")
+        val prbBits = (0 until BloomFns.NumHash)
+          .map(i => s"SELECT doc_id, ${BloomFns.bitPosSql(i, "k", spark = false)} AS p FROM prb")
+          .mkString("\n       UNION ALL\n       ")
+        s"""WITH du AS (
+           |  SELECT doc_id, text, FALSE AS is_new FROM documents WHERE doc_id % 10 <> 0
+           |  UNION ALL
+           |  SELECT d.doc_id,
+           |         CASE WHEN d.doc_id % 20 = 0 AND n.text IS NOT NULL
+           |              THEN n.text ELSE d.text END AS text,
+           |         TRUE AS is_new
+           |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+           |  WHERE d.doc_id % 10 = 0),
+           |tt AS (SELECT doc_id, is_new, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM du),
+           |pos AS (SELECT doc_id, unnest(t) AS w,
+           |               unnest(generate_series(1, len(t))) AS i
+           |        FROM tt),
+           |f0 AS (SELECT doc_id,
+           |              CAST(sum(((i * 31 + 7) * (length(w) * 17 + ascii(w))) % 2147483647) % 2147483647 AS BIGINT) AS fp
+           |       FROM pos GROUP BY 1),
+           |keyed AS (SELECT tt.doc_id, CAST(coalesce(f0.fp, 0) AS BIGINT) AS k,
+           |                 tt.is_new
+           |          FROM tt LEFT JOIN f0 USING (doc_id)),
+           |bld AS (SELECT DISTINCT k FROM keyed WHERE NOT is_new),
+           |bits AS ($bldBits),
+           |prb AS (SELECT doc_id, k FROM keyed WHERE is_new),
+           |pp AS ($prbBits),
+           |chk AS (SELECT pp.doc_id,
+           |               sum(CASE WHEN b.p IS NULL THEN 1 ELSE 0 END) AS miss
+           |        FROM pp LEFT JOIN bits b ON pp.p = b.p GROUP BY 1),
+           |j AS (SELECT chk.doc_id, chk.miss,
+           |             CASE WHEN bld.k IS NULL THEN 0 ELSE 1 END AS m
+           |      FROM chk JOIN prb USING (doc_id)
+           |      LEFT JOIN bld ON bld.k = prb.k)
+           |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           |       CAST(sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |       CAST(sum(m) AS BIGINT) AS n_true,
+           |       CAST(sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) - sum(m) AS BIGINT)
+           |         AS n_false_pos,
+           |       CAST(sum(CASE WHEN m = 1 AND miss > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_false_neg
+           |FROM j""".stripMargin
+      }),
+
     QueryDef("dd_ngram_jaccard",
       (s, d) => Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
         .orderBy("a_id", "b_id"),
