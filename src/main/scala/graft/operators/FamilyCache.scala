@@ -35,13 +35,21 @@ private[graft] final class FamilyCache[K, V](maxEntries: Int = FamilyCache.Defau
                                              onEvict: V => Unit) {
   require(maxEntries >= 1, s"bad cap $maxEntries")
   private val m = scala.collection.mutable.LinkedHashMap.empty[K, V]
+  // hit/miss tallies under the same lock as the map — the staging/eviction
+  // economics the JobServer /metrics route surfaces (a cache whose misses
+  // grow per submit is being thrashed past its cap; a cache with zero hits
+  // is staging work nothing consumes)
+  private var hitCount = 0L
+  private var missCount = 0L
 
   def getOrElseUpdate(k: K, thunk: => V): V = synchronized {
     m.get(k) match {
       case Some(v) =>
+        hitCount += 1
         m.remove(k); m.put(k, v) // LRU touch: re-insert at the tail
         v
       case None =>
+        missCount += 1
         val v = thunk
         m.put(k, v)
         while (m.size > maxEntries) {
@@ -55,6 +63,10 @@ private[graft] final class FamilyCache[K, V](maxEntries: Int = FamilyCache.Defau
 
   /** Test/inspection surface for the bound. */
   private[graft] def size: Int = synchronized(m.size)
+
+  /** (entries, hits, misses) — one consistent snapshot. */
+  private[graft] def stats: (Int, Long, Long) =
+    synchronized((m.size, hitCount, missCount))
 }
 
 private[graft] object FamilyCache {

@@ -482,6 +482,26 @@ object Graph {
           col("n_centers")))
   }
 
+  /** Harmonic centrality from an ALREADY-BUILT [[allPairsDist]] table —
+    * H(v) = Σ_peers 1/d(v,u), the closeness variant that stays
+    * well-defined on DISCONNECTED graphs (unreached peers contribute 0
+    * instead of poisoning the mean; Boldi–Vigna's axiomatic pick for that
+    * reason) — the right per-node centrality on a dedup pair graph, which
+    * is nothing BUT disconnected components. Exact integers: each peer
+    * contributes `10000 div d` (integer division per term — a defined
+    * quantization, deterministic in any engine and summation order),
+    * summed to harmonic_bp. Same shared-relaxation contract as
+    * [[closenessFromDist]]: does NOT release `dist`.
+    */
+  def harmonicFromDist(dist: DataFrame): DataFrame =
+    Dedup.materialize(
+      dist.filter(col("v") =!= col("src"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("10000 div d")).as("harmonic_bp"))
+        .select(col("src").as("id"), col("n_reached"),
+          col("harmonic_bp").cast("bigint").as("harmonic_bp")))
+
   /** Approximate closeness centrality via HyperANF-style neighborhood
     * sketches (Boldi–Rosa–Vigna, WWW 2011): per node, an HLL sketch of the
     * h-hop ball, advanced one hop per round by unioning each node's sketch

@@ -194,6 +194,14 @@ object OpsQueries {
     Seq(("gram_power", (System.nanoTime() - t0) / 1e9))
   }
 
+  /** (name, entries, hits, misses) for the spectral family cache — joins
+    * [[PipelineQueries.familyCacheStats]] in the /metrics emission.
+    */
+  private[graft] def gramCacheStats: (String, Int, Long, Long) = {
+    val (sz, h, ms) = gramCache.stats
+    ("gram_power", sz, h, ms)
+  }
+
   private def buildGramAndPowerVector(s: SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {

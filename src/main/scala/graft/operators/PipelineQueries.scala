@@ -120,8 +120,16 @@ object PipelineQueries {
     * multi-sfDir submission case).
     */
   private[graft] def familyCacheSizes: Seq[Int] =
-    Seq(minhashPairCache.size, pairStatsCache.size, ccLabelCache.size,
-      simhashPairCache.size, incrMinhashCache.size, allPairsDistCache.size)
+    familyCacheStats.map(_._2)
+
+  /** Named (name, entries, hits, misses) per family cache — the
+    * staging/eviction economics the JobServer /metrics route emits.
+    */
+  private[graft] def familyCacheStats: Seq[(String, Int, Long, Long)] =
+    Seq("minhash_pairs" -> minhashPairCache, "pair_stats" -> pairStatsCache,
+      "cc_labels" -> ccLabelCache, "simhash_pairs" -> simhashPairCache,
+      "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache)
+      .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
     * returning (label, build-seconds) per cache. Why: in-suite per-query
@@ -787,6 +795,34 @@ object PipelineQueries {
              |SELECT per.comp, n_nodes, diameter, radius, n_centers
              |FROM per JOIN cen ON cen.comp = per.comp
              |ORDER BY per.comp""".stripMargin)),
+
+    // Harmonic centrality — the closeness variant that stays well-defined
+    // on DISCONNECTED graphs (unreached peers contribute 0 instead of
+    // poisoning the mean), i.e. the right per-node centrality on a dedup
+    // pair graph, which is nothing but disconnected components. Third
+    // consumer of the shared all-pairs relaxation (family-cached with
+    // gr_closeness/gr_eccentricity); per-term 10000 div d integer
+    // quantization keeps both engines bit-identical.
+    QueryDef("gr_harmonic",
+      (s, d) => Graph.harmonicFromDist(pairGraphDist(s, d))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id
+             |        JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS t FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |nodes AS (SELECT DISTINCT s AS id FROM e),
+             |walk(src, v, d) AS (
+             |  SELECT id, id, 0 FROM nodes
+             |  UNION
+             |  SELECT w.src, e.t, w.d + 1
+             |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+             |md AS (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2)
+             |SELECT src AS id, count(*) AS n_reached,
+             |       CAST(sum(10000 // d) AS BIGINT) AS harmonic_bp
+             |FROM md WHERE v <> src GROUP BY 1 ORDER BY id""".stripMargin)),
 
     // HyperANF-style approximate closeness — the GIANT-COMPONENT scale
     // twin of gr_closeness (Graph.closenessApprox scaladoc): per-node HLL

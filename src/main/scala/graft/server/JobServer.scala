@@ -203,11 +203,18 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
     val byStatus = snap.groupBy(_.status).map {
       case (s, v) => s"""\"${s.toLowerCase}\":${v.size}"""
     }.toSeq.sorted.mkString(",")
-    val caches = graft.operators.PipelineQueries.familyCacheSizes
+    // named per-cache entries + hit/miss tallies: misses growing per
+    // submit = a cache thrashed past its cap; zero hits = staging work
+    // nothing consumes — the observable form of the staging economics
+    val stats = graft.operators.PipelineQueries.familyCacheStats :+
+      graft.operators.OpsQueries.gramCacheStats
+    val cacheJson = stats.map { case (n, sz, h, ms) =>
+      s"""{"name":"$n","entries":$sz,"hits":$h,"misses":$ms}"""
+    }.mkString(",")
     respond(ex, 200,
       s"""{"jobs_retained":${snap.size},"jobs":{$byStatus},""" +
-        s""""family_cache_entries":${caches.sum},""" +
-        s""""family_caches":[${caches.mkString(",")}],""" +
+        s""""family_cache_entries":${stats.map(_._2).sum},""" +
+        s""""family_caches":[$cacheJson],""" +
         s""""job_workers":$jobWorkers,"retention_cap":$maxRetainedJobs}""")
   })
 

@@ -78,8 +78,19 @@ class JobServerSpec extends AnyFunSuite {
       val cacheTotal = """"family_cache_entries":(\d+)""".r
         .findFirstMatchIn(metrics).map(_.group(1).toInt)
         .getOrElse(fail(s"no cache total in $metrics"))
-      assert(cacheTotal == graft.operators.PipelineQueries.familyCacheSizes.sum,
-        metrics)
+      assert(cacheTotal == graft.operators.PipelineQueries.familyCacheSizes.sum
+        + graft.operators.OpsQueries.gramCacheStats._2, metrics)
+      // per-cache staging economics: named entries with hit/miss tallies,
+      // and every resident entry implies at least one recorded miss
+      assert(metrics.contains(""""name":"minhash_pairs""""), metrics)
+      val entryStats =
+        """\{"name":"([a-z_]+)","entries":(\d+),"hits":(\d+),"misses":(\d+)\}""".r
+      val parsed = entryStats.findAllMatchIn(metrics).map(m =>
+        (m.group(1), m.group(2).toInt, m.group(3).toLong, m.group(4).toLong)).toSeq
+      assert(parsed.size == 7, s"expected 7 cache stat rows in $metrics")
+      parsed.foreach { case (n, entries, _, misses) =>
+        assert(misses >= entries, s"cache $n: $entries entries but only $misses misses")
+      }
     } finally srv.stop()
   }
 
