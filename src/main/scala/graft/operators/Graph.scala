@@ -402,7 +402,7 @@ object Graph {
     * MATERIALIZED table including the (src, src, 0) self rows; the caller
     * owns the release.
     */
-  private[operators] def allPairsDist(pairs: DataFrame, maxHops: Int): DataFrame = {
+  private[graft] def allPairsDist(pairs: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bad maxHops $maxHops")
     val es = Dedup.materialize(
       pairs.select(col("a_id").as("v"), col("b_id").as("nb"))

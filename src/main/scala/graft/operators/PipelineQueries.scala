@@ -824,6 +824,55 @@ object PipelineQueries {
              |       CAST(sum(10000 // d) AS BIGINT) AS harmonic_bp
              |FROM md WHERE v <> src GROUP BY 1 ORDER BY id""".stripMargin)),
 
+    // Effective diameter at the 90th percentile — the classic
+    // neighborhood-function summary (the number HyperANF was built to
+    // compute): the smallest hop distance covering >= 90% of all reachable
+    // ordered pairs, next to the true bounded diameter. Fourth consumer of
+    // the cached relaxation; the cumulative distribution runs on the
+    // O(maxHops) per-distance rollup via a tiny self-join (exact integer
+    // 10*cum >= 9*total test — no float percentile, no unpartitioned
+    // window).
+    QueryDef("gr_effective_diameter",
+      (s, d) => {
+        val pe = pairGraphDist(s, d).filter(col("v") =!= col("src"))
+        val byD = pe.groupBy("d").agg(count(lit(1)).as("n"))
+        val tot = broadcast(pe.agg(count(lit(1)).as("total_pairs"),
+          max(col("d")).as("diameter")))
+        val cum = byD.as("a")
+          .join(byD.as("b"), col("b.d") <= col("a.d"))
+          .groupBy(col("a.d").as("d")).agg(sum(col("b.n")).as("cum"))
+        cum.crossJoin(tot)
+          .filter(col("cum") * 10 >= col("total_pairs") * 9)
+          .agg(min(col("d")).as("eff_diameter_90"))
+          .crossJoin(tot)
+          .select(col("total_pairs"), col("diameter"),
+            col("eff_diameter_90").cast("bigint").as("eff_diameter_90"))
+      },
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id
+             |        JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+             |e AS (SELECT a_id AS s, b_id AS t FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |nodes AS (SELECT DISTINCT s AS id FROM e),
+             |walk(src, v, d) AS (
+             |  SELECT id, id, 0 FROM nodes
+             |  UNION
+             |  SELECT w.src, e.t, w.d + 1
+             |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+             |md AS (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2),
+             |pe AS (SELECT src, v, d FROM md WHERE v <> src),
+             |byd AS (SELECT d, count(*) AS n FROM pe GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+             |               CAST(max(d) AS BIGINT) AS diameter FROM pe),
+             |cum AS (SELECT a.d, CAST(sum(b.n) AS BIGINT) AS cum
+             |        FROM byd a JOIN byd b ON b.d <= a.d GROUP BY a.d)
+             |SELECT total_pairs, diameter,
+             |       (SELECT CAST(min(d) AS BIGINT) FROM cum CROSS JOIN tot
+             |        WHERE cum * 10 >= total_pairs * 9) AS eff_diameter_90
+             |FROM tot""".stripMargin)),
+
     // HyperANF-style approximate closeness — the GIANT-COMPONENT scale
     // twin of gr_closeness (Graph.closenessApprox scaladoc): per-node HLL
     // ball sketches advanced one hop per round, O(nodes) state where the

@@ -212,6 +212,42 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 3L, 2L, 2L), (10L, 4L, 2L, 1L, 1L)), got)
   }
 
+  test("closeness + harmonic agree on hand geometry from ONE shared relaxation") {
+    // path 1-2-3-4: endpoint dists (1,2,3) → closeness floor(30000/6)=5000,
+    // harmonic 10000+5000+3333; inner dists (1,1,2) → floor(30000/4)=7500,
+    // harmonic 25000. Star 10-(11,12,13): center (1,1,1) → 10000 / 30000;
+    // leaf (1,2,2) → floor(30000/5)=6000 / 20000.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val dist = Graph.allPairsDist(pairs, maxHops = 10)
+    val clo = Graph.closenessFromDist(dist)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val har = Graph.harmonicFromDist(dist)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    graft.operators.Dedup.release(dist)
+    assert(clo == Map(1L -> 5000L, 2L -> 7500L, 3L -> 7500L, 4L -> 5000L,
+      10L -> 10000L, 11L -> 6000L, 12L -> 6000L, 13L -> 6000L), clo)
+    assert(har == Map(1L -> 18333L, 2L -> 25000L, 3L -> 25000L, 4L -> 18333L,
+      10L -> 30000L, 11L -> 20000L, 12L -> 20000L, 13L -> 20000L), har)
+  }
+
+  test("closenessApprox is sparse-exact on dedup-cluster-sized components") {
+    // HLL sketches are exact below the sparse-mode threshold, so on tiny
+    // components the HyperANF estimates must EQUAL the exact walk — the
+    // regime every dedup-cluster graph lives in (estimation error only
+    // enters on giant components; GraphStreamScaleSpec bounds that case).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val exact = Graph.closenessStats(pairs, maxHops = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val approx = Graph.closenessApprox(pairs, maxHops = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet, (approx.keySet, exact.keySet))
+    exact.foreach { case (id, (_, n, s, bp)) =>
+      assert(approx(id) == ((id, n, s, bp)), s"id=$id ${approx(id)} vs exact ($n,$s,$bp)")
+    }
+  }
+
   test("hits separates hubs from authorities on a bipartite fan") {
     // 1,2,3 each point at 8,9: pure hubs left, pure authorities right
     val df = Graph.hits(
