@@ -3,8 +3,12 @@
 # command (the r9 verdict's ask: a band violation must be caught in-round
 # by the builder, not post-hoc by the judge).
 #
-#   1. sbt test green (566+ ScalaTest cases)
-#   2. full Bench at sf0.1 (writes BENCH_LOCAL_r<N>.jsonl + STREAM_METRICS)
+#   1. full Bench at sf0.1 (writes BENCH_LOCAL_r<N>.jsonl + STREAM_METRICS)
+#      — FIRST, on the quiet machine: the r10 drift adjudication
+#      (BASELINE.md) showed a bench run right after the test suite reads
+#      the whole query set ~8-15% hot, which is exactly the phantom-drift
+#      signature the bands exist to kill
+#   2. sbt test green (570+ ScalaTest cases)
 #   3. band_check: no query's in-suite time breaches its committed solo
 #      band by >30% (tools/band_check.py, exit 1 on violation)
 #   4. stream_check: no streaming tag's rows/sec halved vs the previous
@@ -15,11 +19,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-sbt -batch test
-
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 sbt -batch "runMain graft.Bench" | grep -E '^\{"(q|metric)"' | tail -3
+
+sbt -batch test
 
 python3 tools/band_check.py
 python3 tools/stream_check.py
