@@ -344,6 +344,53 @@ object Dedup {
     out
   }
 
+  /** MinHash estimator calibration — the signature ships with its own
+    * measurement (the dd_simhash_recall / sim_ivfpq_recall theme, MinHash
+    * edition): for each VERIFIED near-dup pair, the k-component signature
+    * estimate Ĵ = matches/k next to the exact Jaccard, per pair. This is
+    * the number that justifies the signature width: E[Ĵ] = J with
+    * sd sqrt(J(1−J)/k) ≈ 0.035 at k = 128 and J ≈ 0.8, so per-pair
+    * |est − exact| beyond a few hundred bp flags a broken hash family, not
+    * sampling noise.
+    *
+    * Replayability: components are mins of the [[TextFns.minhashA]]/B
+    * affine family over the CROSS-ENGINE polynomial shingle hash
+    * ([[polyShingleHashRows]] — 64-char-truncated shingles), not the
+    * production xxhash64 features: same estimator math, hash-matchable
+    * values. The exact Jaccard comes from the caller's verified pair set
+    * (untruncated-shingle definition); the truncation affects only
+    * shingles past 64 chars, absent in word-3-gram corpora.
+    *
+    * Scale shape: signatures are computed ONLY for docs in the pair set
+    * (broadcast semi-join first — never a corpus-wide per-doc signature
+    * materialization), then two broadcast joins of the O(pairs) frame;
+    * the k min-aggregates are one codegen'd map-side-combined pass.
+    */
+  def minhashEstQuality(docs: DataFrame, pairs: DataFrame, k: Int = 128,
+                        n: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 128, s"bad signature width $k")
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val hrows = polyShingleHashRows(
+      docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), n)
+    val minCols = (0 until k).map(i =>
+      min(pmod(lit(TextFns.minhashA(i)) * col("h0") + lit(TextFns.minhashB(i)),
+        lit(TextFns.HashP))).as(s"m$i"))
+    val sig = hrows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    broadcast(pairs.select(col("a_id"), col("b_id"), col("jaccard")))
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard") * 10000).cast("bigint").as("jaccard_bp"),
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("matches"))
+      .select(col("a_id"), col("b_id"), col("jaccard_bp"), col("matches"),
+        expr(s"matches * 10000 div $k").as("est_bp"),
+        abs(expr(s"matches * 10000 div $k") - col("jaccard_bp")).as("abs_err_bp"))
+  }
+
   /** All (a < b) pairs from a sorted id array, as structs. */
   private def pairUp(ids: org.apache.spark.sql.Column) =
     flatten(transform(ids, (x, i) =>

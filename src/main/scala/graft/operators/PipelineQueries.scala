@@ -609,6 +609,63 @@ object PipelineQueries {
       (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(jaccardPairsSql)),
 
+    // MinHash estimator calibration — the signature ships with its own
+    // measurement (the simhash_recall / ivfpq_recall theme, MinHash
+    // edition): per verified near-dup pair, the 128-component signature
+    // estimate matches/128 in basis points next to the exact Jaccard and
+    // the absolute error. sd of the estimator at k=128, J≈0.8 is ~350 bp;
+    // a breach of a few sigma flags a broken hash family, not noise.
+    // Cross-engine via the polynomial shingle hash (the simhash oracle's
+    // replay surface) — see Dedup.minhashEstQuality.
+    QueryDef("dd_minhash_est_quality",
+      (s, d) => Dedup.minhashEstQuality(T(s, d, "documents"),
+          minhashPairs(s, d), k = 128)
+        .orderBy("a_id", "b_id"),
+      Some {
+        val P = graft.functions.TextFns.HashP
+        val pwList = Dedup.pow31.mkString("[", ", ", "]")
+        val mins = (0 until 128).map(i =>
+          s"CAST(min((${graft.functions.TextFns.minhashA(i)} * h0 + " +
+            s"${graft.functions.TextFns.minhashB(i)}) % $P) AS BIGINT) AS m$i")
+          .mkString(",\n       ")
+        // a flat list_sum, NOT a 128-term `+` chain: DuckDB binds a + b + c
+        // as left-nested binary ops and hits its 128-deep recursion cap
+        val matches = "list_sum([" + (0 until 128)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString(", ") + "])"
+        s"""WITH $jaccardCtes,
+           |pr AS (SELECT a_id, b_id,
+           |              round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+           |       FROM inter
+           |       JOIN sz sa ON sa.doc_id = a_id
+           |       JOIN sz sb ON sb.doc_id = b_id
+           |       WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+           |ids AS (SELECT a_id AS doc_id FROM pr UNION SELECT b_id FROM pr),
+           |shp AS (SELECT DISTINCT q.doc_id,
+           |          substr(t[i] || ' ' || t[i+1] || ' ' || t[i+2], 1, 64) AS s
+           |        FROM (SELECT tt.doc_id, t,
+           |                     unnest(generate_series(1, len(t) - 2)) AS i
+           |              FROM tt JOIN ids USING (doc_id)
+           |              WHERE len(t) >= 3) q),
+           |ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS k FROM shp),
+           |h AS (SELECT doc_id, s,
+           |        CAST(sum(CAST(ascii(substr(s, k, 1)) AS BIGINT) * ($pwList)[length(s) - k + 1]) % $P AS BIGINT) AS h0
+           |      FROM ch GROUP BY doc_id, s),
+           |sig AS (SELECT doc_id,
+           |       $mins
+           |      FROM h GROUP BY doc_id),
+           |ps AS (SELECT pr.a_id, pr.b_id, pr.jaccard,
+           |              CAST($matches AS BIGINT) AS matches
+           |       FROM pr JOIN sig a ON a.doc_id = pr.a_id
+           |               JOIN sig b ON b.doc_id = pr.b_id)
+           |SELECT a_id, b_id,
+           |       CAST(round(jaccard * 10000) AS BIGINT) AS jaccard_bp,
+           |       matches,
+           |       CAST(matches * 10000 // 128 AS BIGINT) AS est_bp,
+           |       CAST(abs(matches * 10000 // 128 - round(jaccard * 10000)) AS BIGINT) AS abs_err_bp
+           |FROM ps ORDER BY a_id, b_id""".stripMargin
+      }),
+
     // Per-cluster dedup detail: the component labels joined back to the
     // docs — cluster sizes and reclaimable bytes per duplicate group (the
     // report a dedup audit actually reads; dd_cc_dedup is its corpus-level
