@@ -49,6 +49,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((3L, 100L), (7L, 101L), (5L, 102L)))
   }
 
+  test("minhash estimator calibration: exact copies match on all 128 components, disjoint docs on almost none") {
+    // identical texts hash to identical signatures — matches MUST be 128
+    // and est_bp exactly 10000 (any miss = a broken hash family, the
+    // failure mode dd_minhash_est_quality exists to flag); two
+    // disjoint-vocabulary docs collide per component with prob
+    // ~1/|union| (~1/56 here), so matches stays near 0 — far below the
+    // perfect-match bound and below any J >= 0.8 signature.
+    val pairs = Seq((5L, 102L, 1.0), (0L, 1L, 0.0))
+      .toDF("a_id", "b_id", "jaccard")
+    val got = Dedup.minhashEstQuality(corpus, pairs)
+      .orderBy("a_id")
+      .select("a_id", "b_id", "matches", "est_bp", "abs_err_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val exactPair = got.find(_._1 == 5L).get
+    assert(exactPair == ((5L, 102L, 128L, 10000L, 0L)), exactPair)
+    val disjoint = got.find(_._1 == 0L).get
+    assert(disjoint._3 < 20L && disjoint._4 < 1600L,
+      s"disjoint docs estimated far too similar: $disjoint")
+  }
+
   test("containment: finds the short-doc-inside-long-doc pair Jaccard misses") {
     // doc 200 = first 12 tokens of doc 2, verbatim: every shingle of 200 is
     // in 2, so containment = 1.0, while Jaccard ~ 10/28 is far below 0.8.
