@@ -895,8 +895,12 @@ object PipelineQueries {
         val byD = pe.groupBy("d").agg(count(lit(1)).as("n"))
         val tot = broadcast(pe.agg(count(lit(1)).as("total_pairs"),
           max(col("d")).as("diameter")))
+        // byD is <= maxHops+1 rows by CONSTRUCTION (d ranges over hop
+        // counts), corpus-independent — broadcast the build side
+        // explicitly so the non-equi join plans as a bounded
+        // BroadcastNestedLoop instead of a two-sided CartesianProduct
         val cum = byD.as("a")
-          .join(byD.as("b"), col("b.d") <= col("a.d"))
+          .join(broadcast(byD.as("b")), col("b.d") <= col("a.d"))
           .groupBy(col("a.d").as("d")).agg(sum(col("b.n")).as("cum"))
         cum.crossJoin(tot)
           .filter(col("cum") * 10 >= col("total_pairs") * 9)
