@@ -502,6 +502,75 @@ object Graph {
         .select(col("src").as("id"), col("n_reached"),
           col("harmonic_bp").cast("bigint").as("harmonic_bp")))
 
+  /** Stress centrality from an ALREADY-BUILT [[allPairsDist]] table —
+    * Shimbel's exact-integer member of the betweenness family:
+    * stress(v) = Σ_{s<t, s≠v≠t} σ_st(v), the number of shortest paths
+    * passing THROUGH v — "which document is the bridge every near-dup
+    * chain routes over", the cut-vertex/bottleneck diagnostic on a dedup
+    * cluster (true betweenness divides per-pair by σ_st, putting a float
+    * ratio inside a big sum; the σ-count form is pure BIGINT arithmetic,
+    * engine- and order-independent, which is why it is the variant that
+    * can carry a hash-matched oracle).
+    *
+    * Two phases, both on co-partitioned equi-joins:
+    *  1. shortest-path counts σ(s,v) by level: one frontier⋈edges join +
+    *     keyed sum per hop, the frontier filtered to rows the distance
+    *     table puts at exactly hop d (so counts only flow along shortest-
+    *     path DAG edges) — same per-round shape as [[bfsHops]].
+    *  2. σ_st(v) = σ(s,v)·σ(v,t) when d(s,v)+d(v,t) = d(s,t): join the
+    *     σ table with itself keyed on the MIDDLE node, then one equi-join
+    *     against the distance table on (s,t).
+    * Phase 2's fan-out is per-component CUBIC (each middle node pairs its
+    * component peers) — one step past the quadratic anchor budget, so this
+    * is a small-cluster ANCHOR like the all-pairs cosine: right for the
+    * bounded dedup components it reports on, with sampled-source Brandes
+    * as the documented giant-graph path. Does NOT release `dist`.
+    */
+  def stressFromDist(dist: DataFrame, pairs: DataFrame, maxHops: Int = 10): DataFrame = {
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("v"), col("b_id").as("w"))
+        .union(pairs.select(col("b_id").as("v"), col("a_id").as("w")))
+        .distinct())
+    // level 0: one path from every source to itself
+    var lvl = Dedup.materialize(dist.filter(col("d") === 0)
+      .select(col("src"), col("v"), lit(0L).as("d"), lit(1L).as("sg")))
+    var acc = lvl
+    for (dd <- 1 to maxHops) {
+      val next = Dedup.materialize(
+        lvl.join(es, "v")
+          .select(col("src"), col("w").as("v"), col("sg"))
+          // keep only expansions the distance table puts at EXACTLY hop
+          // dd — i.e. shortest-path DAG edges; longer detours drop out
+          .join(dist.filter(col("d") === dd).select(col("src"), col("v")),
+            Seq("src", "v"), "left_semi")
+          .groupBy("src", "v")
+          .agg(sum(col("sg")).as("sg"))
+          .select(col("src"), col("v"), lit(dd.toLong).as("d"), col("sg")))
+      val nextAcc = Dedup.materialize(acc.unionAll(next))
+      Dedup.release(acc); if (lvl ne acc) Dedup.release(lvl)
+      lvl = next; acc = nextAcc
+    }
+    Dedup.release(lvl)
+    val a = acc.filter(col("d") > 0)
+      .select(col("src").as("s"), col("v"), col("d").as("dsv"), col("sg").as("s1"))
+    val b = acc.filter(col("d") > 0)
+      .select(col("src").as("t"), col("v"), col("d").as("dvt"), col("sg").as("s2"))
+    val dst = dist.filter(col("d") > 0)
+      .select(col("src").as("s"), col("v").as("t"), col("d").as("dst"))
+    val through = a.join(b, "v")
+      .filter(col("s") < col("t"))
+      .join(dst, Seq("s", "t"))
+      .filter(col("dsv") + col("dvt") === col("dst"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("s1") * col("s2")).as("stress"))
+    val out = Dedup.materialize(
+      dist.select(col("src").as("id")).distinct()
+        .join(through, Seq("id"), "left")
+        .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress")))
+    Dedup.release(acc); Dedup.release(es)
+    out
+  }
+
   /** Approximate closeness centrality via HyperANF-style neighborhood
     * sketches (Boldi–Rosa–Vigna, WWW 2011): per node, an HLL sketch of the
     * h-hop ball, advanced one hop per round by unioning each node's sketch

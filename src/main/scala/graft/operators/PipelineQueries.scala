@@ -881,6 +881,61 @@ object PipelineQueries {
              |       CAST(sum(10000 // d) AS BIGINT) AS harmonic_bp
              |FROM md WHERE v <> src GROUP BY 1 ORDER BY id""".stripMargin)),
 
+    // Stress centrality — Shimbel's exact-integer member of the
+    // betweenness family: per node, the number of shortest paths that
+    // pass THROUGH it ("which document is the bridge every near-dup
+    // chain routes over" — the cut-vertex diagnostic on a dedup
+    // cluster). True betweenness divides per-pair by sigma_st (a float
+    // ratio inside a big sum — not hash-matchable); the sigma-count form
+    // is pure BIGINT. Sixth consumer of the cached relaxation; the
+    // middle-node join is per-component CUBIC, a small-cluster ANCHOR
+    // (Graph.stressFromDist documents sampled-source Brandes as the
+    // giant-graph path). Oracle: sigma by unrolled level (MATERIALIZED
+    // per level — each is referenced by the next level AND the union),
+    // then the same middle-node join.
+    QueryDef("gr_stress",
+      (s, d) => Graph.stressFromDist(pairGraphDist(s, d),
+          Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
+            .select("a_id", "b_id"), maxHops = 10)
+        .orderBy("id"),
+      Some {
+        val levels = (1 to 10).map { k =>
+          s"""sg$k AS MATERIALIZED (
+             |  SELECT s.src, e.t AS v, $k AS d, CAST(sum(s.sg) AS BIGINT) AS sg
+             |  FROM sg${k - 1} s JOIN e ON e.s = s.v
+             |  JOIN md ON md.src = s.src AND md.v = e.t AND md.d = $k
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (1 to 10).map(k => s"SELECT * FROM sg$k")
+          .mkString("\n       UNION ALL ")
+        s"""WITH RECURSIVE $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter
+           |        JOIN sz sa ON sa.doc_id = a_id
+           |        JOIN sz sb ON sb.doc_id = b_id
+           |        WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+           |e AS (SELECT a_id AS s, b_id AS t FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |walk(src, v, d) AS (
+           |  SELECT id, id, 0 FROM nodes
+           |  UNION
+           |  SELECT w.src, e.t, w.d + 1
+           |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+           |md AS MATERIALIZED (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2),
+           |sg0 AS (SELECT id AS src, id AS v, 0 AS d, CAST(1 AS BIGINT) AS sg
+           |        FROM nodes),
+           |$levels,
+           |sga AS MATERIALIZED ($unionAll),
+           |th AS (SELECT a.v, CAST(sum(a.sg * b.sg) AS BIGINT) AS stress
+           |       FROM sga a JOIN sga b ON b.v = a.v AND a.src < b.src
+           |       JOIN md ON md.src = a.src AND md.v = b.src
+           |                AND md.d = a.d + b.d
+           |       GROUP BY 1)
+           |SELECT n.id, CAST(coalesce(th.stress, 0) AS BIGINT) AS stress
+           |FROM nodes n LEFT JOIN th ON th.v = n.id
+           |ORDER BY id""".stripMargin
+      }),
+
     // Effective diameter at the 90th percentile — the classic
     // neighborhood-function summary (the number HyperANF was built to
     // compute): the smallest hop distance covering >= 90% of all reachable

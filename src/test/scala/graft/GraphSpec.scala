@@ -231,6 +231,32 @@ class GraphSpec extends AnyFunSuite {
       10L -> 30000L, 11L -> 20000L, 12L -> 20000L, 13L -> 20000L), har)
   }
 
+  test("stress centrality counts shortest paths through each node (path + star + diamond)") {
+    // path 1-2-3-4: through 2 pass (1,3) and (1,4) -> 2; symmetric for 3;
+    // endpoints carry nothing. Star 10-(11,12,13): every leaf pair routes
+    // through the hub -> C(3,2) = 3; leaves 0.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val dist = Graph.allPairsDist(pairs, maxHops = 10)
+    val got = Graph.stressFromDist(dist, pairs)
+      .as[(Long, Long)].collect().toMap
+    graft.operators.Dedup.release(dist)
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 0L,
+      10L -> 3L, 11L -> 0L, 12L -> 0L, 13L -> 0L), got)
+    // diamond 20-21-23 / 20-22-23: TWO shortest paths between the poles,
+    // one through each middle node — sigma multiplicity must count both
+    val dm = Seq((20L, 21L), (20L, 22L), (21L, 23L), (22L, 23L))
+      .toDF("a_id", "b_id")
+    val dist2 = Graph.allPairsDist(dm, maxHops = 10)
+    val got2 = Graph.stressFromDist(dist2, dm)
+      .as[(Long, Long)].collect().toMap
+    graft.operators.Dedup.release(dist2)
+    // through 21: pair (20,23) has sigma 1*1 = 1 via 21 (and 1 via 22);
+    // poles carry the (21,22) pair? d(21,20)+d(20,22)=2=d(21,22) AND the
+    // 23-route too: sigma_{21,22}(20) = 1, sigma_{21,22}(23) = 1
+    assert(got2 == Map(20L -> 1L, 21L -> 1L, 22L -> 1L, 23L -> 1L), got2)
+  }
+
   test("closenessApprox is sparse-exact on dedup-cluster-sized components") {
     // HLL sketches are exact below the sparse-mode threshold, so on tiny
     // components the HyperANF estimates must EQUAL the exact walk — the
