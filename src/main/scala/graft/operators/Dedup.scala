@@ -378,9 +378,19 @@ object Dedup {
         lit(TextFns.HashP))).as(s"m$i"))
     val sig = hrows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    broadcast(pairs.select(col("a_id"), col("b_id"), col("jaccard")))
-      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+    // LEFT joins, not inner: a verified pair whose doc has fewer than n
+    // tokens produces zero shingles and hence no signature row — an inner
+    // join would silently drop that pair from the calibration report (and
+    // the oracle would drop it identically, making the miss invisible to
+    // the hash gate). Left-joining keeps every input pair visible: a
+    // missing signature surfaces as null matches/est_bp/abs_err_bp rows.
+    // The sig frame is O(pair docs) by the semi-join above — broadcast the
+    // BUILD sides (a left outer join cannot broadcast its stream side).
+    pairs.select(col("a_id"), col("b_id"), col("jaccard"))
+      .join(broadcast(sig.select(col("doc_id").as("a_id"), col("sig").as("sa"))),
+        Seq("a_id"), "left")
+      .join(broadcast(sig.select(col("doc_id").as("b_id"), col("sig").as("sb"))),
+        Seq("b_id"), "left")
       .select(col("a_id"), col("b_id"),
         round(col("jaccard") * 10000).cast("bigint").as("jaccard_bp"),
         aggregate(zip_with(col("sa"), col("sb"),

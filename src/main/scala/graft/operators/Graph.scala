@@ -431,11 +431,23 @@ object Graph {
       if (r == maxHops) lastTwo = (dist.count(), next.count())
       Dedup.release(prev); prev = dist; dist = next
     }
-    if (lastTwo._1 != lastTwo._2)
-      log.warn(s"allPairsDist did NOT converge within $maxHops hops " +
-        s"(final round still added ${lastTwo._2 - lastTwo._1} pairs): " +
-        "component labels / geometry derived from this table fragment " +
-        "components whose diameter exceeds the bound")
+    if (lastTwo._1 != lastTwo._2) {
+      // Equal counts across the final two rounds is SUFFICIENT but not
+      // NECESSARY for convergence: a component whose diameter equals
+      // exactly maxHops legitimately adds its last pairs in the final
+      // round and the table is still complete. One extra PROBE round
+      // (count only, never kept) distinguishes "converged at exactly the
+      // bound" from "truncated" before warning.
+      val probe = dist.unionAll(
+          dist.join(es, "v")
+            .select(col("src"), col("nb").as("v"), (col("d") + 1).as("d")))
+        .select(col("src"), col("v")).distinct().count()
+      if (probe != lastTwo._2)
+        log.warn(s"allPairsDist did NOT converge within $maxHops hops " +
+          s"(a probe round would still add ${probe - lastTwo._2} pairs): " +
+          "component labels / geometry derived from this table fragment " +
+          "components whose diameter exceeds the bound")
+    }
     Dedup.release(prev); Dedup.release(es)
     dist
   }
@@ -571,6 +583,101 @@ object Graph {
     out
   }
 
+  /** Sampled-source Brandes stress centrality — the GIANT-GRAPH scale twin
+    * of [[stressFromDist]] (Brandes 2001, "A faster algorithm for
+    * betweenness centrality", §4's σ-count variant): instead of the exact
+    * form's per-component CUBIC middle-node join over an all-pairs σ
+    * table, run the two Brandes passes from a DETERMINISTIC source sample
+    * only, giving stress_sampled(v) = Σ_{s∈S, t≠s,v} σ_st(v) — ordered
+    * contributions from sampled sources, exact BIGINT σ counts throughout
+    * (no float ratios), so the statistic stays hash-matchable and an SQL
+    * oracle can replay the identical sample.
+    *
+    *  1. FORWARD pass (one frame for all sampled sources at once): per
+    *     hop, frontier⋈edges + anti-join against the visited set + keyed
+    *     σ-sum — newly reached nodes are exactly the next BFS level and
+    *     σ(s,v) = Σ_{u∈pred(v)} σ(s,u). State O(|S|·nodes).
+    *  2. BACKWARD pass (Brandes' dependency accumulation, σ-count form):
+    *     levels processed deepest-first; g_s(v) = Σ_{w∈succ(v)} (1+g_s(w))
+    *     counts the shortest-path continuations beyond v, where succ(v)
+    *     are v's neighbors one level deeper in s's BFS DAG. Then
+    *     Σ_t σ_st(v) = σ(s,v)·g_s(v), summed over sources at each v.
+    *
+    * With S ⊇ all nodes this equals exactly 2× [[stressFromDist]] (each
+    * unordered pair counted from both endpoints) — the GraphSpec
+    * equivalence anchor. Every join keys on (source, node) — the same
+    * co-partitionable round shape as [[bfsHops]]; state and work are
+    * LINEAR in |S|, which is the whole point: at 100 TB pick |S| = a few
+    * hundred hash-chosen sources and the cost is |S| BFS passes, not a
+    * component-cubic fan-out.
+    *
+    * `isSource` is a boolean expression over the node id column `id`
+    * (the [[personalizedPageRank]] convention) — keeping the sample a
+    * declarative predicate is what lets the oracle derive the identical
+    * source set without a literal id list.
+    */
+  def stressSampled(pairs: DataFrame, isSource: org.apache.spark.sql.Column,
+                    maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 1, s"bad maxHops $maxHops")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("v"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("v"), col("a_id").as("nb")))
+        .distinct())
+    val nodes = es.select(col("v").as("id")).distinct()
+    // forward σ pass: one materialized frame per BFS level (the backward
+    // pass consumes levels individually), plus a cumulative visited set
+    // for the new-node anti-join
+    val lvl0 = Dedup.materialize(
+      nodes.filter(isSource)
+        .select(col("id").as("src"), col("id").as("v"),
+          lit(0L).as("d"), lit(1L).as("sg")))
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](lvl0)
+    var visited = lvl0
+    for (dd <- 1 to maxHops) {
+      val next = Dedup.materialize(
+        levels.last.join(es, "v")
+          .select(col("src"), col("nb").as("v"), col("sg"))
+          .join(visited.select(col("src"), col("v")), Seq("src", "v"), "left_anti")
+          .groupBy("src", "v").agg(sum("sg").as("sg"))
+          .select(col("src"), col("v"), lit(dd.toLong).as("d"), col("sg")))
+      levels += next
+      val nv = Dedup.materialize(visited.unionAll(next))
+      if (visited ne lvl0) Dedup.release(visited)
+      visited = nv
+    }
+    // backward accumulation, deepest level first: nodes at the hop bound
+    // have no successors WITHIN it (g = 0 — exact when the BFS converged
+    // inside maxHops, the bounded-radius answer otherwise)
+    val gs = scala.collection.mutable.ArrayBuffer[DataFrame](
+      Dedup.materialize(levels(maxHops)
+        .select(col("src"), col("v"), col("d"), col("sg"), lit(0L).as("g"))))
+    for (k <- (maxHops - 1) to 0 by -1) {
+      val sucSum = levels(k).select(col("src"), col("v"))
+        .join(es, "v")
+        .join(gs.last.select(col("src"), col("v").as("nb"), col("g")), Seq("src", "nb"))
+        .groupBy("src", "v").agg(sum(col("g") + 1).as("gsum"))
+      gs += Dedup.materialize(
+        levels(k)
+          .join(sucSum, Seq("src", "v"), "left")
+          .select(col("src"), col("v"), col("d"), col("sg"),
+            coalesce(col("gsum"), lit(0L)).as("g")))
+    }
+    // δ_s(v) = σ(s,v)·g_s(v) for v ≠ s (d > 0), summed over sources;
+    // nodes no sampled source reaches report 0 (left join + coalesce)
+    val out = Dedup.materialize(
+      nodes.join(
+          gs.map(g => g.filter(col("d") > 0)).reduce(_ unionAll _)
+            .groupBy(col("v").as("id"))
+            .agg(sum(col("sg") * col("g")).as("stress_sampled")),
+          Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("stress_sampled"), lit(0L)).as("stress_sampled")))
+    gs.foreach(Dedup.release)
+    levels.foreach(Dedup.release)
+    Dedup.release(visited); Dedup.release(es)
+    out
+  }
+
   /** Approximate closeness centrality via HyperANF-style neighborhood
     * sketches (Boldi–Rosa–Vigna, WWW 2011): per node, an HLL sketch of the
     * h-hop ball, advanced one hop per round by unioning each node's sketch
@@ -633,6 +740,118 @@ object Graph {
         floor(lit(10000L) * (col("est") - 1) / col("sum_d")).cast("bigint")
           .as("closeness_bp_est")))
     Dedup.release(prev); Dedup.release(state); Dedup.release(es)
+    out
+  }
+
+  /** Approximate effective diameter off the SAME HyperANF sketch rounds as
+    * [[closenessApprox]] — the statistic the HyperANF paper was built for
+    * (Boldi–Rosa–Vigna, WWW 2011): the neighborhood function N(h) = Σ_v
+    * |ball(v,h)| read per hop from the per-node HLL estimates, and the
+    * effective diameter at `pct`% = the smallest h whose cumulative
+    * reachable-ordered-pair coverage N(h) − N(0) reaches pct% of
+    * N(maxHops) − N(0). Returns ONE row: (total_pairs_est,
+    * eff_diameter_est).
+    *
+    * Scale: identical per-round shape to [[closenessApprox]] (edges ⋈
+    * sketches + keyed hll_union_agg, O(nodes·sketch) state) plus one
+    * 1-row aggregate per hop — this is the giant-component twin of the
+    * exact [[allPairsDist]]-based readout, which needs the per-component
+    * QUADRATIC distance table a mega-component makes unbuildable. The
+    * integer coverage test (100·cum ≥ pct·total on BIGINT estimates)
+    * avoids any float percentile.
+    */
+  def effectiveDiameterApprox(pairs: DataFrame, maxHops: Int = 10,
+                              pct: Int = 90): DataFrame = {
+    require(maxHops >= 1 && pct >= 1 && pct <= 100, s"bad config ($maxHops, $pct)")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+        .distinct())
+    var state = Dedup.materialize(
+      es.select(col("id")).distinct()
+        .groupBy("id").agg(hll_sketch_agg(col("id")).as("sk"))
+        .select(col("id"), col("sk"), lit(1L).as("est")))
+    // per-hop neighborhood function: one 1-row materialized frame per hop
+    // (tiny; materialized so the readout survives the state releases)
+    val nf = scala.collection.mutable.ArrayBuffer[DataFrame](
+      Dedup.materialize(state.agg(sum(col("est")).as("nf"))
+        .select(lit(0L).as("h"), col("nf"))))
+    var prev: DataFrame = null
+    for (h <- 1 to maxHops) {
+      val next = Dedup.materialize(
+        es.join(state.select(col("id").as("nb"), col("sk")), "nb")
+          .select(col("id"), col("sk"))
+          .unionAll(state.select(col("id"), col("sk")))
+          .groupBy("id").agg(hll_union_agg(col("sk")).as("sk"))
+          .select(col("id"), col("sk"), hll_sketch_estimate(col("sk")).as("est")))
+      nf += Dedup.materialize(next.agg(sum(col("est")).as("nf"))
+        .select(lit(h.toLong).as("h"), col("nf")))
+      Dedup.release(prev); prev = state; state = next
+    }
+    Dedup.release(prev); Dedup.release(state); Dedup.release(es)
+    // readout over the O(maxHops)-row hop table: self-pairs (N(0) = node
+    // count) excluded from both sides of the coverage test; N is monotone
+    // in h (HLL registers only grow under union), so min(h) is the
+    // threshold crossing
+    val nfAll = nf.reduce(_ unionAll _)
+    val bounds = broadcast(nfAll.agg(
+      max(when(col("h") === 0, col("nf"))).as("n0"),
+      max(when(col("h") === maxHops, col("nf"))).as("nmax")))
+    val out = Dedup.materialize(
+      nfAll.crossJoin(bounds)
+        .filter((col("nf") - col("n0")) * 100 >= (col("nmax") - col("n0")) * pct)
+        .agg(min(col("h")).as("eff_diameter_est"))
+        .crossJoin(bounds)
+        .select((col("nmax") - col("n0")).as("total_pairs_est"),
+          col("eff_diameter_est")))
+    nf.foreach(Dedup.release)
+    out
+  }
+
+  /** Bounded weighted shortest-path geometry over a WEIGHTED pair table
+    * (a_id, b_id, w) — the min-sum (Bellman-Ford) sibling of the hop-count
+    * family: `rounds` relaxations of dist' = min(dist, dist ⋈ edges + w),
+    * after which dist(s,v) is exact over all paths of ≤ `rounds` edges
+    * (vacuous once rounds ≥ any component diameter). Exact integer
+    * weights in, exact integer distances out — no float sums, so the
+    * report hash-matches a recursive-CTE oracle replaying the same bound.
+    * Returns per node: peers reached, total weighted distance, and the
+    * weighted eccentricity max_wdist.
+    *
+    * Scale shape: identical to [[allPairsDist]] — per round one
+    * frontier⋈edges equi-join + keyed min-aggregate, both on node id,
+    * materialize + release; state is per-COMPONENT quadratic (the dedup
+    * cluster regime), with the same caveats and twins as the hop-count
+    * version. On a weighted dedup graph the natural edge weight is a
+    * DISSIMILARITY (e.g. 10001 − jaccard_bp), making sum_wdist the
+    * "semantic drift" a chain of near-copies accumulates.
+    */
+  def weightedDistStats(wpairs: DataFrame, rounds: Int = 10): DataFrame = {
+    require(rounds >= 1, s"bad rounds $rounds")
+    val es = Dedup.materialize(
+      wpairs.select(col("a_id").as("v"), col("b_id").as("nb"), col("w"))
+        .union(wpairs.select(col("b_id").as("v"), col("a_id").as("nb"), col("w")))
+        .distinct())
+    var dist = es.select(col("v")).distinct()
+      .select(col("v").as("src"), col("v"), lit(0L).as("wd"))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val next = Dedup.materialize(
+        dist.union(
+            dist.join(es, "v")
+              .select(col("src"), col("nb").as("v"), (col("wd") + col("w")).as("wd")))
+          .groupBy("src", "v").agg(min("wd").as("wd")))
+      Dedup.release(prev); prev = dist; dist = next
+    }
+    val out = Dedup.materialize(
+      dist.filter(col("v") =!= col("src"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"), sum("wd").as("sum_wdist"),
+          max("wd").as("max_wdist"))
+        .select(col("src").as("id"), col("n_reached"),
+          col("sum_wdist").cast("bigint").as("sum_wdist"),
+          col("max_wdist").cast("bigint").as("max_wdist")))
+    Dedup.release(prev); Dedup.release(dist); Dedup.release(es)
     out
   }
 

@@ -6,15 +6,28 @@ phantom regressions adjudicated by hand; this makes the adjudication a
 one-command check).
 
 Usage: tools/band_check.py [BENCH_LOCAL jsonl] [SOLO_BANDS jsonl]
-Exit 1 if any banded query is over; prints a per-query verdict either way.
+       tools/band_check.py --stale-only [...]   # print stale query names
+Exit 1 if any banded query is over; exit 2 if none is over but some band
+is STALE; prints a per-query verdict either way.
 
 Under SPARK_GRAFT_REPEAT>1 the bench emits one line per repeat as
-"name#i" — ALL repeats are collected and the MIN is adjudicated against
-the band (a single tail-latency repeat is exactly the suite-position
-noise the band exists to absorb; the min is the query's demonstrated
-in-suite capability).
+"name#i" — ALL repeats are collected and the MEDIAN is adjudicated
+against the band (the min grew monotonically weaker as repeats rose — a
+real regression passed if one repeat got lucky; the median still absorbs
+single-repeat tail noise without becoming more permissive with more
+repeats).
+
+STALE detection (r10 verdict #5): a band is a regression detector only
+while the code it measured is current. An in-suite time BELOW the band's
+own solo minimum means the query got faster after banding (tx_bpe_apply
+read 1.34s against a [1.57, 1.80] band in r10) — the band max is then
+meaningless as a ceiling. Stale bands are flagged for re-banding
+(tools/reband.sh wires this into round_gate.sh).
 """
 import json, sys, glob
+
+stale_only = "--stale-only" in sys.argv
+argv = [a for a in sys.argv if a != "--stale-only"]
 
 
 def newest(pattern, what):
@@ -25,8 +38,8 @@ def newest(pattern, what):
     return hits[-1]
 
 
-bench = sys.argv[1] if len(sys.argv) > 1 else newest("BENCH_LOCAL_r*.jsonl", "bench")
-bands = sys.argv[2] if len(sys.argv) > 2 else newest("SOLO_BANDS_r*.jsonl", "bands")
+bench = argv[1] if len(argv) > 1 else newest("BENCH_LOCAL_r*.jsonl", "bench")
+bands = argv[2] if len(argv) > 2 else newest("SOLO_BANDS_r*.jsonl", "bands")
 
 qs = {}  # base query name -> list of repeat times
 for line in open(bench):
@@ -34,20 +47,32 @@ for line in open(bench):
     if "q" in r and not r["q"].startswith("_warm"):
         qs.setdefault(r["q"].split("#")[0], []).append(r["sec"])
 
-bad = 0
+bad, stale = 0, []
 for line in open(bands):
     b = json.loads(line)
     reps = qs.get(b["q"])
     if not reps:
-        print(f"SKIP {b['q']}: not in {bench}")
+        if not stale_only:
+            print(f"SKIP {b['q']}: not in {bench}")
         continue
-    insec = min(reps)
+    insec = sorted(reps)[len(reps) // 2]
     limit = b["max"] * 1.3
-    verdict = "OVER" if insec > limit else "ok"
-    if verdict == "OVER":
+    if insec > limit:
+        verdict = "OVER"
         bad += 1
-    rep = f" (min of {len(reps)})" if len(reps) > 1 else ""
-    print(f"{verdict:4s} {b['q']:26s} in-suite={insec:6.2f}s{rep} "
+    elif insec < b["min"]:
+        verdict = "STALE"
+        stale.append(b["q"])
+    else:
+        verdict = "ok"
+    if stale_only:
+        continue
+    rep = f" (med of {len(reps)})" if len(reps) > 1 else ""
+    print(f"{verdict:5s} {b['q']:26s} in-suite={insec:6.2f}s{rep} "
           f"band=[{b['min']:.2f},{b['max']:.2f}] limit={limit:.2f}")
-print(f"\n{bad} violation(s) — {bench} vs {bands}")
-sys.exit(1 if bad else 0)
+
+if stale_only:
+    print("\n".join(stale))
+    sys.exit(0)
+print(f"\n{bad} violation(s), {len(stale)} stale band(s) — {bench} vs {bands}")
+sys.exit(1 if bad else (2 if stale else 0))

@@ -10,7 +10,10 @@
 #      signature the bands exist to kill
 #   2. sbt test green (570+ ScalaTest cases)
 #   3. band_check: no query's in-suite time breaches its committed solo
-#      band by >30% (tools/band_check.py, exit 1 on violation)
+#      band by >30% (tools/band_check.py, exit 1 on violation); STALE
+#      bands (in-suite median BELOW the band's solo floor — the query got
+#      faster after banding) are auto-refreshed via tools/reband.sh and
+#      the check re-run
 #   4. stream_check: no streaming tag's rows/sec halved vs the previous
 #      round's committed STREAM_METRICS artifact
 #
@@ -25,7 +28,19 @@ sbt -batch "runMain graft.Bench" | grep -E '^\{"(q|metric)"' | tail -3
 
 sbt -batch test
 
-python3 tools/band_check.py
+# band_check: exit 1 = a real violation (fail the gate); exit 2 = stale
+# bands only (the query got FASTER than its band floor) — auto-refresh
+# those via one solo re-band per stale query, then re-check.
+rc=0
+python3 tools/band_check.py || rc=$?
+if [ "$rc" = 2 ]; then
+  round=$(ls BENCH_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+).*/\1/' | sort -n | tail -1)
+  out=$(printf 'SOLO_BANDS_r%02d.jsonl' $((${round:-0} + 1)))
+  tools/reband.sh "$out"
+  python3 tools/band_check.py
+elif [ "$rc" != 0 ]; then
+  exit "$rc"
+fi
 python3 tools/stream_check.py
 
 echo "round gate: ALL GREEN"
