@@ -600,6 +600,90 @@ object PipelineQueries {
            |FROM j""".stripMargin
       }),
 
+    // Bloom sizing curve — the tier-1 provisioning number next to
+    // dd_bloom_admission's fixed-width ledger: the MEASURED false-positive
+    // rate of the admission filter across widths m ∈ {2^10, 2^12, 2^16}
+    // on the same landed-corpus fingerprints, probed with the novel-batch
+    // keys (non-members only — FP is the tier-2 overscan a width buys
+    // back). Formulated RELATIONALLY (per width: distinct build bit
+    // positions ⋈ probe positions, a probe passes iff all 7 hit) so both
+    // engines replay bit-for-bit with no engine-side bitset; the three
+    // width sub-plans are each O(7·keys) exploded positions keyed on
+    // (position) — broadcast-sized at any corpus, since positions ≤ m.
+    // At sf0.01 the curve reads ~72% / ~1% / ~0 — the m/n ≈ 10 knee the
+    // fixed-width filter's scaladoc provisions for.
+    QueryDef("dd_bloom_fpr_sweep",
+      (s, d) => {
+        import graft.functions.{BloomFns, TextFns}
+        val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        val keyed = docs.select(col("doc_id"),
+          TextFns.fingerprint(TextFns.tokens(col("text"))).as("k"))
+        // NOT materialized (would pin un-releasable checkpoints for the
+        // session): documents is the corpus's smallest table and the
+        // fingerprint projection is one narrow codegen'd pass — recomputing
+        // it per width keeps the query self-contained and leak-free.
+        val landed = keyed.filter(col("doc_id") % 10 =!= 0)
+          .select("k").distinct()
+        // non-member probes only: the measured rate is pure FP, no
+        // true-positive mixing (the corpus has no cross-split exact dups,
+        // but the anti-join makes that a guarantee, not an assumption)
+        val probes = keyed.filter(col("doc_id") % 10 === 0)
+          .join(landed, Seq("k"), "left_anti")
+        val out = Seq(1 << 10, 1 << 12, 1 << 16).map { m =>
+          val pos = (0 until BloomFns.NumHash)
+            .map(i => expr(BloomFns.bitPosSqlM(i, "k", m, spark = true)))
+          val bld = landed.select(explode(array(pos: _*)).as("p")).distinct()
+          probes.select(col("doc_id"), explode(array(pos: _*)).as("p"))
+            .join(bld.withColumn("hit", lit(1)), Seq("p"), "left")
+            .groupBy("doc_id")
+            .agg(sum(when(col("hit").isNull, 1L).otherwise(0L)).as("miss"))
+            .agg(count(lit(1)).as("n_probes"),
+              sum(when(col("miss") === 0, 1L).otherwise(0L)).as("n_fp"))
+            .crossJoin(broadcast(landed.agg(count(lit(1)).as("n_build"))))
+            .select(lit(m.toLong).as("m"), col("n_build"), col("n_probes"),
+              col("n_fp"), expr("n_fp * 10000 div n_probes").as("fp_bp"))
+        }.reduce(_ unionAll _)
+        out.orderBy("m")
+      },
+      Some {
+        import graft.functions.BloomFns
+        val widths = Seq(1 << 10, 1 << 12, 1 << 16)
+        val perM = widths.map { m =>
+          val bldBits = (0 until BloomFns.NumHash)
+            .map(i => s"SELECT DISTINCT ${BloomFns.bitPosSqlM(i, "k", m, spark = false)} AS p FROM bld")
+            .mkString("\n       UNION\n       ")
+          val prbBits = (0 until BloomFns.NumHash)
+            .map(i => s"SELECT doc_id, ${BloomFns.bitPosSqlM(i, "k", m, spark = false)} AS p FROM prb")
+            .mkString("\n       UNION ALL\n       ")
+          s"""SELECT CAST($m AS BIGINT) AS m,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM bld) AS n_build,
+             |       CAST(count(*) AS BIGINT) AS n_probes,
+             |       CAST(sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+             |       CAST(sum(CASE WHEN miss = 0 THEN 1 ELSE 0 END) * 10000
+             |            // count(*) AS BIGINT) AS fp_bp
+             |FROM (SELECT pp.doc_id,
+             |             sum(CASE WHEN b.p IS NULL THEN 1 ELSE 0 END) AS miss
+             |      FROM ($prbBits) pp
+             |      LEFT JOIN ($bldBits) b ON pp.p = b.p
+             |      GROUP BY 1)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t
+           |            FROM documents),
+           |pos AS (SELECT doc_id, unnest(t) AS w,
+           |               unnest(generate_series(1, len(t))) AS i
+           |        FROM tt),
+           |f0 AS (SELECT doc_id,
+           |              CAST(sum(((i * 31 + 7) * (length(w) * 17 + ascii(w))) % 2147483647) % 2147483647 AS BIGINT) AS fp
+           |       FROM pos GROUP BY 1),
+           |keyed AS (SELECT tt.doc_id, CAST(coalesce(f0.fp, 0) AS BIGINT) AS k
+           |          FROM tt LEFT JOIN f0 USING (doc_id)),
+           |bld AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 10 <> 0),
+           |prb AS (SELECT doc_id, k FROM keyed
+           |        WHERE doc_id % 10 = 0 AND k NOT IN (SELECT k FROM bld))
+           |$perM
+           |ORDER BY m""".stripMargin
+      }),
+
     QueryDef("dd_ngram_jaccard",
       (s, d) => Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
         .orderBy("a_id", "b_id"),
@@ -655,9 +739,11 @@ object PipelineQueries {
            |       $mins
            |      FROM h GROUP BY doc_id),
            |ps AS (SELECT pr.a_id, pr.b_id, pr.jaccard,
-           |              CAST($matches AS BIGINT) AS matches
-           |       FROM pr JOIN sig a ON a.doc_id = pr.a_id
-           |               JOIN sig b ON b.doc_id = pr.b_id)
+           |              CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL
+           |                   THEN NULL ELSE CAST($matches AS BIGINT)
+           |              END AS matches
+           |       FROM pr LEFT JOIN sig a ON a.doc_id = pr.a_id
+           |               LEFT JOIN sig b ON b.doc_id = pr.b_id)
            |SELECT a_id, b_id,
            |       CAST(round(jaccard * 10000) AS BIGINT) AS jaccard_bp,
            |       matches,
@@ -1033,6 +1119,181 @@ object PipelineQueries {
              |SELECT src AS id, n_reached, sum_dist,
              |       TRUE AS reached_ok, TRUE AS sumdist_ok
              |FROM ag ORDER BY id""".stripMargin)),
+
+    // Sampled-source Brandes stress — the GIANT-GRAPH scale twin of
+    // gr_stress (whose middle-node join is per-component CUBIC): two
+    // Brandes passes from a deterministic ~25% hash sample of sources,
+    // linear in |sample| (Graph.stressSampled scaladoc). Runs on the
+    // shares->=3-shingles graph (gr_kcore's edge set), NOT the
+    // jaccard-0.8 one: the 0.8 graph is diameter-1 cliquelets at every SF
+    // (stress identically 0 — no interior nodes), while the >=3-shingles
+    // graph has chains out to the 10-hop bound, so the sampled statistic
+    // is exercised for real. The sample is a declarative
+    // multiplicative-hash predicate over the node id — REPLAYABLE by the
+    // oracle without a literal id list — and every count is exact BIGINT
+    // σ arithmetic, so the statistic hash-matches. Oracle: forward σ by
+    // unrolled level (gr_stress's pattern), then the backward dependency
+    // accumulation g_k = Σ_succ (1 + g_{k+1}) unrolled deepest-first,
+    // then Σ σ·g per node.
+    QueryDef("gr_stress_sampled",
+      (s, d) => Graph.stressSampled(
+          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+          isSource = col("id") * lit(2654435761L) % lit(1000000007L) % 4 === 0,
+          maxHops = 10)
+        .orderBy("id"),
+      Some {
+        val fwd = (1 to 10).map { k =>
+          s"""sg$k AS MATERIALIZED (
+             |  SELECT s.src, e.t AS v, $k AS d, CAST(sum(s.sg) AS BIGINT) AS sg
+             |  FROM sg${k - 1} s JOIN e ON e.s = s.v
+             |  JOIN md ON md.src = s.src AND md.v = e.t AND md.d = $k
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        // backward: inner JOIN e (every graph node has >= 1 neighbor, so
+        // the group survives), LEFT JOIN the next level's g — non-successor
+        // neighbors yield NULL, which sum() skips; all-NULL groups (no
+        // successors) coalesce to 0
+        val bwd = (9 to 0 by -1).map { k =>
+          s"""g$k AS MATERIALIZED (
+             |  SELECT c.src, c.v, c.d, c.sg,
+             |         CAST(coalesce(sum(1 + n.g), 0) AS BIGINT) AS g
+             |  FROM sg$k c JOIN e ON e.s = c.v
+             |  LEFT JOIN g${k + 1} n ON n.src = c.src AND n.v = e.t
+             |  GROUP BY 1, 2, 3, 4)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to 10).map(k => s"SELECT * FROM g$k")
+          .mkString("\n       UNION ALL ")
+        s"""WITH RECURSIVE $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |e AS (SELECT a_id AS s, b_id AS t FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |srcs AS (SELECT id FROM nodes
+           |         WHERE (id * 2654435761) % 1000000007 % 4 = 0),
+           |walk(src, v, d) AS (
+           |  SELECT id, id, 0 FROM srcs
+           |  UNION
+           |  SELECT w.src, e.t, w.d + 1
+           |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+           |md AS MATERIALIZED (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2),
+           |sg0 AS (SELECT id AS src, id AS v, 0 AS d, CAST(1 AS BIGINT) AS sg
+           |        FROM srcs),
+           |$fwd,
+           |g10 AS MATERIALIZED (SELECT src, v, d, sg, CAST(0 AS BIGINT) AS g
+           |                     FROM sg10),
+           |$bwd,
+           |ga AS MATERIALIZED ($unionAll),
+           |th AS (SELECT v, CAST(sum(sg * g) AS BIGINT) AS stress_sampled
+           |       FROM ga WHERE d > 0 GROUP BY 1)
+           |SELECT n.id, CAST(coalesce(th.stress_sampled, 0) AS BIGINT)
+           |         AS stress_sampled
+           |FROM nodes n LEFT JOIN th ON th.v = n.id
+           |ORDER BY id""".stripMargin
+      }),
+
+    // Approximate effective diameter off the HyperANF sketch rounds — the
+    // statistic the HyperANF paper targets, as the giant-component twin of
+    // gr_effective_diameter's exact readout (which needs the quadratic
+    // relaxation table). Runs on the shares->=3-shingles graph (chains out
+    // to the hop bound — the jaccard-0.8 graph is diameter-1 everywhere,
+    // which would make the readout vacuous), with the exact side from a
+    // fresh bounded relaxation on that graph. Sketch estimates are
+    // engine-specific, so (gr_closeness_approx's pattern) the query
+    // OUTPUTS the quality gate: the exact values plus booleans asserting
+    // the approximate total-pair count lands within 5% + 2 and the
+    // approximate effective diameter within 1 hop; the oracle recomputes
+    // the exact readout and expects TRUE.
+    QueryDef("gr_effective_diameter_approx",
+      (s, d) => {
+        val edges = pairStats(s, d).filter(col("inter") >= 3)
+          .select("a_id", "b_id")
+        val dist = Graph.allPairsDist(edges, maxHops = 10)
+        val pe = dist.filter(col("v") =!= col("src"))
+        val byD = pe.groupBy("d").agg(count(lit(1)).as("n"))
+        val tot = broadcast(pe.agg(count(lit(1)).as("total_pairs"),
+          max(col("d")).as("diameter")))
+        val cum = byD.as("a")
+          .join(broadcast(byD.as("b")), col("b.d") <= col("a.d"))
+          .groupBy(col("a.d").as("d")).agg(sum(col("b.n")).as("cum"))
+        val exact = Dedup.materialize(
+          cum.crossJoin(tot)
+            .filter(col("cum") * 10 >= col("total_pairs") * 9)
+            .agg(min(col("d")).as("eff_diameter_90"))
+            .crossJoin(tot))
+        Dedup.release(dist)
+        val approx = Graph.effectiveDiameterApprox(edges, maxHops = 10, pct = 90)
+        exact.crossJoin(approx)
+          .select(col("total_pairs"), col("diameter"),
+            col("eff_diameter_90").cast("bigint").as("eff_diameter_90"),
+            (abs(col("total_pairs_est") - col("total_pairs")) <=
+              col("total_pairs").cast("double") * 0.05 + 2.0).as("pairs_ok"),
+            (abs(col("eff_diameter_est") - col("eff_diameter_90")) <= 1)
+              .as("eff_ok"))
+      },
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+             |e AS (SELECT a_id AS s, b_id AS t FROM prs
+             |      UNION SELECT b_id, a_id FROM prs),
+             |nodes AS (SELECT DISTINCT s AS id FROM e),
+             |walk(src, v, d) AS (
+             |  SELECT id, id, 0 FROM nodes
+             |  UNION
+             |  SELECT w.src, e.t, w.d + 1
+             |  FROM walk w JOIN e ON e.s = w.v WHERE w.d < 10),
+             |md AS (SELECT src, v, min(d) AS d FROM walk GROUP BY 1, 2),
+             |pe AS (SELECT src, v, d FROM md WHERE v <> src),
+             |byd AS (SELECT d, count(*) AS n FROM pe GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+             |               CAST(max(d) AS BIGINT) AS diameter FROM pe),
+             |cum AS (SELECT a.d, CAST(sum(b.n) AS BIGINT) AS cum
+             |        FROM byd a JOIN byd b ON b.d <= a.d GROUP BY a.d)
+             |SELECT total_pairs, diameter,
+             |       (SELECT CAST(min(d) AS BIGINT) FROM cum CROSS JOIN tot
+             |        WHERE cum * 10 >= total_pairs * 9) AS eff_diameter_90,
+             |       TRUE AS pairs_ok, TRUE AS eff_ok
+             |FROM tot""".stripMargin)),
+
+    // Weighted shortest-path geometry over the shares->=3-shingles graph:
+    // edge weight = 10001 − jaccard_bp (an exact-integer DISSIMILARITY,
+    // >= 1 — low-overlap edges are long, near-copies short), so sum_wdist
+    // is the semantic drift a chain of near-copies accumulates and
+    // max_wdist the weighted eccentricity. On THIS graph (chains out to
+    // the 10-hop bound, unlike the diameter-1 jaccard-0.8 graph) the
+    // min-sum relaxation genuinely reroutes: two strong-overlap hops can
+    // beat one weak direct edge. 10 Bellman-Ford rounds — exact for every
+    // path of <= 10 edges (Graph.weightedDistStats reuses the cached-
+    // relaxation round shape with a weighted frontier). Oracle: bounded
+    // recursive walk carrying the weighted sum, min per (src, v).
+    QueryDef("gr_weighted_dist",
+      (s, d) => Graph.weightedDistStats(
+          pairStats(s, d).filter(col("inter") >= 3)
+            .select(col("a_id"), col("b_id"),
+              (lit(10001L) - round(round(col("inter").cast("double")
+                / (col("na") + col("nb") - col("inter")), 4) * 10000)
+                .cast("bigint")).as("w")),
+          rounds = 10)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $jaccardCtes,
+             |prs AS (SELECT a_id, b_id,
+             |          CAST(10001 - round(round(c * 1.0 / (sa.n + sb.n - c), 4)
+             |                             * 10000) AS BIGINT) AS w
+             |        FROM inter
+             |        JOIN sz sa ON sa.doc_id = a_id
+             |        JOIN sz sb ON sb.doc_id = b_id
+             |        WHERE c >= 3),
+             |e AS (SELECT a_id AS s, b_id AS t, w FROM prs
+             |      UNION SELECT b_id, a_id, w FROM prs),
+             |nodes AS (SELECT DISTINCT s AS id FROM e),
+             |walk(src, v, wd, hops) AS (
+             |  SELECT id, id, CAST(0 AS BIGINT), 0 FROM nodes
+             |  UNION
+             |  SELECT w.src, e.t, w.wd + e.w, w.hops + 1
+             |  FROM walk w JOIN e ON e.s = w.v WHERE w.hops < 10),
+             |md AS (SELECT src, v, min(wd) AS wd FROM walk GROUP BY 1, 2)
+             |SELECT src AS id, count(*) AS n_reached,
+             |       CAST(sum(wd) AS BIGINT) AS sum_wdist,
+             |       CAST(max(wd) AS BIGINT) AS max_wdist
+             |FROM md WHERE v <> src GROUP BY 1 ORDER BY id""".stripMargin)),
 
     // k-core backbone of the shares->=3-shingles graph (same edge set as
     // gr_common_neighbors — the Jaccard>=0.8 graph is all 2-cliques with

@@ -257,6 +257,73 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 == Map(20L -> 1L, 21L -> 1L, 22L -> 1L, 23L -> 1L), got2)
   }
 
+  test("stressSampled with sample = ALL sources equals exactly 2x exact stress") {
+    // Each unordered (s,t) pair is counted from both endpoints in the
+    // sampled (ordered) statistic, so a sample covering every source must
+    // reproduce 2x stressFromDist — on the path+star AND on the diamond,
+    // whose sigma multiplicity (two shortest paths between the poles) is
+    // the case a broken sigma-sum would miss.
+    import org.apache.spark.sql.functions.lit
+    Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (10L, 12L), (10L, 13L)),
+      Seq((20L, 21L), (20L, 22L), (21L, 23L), (22L, 23L))
+    ).foreach { edges =>
+      val pairs = edges.toDF("a_id", "b_id")
+      val dist = Graph.allPairsDist(pairs, maxHops = 10)
+      val exact = Graph.stressFromDist(dist, pairs)
+        .as[(Long, Long)].collect().toMap
+      graft.operators.Dedup.release(dist)
+      val sampled = Graph.stressSampled(pairs, isSource = lit(true), maxHops = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(sampled == exact.map { case (k, v) => k -> v * 2 },
+        s"$edges: $sampled vs 2x $exact")
+    }
+  }
+
+  test("stressSampled from a single source accumulates Brandes dependencies") {
+    // path 1-2-3-4, S = {1}: delta_1(2) = sigma(1,2)*g(2) = 1*2 (targets
+    // 3 and 4 route through 2), delta_1(3) = 1, endpoints 0.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = Graph.stressSampled(pairs, isSource = $"id" === 1L, maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 0L), got)
+  }
+
+  test("effectiveDiameterApprox is sparse-exact on tiny components") {
+    // path 1-2-3-4 + star 10-(11,12,13): 24 reachable ordered pairs with
+    // hop distribution d1:12, d2:10, d3:2 -> 90% coverage first reached at
+    // h = 2 (cum 22/24); HLL sketches are exact at these ball sizes.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val got = Graph.effectiveDiameterApprox(pairs, maxHops = 10, pct = 90)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((24L, 2L)), got)
+    // pct = 100 demands full coverage -> the true bounded diameter (3)
+    val full = Graph.effectiveDiameterApprox(pairs, maxHops = 10, pct = 100)
+      .as[(Long, Long)].collect().toSeq
+    assert(full == Seq((24L, 3L)), full)
+  }
+
+  test("weightedDistStats: min-sum relaxation beats the direct edge") {
+    // triangle 1-2 (w=5), 2-3 (w=1), 1-3 (w=10): d(1,3) = 6 via 2, not 10
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L))
+      .toDF("a_id", "b_id", "w")
+    val got = Graph.weightedDistStats(w, rounds = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L, 11L, 6L)), 2L -> ((2L, 2L, 6L, 5L)),
+      3L -> ((3L, 2L, 7L, 6L))), got)
+    // bounded rounds truncate: path 1-2-3 (w=2 each) at rounds=1 reaches
+    // only direct neighbors
+    val p = Seq((1L, 2L, 2L), (2L, 3L, 2L)).toDF("a_id", "b_id", "w")
+    val trunc = Graph.weightedDistStats(p, rounds = 1)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(trunc == Map(
+      1L -> ((1L, 1L, 2L, 2L)), 2L -> ((2L, 2L, 4L, 2L)),
+      3L -> ((3L, 1L, 2L, 2L))), trunc)
+  }
+
   test("closenessApprox is sparse-exact on dedup-cluster-sized components") {
     // HLL sketches are exact below the sparse-mode threshold, so on tiny
     // components the HyperANF estimates must EQUAL the exact walk — the

@@ -185,6 +185,69 @@ class GraphStreamScaleSpec extends AnyFunSuite {
         "no longer linear (per-round join blow-up)")
   }
 
+  /** The giant-graph path for the betweenness family: exact stress
+    * (Graph.stressFromDist) fans out per-component CUBIC — on ONE giant
+    * component it is unrunnable exactly where it gets interesting.
+    * Graph.stressSampled is linear in |sources| × nodes, and the 100 TB
+    * playbook holds |sources| FIXED (a few hundred hash-chosen seeds)
+    * while the graph grows — so 10× nodes at constant sample size must
+    * cost ~10×, and that is exactly what this smoke pins. The sample
+    * modulus scales with the node count to keep the expected source count
+    * constant across legs (~40).
+    */
+  test("sampled stress is ~linear at FIXED sample size on a giant component", Slow) {
+    import graft.operators.Graph
+    import org.apache.spark.sql.functions._
+    def op(mod: Long): DataFrame => DataFrame = e =>
+      Graph.stressSampled(e,
+        isSource = col("id") * lit(2654435761L) % lit(1000000007L) % mod === 0,
+        maxHops = 5)
+    val base = stageEdges(50000L, 10000L)
+    val big = stageEdges(50000L * Factor, 10000L * Factor)
+    op(256L)(spark.read.parquet(s"$base/edges.parquet").limit(2000)).count() // warm
+    val (t1, r1) = timeGraph(op(256L), base)
+    val (t10, r10) = timeGraph(op(2560L), big)
+    val growth = t10 / t1
+    info(f"stressSampled/op base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
+    assert(r1 > 0 && r10 > 0, s"degenerate sampled-stress smoke ($r1, $r10)")
+    assert(r10 > 5 * r1, s"10x nodes must report ~10x rows ($r1 -> $r10)")
+    assert(growth < 30.0,
+      s"stressSampled grew ${growth}x for ${Factor}x nodes at fixed sample " +
+        "size — forward/backward state no longer O(|S| x nodes)")
+  }
+
+  /** Approximate effective diameter must agree with the exact
+    * neighborhood-function readout on a giant component where the exact
+    * path (a component-quadratic distance table) is only just feasible:
+    * 3k nodes, ~9M distance rows. The sketch-side estimate is the
+    * cumulative HyperANF coverage, so the hop readout may land one hop
+    * off where the 90% threshold falls near a hop boundary — the same ±1
+    * band gr_effective_diameter_approx gates on.
+    */
+  test("approximate effective diameter within 1 hop of exact on a giant component", Slow) {
+    import graft.operators.Graph
+    import org.apache.spark.sql.functions._
+    val acc = stageEdges(15000L, 3000L)
+    val edges = spark.read.parquet(s"$acc/edges.parquet")
+    val dist = Graph.allPairsDist(edges, maxHops = 10)
+    val byD = dist.filter(col("v") =!= col("src"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.Dedup.release(dist)
+    val total = byD.values.sum
+    val exactEff = (1L to 10L).find(h =>
+      (1L to h).map(byD.getOrElse(_, 0L)).sum * 10 >= total * 9).get
+    val got = Graph.effectiveDiameterApprox(edges, maxHops = 10, pct = 90)
+      .head()
+    val (pairsEst, effEst) = (got.getLong(0), got.getLong(1))
+    info(f"exact: pairs=$total%9d eff90=$exactEff%2d   approx: pairs=$pairsEst%9d eff90=$effEst%2d")
+    assert(total > 1000000L, "degenerate giant component (exact table too small)")
+    assert(math.abs(effEst - exactEff) <= 1,
+      s"approximate effective diameter $effEst vs exact $exactEff")
+    assert(math.abs(pairsEst - total) <= total * 0.10,
+      s"HyperANF total-pair estimate drifted >10%: $pairsEst vs $total")
+  }
+
   // ---- streaming ------------------------------------------------------
 
   /** Synthetic events at the driver table's schema and value domains:
