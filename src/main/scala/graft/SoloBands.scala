@@ -34,6 +34,14 @@ object SoloBands {
     graft.sources.IvfView.embeddingsByLabel(spark, sfDir)
     graft.operators.PipelineQueries.stageFamilyCaches(spark, sfDir)
     graft.operators.OpsQueries.stageGramCache(spark, sfDir)
+    // same off-the-clock IO preamble as Bench (page-cache warm of every
+    // timed-sfDir table) — a band must measure the same quantity as the
+    // in-suite clock it adjudicates
+    graft.Tables.All.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))

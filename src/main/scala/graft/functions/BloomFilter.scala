@@ -77,12 +77,19 @@ object BloomFns {
     * from, so the two sides cannot drift (`spark = false` emits DuckDB's `%`
     * forms; operands are nonnegative in both engines, so `%` == pmod here).
     */
-  def bitPosSql(i: Int, keyExpr: String, spark: Boolean): String = {
+  def bitPosSql(i: Int, keyExpr: String, spark: Boolean): String =
+    bitPosSqlM(i, keyExpr, NumBits, spark)
+
+  /** [[bitPosSql]] at an explicit filter width — the sizing-sweep entry
+    * point (dd_bloom_fpr_sweep measures the FP curve across widths; the
+    * affine family is width-independent, only the final modulus changes).
+    */
+  def bitPosSqlM(i: Int, keyExpr: String, numBits: Int, spark: Boolean): String = {
     val p = TextFns.HashP
     if (spark)
-      s"pmod(${TextFns.minhashA(i)}L * pmod($keyExpr, ${p}L) + ${TextFns.minhashB(i)}L, ${p}L) % $NumBits"
+      s"pmod(${TextFns.minhashA(i)}L * pmod($keyExpr, ${p}L) + ${TextFns.minhashB(i)}L, ${p}L) % $numBits"
     else
-      s"((${TextFns.minhashA(i)} * ($keyExpr % $p) + ${TextFns.minhashB(i)}) % $p) % $NumBits"
+      s"((${TextFns.minhashA(i)} * ($keyExpr % $p) + ${TextFns.minhashB(i)}) % $p) % $numBits"
   }
 
   /** Spark SQL predicate testing all NumHash bits against an array<bigint>

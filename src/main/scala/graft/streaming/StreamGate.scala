@@ -33,7 +33,8 @@ object StreamGate {
     * STREAM_METRICS_r<N>.json per round.
     */
   final case class StreamMetrics(tag: String, batches: Int, inputRows: Long,
-                                 triggerMs: Long, rowsPerSec: Double)
+                                 triggerMs: Long, rowsPerSec: Double,
+                                 p50Ms: Long, p95Ms: Long)
 
   private val lastMetrics = TrieMap.empty[String, StreamMetrics]
 
@@ -119,10 +120,22 @@ object StreamGate {
         require(inputRows > 0 ||
             spark.read.schema(schema).parquet(in).isEmpty,
           s"stream $tag reported no processed rows — not a streaming execution?")
-        val trigMs = prog.map(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)).sum
+        val durs = prog.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+        val trigMs = durs.sum
+        // per-BATCH latency percentiles next to the aggregate throughput:
+        // rows/sec alone hides a tail batch (one slow state-store commit
+        // among many fast batches) — the pair is the streaming SLO a
+        // deployment actually alarms on. Nearest-rank over the run's
+        // micro-batches (bounded by the progress ring sized above).
+        val sorted = durs.sorted
+        def pct(q: Double): Long =
+          if (sorted.isEmpty) 0L
+          else sorted(math.min(sorted.length - 1,
+            math.ceil(q * sorted.length).toInt - 1).max(0))
         lastMetrics.put(tag, StreamMetrics(tag, prog.length, inputRows, trigMs,
-          if (trigMs > 0) inputRows * 1000.0 / trigMs else 0.0))
+          if (trigMs > 0) inputRows * 1000.0 / trigMs else 0.0,
+          pct(0.50), pct(0.95)))
       } finally {
         spark.conf.set(partsKey, prevParts)
         spark.conf.set(progKey, prevProg)

@@ -94,6 +94,37 @@ class JobServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/metrics cache counters account hits/misses across concurrent submits") {
+    // The staging economics the counters exist for: repeat submissions of a
+    // family-cache consumer must be HITS after the first build — under
+    // concurrency (three in-flight submits of the same query), the
+    // getOrElseUpdate lock admits exactly one builder, so misses may grow
+    // by at most 1 and entries by at most 1 while hits grow by >= 2.
+    val srv = new JobServer(spark)
+    try {
+      val stat = """\{"name":"minhash_pairs","entries":(\d+),"hits":(\d+),"misses":(\d+)\}""".r
+      def counters(): (Int, Long, Long) = {
+        val m = get(srv.boundPort, "/metrics")._2
+        stat.findFirstMatchIn(m)
+          .map(x => (x.group(1).toInt, x.group(2).toLong, x.group(3).toLong))
+          .getOrElse(fail(s"no minhash_pairs stats in $m"))
+      }
+      val (e0, h0, m0) = counters()
+      val ids = (1 to 3).map { _ =>
+        val (code, resp) = post(srv.boundPort, "/mapreduce",
+          """{"query": "dd_minhash_lsh", "sfDir": "/root/testdata/sf0.001"}""")
+        assert(code == 200, resp)
+        """"job_id" : "([^"]+)"""".r.findFirstMatchIn(resp)
+          .map(_.group(1)).getOrElse(fail(s"no job_id in $resp"))
+      }
+      ids.foreach(id => assert(pollUntilDone(srv.boundPort, id) != "ERROR"))
+      val (e1, h1, m1) = counters()
+      assert(m1 - m0 <= 1, s"misses grew ${m1 - m0} across 3 identical submits")
+      assert(e1 - e0 <= 1, s"entries grew ${e1 - e0} across 3 identical submits")
+      assert(h1 - h0 >= 2, s"hits grew only ${h1 - h0} across 3 identical submits")
+    } finally srv.stop()
+  }
+
   test("unknown query -> ERROR status; bad requests -> reference error strings") {
     val srv = new JobServer(spark)
     try {

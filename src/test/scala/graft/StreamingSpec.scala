@@ -281,5 +281,8 @@ class StreamingSpec extends AnyFunSuite {
       .getOrElse(fail("no metrics captured for tag st_slide"))
     assert(m.batches >= 1 && m.inputRows > 0 && m.triggerMs > 0, m)
     assert(m.rowsPerSec > 0.0, m)
+    // latency percentiles: nearest-rank over per-batch trigger times, so
+    // p50 <= p95 <= the summed total, and both are real batch durations
+    assert(m.p50Ms > 0 && m.p50Ms <= m.p95Ms && m.p95Ms <= m.triggerMs, m)
   }
 }
