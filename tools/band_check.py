@@ -18,11 +18,19 @@ single-repeat tail noise without becoming more permissive with more
 repeats).
 
 STALE detection (r10 verdict #5): a band is a regression detector only
-while the code it measured is current. An in-suite time BELOW the band's
-own solo minimum means the query got faster after banding (tx_bpe_apply
+while the code it measured is current. An in-suite median far BELOW the
+band's solo floor means the query got faster after banding (tx_bpe_apply
 read 1.34s against a [1.57, 1.80] band in r10) — the band max is then
 meaningless as a ceiling. Stale bands are flagged for re-banding
 (tools/reband.sh wires this into round_gate.sh).
+
+The stale floor carries the SAME 30% margin as the ceiling: in-suite
+medians systematically run BELOW fresh solo floors (the suite's
+long-lived JVM is C2-warmed across hundreds of queries; a fresh solo JVM
+gets one sf0.001 pass + the IO preamble — measured r11: fn_json in-suite
+1.36s vs freshly re-banded solo floor 1.81s, −25%), so only a >30%
+breach indicates a stale band rather than measurement-context bias; an
+unmargined floor would re-flag forever and loop the gate's reband step.
 """
 import json, sys, glob
 
@@ -60,7 +68,7 @@ for line in open(bands):
     if insec > limit:
         verdict = "OVER"
         bad += 1
-    elif insec < b["min"]:
+    elif insec < b["min"] * 0.7:
         verdict = "STALE"
         stale.append(b["q"])
     else:
