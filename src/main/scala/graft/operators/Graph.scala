@@ -866,6 +866,102 @@ object Graph {
     out
   }
 
+  /** Deterministic random-walk corpus over the undirected pair graph — the
+    * walk GENERATOR behind graph-embedding pipelines (DeepWalk/node2vec
+    * train on exactly these sequences): from every start node selected by
+    * `isStart`, one walk of `steps` hops, each hop choosing among the
+    * current node's neighbors by a HASH-argmin instead of an RNG —
+    * h(walk, step, candidate) = (wid·A + step·B + nb·C) mod P, take the
+    * (h, nb) struct-min. "Random" in distribution (the multiplicative
+    * constants scramble uniformly), yet a pure deterministic function of
+    * the graph, so the full trajectory table hash-matches an SQL oracle
+    * replaying the same argmin — the property an RNG-driven walker can
+    * never give the correctness gate. Returns (wid, step, node) for
+    * steps 0..`steps`, one row per visited position.
+    *
+    * Scale shape per step: one state⋈edges equi-join keyed on the current
+    * node + one per-walk struct-min aggregate — O(walks) state, the same
+    * co-partitioned round as [[bfsHops]] with a walk id instead of a
+    * source id; per-step materialize + release. At 100 TB this is the
+    * standard walk-table build: walks are independent rows, the step loop
+    * is the only sequential dimension, and every join keys on node id.
+    * All arithmetic stays under 2^62 (ids and constants < 2^40).
+    */
+  def randomWalks(pairs: DataFrame, isStart: org.apache.spark.sql.Column,
+                  steps: Int): DataFrame = {
+    require(steps >= 1, s"bad steps $steps")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("v"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("v"), col("a_id").as("nb")))
+        .distinct())
+    val w0 = Dedup.materialize(
+      es.select(col("v").as("id")).distinct().filter(isStart)
+        .select(col("id").as("wid"), lit(0L).as("step"), col("id").as("cur")))
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
+    for (s <- 1 to steps) {
+      val h = pmod(col("wid") * lit(2654435761L) + lit(s.toLong) * lit(40503L)
+        + col("nb") * lit(97781L), lit(1000000007L))
+      states += Dedup.materialize(
+        states.last.join(es, states.last("cur") === es("v"))
+          .select(col("wid"), col("nb"))
+          .groupBy("wid")
+          .agg(min(struct(h.as("h"), col("nb").as("nb"))).as("m"))
+          .select(col("wid"), lit(s.toLong).as("step"), col("m.nb").as("cur")))
+    }
+    val out = Dedup.materialize(
+      states.map(st => st.select(col("wid"), col("step"), col("cur").as("node")))
+        .reduce(_ unionAll _))
+    states.foreach(Dedup.release)
+    Dedup.release(es)
+    out
+  }
+
+  /** k-truss peel over an oriented (a_id, b_id) pair table — the EDGE
+    * analogue of [[kCore]] (Cohen 2008): `rounds` iterations of "drop
+    * every edge in fewer than k−2 triangles", keeping the cohesive cores
+    * where node-degree peels can't distinguish a dense community from a
+    * hub's star. A FIXED round count (the kCore/labelPropagation
+    * convention) keeps the result a pure function of the graph for the
+    * unrolled SQL oracle; callers size `rounds` ≥ the peel depth for the
+    * true fixpoint. Returns the surviving edges with their support in the
+    * FINAL surviving set (so a reader can see how far above the threshold
+    * each core edge sits).
+    *
+    * Scale shape per round: the oriented triangle enumeration is two
+    * equi-joins on node ids (each triangle x<y<z found once), the
+    * per-edge support one keyed aggregate over the 3-projection union,
+    * and the peel one semi-join — all co-partitionable, no all-pairs
+    * step, and the edge set only shrinks. Degree re-orientation (low-id →
+    * low-degree) is the standard hub lever, same as [[triangleStats]].
+    */
+  def kTruss(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"bad kTruss config ($k, $rounds)")
+    def support(e: DataFrame): DataFrame = {
+      val t = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      t.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(t.select(col("y").as("a"), col("z").as("b")))
+        .unionAll(t.select(col("x").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    var e = Dedup.materialize(
+      pairs.select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val next = Dedup.materialize(
+        e.join(support(e).filter(col("sup") >= k - 2), Seq("a", "b"), "left_semi"))
+      Dedup.release(e)
+      e = next
+    }
+    val out = Dedup.materialize(
+      e.join(support(e), Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup")))
+    Dedup.release(e)
+    out
+  }
+
   /** HITS hubs & authorities over a DIRECTED edge table (src, dst), `iters`
     * full rounds of the mutual recurrence a ← Aᵀh, h ← A·a — link-economy
     * scoring where PageRank's single score conflates the two roles (here:

@@ -1308,6 +1308,91 @@ object PipelineQueries {
              |       CAST(max(wd) AS BIGINT) AS max_wdist
              |FROM md WHERE v <> src GROUP BY 1 ORDER BY id""".stripMargin)),
 
+    // Deterministic random-walk corpus over the shares->=3-shingles graph
+    // — the walk GENERATOR behind DeepWalk/node2vec-style graph-embedding
+    // training (Graph.randomWalks scaladoc): from every hash-sampled
+    // start (~25% of nodes), one 8-step walk where each hop picks a neighbor
+    // by hash-argmin instead of an RNG, so the full trajectory table is a
+    // pure function of the graph and HASH-MATCHES the oracle replaying
+    // the identical argmin — the property an RNG walker can never give
+    // the gate. Oracle: one MATERIALIZED CTE per step, DuckDB struct-min
+    // (the gr_label_prop tie-break pattern).
+    QueryDef("gr_random_walks",
+      (s, d) => Graph.randomWalks(
+          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+          isStart = col("id") * lit(2654435761L) % lit(1000000007L) % 4 === 0,
+          steps = 8)
+        .orderBy("wid", "step"),
+      Some {
+        val stepCtes = (1 to 8).map { st =>
+          s"""w$st AS MATERIALIZED (
+             |  SELECT wid, $st AS step,
+             |         (min({'h': (wid * 2654435761 + $st * 40503 + e.t * 97781)
+             |                    % 1000000007,
+             |               'nb': e.t})).nb AS cur
+             |  FROM w${st - 1} w JOIN e ON e.s = w.cur GROUP BY wid)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to 8).map(st => s"SELECT * FROM w$st")
+          .mkString("\n       UNION ALL ")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |e AS (SELECT a_id AS s, b_id AS t FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |w0 AS (SELECT id AS wid, 0 AS step, id AS cur FROM nodes
+           |       WHERE (id * 2654435761) % 1000000007 % 4 = 0),
+           |$stepCtes
+           |SELECT wid, CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS node
+           |FROM ($unionAll)
+           |ORDER BY wid, step""".stripMargin
+      }),
+
+    // k-truss cores of the shares->=3-shingles graph (k = 3, 5 peel
+    // rounds): the EDGE analogue of gr_kcore — an edge survives iff it
+    // closes >= k-2 triangles among surviving edges, so template chains
+    // (no triangles) peel away while genuinely dense duplicate cores
+    // stay, a separation node-degree peels cannot make (a hub's star has
+    // high degree and zero triangles). Surviving edges reported with
+    // their support in the FINAL set. Oracle: per-round MATERIALIZED
+    // triangle + support + semi-join CTEs (the gr_kcore unroll pattern).
+    QueryDef("gr_ktruss",
+      (s, d) => Graph.kTruss(
+          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+          k = 3, rounds = 5)
+        .select(col("a").as("a_id"), col("b").as("b_id"), col("sup"))
+        .orderBy("a_id", "b_id"),
+      Some {
+        val rounds = (0 until 5).map { r =>
+          s"""t$r AS MATERIALIZED (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e$r e1 JOIN e$r e2 ON e2.a = e1.b
+             |  JOIN e$r e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |s$r AS MATERIALIZED (
+             |  SELECT a, b, count(*) AS sup FROM (
+             |    SELECT x AS a, y AS b FROM t$r
+             |    UNION ALL SELECT y, z FROM t$r
+             |    UNION ALL SELECT x, z FROM t$r) GROUP BY 1, 2),
+             |e${r + 1} AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM e$r e
+             |  JOIN s$r s ON s.a = e.a AND s.b = e.b AND s.sup >= 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |e0 AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM prs),
+           |$rounds,
+           |tf AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |       FROM e5 e1 JOIN e5 e2 ON e2.a = e1.b
+           |       JOIN e5 e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |sf AS (SELECT a, b, count(*) AS sup FROM (
+           |         SELECT x AS a, y AS b FROM tf
+           |         UNION ALL SELECT y, z FROM tf
+           |         UNION ALL SELECT x, z FROM tf) GROUP BY 1, 2)
+           |SELECT e.a AS a_id, e.b AS b_id,
+           |       CAST(coalesce(sf.sup, 0) AS BIGINT) AS sup
+           |FROM e5 e LEFT JOIN sf ON sf.a = e.a AND sf.b = e.b
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
+
     // k-core backbone of the shares->=3-shingles graph (same edge set as
     // gr_common_neighbors — the Jaccard>=0.8 graph is all 2-cliques with
     // an empty 2-core): 10 peel rounds at k=2, enough for this graph's

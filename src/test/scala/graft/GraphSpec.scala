@@ -324,6 +324,62 @@ class GraphSpec extends AnyFunSuite {
       3L -> ((3L, 1L, 2L, 2L))), trunc)
   }
 
+  test("randomWalks follow the hash-argmin deterministically and stay on edges") {
+    import org.apache.spark.sql.functions.lit
+    // path 1-2-3: from start 2 the first hop picks argmin_h over {1, 3};
+    // replay the hash in plain Scala and check every hop is an edge and
+    // matches the replayed argmin — the walk is a pure function of the
+    // graph, twice-run identical.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def h(wid: Long, step: Long, nb: Long): Long =
+      java.lang.Math.floorMod(wid * 2654435761L + step * 40503L + nb * 97781L,
+        1000000007L)
+    val got = Graph.randomWalks(edges.toDF("a_id", "b_id"),
+        isStart = lit(true), steps = 5)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (w, rows) =>
+        w -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    assert(got.keySet == adj.keySet, got.keySet)
+    got.foreach { case (wid, path) =>
+      assert(path.head == wid && path.length == 6, (wid, path))
+      path.sliding(2).zipWithIndex.foreach { case (Seq(u, v), i) =>
+        assert(adj(u).contains(v), s"walk $wid hop $u->$v not an edge")
+        val expect = adj(u).map(nb => (h(wid, i + 1L, nb), nb)).min._2
+        assert(v == expect, s"walk $wid step ${i + 1}: $v vs argmin $expect")
+      }
+    }
+    val again = Graph.randomWalks(edges.toDF("a_id", "b_id"),
+        isStart = lit(true), steps = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(again == got.toSeq.sortBy(_._1)
+      .flatMap { case (w, p) => p.zipWithIndex.map { case (n, i) => (w, i.toLong, n) } },
+      "second run differs — walk is not deterministic")
+  }
+
+  test("kTruss peels chains, keeps triangles, and reports final support") {
+    // triangle 1-2-3 with pendant chain 3-4-5 and a separate path 10-11:
+    // k=3 keeps exactly the triangle (each edge in 1 triangle), peels
+    // everything else. K4: every edge closes 2 triangles.
+    val got = Graph.kTruss(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+        .toDF("a_id", "b_id"), k = 3, rounds = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L)), got)
+    val k4 = Graph.kTruss(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+        .toDF("a_id", "b_id"), k = 4, rounds = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k4.size == 6 && k4.forall(_._3 == 2L), k4)
+    // k=4 on the lone triangle (support 1 < k-2=2): fully peeled
+    val peeled = Graph.kTruss(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a_id", "b_id"),
+      k = 4, rounds = 5).count()
+    assert(peeled == 0L)
+  }
+
   test("closenessApprox is sparse-exact on dedup-cluster-sized components") {
     // HLL sketches are exact below the sparse-mode threshold, so on tiny
     // components the HyperANF estimates must EQUAL the exact walk — the

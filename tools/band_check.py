@@ -24,13 +24,14 @@ read 1.34s against a [1.57, 1.80] band in r10) — the band max is then
 meaningless as a ceiling. Stale bands are flagged for re-banding
 (tools/reband.sh wires this into round_gate.sh).
 
-The stale floor carries the SAME 30% margin as the ceiling: in-suite
+The stale floor carries a 1/3 margin (vs the ceiling's 30%): in-suite
 medians systematically run BELOW fresh solo floors (the suite's
 long-lived JVM is C2-warmed across hundreds of queries; a fresh solo JVM
-gets one sf0.001 pass + the IO preamble — measured r11: fn_json in-suite
-1.36s vs freshly re-banded solo floor 1.81s, −25%), so only a >30%
-breach indicates a stale band rather than measurement-context bias; an
-unmargined floor would re-flag forever and loop the gate's reband step.
+gets one sf0.001 pass + the IO preamble — measured r11: fn_json −25%,
+tx_bpe_apply −31% against bands re-measured the SAME DAY), so only a
+breach past the worst observed bias indicates a stale band rather than
+measurement-context noise; an unmargined floor re-flags the
+biggest-bias queries forever and loops the gate's reband step.
 """
 import json, sys, glob
 
@@ -68,7 +69,7 @@ for line in open(bands):
     if insec > limit:
         verdict = "OVER"
         bad += 1
-    elif insec < b["min"] * 0.7:
+    elif insec < b["min"] * 2 / 3:
         verdict = "STALE"
         stale.append(b["q"])
     else:
