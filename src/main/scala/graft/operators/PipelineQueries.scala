@@ -116,6 +116,23 @@ object PipelineQueries {
         Dedup.jaccardFromStats(pairStats(s, d), minJ = 0.8)
           .select("a_id", "b_id"), maxHops = 10))
 
+  /** Deterministic walk table over the shares->=3-shingles graph, computed
+    * once per (session, sfDir): the trajectory table itself is a query
+    * output (gr_random_walks) AND the input to skip-gram pair extraction
+    * (gr_walk_skipgrams) — the one-producer/many-consumers pattern, so it
+    * joins the family caches (the 8 sequential argmin rounds are the
+    * expensive part of both consumers). O(walks x steps) rows — bounded
+    * and safe to pin.
+    */
+  private val walkCache = FamilyCache.frames[(SparkSession, String)]()
+
+  private def walkTable(s: SparkSession, d: String) =
+    walkCache.getOrElseUpdate((s, d),
+      Graph.randomWalks(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        isStart = col("id") * lit(2654435761L) % lit(1000000007L) % 4 === 0,
+        steps = 8))
+
   /** Test surface for the family-cache bound (JobServerSpec's
     * multi-sfDir submission case).
     */
@@ -128,7 +145,8 @@ object PipelineQueries {
   private[graft] def familyCacheStats: Seq[(String, Int, Long, Long)] =
     Seq("minhash_pairs" -> minhashPairCache, "pair_stats" -> pairStatsCache,
       "cc_labels" -> ccLabelCache, "simhash_pairs" -> simhashPairCache,
-      "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache)
+      "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache,
+      "walks" -> walkCache)
       .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
@@ -156,7 +174,10 @@ object PipelineQueries {
       // staged because it has TWO consumers (gr_closeness +
       // gr_eccentricity) — the single-consumer exemption that keeps
       // incrMinhashVerdicts unstaged does not apply
-      timed("all_pairs_dist") { pairGraphDist(s, d) })
+      timed("all_pairs_dist") { pairGraphDist(s, d) },
+      // two consumers: gr_random_walks (the trajectory output itself) and
+      // gr_walk_skipgrams (pair extraction over it)
+      timed("walks") { walkTable(s, d) })
     // incrMinhashVerdicts is deliberately NOT staged: staging exists to fix
     // cross-consumer attribution, and the verdicts have exactly ONE
     // consumer (dd_incremental_minhash) — staging would remove that query's
@@ -1318,11 +1339,7 @@ object PipelineQueries {
     // the gate. Oracle: one MATERIALIZED CTE per step, DuckDB struct-min
     // (the gr_label_prop tie-break pattern).
     QueryDef("gr_random_walks",
-      (s, d) => Graph.randomWalks(
-          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
-          isStart = col("id") * lit(2654435761L) % lit(1000000007L) % 4 === 0,
-          steps = 8)
-        .orderBy("wid", "step"),
+      (s, d) => walkTable(s, d).orderBy("wid", "step"),
       Some {
         val stepCtes = (1 to 8).map { st =>
           s"""w$st AS MATERIALIZED (
@@ -1345,6 +1362,51 @@ object PipelineQueries {
            |SELECT wid, CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS node
            |FROM ($unionAll)
            |ORDER BY wid, step""".stripMargin
+      }),
+
+    // Skip-gram training pairs off the cached walk table — the table an
+    // embedding trainer actually consumes (word2vec over walks IS
+    // DeepWalk): every (center, context) co-occurrence within a +/-2-step
+    // window of the same walk, with multiplicity. Pure composition: one
+    // self-join of the walk table keyed on the walk id (per-walk fan-out
+    // is a constant 9x4 window — no blow-up possible), one keyed count.
+    // Second consumer of the walks family cache.
+    QueryDef("gr_walk_skipgrams",
+      (s, d) => {
+        val w = walkTable(s, d)
+        w.select(col("wid"), col("step").as("si"), col("node").as("center"))
+          .join(w.select(col("wid"), col("step").as("sj"), col("node").as("context")),
+            Seq("wid"))
+          .filter(abs(col("si") - col("sj")).between(1, 2))
+          .groupBy("center", "context")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("center", "context")
+      },
+      Some {
+        val stepCtes = (1 to 8).map { st =>
+          s"""w$st AS MATERIALIZED (
+             |  SELECT wid, $st AS step,
+             |         (min({'h': (wid * 2654435761 + $st * 40503 + e.t * 97781)
+             |                    % 1000000007,
+             |               'nb': e.t})).nb AS cur
+             |  FROM w${st - 1} w JOIN e ON e.s = w.cur GROUP BY wid)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to 8).map(st => s"SELECT * FROM w$st")
+          .mkString("\n       UNION ALL ")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |e AS (SELECT a_id AS s, b_id AS t FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |nodes AS (SELECT DISTINCT s AS id FROM e),
+           |w0 AS (SELECT id AS wid, 0 AS step, id AS cur FROM nodes
+           |       WHERE (id * 2654435761) % 1000000007 % 4 = 0),
+           |$stepCtes,
+           |wk AS MATERIALIZED ($unionAll)
+           |SELECT a.cur AS center, b.cur AS context,
+           |       CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM wk a JOIN wk b ON b.wid = a.wid
+           |      AND abs(a.step - b.step) BETWEEN 1 AND 2
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
     // k-truss cores of the shares->=3-shingles graph (k = 3, 5 peel

@@ -87,7 +87,7 @@ class JobServerSpec extends AnyFunSuite {
         """\{"name":"([a-z_]+)","entries":(\d+),"hits":(\d+),"misses":(\d+)\}""".r
       val parsed = entryStats.findAllMatchIn(metrics).map(m =>
         (m.group(1), m.group(2).toInt, m.group(3).toLong, m.group(4).toLong)).toSeq
-      assert(parsed.size == 7, s"expected 7 cache stat rows in $metrics")
+      assert(parsed.size == 8, s"expected 8 cache stat rows in $metrics")
       parsed.foreach { case (n, entries, _, misses) =>
         assert(misses >= entries, s"cache $n: $entries entries but only $misses misses")
       }
