@@ -553,6 +553,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan("rel_ivm_join").contains("CartesianProduct"))
   }
 
+  test("effective-diameter cumulative join is a bounded broadcast, not Cartesian") {
+    // the non-equi (b.d <= a.d) self-join over the O(maxHops)-row hop
+    // histogram must plan as a BroadcastNestedLoop over the explicit
+    // broadcast hint — a two-sided CartesianProduct here would become a
+    // shuffle-everything at a wider histogram
+    val p = plan("gr_effective_diameter_approx")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("skip-gram extraction joins walks on the walk id, aggregates partial") {
+    // the +/-2-window pair fan-out must ride the wid equi-join (constant
+    // 9x4 per-walk) with the step-window as a post-join filter — never a
+    // cartesian over positions — and the pair count must combine map-side
+    val p = plan("gr_walk_skipgrams")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("zone-map audit and compaction plan aggregate at file granularity") {
     // both planners must reduce to file-granularity rows before any window
     // or second aggregate — partial aggregation present, and no window
