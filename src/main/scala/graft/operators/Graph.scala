@@ -885,7 +885,11 @@ object Graph {
     * source id; per-step materialize + release. At 100 TB this is the
     * standard walk-table build: walks are independent rows, the step loop
     * is the only sequential dimension, and every join keys on node id.
-    * All arithmetic stays under 2^62 (ids and constants < 2^40).
+    * Overflow posture: ids are masked to 31 bits before the multiply
+    * (the HashFns convention), so (2^31)·2654435761 ≈ 5.7e18 plus the
+    * step and neighbor terms stays under 2^63 for ANY id domain — an
+    * unmasked id past ~2^31.8 would wrap in Spark (pmod still yields a
+    * value) while DuckDB raises, silently breaking the oracle parity.
     */
   def randomWalks(pairs: DataFrame, isStart: org.apache.spark.sql.Column,
                   steps: Int): DataFrame = {
@@ -899,8 +903,9 @@ object Graph {
         .select(col("id").as("wid"), lit(0L).as("step"), col("id").as("cur")))
     val states = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
     for (s <- 1 to steps) {
-      val h = pmod(col("wid") * lit(2654435761L) + lit(s.toLong) * lit(40503L)
-        + col("nb") * lit(97781L), lit(1000000007L))
+      val h = pmod(col("wid").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+        + lit(s.toLong) * lit(40503L)
+        + col("nb").bitwiseAND(lit(2147483647L)) * lit(97781L), lit(1000000007L))
       states += Dedup.materialize(
         states.last.join(es, states.last("cur") === es("v"))
           .select(col("wid"), col("nb"))

@@ -130,8 +130,50 @@ object PipelineQueries {
     walkCache.getOrElseUpdate((s, d),
       Graph.randomWalks(
         pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
-        isStart = col("id") * lit(2654435761L) % lit(1000000007L) % 4 === 0,
+        // id masked to 31 bits before the multiply (Graph.randomWalks'
+        // overflow posture): unmasked, ids past ~2^31.8 overflow signed
+        // 64-bit — Spark wraps while DuckDB raises, silently breaking the
+        // oracle parity the walk family is built on
+        isStart = col("id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L) % 4 === 0,
         steps = 8))
+
+  /** WITH-chain fragment ending in CTE `wk(wid, step, cur)` — the
+    * deterministic walk table replayed in ANSI SQL (expects `jaccardCtes`
+    * already in scope for `inter`). THE single oracle-side definition of
+    * the walk: gr_random_walks, gr_walk_skipgrams and gr_walk_negatives
+    * all interpolate it, so the hash constants / start-set predicate
+    * cannot drift between consumers. Ids are masked to 31 bits before the
+    * multiply, mirroring [[Graph.randomWalks]] — DuckDB raises on BIGINT
+    * overflow where Spark wraps, so the mask is what keeps the
+    * cross-engine parity true on any id domain.
+    */
+  private[operators] val walkOracleCtes: String = {
+    val stepCtes = (1 to 8).map { st =>
+      s"""w$st AS MATERIALIZED (
+         |  SELECT wid, $st AS step,
+         |         (min({'h': ((wid & 2147483647) * 2654435761 + $st * 40503
+         |                     + (e.t & 2147483647) * 97781) % 1000000007,
+         |               'nb': e.t})).nb AS cur
+         |  FROM w${st - 1} w JOIN e ON e.s = w.cur GROUP BY wid)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to 8).map(st => s"SELECT * FROM w$st")
+      .mkString("\n       UNION ALL ")
+    s"""prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+       |e AS (SELECT a_id AS s, b_id AS t FROM prs
+       |      UNION SELECT b_id, a_id FROM prs),
+       |nodes AS (SELECT DISTINCT s AS id FROM e),
+       |w0 AS (SELECT id AS wid, 0 AS step, id AS cur FROM nodes
+       |       WHERE ((id & 2147483647) * 2654435761) % 1000000007 % 4 = 0),
+       |$stepCtes,
+       |wk AS MATERIALIZED ($unionAll)""".stripMargin
+  }
+
+  /** k for gr_ktruss — the ONE constant both the Spark call and the
+    * generated oracle's peel threshold (`sup >= k-2`) derive from, so
+    * retuning k cannot silently diverge the two engines.
+    */
+  private val KtrussK = 3
 
   /** Test surface for the family-cache bound (JobServerSpec's
     * multi-sfDir submission case).
@@ -1161,15 +1203,19 @@ object PipelineQueries {
     QueryDef("gr_stress_sampled",
       (s, d) => Graph.stressSampled(
           pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
-          isSource = col("id") * lit(2654435761L) % lit(1000000007L) % 32 === 0,
+          // 31-bit mask before the multiply — the walkOracleCtes overflow
+          // posture, same rationale
+          isSource = col("id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+            % lit(1000000007L) % 32 === 0,
           maxHops = 6)
         .orderBy("id"),
       Some {
-        // sample modulus 16 (~6% of nodes) and an 8-hop bound: the sf0.1
+        // sample modulus 32 (~3% of nodes) and a 6-hop bound: the sf0.1
         // instance of this graph is ONE 3869-node giant component — the
         // exact regime the sampled variant exists for — and the bench cost
-        // is |S| x component x rounds; a 25% sample there is ~1000 BFS
-        // sources, which is cluster budget, not single-node bench budget.
+        // is |S| x component x rounds; a denser sample (say 25%) there is
+        // ~1000 BFS sources, which is cluster budget, not single-node
+        // bench budget.
         val H = 6
         val fwd = (1 to H).map { k =>
           s"""sg$k AS MATERIALIZED (
@@ -1198,7 +1244,7 @@ object PipelineQueries {
            |      UNION SELECT b_id, a_id FROM prs),
            |nodes AS (SELECT DISTINCT s AS id FROM e),
            |srcs AS (SELECT id FROM nodes
-           |         WHERE (id * 2654435761) % 1000000007 % 32 = 0),
+           |         WHERE ((id & 2147483647) * 2654435761) % 1000000007 % 32 = 0),
            |walk(src, v, d) AS (
            |  SELECT id, id, 0 FROM srcs
            |  UNION
@@ -1340,29 +1386,12 @@ object PipelineQueries {
     // (the gr_label_prop tie-break pattern).
     QueryDef("gr_random_walks",
       (s, d) => walkTable(s, d).orderBy("wid", "step"),
-      Some {
-        val stepCtes = (1 to 8).map { st =>
-          s"""w$st AS MATERIALIZED (
-             |  SELECT wid, $st AS step,
-             |         (min({'h': (wid * 2654435761 + $st * 40503 + e.t * 97781)
-             |                    % 1000000007,
-             |               'nb': e.t})).nb AS cur
-             |  FROM w${st - 1} w JOIN e ON e.s = w.cur GROUP BY wid)""".stripMargin
-        }.mkString(",\n")
-        val unionAll = (0 to 8).map(st => s"SELECT * FROM w$st")
-          .mkString("\n       UNION ALL ")
-        s"""WITH $jaccardCtes,
-           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
-           |e AS (SELECT a_id AS s, b_id AS t FROM prs
-           |      UNION SELECT b_id, a_id FROM prs),
-           |nodes AS (SELECT DISTINCT s AS id FROM e),
-           |w0 AS (SELECT id AS wid, 0 AS step, id AS cur FROM nodes
-           |       WHERE (id * 2654435761) % 1000000007 % 4 = 0),
-           |$stepCtes
-           |SELECT wid, CAST(step AS BIGINT) AS step, CAST(cur AS BIGINT) AS node
-           |FROM ($unionAll)
-           |ORDER BY wid, step""".stripMargin
-      }),
+      Some(s"""WITH $jaccardCtes,
+             |$walkOracleCtes
+             |SELECT wid, CAST(step AS BIGINT) AS step,
+             |       CAST(cur AS BIGINT) AS node
+             |FROM wk
+             |ORDER BY wid, step""".stripMargin)),
 
     // Skip-gram training pairs off the cached walk table — the table an
     // embedding trainer actually consumes (word2vec over walks IS
@@ -1382,32 +1411,13 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("center", "context")
       },
-      Some {
-        val stepCtes = (1 to 8).map { st =>
-          s"""w$st AS MATERIALIZED (
-             |  SELECT wid, $st AS step,
-             |         (min({'h': (wid * 2654435761 + $st * 40503 + e.t * 97781)
-             |                    % 1000000007,
-             |               'nb': e.t})).nb AS cur
-             |  FROM w${st - 1} w JOIN e ON e.s = w.cur GROUP BY wid)""".stripMargin
-        }.mkString(",\n")
-        val unionAll = (0 to 8).map(st => s"SELECT * FROM w$st")
-          .mkString("\n       UNION ALL ")
-        s"""WITH $jaccardCtes,
-           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
-           |e AS (SELECT a_id AS s, b_id AS t FROM prs
-           |      UNION SELECT b_id, a_id FROM prs),
-           |nodes AS (SELECT DISTINCT s AS id FROM e),
-           |w0 AS (SELECT id AS wid, 0 AS step, id AS cur FROM nodes
-           |       WHERE (id * 2654435761) % 1000000007 % 4 = 0),
-           |$stepCtes,
-           |wk AS MATERIALIZED ($unionAll)
-           |SELECT a.cur AS center, b.cur AS context,
-           |       CAST(count(*) AS BIGINT) AS n_pairs
-           |FROM wk a JOIN wk b ON b.wid = a.wid
-           |      AND abs(a.step - b.step) BETWEEN 1 AND 2
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      }),
+      Some(s"""WITH $jaccardCtes,
+             |$walkOracleCtes
+             |SELECT a.cur AS center, b.cur AS context,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM wk a JOIN wk b ON b.wid = a.wid
+             |      AND abs(a.step - b.step) BETWEEN 1 AND 2
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // k-truss cores of the shares->=3-shingles graph (k = 3, 5 peel
     // rounds): the EDGE analogue of gr_kcore — an edge survives iff it
@@ -1420,10 +1430,13 @@ object PipelineQueries {
     QueryDef("gr_ktruss",
       (s, d) => Graph.kTruss(
           pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
-          k = 3, rounds = 5)
+          k = KtrussK, rounds = 5)
         .select(col("a").as("a_id"), col("b").as("b_id"), col("sup"))
         .orderBy("a_id", "b_id"),
       Some {
+        // peel threshold derived from the SAME KtrussK the Spark call
+        // uses (k-2 triangles per surviving edge) — a hardcoded oracle
+        // threshold would silently diverge the engines if k were retuned
         val rounds = (0 until 5).map { r =>
           s"""t$r AS MATERIALIZED (
              |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -1436,7 +1449,7 @@ object PipelineQueries {
              |    UNION ALL SELECT x, z FROM t$r) GROUP BY 1, 2),
              |e${r + 1} AS MATERIALIZED (
              |  SELECT e.a, e.b FROM e$r e
-             |  JOIN s$r s ON s.a = e.a AND s.b = e.b AND s.sup >= 1)""".stripMargin
+             |  JOIN s$r s ON s.a = e.a AND s.b = e.b AND s.sup >= ${KtrussK - 2})""".stripMargin
         }.mkString(",\n")
         s"""WITH $jaccardCtes,
            |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),

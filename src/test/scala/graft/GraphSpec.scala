@@ -334,8 +334,8 @@ class GraphSpec extends AnyFunSuite {
     val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).toSet }
     def h(wid: Long, step: Long, nb: Long): Long =
-      java.lang.Math.floorMod(wid * 2654435761L + step * 40503L + nb * 97781L,
-        1000000007L)
+      java.lang.Math.floorMod((wid & 2147483647L) * 2654435761L
+        + step * 40503L + (nb & 2147483647L) * 97781L, 1000000007L)
     val got = Graph.randomWalks(edges.toDF("a_id", "b_id"),
         isStart = lit(true), steps = 5)
       .as[(Long, Long, Long)].collect()

@@ -200,7 +200,8 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     def op(mod: Long): DataFrame => DataFrame = e =>
       Graph.stressSampled(e,
-        isSource = col("id") * lit(2654435761L) % lit(1000000007L) % mod === 0,
+        isSource = col("id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L) % mod === 0,
         maxHops = 5)
     val base = stageEdges(50000L, 10000L)
     val big = stageEdges(50000L * Factor, 10000L * Factor)

@@ -37,7 +37,21 @@ if [ "$rc" = 2 ]; then
   round=$(ls BENCH_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+).*/\1/' | sort -n | tail -1)
   out=$(printf 'SOLO_BANDS_r%02d.jsonl' $((${round:-0} + 1)))
   tools/reband.sh "$out"
-  python3 tools/band_check.py
+  # Post-reband re-check: exit 2 here means a query's in-suite median
+  # still sits below its FRESH solo floor*2/3 — possible because the
+  # suite's long-lived JVM can run up to ~31% below a same-day solo
+  # band (band_check's measured bias) while the stale cutoff is 33%.
+  # The reband we just ran is the only remediation the gate has, so a
+  # residual exit 2 is a WARNING (no regression is indicated — the
+  # query is FASTER than its band), not a gate failure; only exit 1
+  # (a real over-band violation) fails the gate.
+  rc2=0
+  python3 tools/band_check.py || rc2=$?
+  if [ "$rc2" = 2 ]; then
+    echo "round gate: WARNING — bands still stale after reband (suite-vs-solo bias); not a regression"
+  elif [ "$rc2" != 0 ]; then
+    exit "$rc2"
+  fi
 elif [ "$rc" != 0 ]; then
   exit "$rc"
 fi
