@@ -132,6 +132,54 @@ object Graph {
     ranks
   }
 
+  /** Weight-proportional PageRank over an undirected WEIGHTED pair table
+    * (a_id, b_id, w) with INTEGER weights: each round a node passes
+    * rank·w(u,v)/wdeg(u) along every edge instead of rank/deg — the
+    * similar-item scorer a similarity-weighted pair graph actually wants
+    * (a node's mass flows preferentially toward its STRONGEST matches,
+    * where [[pageRank]] treats a 0.99-similarity edge and a barely-over-
+    * threshold one identically). Returns (id, rank).
+    *
+    * Same shape and discipline as [[pageRank]]: the loop-invariant
+    * (src, dst, w, wdeg) table is materialized once, each round is one
+    * co-partitioned join + aggregate, teleport is its OWN literal for
+    * oracle operand parity, and the FIXED iteration count keeps the
+    * result a pure function of the graph. Weights must be integers
+    * (e.g. jaccard in basis points): the per-node wdeg normalizer is
+    * then an EXACT BIGINT sum in any engine and any summation order —
+    * the only new float in the recurrence is the rank·w/wdeg term, whose
+    * 1e-15 summation noise the round(6) readout absorbs, exactly like
+    * [[pageRank]]'s rank/deg.
+    */
+  def pageRankWeighted(wpairs: DataFrame, iters: Int = 10,
+                       damping: Double = 0.85,
+                       teleport: Double = 0.15): DataFrame = {
+    requireStochastic(damping, teleport)
+    val edges = wpairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
+      .union(wpairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("w")))
+      .distinct()
+    val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val edgesW = Dedup.materialize(edges.join(wdeg, "src"))
+    val nn = broadcast(wdeg.agg(count(lit(1)).as("n")))
+    val nodes = Dedup.materialize(
+      wdeg.select(col("src").as("id")).crossJoin(nn))
+    var ranks = nodes.select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesW
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        // left-assoc (rank * w) / wdeg — mirrors the oracle text; double
+        // arithmetic is not associative and the gate rounds at 6 only
+        .select(col("dst").as("id"), (col("rank") * col("w") / col("wdeg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) / col("n")
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** Triangle count + global clustering coefficient over an oriented pair
     * table (a_id < b_id). A triangle x<y<z is one row in the self-join
     * e(x,y) ⋈ e(y,z) ⋈ e(x,z); wedges come from plain degree counts, and

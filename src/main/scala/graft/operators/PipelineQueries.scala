@@ -119,10 +119,11 @@ object PipelineQueries {
   /** Deterministic walk table over the shares->=3-shingles graph, computed
     * once per (session, sfDir): the trajectory table itself is a query
     * output (gr_random_walks) AND the input to skip-gram pair extraction
-    * (gr_walk_skipgrams) — the one-producer/many-consumers pattern, so it
-    * joins the family caches (the 8 sequential argmin rounds are the
-    * expensive part of both consumers). O(walks x steps) rows — bounded
-    * and safe to pin.
+    * (gr_walk_skipgrams) AND the corpus the SGNS noise distribution counts
+    * over (gr_walk_negatives) — the one-producer/many-consumers pattern,
+    * so it joins the family caches (the 8 sequential argmin rounds are
+    * the expensive part of every consumer). O(walks x steps) rows —
+    * bounded and safe to pin.
     */
   private val walkCache = FamilyCache.frames[(SparkSession, String)]()
 
@@ -217,8 +218,9 @@ object PipelineQueries {
       // gr_eccentricity) — the single-consumer exemption that keeps
       // incrMinhashVerdicts unstaged does not apply
       timed("all_pairs_dist") { pairGraphDist(s, d) },
-      // two consumers: gr_random_walks (the trajectory output itself) and
-      // gr_walk_skipgrams (pair extraction over it)
+      // three consumers: gr_random_walks (the trajectory output itself),
+      // gr_walk_skipgrams (pair extraction) and gr_walk_negatives (the
+      // SGNS noise-distribution counts)
       timed("walks") { walkTable(s, d) })
     // incrMinhashVerdicts is deliberately NOT staged: staging exists to fix
     // cross-consumer attribution, and the verdicts have exactly ONE
@@ -368,6 +370,35 @@ object PipelineQueries {
        |p0 AS (SELECT s AS id, is_src * 1.0 / ns.ns AS ppr FROM deg2 CROSS JOIN ns),
        |$rounds
        |SELECT id, round(ppr, 6) AS ppr FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled weight-proportional PageRank oracle — [[pagerankOracleSql]]
+    * with rank/deg replaced by (rank · w)/wdeg over the >=3-shared-shingles
+    * graph, w = exact integer jaccard basis points ((c·10000) // union) so
+    * the per-node normalizer wdeg is an exact BIGINT sum in both engines;
+    * operand order mirrors [[Graph.pageRankWeighted]] exactly.
+    */
+  private def pagerankWeightedOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""p$k AS (SELECT dd.s AS id, 0.15/nn.n + 0.85*coalesce(ct.contrib, 0) AS prw
+         |       FROM wdg dd CROSS JOIN nn
+         |       LEFT JOIN (SELECT e.d AS id, sum(p.prw * e.w / dg.wdg) AS contrib
+         |                  FROM e JOIN wdg dg ON dg.s = e.s
+         |                  JOIN p${k - 1} p ON p.id = e.s GROUP BY 1) ct
+         |         ON ct.id = dd.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+       |prs AS (SELECT a_id, b_id, (c * 10000) // (sa.n + sb.n - c) AS w
+       |        FROM inter
+       |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |        WHERE c >= 3),
+       |e AS (SELECT a_id AS s, b_id AS d, w FROM prs
+       |      UNION SELECT b_id, a_id, w FROM prs),
+       |wdg AS (SELECT s, CAST(sum(w) AS BIGINT) AS wdg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM wdg),
+       |p0 AS (SELECT s AS id, 1.0/nn.n AS prw FROM wdg CROSS JOIN nn),
+       |$rounds
+       |SELECT id, round(prw, 6) AS prw FROM p$iters ORDER BY id""".stripMargin
   }
 
   /** Shared pHash pixel-replay CTE chain ending in `bits(doc_id, cell, b)`
@@ -906,6 +937,26 @@ object PipelineQueries {
         .orderBy("id"),
       Some(pprOracleSql(10))),
 
+    // Weight-proportional PageRank over the >=3-shared-shingles graph with
+    // exact integer jaccard-basis-point edge weights: rank mass flows
+    // toward a node's STRONGEST matches instead of uniformly across its
+    // neighbors — the similar-item scorer gr_pagerank's unweighted walk
+    // cannot express (on this graph weights span ~100..10000, so the two
+    // rankings genuinely differ). Weights and the per-node wdeg normalizer
+    // are exact BIGINTs ((c*10000) div union, summed), so the only float
+    // is the rank*w/wdeg recurrence itself — same round(6) posture as
+    // gr_pagerank. Runs on the walk family's graph, NOT the jaccard-0.8
+    // cliquelets, where near-equal weights would make weighting a no-op.
+    QueryDef("gr_pagerank_weighted",
+      (s, d) => Graph.pageRankWeighted(
+          pairStats(s, d).filter(col("inter") >= 3)
+            .select(col("a_id"), col("b_id"),
+              expr("(inter * 10000) div (na + nb - inter)").as("w")),
+          iters = 10)
+        .select(col("id"), round(col("rank"), 6).as("prw"))
+        .orderBy("id"),
+      Some(pagerankWeightedOracleSql(10))),
+
     // Triangle count + global clustering coefficient over the same near-dup
     // pair graph: how CLIQUISH the duplicate structure is (pure pairwise
     // dups vs. fully-connected template families). Two id-keyed self-joins
@@ -1418,6 +1469,44 @@ object PipelineQueries {
              |FROM wk a JOIN wk b ON b.wid = a.wid
              |      AND abs(a.step - b.step) BETWEEN 1 AND 2
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SGNS negative-sampling (noise) table off the cached walk table — the
+    // third leg of the DeepWalk training pipeline (walks -> skip-gram
+    // positives -> this noise distribution): word2vec draws negatives from
+    // the unigram distribution raised to 3/4, so per node the corpus
+    // occurrence count, the quantized count^0.75 weight, and its
+    // normalized parts-per-million sampling probability. Quantization is
+    // EXACT-DETERMINISTIC without pow(): w_q = floor(sqrt(sqrt(c^3*1e8)))
+    // = floor(c^0.75 * 100) computed in IEEE doubles only through
+    // correctly-rounded ops (*, sqrt) — bit-identical in any engine, where
+    // pow(c, 0.75) is libm-dependent and could flip a floor at the ulp.
+    // The ppm normalizer is integer div over the exact BIGINT weight sum.
+    // Third consumer of the walks family cache; one aggregate + one
+    // broadcast scalar join — O(nodes) everywhere.
+    QueryDef("gr_walk_negatives",
+      (s, d) => {
+        val occ = walkTable(s, d)
+          .groupBy(col("node")).agg(count(lit(1)).as("n_occ"))
+        val wq = occ.select(col("node"), col("n_occ"),
+          floor(sqrt(sqrt(col("n_occ").cast("double") * col("n_occ")
+            * col("n_occ") * lit(1.0e8)))).as("w_q"))
+        val tot = broadcast(wq.agg(sum(col("w_q")).as("tot")))
+        wq.crossJoin(tot)
+          .select(col("node"), col("n_occ"), col("w_q"),
+            expr("(w_q * 1000000) div tot").as("p_ppm"))
+          .orderBy("node")
+      },
+      Some(s"""WITH $jaccardCtes,
+             |$walkOracleCtes,
+             |occ AS (SELECT cur AS node, count(*) AS n_occ FROM wk GROUP BY 1),
+             |wq AS (SELECT node, CAST(n_occ AS BIGINT) AS n_occ,
+             |         CAST(floor(sqrt(sqrt(CAST(n_occ AS DOUBLE) * n_occ
+             |                              * n_occ * 1e8))) AS BIGINT) AS w_q
+             |       FROM occ),
+             |t AS (SELECT CAST(sum(w_q) AS BIGINT) AS tot FROM wq)
+             |SELECT node, n_occ, w_q, (w_q * 1000000) // tot AS p_ppm
+             |FROM wq CROSS JOIN t
+             |ORDER BY node""".stripMargin)),
 
     // k-truss cores of the shares->=3-shingles graph (k = 3, 5 peel
     // rounds): the EDGE analogue of gr_kcore — an edge survives iff it

@@ -29,6 +29,32 @@ class GraphSpec extends AnyFunSuite {
     assert(leaves.distinct.size == 1, r)
   }
 
+  test("pageRankWeighted reduces to pageRank under uniform weights") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    // any constant weight cancels in w/wdeg — same walk as the unweighted
+    // form up to float-ulp noise from the extra multiply/divide
+    val rw = Graph.pageRankWeighted(
+        pairs.toDF("a_id", "b_id").withColumn("w", lit(7L)))
+      .as[(Long, Double)].collect().toMap
+    val r = ranks(pairs)
+    assert(rw.keySet == r.keySet, rw)
+    rw.foreach { case (id, v) => assert(math.abs(v - r(id)) < 1e-12, (id, v, r(id))) }
+    assert(math.abs(rw.values.sum - 1.0) < 1e-9, rw)
+  }
+
+  test("pageRankWeighted shifts mass toward the heavy edge") {
+    import org.apache.spark.sql.functions.lit
+    // path a-b-c with w(a,b) >> w(b,c): b routes nearly all its mass to a,
+    // so rank(a) > rank(c); the unweighted walk would tie them exactly
+    val wp = Seq((1L, 2L, 9999L), (2L, 3L, 1L)).toDF("a_id", "b_id", "w")
+    val rw = Graph.pageRankWeighted(wp).as[(Long, Double)].collect().toMap
+    assert(rw(1L) > rw(3L) + 0.1, rw)
+    assert(math.abs(rw.values.sum - 1.0) < 1e-9, rw)
+    val ru = ranks(Seq((1L, 2L), (2L, 3L)))
+    assert(math.abs(ru(1L) - ru(3L)) < 1e-12, ru)
+  }
+
   test("triangleStats counts one triangle + a dangling edge (clustering 3/5)") {
     // triangle 1-2-3 plus pendant 3-4: wedges = C(2,2)+C(2,2)+C(3,2)+0 = 5
     val df = Graph.triangleStats(

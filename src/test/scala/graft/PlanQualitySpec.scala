@@ -572,6 +572,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("weighted pagerank rounds stay keyed equi-joins over the edge table") {
+    // every data join in the 10-round recurrence must key on the node id
+    // (the co-partitioned loop contract); the only condition-free joins
+    // allowed are the broadcast scalar n / wdeg-total frames — so no
+    // CartesianProduct anywhere, and the per-round contribution sum must
+    // combine map-side
+    val p = plan("gr_pagerank_weighted")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntry.queries("gr_pagerank_weighted")(spark, sf)
+      .queryExecution.optimizedPlan
+    lp.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>
+      val ok = Seq(j.left, j.right).exists(_.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a
+      }.isDefined)
+      assert(ok, s"condition-free join over two non-scalar sides:\n$j")
+    }
+  }
+
+  test("negative-sampling table is one aggregate plus a broadcast scalar") {
+    // the ppm normalizer must ride a broadcast of the 1-row weight-sum
+    // aggregate over the O(nodes) frame — a shuffle here would mean the
+    // whole table moved for a scalar
+    val p = plan("gr_walk_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("zone-map audit and compaction plan aggregate at file granularity") {
     // both planners must reduce to file-granularity rows before any window
     // or second aggregate — partial aggregation present, and no window
