@@ -415,6 +415,78 @@ object StreamingQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.event_id)
              |ORDER BY p_id, c_id NULLS FIRST""".stripMargin)),
 
+    // Stream-stream FULL OUTER interval join: both directions of the
+    // watermark-driven "absence is final" decision at once — unmatched
+    // purchases null-pad on the right watermark, unmatched clicks on the
+    // left one (the remaining eviction shape after st_interval_join and
+    // st_outer_join). Gate: the st_outer_join CLOSED-horizon move applied
+    // SYMMETRICALLY, with one refinement the full-outer shape forces: the
+    // horizon base is least(max p_ts, max c_ts), NOT max(ts) — with two
+    // withWatermark nodes the query's global watermark under the default
+    // min policy is the MIN of the two sides' maxima, and right-side
+    // eviction is strict (a click AT the final watermark is never
+    // null-padded; observed at sf0.001 where the latest click is exactly
+    // the min-side maximum). A row is compared only when every timestamp
+    // it carries sits 2h before that watermark (safely past the engine's
+    // conservative ~watermark+2×interval null-pad margin): matched rows
+    // need both cuts, left-nulls the p_ts cut, right-nulls the c_ts cut;
+    // "unmatched" itself is decided against the FULL other side in both
+    // engines. NULL sort order pinned NULLS FIRST on both keys.
+    QueryDef("st_full_outer",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => {
+            val ev = toTs(df)
+            val purchases = ev.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("p_id"), col("user_id"),
+                col("ts").as("p_ts"))
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("c_id"),
+                col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+            EventStreams.fullOuterIntervalJoin(purchases, clicks,
+              maxSpan = "30 minutes", watermark = "0 seconds")
+              .select(col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+          },
+          "st_foj")
+        val horizon = broadcast(Tables.t(s, d, "events")
+          .agg(least(
+            max(when(col("event_type") === "purchase", col("ts"))),
+            max(when(col("event_type") === "click", col("ts")))).as("wm")))
+        emitted.crossJoin(horizon)
+          .filter(
+            (col("p_ts").isNull
+              || col("p_ts") + expr("INTERVAL 2 HOURS") <= col("wm"))
+            && (col("c_ts").isNull
+              || col("c_ts") + expr("INTERVAL 2 HOURS") <= col("wm")))
+          .select(col("p_id"), col("c_id"))
+          .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+      },
+      Some("""WITH m AS (SELECT least(
+             |         max(CASE WHEN event_type = 'purchase' THEN ts END),
+             |         max(CASE WHEN event_type = 'click' THEN ts END)) AS wm
+             |       FROM events),
+             |p AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click'),
+             |j AS (SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |             p.ts AS p_ts, c.ts AS c_ts
+             |      FROM p JOIN c ON p.user_id = c.user_id
+             |        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE)
+             |SELECT p_id, c_id FROM j, m
+             |WHERE p_ts + INTERVAL 2 HOUR <= m.wm
+             |  AND c_ts + INTERVAL 2 HOUR <= m.wm
+             |UNION ALL
+             |SELECT p.event_id, CAST(NULL AS BIGINT) FROM p, m
+             |WHERE p.ts + INTERVAL 2 HOUR <= m.wm
+             |  AND NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.event_id)
+             |UNION ALL
+             |SELECT CAST(NULL AS BIGINT), c.event_id FROM c, m
+             |WHERE c.ts + INTERVAL 2 HOUR <= m.wm
+             |  AND NOT EXISTS (SELECT 1 FROM j WHERE j.c_id = c.event_id)
+             |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin)),
+
     // Streaming UPSERT: each micro-batch merges into a keyed sink table
     // (latest event per user wins, ties broken by event_id) via the
     // read-merge-overwrite foreachBatch pattern — the lakehouse MERGE sink

@@ -106,6 +106,26 @@ object EventStreams {
         expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"),
         "left_outer")
 
+  /** Stream-stream FULL OUTER interval join — the remaining
+    * watermark-eviction shape after [[intervalJoin]] (inner) and
+    * [[leftOuterIntervalJoin]]: BOTH directions of the "absence is final"
+    * decision in one operator. An unmatched purchase null-pads once the
+    * CLICK watermark proves nothing can land in [p_ts, p_ts + maxSpan];
+    * an unmatched click null-pads once the PURCHASE watermark proves no
+    * purchase with p_ts in [c_ts − maxSpan, c_ts] can still arrive. The
+    * time-range conjunct is two-sided (it bounds p_ts from c_ts and vice
+    * versa), which is what keeps BOTH join states evictable — a full
+    * outer join without it would hold every row forever on both sides.
+    * Same column contract as [[intervalJoin]].
+    */
+  def fullOuterIntervalJoin(purchases: DataFrame, clicks: DataFrame,
+                            maxSpan: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_ts", watermark)
+      .join(clicks.withWatermark("c_ts", watermark),
+        expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"),
+        "full_outer")
+
   /** Running per-user totals via arbitrary stateful processing
     * (`mapGroupsWithState`) — the custom-state surface for logic that
     * windowed aggregation can't express. State is one (count, sum) pair per

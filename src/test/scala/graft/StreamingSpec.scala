@@ -86,6 +86,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join null-pads both sides once watermarks finalize") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pIn.toDF().toDF("p_id", "user_id", "p_ts")
+    val clicks = cIn.toDF().toDF("c_id", "c_user_id", "c_ts")
+    val q = EventStreams.fullOuterIntervalJoin(purchases, clicks,
+        watermark = "0 seconds")
+      .select($"p_id", $"c_id")
+      .writeStream.format("memory").queryName("foj").outputMode("append").start()
+    try {
+      pIn.addData(
+        (100L, 1L, ts(5)),   // matched by click 200
+        (101L, 2L, ts(5)))   // never clicked -> left null-pad
+      cIn.addData(
+        (200L, 1L, ts(10)),  // user 1, in span -> match
+        (201L, 3L, ts(6)))   // user 3 never purchased -> right null-pad
+      q.processAllAvailable()
+      // advance BOTH watermarks far past every row's eviction bound (the
+      // global watermark is the MIN of the two sides) so the unmatched
+      // state on each side is provably final and emits null-padded
+      pIn.addData((900L, 9L, ts(600)))
+      cIn.addData((901L, 9L, ts(601)))
+      q.processAllAvailable()
+      val got = spark.table("foj")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(Set[(Option[Long], Option[Long])](
+        (Some(100L), Some(200L)),     // the match
+        (Some(101L), None),           // unclicked purchase
+        (None, Some(201L))            // purchase-less click
+      ).subsetOf(got), got)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
