@@ -227,30 +227,61 @@ object Graph {
     * graph that the SQL oracle replays by unrolling; callers size `rounds`
     * >= the graph's peel depth when they need the true fixpoint.
     *
-    * Scale shape per round: one degree aggregate + two semi-joins, all
-    * keyed on node id — co-partitionable, O(edges) per round, and the
-    * edge set only shrinks. Each round is materialized so the plan stays
-    * O(1) deep ([[Dedup.materialize]] — same loop hygiene as connected
-    * components).
+    * Execution is a DELTA peel (the distributed Matula–Beck shape), which
+    * is round-for-round identical to the naive re-filter but does per-node
+    * instead of per-edge work after round 0: the symmetrized edge table is
+    * materialized ONCE; per round the dropped-node set (O(drops), shrinks
+    * fast) semi-joins it to count each survivor's lost neighbors, and the
+    * O(nodes) degree vector is decremented — deg(v) over the surviving
+    * subgraph IS deg0(v) minus v's dropped neighbors, by induction. The
+    * naive form's per-round degree re-aggregate + two-sided edge re-filter
+    * + O(edges) re-materialization (10× data read 10.5× wall in the r11
+    * scale smoke — fully linear per round) never touches the edge table
+    * again after the initial degree count. Rounds where nothing drops are
+    * skipped via one tiny isEmpty probe on the degree vector — the
+    * fixpoint is reached, so the skipped rounds are provable no-ops and
+    * the result is unchanged. Nodes whose degree reaches 0 are reported
+    * absent (they have no edges in the surviving subgraph), matching the
+    * re-filter form where their edge rows vanish.
+    *
+    * Scale shape per round: one small-side semi-join against the pinned
+    * edge table (AQE broadcasts the drop set while it fits; a first-round
+    * mass-drop degrades to one co-partitioned shuffle) + two id-keyed
+    * joins on the O(nodes) degree vector — work is O(affected edges), not
+    * O(all edges), and state is one O(nodes) frame materialized per round.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 10): DataFrame = {
     require(k >= 1 && rounds >= 1, s"bad kCore config ($k, $rounds)")
-    var edges = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
-      .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
-      .distinct()
-    var prev: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val keep = edges.groupBy("id").agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= k).select("id")
-      val next = Dedup.materialize(
-        edges.join(keep, Seq("id"), "left_semi")
-          .join(keep.select(col("id").as("nb")), Seq("nb"), "left_semi"))
-      Dedup.release(prev) // round r-1's copy is fully superseded by `next`
-      prev = edges
-      edges = next
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+        .distinct())
+    var deg = Dedup.materialize(es.groupBy("id").agg(count(lit(1)).as("dg")))
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val drops = deg.filter(col("dg") < k).select("id")
+      if (drops.isEmpty) converged = true
+      else {
+        val dec = es.join(drops.select(col("id").as("nb")), Seq("nb"), "left_semi")
+          .groupBy("id").agg(count(lit(1)).as("dd"))
+        val next = Dedup.materialize(
+          deg.join(drops, Seq("id"), "left_anti")
+            .join(dec, Seq("id"), "left")
+            .select(col("id"),
+              (col("dg") - coalesce(col("dd"), lit(0L))).as("dg")))
+        Dedup.release(deg)
+        deg = next
+      }
+      r += 1
     }
-    val out = edges.groupBy("id").agg(count(lit(1)).as("deg")).orderBy("id")
-    Dedup.release(prev)
+    // dg = 0 means every neighbor was dropped this round — the node has no
+    // edges in the surviving subgraph and the re-filter form would not
+    // report it (its edge rows are gone); dg in (0, k) can only be the
+    // round-budget-exhausted state, which the re-filter form DOES report
+    val out = deg.filter(col("dg") >= 1)
+      .select(col("id"), col("dg").as("deg")).orderBy("id")
+    Dedup.release(es)
     out
   }
 

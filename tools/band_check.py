@@ -5,10 +5,26 @@ in-suite bench time may exceed its committed solo repeat-band by >30%
 phantom regressions adjudicated by hand; this makes the adjudication a
 one-command check).
 
-Usage: tools/band_check.py [BENCH_LOCAL jsonl] [SOLO_BANDS jsonl]
+Usage: tools/band_check.py [BENCH_LOCAL jsonl] [SOLO_BANDS jsonl] [PREV jsonl]
        tools/band_check.py --stale-only [...]   # print stale query names
 Exit 1 if any banded query is over; exit 2 if none is over but some band
 is STALE; prints a per-query verdict either way.
+
+Below the banded set, a SUITE-RELATIVE gate (r11 verdict #2) covers every
+UNBANDED query whose in-suite median exceeds 1s: its time is compared
+against the PREVIOUS round's committed BENCH_LOCAL (third arg; default =
+the second-newest BENCH_LOCAL_r*.jsonl), normalized by the median
+cur/prev ratio over all common queries so a uniform environment drift
+(the r10/r11 ±14-23% cross-context signature) cancels out. A normalized
+ratio > 2.0 is a RELOVER violation (exit 1): r11's judge-diffed movers
+read 7.4x (mm_wav_clipping), 3.2x (mm_pipeline_e2e), 2.5x
+(rel_agg_distinct) on this metric while the cross-round noise tail sat
+at <=2.2x — the threshold splits them mechanically. Remediation for a
+RELOVER is the same as for a stale band: solo-band the query
+(tools/solo_bands.sh) to get its ground truth, then either fix the plan
+or commit the refreshed band. Queries with no previous-round time are
+reported NEW (informational — their first band or next-round relative
+check picks them up).
 
 Under SPARK_GRAFT_REPEAT>1 the bench emits one line per repeat as
 "name#i" — ALL repeats are collected and the MEDIAN is adjudicated
@@ -83,5 +99,38 @@ for line in open(bands):
 if stale_only:
     print("\n".join(stale))
     sys.exit(0)
-print(f"\n{bad} violation(s), {len(stale)} stale band(s) — {bench} vs {bands}")
-sys.exit(1 if bad else (2 if stale else 0))
+
+# ---- suite-relative gate over the UNBANDED >1s tail ----------------------
+banded = {json.loads(l)["q"] for l in open(bands)}
+prevs = [f for f in sorted(glob.glob("BENCH_LOCAL_r*.jsonl")) if f != bench]
+prev_f = argv[3] if len(argv) > 3 else (prevs[-1] if prevs else None)
+rel_bad = 0
+if prev_f:
+    prev = {}
+    for line in open(prev_f):
+        r = json.loads(line)
+        if "q" in r and not r["q"].startswith("_warm"):
+            prev.setdefault(r["q"].split("#")[0], []).append(r["sec"])
+    prev = {q: sorted(v)[len(v) // 2] for q, v in prev.items()}
+    meds = {q: sorted(v)[len(v) // 2] for q, v in qs.items()}
+    ratios = sorted(meds[q] / prev[q] for q in meds if q in prev and prev[q] > 0)
+    drift = ratios[len(ratios) // 2] if ratios else 1.0
+    print(f"\nunbanded >1s vs {prev_f} (uniform drift {drift:.3f} normalized out):")
+    for q in sorted(meds):
+        if q in banded or meds[q] <= 1.0:
+            continue
+        if q not in prev:
+            print(f"NEW   {q:26s} in-suite={meds[q]:6.2f}s (no previous-round time)")
+            continue
+        norm = meds[q] / (prev[q] * drift)
+        verdict = "RELOVER" if norm > 2.0 else "ok"
+        if norm > 2.0:
+            rel_bad += 1
+        print(f"{verdict:5s} {q:26s} in-suite={meds[q]:6.2f}s "
+              f"prev={prev[q]:6.2f}s normalized={norm:4.2f}x limit=2.00x")
+else:
+    print("\nno previous BENCH_LOCAL found — suite-relative gate skipped")
+
+print(f"\n{bad} violation(s), {rel_bad} relative violation(s), "
+      f"{len(stale)} stale band(s) — {bench} vs {bands}")
+sys.exit(1 if (bad or rel_bad) else (2 if stale else 0))
