@@ -1266,7 +1266,14 @@ object PipelineQueries {
         // exact regime the sampled variant exists for — and the bench cost
         // is |S| x component x rounds; a denser sample (say 25%) there is
         // ~1000 BFS sources, which is cluster budget, not single-node
-        // bench budget.
+        // bench budget. The hop bound is LOAD-BEARING, not trimmable
+        // (r12 adjudication of the r11 verdict's cost-trim probe):
+        // measured at sf0.1, every BFS level through 6 is still GROWING
+        // (|level d| for d=0..6: 128, 566, 3.6k, 22k, 99k, 181k, 118k —
+        // ~86% of the 128x3869 source-node pairs reached), so a
+        // convergence probe like allPairsDist's would never fire inside
+        // the bound and any smaller maxHops changes the statistic; the
+        // ~7-8s in-suite cost IS the sigma table through level 6.
         val H = 6
         val fwd = (1 to H).map { k =>
           s"""sg$k AS MATERIALIZED (

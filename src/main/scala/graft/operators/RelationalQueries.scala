@@ -247,7 +247,14 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(
           median(col("l_extendedprice")).as("exact_med"),
-          (abs(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          // accuracy 1000, not 10000 (r12 adjudication of the r11 band
+          // violation): the gate only asserts the estimate lands within 2%
+          // of the exact median VALUE, and accuracy=1000 already bounds the
+          // RANK error at 0.1% — 10000 bought a 10x tighter bound nobody
+          // reads while its QuantileSummaries buffers carried ~a quarter of
+          // the query (solo med 2.29s at 10000 vs 1.77s at 1000, same
+          // machine back-to-back; the remainder is the exact median)
+          (abs(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
             - median(col("l_extendedprice")))
             <= median(col("l_extendedprice")) * 0.02).as("within_band"))
         .orderBy("l_returnflag"),

@@ -70,28 +70,36 @@ class GraphStreamScaleSpec extends AnyFunSuite {
 
   test("graph fixpoint growth is ~linear in |E| from bench scale to 10x", Slow) {
     import graft.operators.Graph
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
-      ("gr_pagerank/op", e => Graph.pageRank(e, iters = 10)),
-      ("gr_label_prop/op", e => Graph.labelPropagation(e, rounds = 5)),
-      ("gr_kcore/op", e => Graph.kCore(e, k = 2, rounds = 10)))
+    // per-op growth limit: pageRank/labelPropagation measured 2.3-2.9x
+    // under the generic 30x guard; kCore gets a TIGHT 8x limit because the
+    // r12 delta-peel rewrite is exactly what this smoke must protect — the
+    // naive per-round edge re-filter read 10.5x in r11 (2.23s -> 23.5s),
+    // the delta peel reads 3.0x (0.89s -> 2.65s), and an 8x ceiling fails
+    // a regression back to the O(edges)-per-round form while keeping ~2.7x
+    // machine-noise headroom over the measured value
+    val ops: Seq[(String, Double, DataFrame => DataFrame)] = Seq(
+      ("gr_pagerank/op", 30.0, e => Graph.pageRank(e, iters = 10)),
+      ("gr_label_prop/op", 30.0, e => Graph.labelPropagation(e, rounds = 5)),
+      ("gr_kcore/op", 8.0, e => Graph.kCore(e, k = 2, rounds = 10)))
     val base = stageEdges(100000L, 20000L)
     val big = stageEdges(100000L * Factor, 20000L * Factor)
     val e1 = spark.read.parquet(s"$base/edges.parquet").count()
     val e10 = spark.read.parquet(s"$big/edges.parquet").count()
     info(f"edges base=$e1%8d  10x=$e10%9d  (${e10.toDouble / e1}%4.1fx)")
     // warmup (JIT/codegen) on a tiny slice, off the clock
-    ops.foreach { case (_, op) =>
+    ops.foreach { case (_, _, op) =>
       op(spark.read.parquet(s"$base/edges.parquet").limit(2000)).count() }
-    ops.foreach { case (name, op) =>
+    ops.foreach { case (name, limit, op) =>
       val (t1, r1) = timeGraph(op, base)
       val (t10, r10) = timeGraph(op, big)
       val growth = t10 / t1
       info(f"$name%-18s base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
       assert(r1 > 0, s"$name degenerate at base scale")
       assert(r10 > 0, s"$name degenerate at 10x scale")
-      assert(growth < 30.0,
-        s"$name grew ${growth}x for ~${Factor}x edges — super-linear per-round " +
-          "cost (skewed-join blow-up or lost partial aggregation)")
+      assert(growth < limit,
+        s"$name grew ${growth}x for ~${Factor}x edges (limit $limit) — " +
+          "super-linear per-round cost (skewed-join blow-up, lost partial " +
+          "aggregation, or a regression off the kCore delta peel)")
     }
   }
 
