@@ -59,12 +59,15 @@ object PlanAudit {
     *    dimension-sized (|returnflag| groups)
     *  - tx_mixture_plan: budget window over the per-SOURCE rollup —
     *    source-catalog-sized
+    *  - gr_sgns_batch: DistributedRank.globalRunningSum offsets window
+    *    over per-partition weight totals — numPartitions rows by
+    *    construction (the same prefix-sum spine as rel_histogram_eqdepth)
     */
   private val boundedSpineWindows = Set(
     "rel_histogram_eqdepth", "rel_zorder", "rel_skyline", "win_lift",
     "rel_compaction_plan", "tx_vocab_growth",
     "ts_cume_users", "ts_ewma", "ts_rolling_corr", "ts_lerp",
-    "rel_share_of_total", "tx_mixture_plan")
+    "rel_share_of_total", "tx_mixture_plan", "gr_sgns_batch")
 
   /** The only query excused an UNREDUCED (class-0) window verdict: its
     * bound is a literal prefix filter the structural walk cannot see.

@@ -78,6 +78,30 @@ object DistributedRank {
       .drop("__pid", "__pmin")
   }
 
+  /** Appends `out` = sum of `value` over all rows AT OR BEFORE the current
+    * one in global `keys` order (the inclusive running total — the
+    * `sum(v).over(orderBy(keys))` frame) without an unpartitioned
+    * fact-sized window: range-partition by the sort keys, take the
+    * per-partition local running sum, and add the exclusive prefix sum of
+    * PRIOR partitions' totals (a numPartitions-sized frame, broadcast).
+    * The cumulative-distribution builder behind inverse-transform
+    * sampling (gr_sgns_batch's quantized negative-sampling slot table).
+    */
+  def globalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
+                       out: String): DataFrame = {
+    val ranged = Dedup.materialize(
+      df.repartitionByRange(keys: _*).withColumn("__pid", spark_partition_id()))
+    val prevW = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ranged.groupBy("__pid").agg(sum(value).as("__ps"))
+      .withColumn("__off", coalesce(sum(col("__ps")).over(prevW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val local = Window.partitionBy("__pid").orderBy(keys: _*)
+    ranged.join(broadcast(prefix), "__pid")
+      .withColumn(out, sum(value).over(local) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** Floor division for NON-NEGATIVE bigint columns. The intermediate
     * double is exact while the quotient stays under 2^53 — i.e. for any
     * table under ~9e15 rows — which keeps the expression codegen-friendly

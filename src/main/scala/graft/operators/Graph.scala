@@ -180,6 +180,51 @@ object Graph {
     ranks
   }
 
+  /** Weighted personalized PageRank — [[personalizedPageRank]]'s teleport-
+    * to-seeds recurrence over [[pageRankWeighted]]'s weight-proportional
+    * transition: restart mass concentrates on the `isSource` seed set and
+    * each round flows along edges in proportion to their integer weights —
+    * the "similar items as seen from these seeds, preferring strong
+    * matches" scorer (the r11 verdict's edge-weighted teleport walk).
+    * Same discipline as both parents: materialized loop-invariant
+    * weighted adjacency, exact-BIGINT wdeg normalizer, teleport as its
+    * own literal, fixed iteration count, loud failure on an empty seed
+    * set.
+    */
+  def personalizedPageRankWeighted(wpairs: DataFrame,
+                                   isSource: org.apache.spark.sql.Column,
+                                   iters: Int = 10, damping: Double = 0.85,
+                                   teleport: Double = 0.15): DataFrame = {
+    requireStochastic(damping, teleport)
+    val edges = wpairs.select(col("a_id").as("src"), col("b_id").as("dst"), col("w"))
+      .union(wpairs.select(col("b_id").as("src"), col("a_id").as("dst"), col("w")))
+      .distinct()
+    val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wdeg"))
+    val edgesW = Dedup.materialize(edges.join(wdeg, "src"))
+    val flagged = wdeg.select(col("src").as("id"))
+      .withColumn("is_src", when(isSource, 1).otherwise(0))
+    val ns = broadcast(flagged.agg(sum(col("is_src")).as("ns0"))
+      .select(when(col("ns0") > 0, col("ns0"))
+        .otherwise(raise_error(
+          lit("personalizedPageRankWeighted: isSource matches no graph node")))
+        .as("ns")))
+    val nodes = Dedup.materialize(flagged.crossJoin(ns))
+    var ranks = nodes.select(col("id"),
+      (col("is_src") * lit(1.0) / col("ns")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesW
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"), (col("rank") * col("w") / col("wdeg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) * col("is_src") / col("ns")
+            + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** Triangle count + global clustering coefficient over an oriented pair
     * table (a_id < b_id). A triangle x<y<z is one row in the self-join
     * e(x,y) ⋈ e(y,z) ⋈ e(x,z); wedges come from plain degree counts, and

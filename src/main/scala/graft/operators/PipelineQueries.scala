@@ -119,11 +119,11 @@ object PipelineQueries {
   /** Deterministic walk table over the shares->=3-shingles graph, computed
     * once per (session, sfDir): the trajectory table itself is a query
     * output (gr_random_walks) AND the input to skip-gram pair extraction
-    * (gr_walk_skipgrams) AND the corpus the SGNS noise distribution counts
-    * over (gr_walk_negatives) — the one-producer/many-consumers pattern,
-    * so it joins the family caches (the 8 sequential argmin rounds are
-    * the expensive part of every consumer). O(walks x steps) rows —
-    * bounded and safe to pin.
+    * (gr_walk_skipgrams) AND the corpus the SGNS noise distribution and
+    * drawn training batch derive from (gr_walk_negatives, gr_sgns_batch)
+    * — the one-producer/many-consumers pattern, so it joins the family
+    * caches (the 8 sequential argmin rounds are the expensive part of
+    * every consumer). O(walks x steps) rows — bounded and safe to pin.
     */
   private val walkCache = FamilyCache.frames[(SparkSession, String)]()
 
@@ -218,9 +218,10 @@ object PipelineQueries {
       // gr_eccentricity) — the single-consumer exemption that keeps
       // incrMinhashVerdicts unstaged does not apply
       timed("all_pairs_dist") { pairGraphDist(s, d) },
-      // three consumers: gr_random_walks (the trajectory output itself),
-      // gr_walk_skipgrams (pair extraction) and gr_walk_negatives (the
-      // SGNS noise-distribution counts)
+      // four consumers: gr_random_walks (the trajectory output itself),
+      // gr_walk_skipgrams (pair extraction), gr_walk_negatives (the SGNS
+      // noise-distribution counts) and gr_sgns_batch (the drawn training
+      // batch)
       timed("walks") { walkTable(s, d) })
     // incrMinhashVerdicts is deliberately NOT staged: staging exists to fix
     // cross-consumer attribution, and the verdicts have exactly ONE
@@ -399,6 +400,35 @@ object PipelineQueries {
        |p0 AS (SELECT s AS id, 1.0/nn.n AS prw FROM wdg CROSS JOIN nn),
        |$rounds
        |SELECT id, round(prw, 6) AS prw FROM p$iters ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled weighted personalized-PageRank oracle —
+    * [[pagerankWeightedOracleSql]] with the teleport vector concentrated
+    * on the even-id seed set (gr_ppr's predicate); operand order mirrors
+    * [[Graph.personalizedPageRankWeighted]] exactly.
+    */
+  private def pprWeightedOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""p$k AS (SELECT dd.s AS id, 0.15 * dd.is_src / ns.ns + 0.85*coalesce(ct.contrib, 0) AS pprw
+         |       FROM wdg2 dd CROSS JOIN ns
+         |       LEFT JOIN (SELECT e.d AS id, sum(p.pprw * e.w / dg.wdg) AS contrib
+         |                  FROM e JOIN wdg dg ON dg.s = e.s
+         |                  JOIN p${k - 1} p ON p.id = e.s GROUP BY 1) ct
+         |         ON ct.id = dd.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+       |prs AS (SELECT a_id, b_id, (c * 10000) // (sa.n + sb.n - c) AS w
+       |        FROM inter
+       |        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |        WHERE c >= 3),
+       |e AS (SELECT a_id AS s, b_id AS d, w FROM prs
+       |      UNION SELECT b_id, a_id, w FROM prs),
+       |wdg AS (SELECT s, CAST(sum(w) AS BIGINT) AS wdg FROM e GROUP BY 1),
+       |wdg2 AS (SELECT s, CASE WHEN s % 2 = 0 THEN 1 ELSE 0 END AS is_src FROM wdg),
+       |ns AS (SELECT sum(is_src) AS ns FROM wdg2),
+       |p0 AS (SELECT s AS id, is_src * 1.0 / ns.ns AS pprw FROM wdg2 CROSS JOIN ns),
+       |$rounds
+       |SELECT id, round(pprw, 6) AS pprw FROM p$iters ORDER BY id""".stripMargin
   }
 
   /** Shared pHash pixel-replay CTE chain ending in `bits(doc_id, cell, b)`
@@ -957,6 +987,23 @@ object PipelineQueries {
         .orderBy("id"),
       Some(pagerankWeightedOracleSql(10))),
 
+    // Weighted personalized PageRank: gr_ppr's teleport-to-seeds walk over
+    // gr_pagerank_weighted's weight-proportional transition — "similar
+    // items as seen from these seeds, preferring strong matches", the
+    // edge-weighted teleport walk the r11 verdict named as what a
+    // jaccard-weighted pair graph actually wants. Same seed predicate as
+    // gr_ppr (even ids), same weighted graph and integer-wdeg posture as
+    // gr_pagerank_weighted.
+    QueryDef("gr_ppr_weighted",
+      (s, d) => Graph.personalizedPageRankWeighted(
+          pairStats(s, d).filter(col("inter") >= 3)
+            .select(col("a_id"), col("b_id"),
+              expr("(inter * 10000) div (na + nb - inter)").as("w")),
+          isSource = col("id") % 2 === 0, iters = 10)
+        .select(col("id"), round(col("rank"), 6).as("pprw"))
+        .orderBy("id"),
+      Some(pprWeightedOracleSql(10))),
+
     // Triangle count + global clustering coefficient over the same near-dup
     // pair graph: how CLIQUISH the duplicate structure is (pure pairwise
     // dups vs. fully-connected template families). Two id-keyed self-joins
@@ -1514,6 +1561,91 @@ object PipelineQueries {
              |SELECT node, n_occ, w_q, (w_q * 1000000) // tot AS p_ppm
              |FROM wq CROSS JOIN t
              |ORDER BY node""".stripMargin)),
+
+    // SGNS training-batch assembly — the LAST leg of the DeepWalk pipeline
+    // (walks -> skip-gram positives -> noise weights -> drawn negatives):
+    // every positive (center, context) pair gets 2 deterministic negatives
+    // drawn from the count^0.75 distribution. The draw uses word2vec's own
+    // unigram-TABLE trick, which is also what makes it scale: the
+    // cumulative weight axis is quantized into T = 2^16 SLOTS (node n owns
+    // slots [lo*T div tot, hi*T div tot) — nodes lighter than ~tot/T lose
+    // representation, exactly like word2vec's 1e8-entry table), so the
+    // per-draw lookup is an EQUI-join on slot = hash % T against a
+    // fixed-size broadcastable table — never a range/theta join against
+    // the cumulative frame. The cumulative itself is built with
+    // DistributedRank.globalRunningSum (range-partition + per-partition
+    // running sum + broadcast numPartitions-sized offsets), NOT an
+    // unpartitioned fact-sized window — the node vocabulary grows with the
+    // corpus. Hash = the walk family's multiplicative constants over
+    // (center, context, j), 31-bit-masked; collisions with the positive
+    // pair are FLAGGED, not resampled (the trainer's usual move is to skip
+    // them — resampling would need data-dependent iteration).
+    QueryDef("gr_sgns_batch",
+      (s, d) => {
+        val w = walkTable(s, d)
+        val occ = w.groupBy(col("node")).agg(count(lit(1)).as("n_occ"))
+        val wq = occ.select(col("node"),
+          floor(sqrt(sqrt(col("n_occ").cast("double") * col("n_occ")
+            * col("n_occ") * lit(1.0e8)))).as("w_q"))
+        val cum = DistributedRank.globalRunningSum(
+          wq, Seq(col("node")), col("w_q"), "hi")
+        val tot = broadcast(wq.agg(sum(col("w_q")).as("tot")))
+        val slots = cum.crossJoin(tot)
+          .select(col("node"),
+            expr("((hi - w_q) * 65536) div tot").as("sb_lo"),
+            expr("(hi * 65536) div tot").as("sb_hi"))
+          .filter(col("sb_hi") > col("sb_lo"))
+          .select(col("node").as("neg"),
+            explode(sequence(col("sb_lo"), col("sb_hi") - 1)).as("slot"))
+        val sp = w.select(col("wid"), col("step").as("si"), col("node").as("center"))
+          .join(w.select(col("wid"), col("step").as("sj"), col("node").as("context")),
+            Seq("wid"))
+          .filter(abs(col("si") - col("sj")).between(1, 2))
+          .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+        sp.select(col("center"), col("context"), col("n_pairs"),
+            explode(array(lit(1L), lit(2L))).as("j"))
+          .withColumn("slot", pmod(
+            col("center").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+              + col("context").bitwiseAND(lit(2147483647L)) * lit(97781L)
+              + col("j") * lit(40503L), lit(1000000007L)) % lit(65536L))
+          .join(broadcast(slots), "slot")
+          .select(col("center"), col("context"), col("n_pairs"), col("j"),
+            col("neg"),
+            (col("neg") === col("center") || col("neg") === col("context"))
+              .as("is_collision"))
+          .orderBy("center", "context", "j")
+      },
+      Some(s"""WITH $jaccardCtes,
+             |$walkOracleCtes,
+             |occ AS (SELECT cur AS node, count(*) AS n_occ FROM wk GROUP BY 1),
+             |wq AS (SELECT node,
+             |         CAST(floor(sqrt(sqrt(CAST(n_occ AS DOUBLE) * n_occ
+             |                              * n_occ * 1e8))) AS BIGINT) AS w_q
+             |       FROM occ),
+             |t AS (SELECT CAST(sum(w_q) AS BIGINT) AS tot FROM wq),
+             |cum AS (SELECT node, w_q,
+             |               CAST(sum(w_q) OVER (ORDER BY node) AS BIGINT) AS hi
+             |        FROM wq),
+             |slots AS (SELECT node AS neg,
+             |                 unnest(generate_series(((hi - w_q) * 65536) // tot,
+             |                                        (hi * 65536) // tot - 1)) AS slot
+             |          FROM cum CROSS JOIN t
+             |          WHERE (hi * 65536) // tot > ((hi - w_q) * 65536) // tot),
+             |sp AS (SELECT a.cur AS center, b.cur AS context,
+             |              CAST(count(*) AS BIGINT) AS n_pairs
+             |       FROM wk a JOIN wk b ON b.wid = a.wid
+             |             AND abs(a.step - b.step) BETWEEN 1 AND 2
+             |       GROUP BY 1, 2),
+             |dr AS (SELECT center, context, n_pairs, j,
+             |              ((center & 2147483647) * 2654435761
+             |               + (context & 2147483647) * 97781 + j * 40503)
+             |              % 1000000007 % 65536 AS slot
+             |       FROM sp CROSS JOIN (SELECT unnest([1, 2]) AS j) js)
+             |SELECT dr.center, dr.context, dr.n_pairs,
+             |       CAST(dr.j AS BIGINT) AS j, sl.neg,
+             |       (sl.neg = dr.center OR sl.neg = dr.context) AS is_collision
+             |FROM dr JOIN slots sl ON sl.slot = dr.slot
+             |ORDER BY center, context, j""".stripMargin)),
 
     // k-truss cores of the shares->=3-shingles graph (k = 3, 5 peel
     // rounds): the EDGE analogue of gr_kcore — an edge survives iff it

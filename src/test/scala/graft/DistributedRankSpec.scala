@@ -52,6 +52,21 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRunningSum equals the single-task inclusive-prefix sum window") {
+    for (seed <- Seq(7, 8); rows <- Seq(0, 1, 97, 1000)) {
+      val df = randomDf(seed, rows)
+      // unique keys only (id), matching the gr_sgns_batch cumulative —
+      // under ties the RANGE-frame window sums whole peer groups, which a
+      // rows-local running sum legitimately need not reproduce
+      val got = DistributedRank.globalRunningSum(df, Seq(col("id")), col("v"), "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed rows=$rows")
+    }
+  }
+
   test("ntileFromRank equals ntile() across uneven and degenerate splits") {
     for (rows <- Seq(1, 7, 10, 23, 100); n <- Seq(1, 3, 10, 16)) {
       val df = randomDf(seed = 42, rows)

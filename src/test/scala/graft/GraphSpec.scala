@@ -43,6 +43,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(rw.values.sum - 1.0) < 1e-9, rw)
   }
 
+  test("personalizedPageRankWeighted reduces to the unweighted PPR under uniform weights") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+    val seed = col("id") % 2 === 0
+    val rw = Graph.personalizedPageRankWeighted(
+        pairs.toDF("a_id", "b_id").withColumn("w", lit(5L)), isSource = seed)
+      .as[(Long, Double)].collect().toMap
+    val r = Graph.personalizedPageRank(pairs.toDF("a_id", "b_id"), isSource = seed)
+      .as[(Long, Double)].collect().toMap
+    assert(rw.keySet == r.keySet, rw)
+    rw.foreach { case (id, v) => assert(math.abs(v - r(id)) < 1e-12, (id, v, r(id))) }
+  }
+
   test("pageRankWeighted shifts mass toward the heavy edge") {
     import org.apache.spark.sql.functions.lit
     // path a-b-c with w(a,b) >> w(b,c): b routes nearly all its mass to a,

@@ -602,6 +602,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("SGNS negative draw is an equi-join on the quantized slot table") {
+    // the word2vec unigram-table trick's whole point: the per-draw lookup
+    // must be a hash equi-join on slot (fixed-size broadcast build), never
+    // a range/theta join against the cumulative frame, and the cumulative
+    // itself must come from the DistributedRank prefix-sum spine (no
+    // unpartitioned window over the node vocabulary — PlanAudit checks
+    // that structurally)
+    val p = plan("gr_sgns_batch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("zone-map audit and compaction plan aggregate at file granularity") {
     // both planners must reduce to file-granularity rows before any window
     // or second aggregate — partial aggregation present, and no window
