@@ -940,7 +940,14 @@ object Graph {
         .select((col("nmax") - col("n0")).as("total_pairs_est"),
           col("eff_diameter_est")))
     nf.foreach(Dedup.release)
-    out
+    // limit(1) is a semantic no-op (the frame IS one row — a scalar
+    // aggregate, materialized so it survives the nf releases) but puts a
+    // GlobalLimit node back in the plan: checkpointing erased the
+    // aggregate, leaving a bare RDD scan that downstream consumers
+    // broadcast-cross-join — structurally unprovable as tiny to
+    // PlanAudit.tinySide without the explicit bound (its r12 full-sweep
+    // flag on gr_effective_diameter_approx)
+    out.limit(1)
   }
 
   /** Bounded weighted shortest-path geometry over a WEIGHTED pair table
