@@ -113,6 +113,35 @@ class GraphSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), tri)
   }
 
+  test("kCore delta peel equals the naive re-filter reference on random graphs") {
+    // the r12 rewrite's correctness argument (deg over the surviving
+    // subgraph = deg0 minus dropped neighbors, by induction; zero-degree
+    // survivors absent) pinned against an INDEPENDENT in-Scala naive
+    // reference — recompute degrees, drop <k, re-filter edges — across
+    // random graphs, both k values the inventory uses, and round budgets
+    // that stop MID-peel (rounds=1,2) as well as past the fixpoint (10)
+    for (seed <- Seq(11, 23); k <- Seq(2, 3); rounds <- Seq(1, 2, 10)) {
+      val rng = new scala.util.Random(seed * 100 + k)
+      val n = 40
+      val edges = (1 to 120)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      var adj: Set[(Long, Long)] =
+        edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      for (_ <- 1 to rounds) {
+        val deg = adj.groupBy(_._1).map { case (v, es) => v -> es.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        adj = adj.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      val want = adj.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val got = Graph.kCore(edges.toDF("a_id", "b_id"), k = k, rounds = rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed k=$k rounds=$rounds")
+    }
+  }
+
   test("labelPropagation converges each disjoint triangle to its min label") {
     val got = Graph.labelPropagation(
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
