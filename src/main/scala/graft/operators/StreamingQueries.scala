@@ -372,11 +372,20 @@ object StreamingQueries {
     // than the tight p_ts + 30min bound, and that margin is an
     // implementation detail, not a semantic one. So the gate compares the
     // two engines on a CLOSED 2-hour horizon (safely past the observed
-    // margin): both sides keep only purchases with p_ts + 2h <= max(ts),
-    // where matched+null-padded emissions are complete in both — the same
-    // "compare only what the watermark has finalized" move every append-
-    // mode st_* gate already makes, applied symmetrically. NULL sort order
-    // differs between the engines by default → both pin NULLS FIRST.
+    // margin): both sides keep only purchases with p_ts + 2h <= the final
+    // WATERMARK, where matched+null-padded emissions are complete in both
+    // — the same "compare only what the watermark has finalized" move
+    // every append-mode st_* gate already makes. The horizon base is
+    // least(max p_ts, max c_ts), NOT max(ts) (r12 fix, the st_full_outer
+    // insight applied back): with two withWatermark nodes the engine's
+    // global watermark under the default min policy is the MIN of the two
+    // sides' maxima, and left eviction needs watermark > p_ts + 30min — a
+    // max(ts)-based cut left a gap (nearly 4h wide at sf0.001, where the
+    // last click trails the last purchase) in which an unmatched purchase
+    // would be cut-eligible yet never null-padded; measured in_gap = 0 at
+    // all three SFs today, i.e. the old gate passed by data luck. NULL
+    // sort order differs between the engines by default → both pin
+    // NULLS FIRST.
     QueryDef("st_outer_join",
       (s, d) => {
         val emitted = StreamGate.runAppendToParquet(
@@ -395,15 +404,20 @@ object StreamingQueries {
           },
           "st_oj")
         val horizon = broadcast(Tables.t(s, d, "events")
-          .agg(max(col("ts")).as("mx")))
+          .agg(least(
+            max(when(col("event_type") === "purchase", col("ts"))),
+            max(when(col("event_type") === "click", col("ts")))).as("wm")))
         emitted.crossJoin(horizon)
-          .filter(col("p_ts") + expr("INTERVAL 2 HOURS") <= col("mx"))
+          .filter(col("p_ts") + expr("INTERVAL 2 HOURS") <= col("wm"))
           .select(col("p_id"), col("c_id"))
           .orderBy(col("p_id"), col("c_id").asc_nulls_first)
       },
-      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+      Some("""WITH m AS (SELECT least(
+             |         max(CASE WHEN event_type = 'purchase' THEN ts END),
+             |         max(CASE WHEN event_type = 'click' THEN ts END)) AS wm
+             |       FROM events),
              |p AS (SELECT event_id, user_id, ts FROM events, m
-             |      WHERE event_type = 'purchase' AND ts + INTERVAL 2 HOUR <= m.mx),
+             |      WHERE event_type = 'purchase' AND ts + INTERVAL 2 HOUR <= m.wm),
              |c AS (SELECT event_id, user_id, ts FROM events
              |      WHERE event_type = 'click'),
              |j AS (SELECT p.event_id AS p_id, c.event_id AS c_id
