@@ -1166,4 +1166,155 @@ object Graph {
     Dedup.release(nodes)
     out
   }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for every
+    * NON-adjacent pair (a, b) with shared neighbors, RA(a,b) = Σ_z 1/deg(z)
+    * over the common neighbors z — [[commonNeighbors]] weighted by how
+    * *exclusive* each shared neighbor is (a shared hub is weak evidence, a
+    * shared degree-2 node strong). RA is the exact-integer sibling of
+    * Adamic–Adar: AA's 1/log deg(z) needs libm log (not correctly-rounded,
+    * so not cross-engine reproducible), while RA's per-center term
+    * quantizes to the exact integer floor(1e6/deg(z)) and the score is a
+    * plain BIGINT sum — hash-gateable in any engine.
+    *
+    * Scale shape: identical to [[commonNeighbors]] — wedge enumeration
+    * keyed on the CENTER node (one self-join of the symmetrized adjacency,
+    * with the center's degree carried on the wedge row so no post-join),
+    * one groupBy on the predicted pair, one anti-join against existing
+    * edges. Hub fan-out is the O(deg²) wedge cost with the usual
+    * degree-orientation lever.
+    */
+  def resourceAllocation(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct()
+    val es = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("id"), col("b").as("nb"))
+    val deg = es.groupBy("id").agg(count(lit(1)).as("dg"))
+    val wz = es.join(deg, "id")
+    val wedges = wz.as("w1")
+      .join(wz.as("w2"), col("w1.id") === col("w2.id") && col("w1.nb") < col("w2.nb"))
+      .select(col("w1.nb").as("a_id"), col("w2.nb").as("b_id"),
+        col("w1.dg").as("cdg"))
+      .groupBy("a_id", "b_id")
+      // `div`, not `/`: exact integer quantization of 1/deg — the whole
+      // point of RA over AA here (see scaladoc)
+      .agg(count(lit(1)).as("common"), sum(expr("1000000 div cdg")).as("ra_ppm"))
+    wedges
+      .join(e, col("a_id") === col("a") && col("b_id") === col("b"), "left_anti")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** One synchronous Louvain phase-1 sweep (Blondel et al. 2008) from the
+    * singleton partition: every node evaluates the modularity gain of
+    * joining each neighbor's community and moves iff the best gain is
+    * positive. From singletons the gain of moving i into {j} reduces to the
+    * EXACT integer ΔQ·2m² = 2m − deg(i)·deg(j) (derivation: the only
+    * δ(c_i,c_j) terms that change are the (i,j) pair itself), so the argmax
+    * over neighbors is "the lowest-degree neighbor" with ties broken on the
+    * smallest node id — the degree-penalized attachment rule, and a pure
+    * integer function of the graph the SQL oracle replays verbatim. This is
+    * the PARALLEL sweep (all nodes decide against the pre-sweep partition
+    * simultaneously — the standard distributed-Louvain round); sequential
+    * Louvain would interleave moves, which no unrolled oracle can replay.
+    * Returns per node: degree, chosen community (own id if no positive
+    * gain), the best gain in ΔQ·2m² units, and the moved flag.
+    *
+    * Scale shape: two broadcasts of the O(nodes) degree vector onto the
+    * edge list (keyed on node id), one scalar m broadcast, one per-node
+    * struct-min — no all-pairs step, co-partitioned with the adjacency.
+    */
+  def louvainMove(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct()
+    val es = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+    val deg = es.groupBy("id").agg(count(lit(1)).as("dg"))
+    val m = broadcast(e.agg(count(lit(1)).as("m")))
+    es
+      .join(deg.select(col("id"), col("dg").as("di")), "id")
+      .join(deg.select(col("id").as("nb"), col("dg").as("dj")), "nb")
+      .crossJoin(m)
+      .select(col("id"), col("nb"), col("di"),
+        (lit(2L) * col("m") - col("di") * col("dj")).as("g"))
+      .groupBy("id")
+      .agg(min(struct((-col("g")).as("ng"), col("nb").as("nb"))).as("b"),
+        max(col("di")).as("dg"))
+      .select(col("id"), col("dg"),
+        when(-col("b.ng") > 0, col("b.nb")).otherwise(col("id")).as("new_comm"),
+        (-col("b.ng")).as("gain2m2"),
+        when(-col("b.ng") > 0, 1L).otherwise(0L).as("moved"))
+      .orderBy("id")
+  }
+
+  /** Deterministic node2vec walk corpus (Grover & Leskovec 2016) — the
+    * SECOND-ORDER biased sibling of [[randomWalks]]: each hop from cur
+    * (having arrived from prev) weights candidate nb by the node2vec α —
+    * `wReturn` if nb = prev (the 1/p return bias), `wCommon` if nb is also
+    * a neighbor of prev (BFS-like, α = 1), `wFar` otherwise (the 1/q
+    * depth bias). Defaults (25, 100, 50) encode p = 4, q = 2 in percent —
+    * return discouraged, exploration mildly discouraged. The weighted
+    * choice stays deterministic and integer-exact: candidate key
+    * = (h·100) div w with h the same masked multiplicative hash as
+    * [[randomWalks]], so a heavier weight shrinks the key range
+    * proportionally (the integer-division form of the exponential race)
+    * and the struct-min picks the winner — the full trajectory table
+    * hash-matches an SQL oracle replaying the same argmin. Step 1 has no
+    * prev (all candidates weigh `wFar`), so it coincides with the
+    * first-order walk, as in the paper.
+    *
+    * Scale shape per step: the [[randomWalks]] state⋈edges equi-join plus
+    * ONE extra left equi-join against the adjacency on (prev, nb) — the
+    * genuine cost of second-order bias (the walker must know the prev
+    * neighborhood), still O(walks) state and node-id-keyed throughout.
+    * Overflow posture: ids masked to 31 bits before the multiply; the key
+    * multiplies the sub-2^30 hash by 100, staying far under 2^63.
+    */
+  def node2vecWalks(pairs: DataFrame, isStart: org.apache.spark.sql.Column,
+                    steps: Int, wReturn: Long = 25L, wCommon: Long = 100L,
+                    wFar: Long = 50L): DataFrame = {
+    require(steps >= 1, s"bad steps $steps")
+    require(wReturn > 0 && wCommon > 0 && wFar > 0, "weights must be positive")
+    val es = Dedup.materialize(
+      pairs.select(col("a_id").as("v"), col("b_id").as("nb"))
+        .union(pairs.select(col("b_id").as("v"), col("a_id").as("nb")))
+        .distinct())
+    val w0 = Dedup.materialize(
+      es.select(col("v").as("id")).distinct().filter(isStart)
+        .select(col("id").as("wid"), lit(0L).as("step"),
+          lit(null).cast("bigint").as("prev"), col("id").as("cur")))
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
+    for (s <- 1 to steps) {
+      val cand = states.last.join(es, states.last("cur") === es("v"))
+        .select(col("wid"), col("prev"), col("cur"), col("nb"))
+      val pe = es.select(col("v").as("pv"), col("nb").as("pnb"))
+      val h = pmod(col("wid").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+        + lit(s.toLong) * lit(40503L)
+        + col("nb").bitwiseAND(lit(2147483647L)) * lit(97781L), lit(1000000007L))
+      // order matters and matches the oracle CASE: the return candidate is
+      // never ALSO a (prev, nb) adjacency row (no self-loops), so the two
+      // branches are disjoint, but stating return first documents intent
+      val wgt = when(col("nb") === col("prev"), lit(wReturn))
+        .when(col("pv").isNotNull, lit(wCommon))
+        .otherwise(lit(wFar))
+      states += Dedup.materialize(
+        cand.join(pe, cand("prev") === pe("pv") && cand("nb") === pe("pnb"), "left")
+          .withColumn("hraw", h).withColumn("wgt", wgt)
+          // `div`, not `/`: double division near a key collision could
+          // floor differently across engines; integer div is exact
+          .withColumn("k", expr("(hraw * 100) div wgt"))
+          .groupBy("wid")
+          // cur is constant per wid in this step's state, so max() is just
+          // "carry it" — it becomes next step's prev
+          .agg(min(struct(col("k"), col("nb").as("nb"))).as("m"),
+            max(col("cur")).as("pc"))
+          .select(col("wid"), lit(s.toLong).as("step"), col("pc").as("prev"),
+            col("m.nb").as("cur")))
+    }
+    val out = Dedup.materialize(
+      states.map(st => st.select(col("wid"), col("step"), col("cur").as("node")))
+        .reduce(_ unionAll _))
+    states.foreach(Dedup.release)
+    Dedup.release(es)
+    out
+  }
 }

@@ -1858,6 +1858,106 @@ object PipelineQueries {
              |WHERE e.a IS NULL
              |ORDER BY w.a_id, w.b_id""".stripMargin)),
 
+    // Resource-allocation link prediction over the same shares->=3 graph as
+    // gr_common_neighbors: the common-neighbor count weighted by how
+    // exclusive each shared neighbor is (Σ 1/deg(z), exact ppm integers —
+    // the reproducible sibling of Adamic-Adar, whose libm log isn't).
+    // Ranking disagrees with raw common-neighbor counts exactly where a
+    // shared HUB inflates `common` — the pairs a near-dup candidate
+    // generator most wants to down-rank. See Graph.resourceAllocation.
+    QueryDef("gr_resource_alloc",
+      (s, d) => Graph.resourceAllocation(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |e AS (SELECT a_id AS a, b_id AS b FROM inter WHERE c >= 3),
+             |es AS (SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT id, count(*) AS dg FROM es GROUP BY 1),
+             |wz AS (SELECT es.id, es.nb, deg.dg FROM es JOIN deg USING (id)),
+             |wed AS (SELECT w1.nb AS a_id, w2.nb AS b_id, count(*) AS common,
+             |               CAST(sum(1000000 // w1.dg) AS BIGINT) AS ra_ppm
+             |        FROM wz w1 JOIN wz w2 ON w1.id = w2.id AND w1.nb < w2.nb
+             |        GROUP BY 1, 2)
+             |SELECT w.a_id, w.b_id, w.common, w.ra_ppm
+             |FROM wed w LEFT JOIN e ON e.a = w.a_id AND e.b = w.b_id
+             |WHERE e.a IS NULL
+             |ORDER BY w.a_id, w.b_id""".stripMargin)),
+
+    // One parallel Louvain phase-1 sweep from singletons on the
+    // shares->=3-shingles graph — the modularity-GREEDY move round next to
+    // gr_label_prop's frequency vote (label prop merges around hubs;
+    // the Louvain gain 2m − deg(i)·deg(j) penalizes exactly those hub
+    // attachments, and nodes whose every neighbor is too hot stay put).
+    // Exact integer gains; see Graph.louvainMove for the derivation.
+    QueryDef("gr_louvain_move",
+      (s, d) => Graph.louvainMove(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |e AS (SELECT a_id AS a, b_id AS b FROM inter WHERE c >= 3),
+             |es AS (SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT id, count(*) AS dg FROM es GROUP BY 1),
+             |mm AS (SELECT count(*) AS m FROM e),
+             |cand AS (SELECT es.id, es.nb, di.dg AS di,
+             |                2 * mm.m - di.dg * dj.dg AS g
+             |         FROM es JOIN deg di ON di.id = es.id
+             |                 JOIN deg dj ON dj.id = es.nb
+             |                 CROSS JOIN mm),
+             |best AS (SELECT id, max(di) AS dg,
+             |                min({'ng': -g, 'nb': nb}) AS b
+             |         FROM cand GROUP BY 1)
+             |SELECT id, dg,
+             |       CASE WHEN -(b.ng) > 0 THEN b.nb ELSE id END AS new_comm,
+             |       -(b.ng) AS gain2m2,
+             |       CAST(CASE WHEN -(b.ng) > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
+             |FROM best ORDER BY id""".stripMargin)),
+
+    // Deterministic node2vec trajectory table (p=4, q=2 as weight percents
+    // 25/100/50): the SECOND-ORDER biased twin of gr_random_walks — each
+    // hop re-weights candidates by whether they return to prev, stay in
+    // prev's neighborhood, or leave it, with the weighted choice kept
+    // integer-exact as key = (h·100) div w (the integer-division
+    // exponential race). Starts from the same mod-4 hash sample as the
+    // first-order walk family; step 1 coincides (no prev yet), the bias
+    // diverges the trajectories from step 2. Single consumer, so NOT in
+    // the family cache (the staging convention). See Graph.node2vecWalks.
+    QueryDef("gr_node2vec_walks",
+      (s, d) => Graph.node2vecWalks(
+          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+          isStart = col("id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+            % lit(1000000007L) % 4 === 0,
+          steps = 8)
+        .orderBy("wid", "step"),
+      Some {
+        val stepCtes = (1 to 8).map { st =>
+          s"""v$st AS MATERIALIZED (
+             |  SELECT w.wid, CAST($st AS BIGINT) AS step, max(w.cur) AS prev,
+             |         (min({'k': (((w.wid & 2147483647) * 2654435761 + $st * 40503
+             |                      + (c.t & 2147483647) * 97781) % 1000000007) * 100
+             |                    // (CASE WHEN c.t = w.prev THEN 25
+             |                            WHEN b.s IS NOT NULL THEN 100
+             |                            ELSE 50 END),
+             |               'nb': c.t})).nb AS cur
+             |  FROM v${st - 1} w
+             |  JOIN e c ON c.s = w.cur
+             |  LEFT JOIN e b ON b.s = w.prev AND b.t = c.t
+             |  GROUP BY w.wid)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to 8).map(st => s"SELECT wid, step, cur FROM v$st")
+          .mkString("\n       UNION ALL ")
+        s"""WITH $jaccardCtes,
+           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |e AS (SELECT a_id AS s, b_id AS t FROM prs
+           |      UNION SELECT b_id, a_id FROM prs),
+           |v0 AS (SELECT id AS wid, CAST(0 AS BIGINT) AS step,
+           |              CAST(NULL AS BIGINT) AS prev,
+           |              id AS cur
+           |       FROM (SELECT DISTINCT s AS id FROM e)
+           |       WHERE ((id & 2147483647) * 2654435761) % 1000000007 % 4 = 0),
+           |$stepCtes
+           |SELECT wid, step, cur AS node
+           |FROM ($unionAll)
+           |ORDER BY wid, step""".stripMargin
+      }),
+
     // Train/test decontamination: train docs sharing any 8-gram with the
     // held-out split (doc_id % 10 = 7 models the benchmark set). See
     // Dedup.decontaminate for the bounded-join scale shape; the oracle

@@ -185,6 +185,38 @@ object PrivacyQueries {
       .orderBy("segment")
   }
 
+  /** 3·2^20 — the exact-lattice denominator of the α = 1/2 two-sided
+    * geometric CDF (every CDF value of that distribution is a dyadic
+    * rational over 3, so u·T thresholds are exact BIGINTs).
+    */
+  private[operators] val GeoT = 3145728L
+
+  /** Ascending (upper-exclusive threshold·T, z) ladder of the α = 1/2
+    * two-sided geometric CDF, tails collapsed at |z| = 8 (tail mass
+    * 2^-8/3 ≈ 0.13% per side): F(−k)·T = 2^(21−k) for k ≥ 1,
+    * F(k)·T = T − 2^(20−k) for k ≥ 0. THE single definition both the
+    * Column ladder and the oracle CASE interpolate, so the mechanism
+    * cannot drift between engines.
+    */
+  private[operators] val geoLadder: Seq[(Long, Int)] =
+    (-8 to -1).map(z => (1L << (21 + z), z)) ++
+      (0 to 7).map(z => (GeoT - (1L << (20 - z)), z))
+
+  /** Inverse-CDF draw of the two-sided geometric noise from a uniform
+    * BIGINT u ∈ [0, GeoT), as a nested-when Column (checks thresholds
+    * ascending, first hit wins — same semantics as the SQL CASE).
+    */
+  private[operators] def geoNoise(u: Column): Column =
+    geoLadder.reverse.foldLeft(lit(8L): Column) { case (acc, (thr, z)) =>
+      when(u < thr, lit(z.toLong)).otherwise(acc)
+    }
+
+  /** The same ladder as an ANSI CASE over a uniform column expression. */
+  private def geoNoiseSql(u: String): String =
+    "CASE " +
+      geoLadder.map { case (thr, z) => s"WHEN $u < $thr THEN $z" }.mkString(" ") +
+      " ELSE 8 END"
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -268,6 +300,47 @@ object PrivacyQueries {
              |         AS n_loose_groups,
              |       CAST(sum(CASE WHEN emd_bp > 2000 THEN sz ELSE 0 END) AS BIGINT)
              |         AS n_rows_at_risk
-             |FROM emd GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM emd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("rel_dp_release",
+      (s, d) => dpGeometricRelease(T(s, d, "customer")),
+      Some(s"""WITH g AS (SELECT c_nationkey, count(*) AS n
+             |           FROM customer GROUP BY 1),
+             |u AS (SELECT c_nationkey, n,
+             |             ((CAST(c_nationkey AS BIGINT) & 2147483647)
+             |              * 2654435761 + 98765) % 1000000007 % $GeoT AS uu
+             |      FROM g)
+             |SELECT c_nationkey,
+             |       CAST(greatest(n + ${geoNoiseSql("uu")}, 0) AS BIGINT)
+             |         AS n_released
+             |FROM u ORDER BY c_nationkey""".stripMargin))
   )
+
+  /** Differentially-private count release via the geometric mechanism
+    * (Ghosh, Roughgarden & Sundararajan 2009 — the discrete Laplace, and
+    * the UTILITY-OPTIMAL mechanism for sensitivity-1 counts): per-nation
+    * customer counts plus two-sided geometric noise with α = 1/2
+    * (ε = ln 2 per release), clamped at 0 (post-processing, privacy-free).
+    * The noise draw is inverse-CDF over an exact dyadic lattice — every
+    * threshold is an integer, so the released table is a pure BIGINT
+    * function of the data that both engines replay bit-for-bit. The
+    * uniform input is the masked multiplicative hash of the group key —
+    * the same deterministic RNG stand-in posture as [[Graph.randomWalks]]
+    * (a production release would draw real randomness; the pipeline,
+    * sensitivity accounting, ladder, and clamp are what this operator
+    * carries, and the gate needs the draw replayable).
+    *
+    * Scale shape: one groupBy on the release key, then O(groups) pure
+    * projection — the noise is per-GROUP, so the mechanism adds zero
+    * fact-table work at any scale.
+    */
+  def dpGeometricRelease(customer: DataFrame): DataFrame = {
+    val u = pmod(
+      col("c_nationkey").cast("bigint").bitwiseAND(lit(2147483647L))
+        * lit(2654435761L) + lit(98765L), lit(1000000007L)) % lit(GeoT)
+    customer.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"),
+        greatest(col("n") + geoNoise(u), lit(0L)).as("n_released"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -154,6 +154,37 @@ object StreamingQueries {
              |SELECT hr, event_type, n, rnk FROM r WHERE rnk <= 2
              |ORDER BY hr, rnk""".stripMargin)),
 
+    // CHAINED stateful aggregation — two windowed aggregates stacked in one
+    // streaming query (15-min partials re-aggregated to the hour through
+    // window_time), the Spark-3.4+ multiple-stateful-operator shape that
+    // replaces sink-then-re-read rollup hierarchies. Horizon: an hour
+    // window closes iff its end <= the final watermark, and a closed hour
+    // implies every 15-min sub-window inside it closed too, so the oracle
+    // needs only the one hour-level cut. n_subwindows counts NON-EMPTY
+    // sub-windows (the burstiness signal the flat hourly count hides).
+    QueryDef("st_chained_agg",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => EventStreams.chainedWindowRollup(toTs(df),
+            watermark = "0 seconds"),
+          "st_chain")
+        emitted.select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hr"),
+            col("event_type"), col("n"), col("n_subwindows"), col("sum_value"))
+          .orderBy("hr", "event_type")
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+             |sub AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15,
+             |               event_type, count(*) AS n15, sum(value) AS v15
+             |        FROM events GROUP BY 1, 2)
+             |SELECT strftime(date_trunc('hour', w15), '%Y-%m-%d %H:%M') AS hr,
+             |       event_type, CAST(sum(n15) AS BIGINT) AS n,
+             |       count(*) AS n_subwindows, round(sum(v15), 2) AS sum_value
+             |FROM sub, m
+             |WHERE date_trunc('hour', w15) + INTERVAL 1 HOUR <= m.mx
+             |GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
+
     // SLIDING (hopping) windows through the streaming engine: each event
     // lands in 4 overlapping 1-hour windows on a 15-minute hop — the
     // stateful shape whose state is windows/slide × keys. Horizon cut as

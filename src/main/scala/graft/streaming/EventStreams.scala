@@ -48,6 +48,35 @@ object EventStreams {
       .select(col("w.start").as("window_start"),
         col("c_mktsegment").as("segment"), col("n"))
 
+  /** Chained windowed re-aggregation — TWO stateful aggregations stacked
+    * in ONE streaming query (the multiple-stateful-operator support of
+    * Spark 3.4+): 15-minute partial aggregates re-aggregated to the hour.
+    * This is the production rollup hierarchy (minute → hour → day) run as
+    * a single pipeline instead of sink-then-re-read-then-re-aggregate; the
+    * inner window struct is carried forward through `window_time()`, which
+    * is what lets the watermark propagate into the outer aggregate. Emits
+    * per closed hour: total events, the number of NON-EMPTY 15-minute
+    * sub-windows (the intra-hour burstiness signal the flat hourly count
+    * hides), and the value sum.
+    *
+    * Scale shape: the inner aggregate acts as the outer one's map-side
+    * combine — the second shuffle moves only O(windows × keys) partial
+    * rows, never event-sized data, and both state stores are
+    * watermark-bounded. Works on batch and streaming inputs.
+    */
+  def chainedWindowRollup(events: DataFrame,
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "15 minutes").as("w15"), col("event_type"))
+      .agg(count(lit(1)).as("n15"), sum(col("value")).as("v15"))
+      .groupBy(window(window_time(col("w15")), "1 hour").as("w"),
+        col("event_type"))
+      .agg(sum(col("n15")).as("n"), count(lit(1)).as("n_subwindows"),
+        round(sum(col("v15")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("n_subwindows"), col("sum_value"))
+
   /** Gap-based sessionization via the native session_window — identical
     * semantics to the batch ts_session_window query.
     */

@@ -481,4 +481,154 @@ class GraphSpec extends AnyFunSuite {
       assert(df(n)._3 > 0L)
     }
   }
+
+  test("resourceAllocation quantizes 1/deg exactly and skips adjacent pairs") {
+    // star 5-{1,2,3,4} plus exclusive center 6-{1,2}: (1,2) is predicted
+    // through BOTH centers (ra = 1e6/4 + 1e6/2), the star-only pairs
+    // through 5 alone (1e6/4), and (5,6) through the two deg-2 bridges
+    val got = Graph.resourceAllocation(
+      Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L), (6L, 1L), (6L, 2L))
+        .toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L, 750000L), (1L, 3L, 1L, 250000L), (1L, 4L, 1L, 250000L),
+      (2L, 3L, 1L, 250000L), (2L, 4L, 1L, 250000L), (3L, 4L, 1L, 250000L),
+      (5L, 6L, 2L, 1000000L)), got)
+  }
+
+  test("resourceAllocation ranks one exclusive shared neighbor above two shared hubs") {
+    // (a,b) share two degree-5 hubs (common=2, ra=400000); (c,d) share one
+    // degree-2 exclusive center (common=1, ra=500000) — RA flips the
+    // common-neighbor ranking exactly where hub evidence should be weak
+    val edges = Seq(
+      (100L, 1L), (100L, 2L), (100L, 31L), (100L, 32L), (100L, 33L),
+      (200L, 1L), (200L, 2L), (200L, 41L), (200L, 42L), (200L, 43L),
+      (300L, 3L), (300L, 4L))
+    val got = Graph.resourceAllocation(edges.toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 2L)) == ((2L, 400000L)), got.get((1L, 2L)))
+    assert(got((3L, 4L)) == ((1L, 500000L)), got.get((3L, 4L)))
+    assert(got((3L, 4L))._2 > got((1L, 2L))._2 &&
+      got((1L, 2L))._1 > got((3L, 4L))._1, "ranking flip lost")
+  }
+
+  test("louvainMove computes exact singleton gains on the triangle+pendant") {
+    // edges (1,2),(2,3),(1,3),(1,4): m=4, deg 1→3, 2→2, 3→2, 4→1;
+    // gain(i→{j}) = 2m − deg(i)·deg(j), best = lowest-degree neighbor
+    val got = Graph.louvainMove(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, 5L, 1L), (2L, 2L, 3L, 4L, 1L),
+      (3L, 2L, 2L, 4L, 1L), (4L, 1L, 1L, 5L, 1L)), got)
+  }
+
+  test("louvainMove equals the naive singleton-gain reference on random graphs") {
+    for (seed <- Seq(7, 19, 42)) {
+      val rng = new scala.util.Random(seed)
+      val n = 30
+      val edges = (1 to 80)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val deg = adj.map { case (v, nbs) => v -> nbs.size.toLong }
+      val m = edges.size.toLong
+      val want = adj.map { case (v, nbs) =>
+        val (g, nb) = nbs.toSeq
+          .map(j => (2 * m - deg(v) * deg(j), j)).minBy(t => (-t._1, t._2))
+        (v, deg(v), if (g > 0) nb else v, g, if (g > 0) 1L else 0L)
+      }.toSet
+      val got = Graph.louvainMove(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("node2vecWalks reduces to randomWalks under uniform weights") {
+    import org.apache.spark.sql.functions.lit
+    // with all three weights 100 the key is (h·100) div 100 = h exactly —
+    // the second-order walker must retrace the first-order trajectories
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .toDF("a_id", "b_id")
+    val first = Graph.randomWalks(edges, isStart = lit(true), steps = 6)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val second = Graph.node2vecWalks(edges, isStart = lit(true), steps = 6,
+        wReturn = 100L, wCommon = 100L, wFar = 100L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(first == second, "uniform-weight node2vec diverged from randomWalks")
+  }
+
+  test("node2vecWalks equals the naive second-order reference and is deterministic") {
+    import org.apache.spark.sql.functions.lit
+    def h(wid: Long, step: Long, nb: Long): Long =
+      java.lang.Math.floorMod((wid & 2147483647L) * 2654435761L
+        + step * 40503L + (nb & 2147483647L) * 97781L, 1000000007L)
+    for (seed <- Seq(5, 17)) {
+      val rng = new scala.util.Random(seed)
+      val n = 20
+      val edges = (1 to 40)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val steps = 6
+      // naive reference: key = (h·100) div w, w by node2vec class
+      val want = adj.keySet.toSeq.sorted.flatMap { start =>
+        var prev = -1L // sentinel: no prev at step 1
+        var cur = start
+        (0L to steps).map { st =>
+          if (st > 0) {
+            val next = adj(cur).map { nb =>
+              val w = if (prev >= 0 && nb == prev) 25L
+                else if (prev >= 0 && adj(prev).contains(nb)) 100L
+                else 50L
+              ((h(start, st, nb) * 100L) / w, nb)
+            }.min._2
+            prev = cur
+            cur = next
+          }
+          (start, st, cur)
+        }
+      }
+      val got = Graph.node2vecWalks(edges.toDF("a_id", "b_id"),
+          isStart = lit(true), steps = steps)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want, s"seed=$seed")
+      val again = Graph.node2vecWalks(edges.toDF("a_id", "b_id"),
+          isStart = lit(true), steps = steps)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(again == got, s"seed=$seed: second run differs")
+    }
+  }
+
+  test("node2vecWalks return bias actually changes a trajectory") {
+    import org.apache.spark.sql.functions.lit
+    // heavily return-FAVORING weights vs return-PENALIZING weights on a
+    // small dense graph must produce different trajectories somewhere —
+    // pins that the bias term is live, not just plumbed through
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 4L))
+      .toDF("a_id", "b_id")
+    val favor = Graph.node2vecWalks(edges, isStart = lit(true), steps = 6,
+        wReturn = 1000000L, wCommon = 1L, wFar = 1L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val penal = Graph.node2vecWalks(edges, isStart = lit(true), steps = 6,
+        wReturn = 1L, wCommon = 1L, wFar = 1L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(favor != penal, "bias weights had no effect on any trajectory")
+    // with a crushing return weight every step>=2 must bounce back to prev:
+    // positions alternate cur, nb, cur, nb, ...
+    favor.groupBy(_._1).foreach { case (wid, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      (2 until path.length).foreach { i =>
+        assert(path(i) == path(i - 2),
+          s"walk $wid step $i did not return under wReturn=1e6: $path")
+      }
+    }
+  }
 }

@@ -80,7 +80,13 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     val ops: Seq[(String, Double, DataFrame => DataFrame)] = Seq(
       ("gr_pagerank/op", 30.0, e => Graph.pageRank(e, iters = 10)),
       ("gr_label_prop/op", 30.0, e => Graph.labelPropagation(e, rounds = 5)),
-      ("gr_kcore/op", 8.0, e => Graph.kCore(e, k = 2, rounds = 10)))
+      ("gr_kcore/op", 8.0, e => Graph.kCore(e, k = 2, rounds = 10)),
+      // walk state is O(starts) per step and the candidate expansion
+      // O(Σ deg along the frontier) — with hash-sampled starts both scale
+      // with the graph, so 10x edges+nodes must cost ~10x
+      ("gr_node2vec/op", 30.0, e => Graph.node2vecWalks(e,
+        isStart = org.apache.spark.sql.functions.col("id") % 16 === 0,
+        steps = 4)))
     val base = stageEdges(100000L, 20000L)
     val big = stageEdges(100000L * Factor, 20000L * Factor)
     val e1 = spark.read.parquet(s"$base/edges.parquet").count()
