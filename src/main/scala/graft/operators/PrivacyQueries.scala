@@ -189,7 +189,7 @@ object PrivacyQueries {
     * geometric CDF (every CDF value of that distribution is a dyadic
     * rational over 3, so u·T thresholds are exact BIGINTs).
     */
-  private[operators] val GeoT = 3145728L
+  private[graft] val GeoT = 3145728L
 
   /** Ascending (upper-exclusive threshold·T, z) ladder of the α = 1/2
     * two-sided geometric CDF, tails collapsed at |z| = 8 (tail mass
@@ -198,7 +198,7 @@ object PrivacyQueries {
     * Column ladder and the oracle CASE interpolate, so the mechanism
     * cannot drift between engines.
     */
-  private[operators] val geoLadder: Seq[(Long, Int)] =
+  private[graft] val geoLadder: Seq[(Long, Int)] =
     (-8 to -1).map(z => (1L << (21 + z), z)) ++
       (0 to 7).map(z => (GeoT - (1L << (20 - z)), z))
 
@@ -206,7 +206,7 @@ object PrivacyQueries {
     * BIGINT u ∈ [0, GeoT), as a nested-when Column (checks thresholds
     * ascending, first hit wins — same semantics as the SQL CASE).
     */
-  private[operators] def geoNoise(u: Column): Column =
+  private[graft] def geoNoise(u: Column): Column =
     geoLadder.reverse.foldLeft(lit(8L): Column) { case (acc, (thr, z)) =>
       when(u < thr, lit(z.toLong)).otherwise(acc)
     }
@@ -313,8 +313,64 @@ object PrivacyQueries {
              |SELECT c_nationkey,
              |       CAST(greatest(n + ${geoNoiseSql("uu")}, 0) AS BIGINT)
              |         AS n_released
-             |FROM u ORDER BY c_nationkey""".stripMargin))
+             |FROM u ORDER BY c_nationkey""".stripMargin)),
+
+    QueryDef("rel_rr_estimate",
+      (s, d) => rrEstimate(T(s, d, "customer")),
+      Some(s"""WITH r AS (
+             |  SELECT c_mktsegment,
+             |         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+             |         ((CAST(c_custkey AS BIGINT) & 2147483647)
+             |          * 2654435761 + 424243) % 1000000007 % 4 AS coin
+             |  FROM customer),
+             |rep AS (SELECT c_mktsegment, truth,
+             |               CASE WHEN coin <= 1 THEN truth
+             |                    WHEN coin = 2 THEN 1 ELSE 0 END AS reported
+             |        FROM r)
+             |SELECT c_mktsegment AS segment, count(*) AS n,
+             |       CAST(sum(reported) AS BIGINT) AS n_reported_yes,
+             |       CAST((2 * sum(reported) * 1000000) // count(*)
+             |            - 500000 AS BIGINT) AS est_yes_ppm,
+             |       CAST((sum(truth) * 1000000) // count(*) AS BIGINT)
+             |         AS true_yes_ppm
+             |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** LOCAL-DP prevalence estimation via randomized response (Warner 1965
+    * — the mechanism local DP grew from, and the one a data collector runs
+    * when it must never SEE the true bit): each row reports its sensitive
+    * bit (here: negative account balance) truthfully with probability 1/2
+    * and a fair coin otherwise (ε = ln 3 local), and the collector debiases
+    * the aggregate: p̂ = 2·p_reported − 1/2. Everything is exact integer
+    * arithmetic — the coin is two bits of the masked multiplicative hash
+    * (the [[Graph.randomWalks]] deterministic-RNG-stand-in posture; a
+    * production collector draws device randomness) and the estimate one
+    * integer division to ppm. `true_yes_ppm` rides along as the
+    * calibration column a mechanism AUDIT compares against — it exists on
+    * the curator side only; a real collector never has it.
+    *
+    * Scale shape: one narrow projection per row (codegen'd hash + CASE),
+    * then one groupBy on the release key — the local-DP transform adds
+    * zero shuffle beyond the aggregate that was already there.
+    */
+  def rrEstimate(customer: DataFrame): DataFrame = {
+    val coin = pmod(
+      col("c_custkey").cast("bigint").bitwiseAND(lit(2147483647L))
+        * lit(2654435761L) + lit(424243L), lit(1000000007L)) % lit(4L)
+    val truth = when(col("c_acctbal") < 0, 1L).otherwise(0L)
+    customer
+      .select(col("c_mktsegment"), truth.as("truth"), coin.as("coin"))
+      .select(col("c_mktsegment"), col("truth"),
+        when(col("coin") <= 1, col("truth"))
+          .when(col("coin") === 2, 1L).otherwise(0L).as("reported"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("reported")).as("n_reported_yes"),
+        sum(col("truth")).as("nt"))
+      .select(col("segment"), col("n"), col("n_reported_yes"),
+        expr("(2 * n_reported_yes * 1000000) div n - 500000").as("est_yes_ppm"),
+        expr("(nt * 1000000) div n").as("true_yes_ppm"))
+      .orderBy("segment")
+  }
 
   /** Differentially-private count release via the geometric mechanism
     * (Ghosh, Roughgarden & Sundararajan 2009 — the discrete Laplace, and

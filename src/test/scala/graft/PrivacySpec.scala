@@ -110,4 +110,79 @@ class PrivacySpec extends AnyFunSuite {
     val (_, _, zoY) = rows("zorder")
     assert(zoY < linY, s"zorder sum_y_range $zoY not tighter than linear $linY")
   }
+
+  test("geometric-mechanism ladder masses equal the exact α=1/2 CDF") {
+    import org.apache.spark.sql.functions.col
+    // evaluate the inverse-CDF ladder on EVERY u in [0, 3·2^20): the width
+    // of each z's preimage IS its probability mass on the exact lattice —
+    // P(0)=1/3, P(±k)=(1/3)·2^-|k|, tails collapsed into ±8
+    val mass = spark.range(PrivacyQueries.GeoT)
+      .select(PrivacyQueries.geoNoise(col("id")).as("z"))
+      .groupBy("z").count()
+      .as[(Long, Long)].collect().toMap
+    val third = PrivacyQueries.GeoT / 3 // 2^20
+    assert(mass(0L) == third, mass)
+    (1 to 7).foreach { k =>
+      assert(mass(k.toLong) == third >> k, s"z=$k: ${mass.get(k.toLong)}")
+      assert(mass(-k.toLong) == third >> k, s"z=-$k: ${mass.get(-k.toLong)}")
+    }
+    // collapsed tails carry the full remaining per-side mass:
+    // Σ_{k≥8} (1/3)·2^-k = (1/3)·2^-7 = third>>7 = 8192 exactly
+    assert(mass(8L) == third >> 7, mass.get(8L))
+    assert(mass(-8L) == third >> 7, mass.get(-8L))
+    assert(mass.values.sum == PrivacyQueries.GeoT, mass)
+    assert(mass.keySet == (-8L to 8L).toSet, mass.keySet)
+  }
+
+  test("dpGeometricRelease shifts each group count by its ladder draw, clamped at zero") {
+    import org.apache.spark.sql.functions.col
+    // replay the hash + ladder in plain Scala for a handful of keys and
+    // check the released counts; keys chosen so at least one draw is
+    // negative enough to clamp a count-1 group to zero
+    def draw(nk: Long): Long = {
+      val u = java.lang.Math.floorMod(
+        (nk & 2147483647L) * 2654435761L + 98765L, 1000000007L) % PrivacyQueries.GeoT
+      PrivacyQueries.geoLadder.find { case (thr, _) => u < thr }
+        .map(_._2.toLong).getOrElse(8L)
+    }
+    val keys = (0L to 40L)
+    assert(keys.exists(draw(_) <= -1L), "test keys never draw negative noise")
+    assert(keys.exists(draw(_) >= 1L), "test keys never draw positive noise")
+    // one row per key => every true count is 1
+    val customer = keys.map(k => (k, "seg", 0.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = PrivacyQueries.dpGeometricRelease(customer)
+      .as[(Long, Long)].collect().toMap
+    keys.foreach { k =>
+      assert(got(k) == math.max(1L + draw(k), 0L), s"key $k draw ${draw(k)}")
+    }
+    assert(keys.exists(k => got(k) == 0L), "clamp never exercised")
+  }
+
+  test("randomized response debiases to the exact integer estimator") {
+    import org.apache.spark.sql.functions.col
+    // 200 rows, one segment, truth = negative balance on every 5th key;
+    // replay the two hash-coin bits in Scala and check the reported count
+    // and the ppm estimator EXACTLY — then sanity-check the debiasing is
+    // in range of the true 20% rate (the coin noise at n=200 stays well
+    // inside ±250000 ppm for this fixed hash draw)
+    def coin(k: Long): Long = java.lang.Math.floorMod(
+      (k & 2147483647L) * 2654435761L + 424243L, 1000000007L) % 4L
+    val rows = (1L to 200L).map(k => (k, "SEG", if (k % 5 == 0) -10.0 else 10.0))
+    val customer = rows.toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val reported = rows.map { case (k, _, bal) =>
+      val truth = if (bal < 0) 1L else 0L
+      coin(k) match {
+        case 0L | 1L => truth
+        case 2L      => 1L
+        case _       => 0L
+      }
+    }.sum
+    val got = PrivacyQueries.rrEstimate(customer)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val est = (2L * reported * 1000000L) / 200L - 500000L
+    assert(got == Seq(("SEG", 200L, reported, est, 200000L)), got)
+    assert(math.abs(est - 200000L) < 250000L,
+      s"debiased estimate $est implausibly far from the 200000 ppm truth")
+  }
 }
