@@ -394,6 +394,41 @@ object StreamingQueries {
              | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
              |ORDER BY p_id, c_id""".stripMargin)),
 
+    // Stream-stream LEFT SEMI interval join: the existence form — each
+    // purchase with at least one click in its 30-minute span emits exactly
+    // once, EAGERLY on its first witnessed click (match latency, not
+    // horizon latency — the semantic difference from the outer forms, and
+    // why this oracle needs NO watermark-horizon cut: every emission is
+    // triggered by data, none by watermark-proven absence). Left schema
+    // out, at-most-once per purchase.
+    QueryDef("st_semi_join",
+      (s, d) => {
+        val emitted = StreamGate.runAppendToParquet(
+          s, s"$d/events.parquet", eventsSchema(s, d),
+          df => {
+            val ev = toTs(df)
+            val purchases = ev.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("p_id"), col("user_id"),
+                col("ts").as("p_ts"))
+            val clicks = ev.filter(col("event_type") === "click")
+              .select(col("event_id").as("c_id"),
+                col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+            EventStreams.semiIntervalJoin(purchases, clicks,
+              maxSpan = "30 minutes", watermark = "0 seconds")
+              .select("p_id")
+          },
+          "st_semi")
+        emitted.orderBy("p_id")
+      },
+      Some("""SELECT DISTINCT p.event_id AS p_id
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+             |ORDER BY p_id""".stripMargin)),
+
     // Stream-stream LEFT OUTER interval join: st_interval_join plus the
     // watermark-driven "absence is final" decision — a purchase that never
     // sees a click inside its 30-minute span is emitted null-padded once

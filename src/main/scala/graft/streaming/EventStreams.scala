@@ -155,6 +155,27 @@ object EventStreams {
         expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"),
         "full_outer")
 
+  /** Stream-stream LEFT SEMI interval join — the EXISTENCE shape that
+    * completes the eviction family (inner emits every match pair, outer
+    * adds null-padded absence, semi emits each left row AT MOST ONCE on
+    * evidence a match exists): "did this purchase get a click inside its
+    * span — and tell me the moment one lands". Distinct state economics
+    * from the outer forms: emission is EAGER (the first witnessed click
+    * releases the purchase — no watermark wait, so the answer has match
+    * latency, not horizon latency) and the engine only needs a
+    * matched-flag per held row; the time-range conjunct still bounds both
+    * states via the watermarks. Output is the left schema only, each row
+    * at most once — no dedup needed downstream. Same column contract as
+    * [[intervalJoin]].
+    */
+  def semiIntervalJoin(purchases: DataFrame, clicks: DataFrame,
+                       maxSpan: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_ts", watermark)
+      .join(clicks.withWatermark("c_ts", watermark),
+        expr(s"user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval $maxSpan"),
+        "left_semi")
+
   /** Running per-user totals via arbitrary stateful processing
     * (`mapGroupsWithState`) — the custom-state surface for logic that
     * windowed aggregation can't express. State is one (count, sum) pair per

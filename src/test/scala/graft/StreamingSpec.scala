@@ -120,6 +120,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semi interval join emits eagerly on first match, never on absence") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pIn.toDF().toDF("p_id", "user_id", "p_ts")
+    val clicks = cIn.toDF().toDF("c_id", "c_user_id", "c_ts")
+    val q = EventStreams.semiIntervalJoin(purchases, clicks,
+        watermark = "0 seconds")
+      .select($"p_id")
+      .writeStream.format("memory").queryName("semij").outputMode("append").start()
+    try {
+      pIn.addData(
+        (100L, 1L, ts(5)),  // clicked -> emits on the click, no horizon wait
+        (101L, 2L, ts(5)))  // never clicked -> never emits
+      cIn.addData(
+        (200L, 1L, ts(10)),
+        (201L, 1L, ts(12))) // second click must NOT re-emit purchase 100
+      q.processAllAvailable()
+      // eager: the match is already out BEFORE any watermark-advancing
+      // sentinel rows arrive
+      assert(spark.table("semij").as[Long].collect().toSeq == Seq(100L))
+      pIn.addData((900L, 9L, ts(600)))
+      cIn.addData((901L, 10L, ts(601)))
+      q.processAllAvailable()
+      // absence is silence: the unmatched purchase still never emitted
+      assert(spark.table("semij").as[Long].collect().toSeq == Seq(100L))
+    } finally q.stop()
+  }
+
+  test("chained window rollup stacks two stateful aggs and counts non-empty sub-windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.chainedWindowRollup(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("chained").outputMode("append").start()
+    try {
+      // hour 00: events in 15-min buckets 00:00 (x2), 00:15, 00:45 ->
+      // n=4, n_subwindows=3 (bucket 00:30 empty)
+      input.addData(
+        (ts(1), "click", 1.0), (ts(5), "click", 2.0),
+        (ts(20), "click", 3.0), (ts(50), "click", 4.0))
+      q.processAllAvailable()
+      // push the watermark past hour 00's end so BOTH stateful operators
+      // evict: the inner one emits the closed 15-min partials, the outer
+      // consumes them in the same batch and emits the closed hour
+      input.addData((Timestamp.valueOf("2024-01-01 02:05:00"), "view", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("chained")
+        .select(date_format($"window_start", "HH:mm").as("h"),
+          $"event_type", $"n", $"n_subwindows", $"sum_value")
+        .as[(String, String, Long, Long, Double)].collect().toSet
+      assert(got == Set(("00:00", "click", 4L, 3L, 10.0)), got)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
