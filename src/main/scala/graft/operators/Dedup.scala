@@ -401,6 +401,65 @@ object Dedup {
         abs(expr(s"matches * 10000 div $k") - col("jaccard_bp")).as("abs_err_bp"))
   }
 
+  /** b-bit minhash calibration (Li & König 2010, b = 1): next to the full
+    * 64-bit-per-component estimator of [[minhashEstQuality]], keep only the
+    * LOWEST BIT of each of the k minhash components — 128× less signature
+    * storage — and debias the matched-bit fraction as Ĵ = 2·p̂ − 1 (the
+    * large-universe limit of the paper's C₁/C₂ correction, where the
+    * collision floor for non-equal minima is exactly 1/2). The report
+    * carries both estimators against the exact Jaccard so the storage/
+    * accuracy trade reads directly off the table: at k = 128 the full
+    * estimator's sd is ~√(J(1−J)/k) ≈ 350 bp at J ≈ 0.8, the 1-bit one
+    * ~2·√(p(1−p)/k) ≈ 530 bp — the paper's ~"b-bit costs you √3× the
+    * variance at b=1, for 64× the space" trade, measurable here per pair.
+    *
+    * Scale shape: identical to [[minhashEstQuality]] (semi-join to pair
+    * docs, one signature aggregate, two broadcast build-side joins); the
+    * 1-bit signatures never materialize separately — the parity compare
+    * rides the same zip_with pass, because the STORAGE saving is the
+    * serving-index story, not a compute saving at calibration time.
+    */
+  def bbitMinhashQuality(docs: DataFrame, pairs: DataFrame, k: Int = 128,
+                         n: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 128, s"bad signature width $k")
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val hrows = polyShingleHashRows(
+      docs.join(broadcast(ids), Seq("doc_id"), "left_semi"), n)
+    val minCols = (0 until k).map(i =>
+      min(pmod(lit(TextFns.minhashA(i)) * col("h0") + lit(TextFns.minhashB(i)),
+        lit(TextFns.HashP))).as(s"m$i"))
+    val sig = hrows.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // LEFT joins for the same zero-shingle visibility contract as
+    // minhashEstQuality (a missing signature surfaces as null columns)
+    pairs.select(col("a_id"), col("b_id"), col("jaccard"))
+      .join(broadcast(sig.select(col("doc_id").as("a_id"), col("sig").as("sa"))),
+        Seq("a_id"), "left")
+      .join(broadcast(sig.select(col("doc_id").as("b_id"), col("sig").as("sb"))),
+        Seq("b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard") * 10000).cast("bigint").as("jaccard_bp"),
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("matches"),
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x.bitwiseAND(lit(1L)) === y.bitwiseAND(lit(1L)), 1L)
+              .otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("matches_1bit"))
+      .select(col("a_id"), col("b_id"), col("jaccard_bp"),
+        col("matches"), col("matches_1bit"),
+        expr(s"matches * 10000 div $k").as("est_bp"),
+        // Ĵ₁ = 2·p̂ − 1 can read negative on an unlucky pair — report it
+        // signed; clamping would hide exactly the tail the calibration
+        // exists to measure
+        expr(s"(2 * matches_1bit * 10000) div $k - 10000").as("est1_bp"),
+        abs(expr(s"matches * 10000 div $k") - col("jaccard_bp"))
+          .as("abs_err_bp"),
+        abs(expr(s"(2 * matches_1bit * 10000) div $k - 10000")
+          - col("jaccard_bp")).as("abs_err1_bp"))
+  }
+
   /** All (a < b) pairs from a sorted id array, as structs. */
   private def pairUp(ids: org.apache.spark.sql.Column) =
     flatten(transform(ids, (x, i) =>

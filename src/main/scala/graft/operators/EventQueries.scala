@@ -646,6 +646,49 @@ object EventQueries {
              |                   AND h.i = nd.n_days
              |ORDER BY h.event_type""".stripMargin)),
 
+    // SAX symbolic discretization (Lin et al. 2003): PAA over 30-minute
+    // frames (mean-per-frame dimensionality reduction), then an equi-depth
+    // 4-letter alphabet assigned by ntile over each type's PAA distribution
+    // — the symbolic series form motif/anomaly miners consume. Equi-depth
+    // rank breakpoints instead of the paper's Gaussian table: the N(0,1)
+    // breakpoints need erfinv (libm, not cross-engine reproducible) and
+    // assume z-normalized input, while ntile is exact given the total
+    // (paa, frame) order. The PAA mean is computed on the exact integer
+    // lattice — cents in, (sum·100) div n out (1e-4 units) — because a
+    // round(avg(double), 4) flips at the boundary under summation-order
+    // noise (hit at sf0.1: 52.64625 rounded both ways). The window runs
+    // over the O(frames × types) bucket spine — bounded by the time
+    // range, never fact-sized.
+    QueryDef("ts_paa_sax",
+      (s, d) => {
+        val frames = T(s, d, "events")
+          .groupBy(col("event_type"), window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("bigint")).as("cents"))
+          .select(col("event_type"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("frame"),
+            col("n"), expr("(cents * 100) div n").as("paa_e4"))
+        val byPaa = Window.partitionBy("event_type").orderBy("paa_e4", "frame")
+        frames
+          .withColumn("sym", ntile(4).over(byPaa))
+          .select(col("event_type"), col("frame"), col("n"), col("paa_e4"),
+            expr("chr(96 + sym)").as("sax"))
+          .orderBy("event_type", "frame")
+      },
+      Some("""WITH f AS (SELECT event_type,
+             |                  strftime(time_bucket(INTERVAL '30 minutes', ts),
+             |                           '%Y-%m-%d %H:%M') AS frame,
+             |                  count(*) AS n,
+             |                  CAST(sum(CAST(round(value * 100) AS BIGINT))
+             |                       AS BIGINT) AS cents
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, frame, n,
+             |       (cents * 100) // n AS paa_e4,
+             |       chr(96 + CAST(ntile(4) OVER (PARTITION BY event_type
+             |                     ORDER BY (cents * 100) // n, frame) AS INT))
+             |         AS sax
+             |FROM f ORDER BY event_type, frame""".stripMargin)),
+
     // Theil–Sen robust trend per event_type series: the median of all
     // pairwise day-slopes — outlier-days move an OLS slope arbitrarily but
     // shift a slope median by at most one rank (the robust-regression

@@ -876,6 +876,70 @@ object PipelineQueries {
            |FROM ps ORDER BY a_id, b_id""".stripMargin
       }),
 
+    // b-bit minhash calibration (Li & König 2010, b=1): the same verified
+    // pairs scored by BOTH the full 128-component estimator and the
+    // 1-bit-per-component one (128x less signature storage; Ĵ = 2·p̂ − 1
+    // debias) — the storage/accuracy trade of a 100 TB serving index as a
+    // measurable per-pair table. See Dedup.bbitMinhashQuality.
+    QueryDef("dd_bbit_minhash",
+      (s, d) => Dedup.bbitMinhashQuality(T(s, d, "documents"),
+          minhashPairs(s, d), k = 128)
+        .orderBy("a_id", "b_id"),
+      Some {
+        val P = graft.functions.TextFns.HashP
+        val pwList = Dedup.pow31.mkString("[", ", ", "]")
+        val mins = (0 until 128).map(i =>
+          s"CAST(min((${graft.functions.TextFns.minhashA(i)} * h0 + " +
+            s"${graft.functions.TextFns.minhashB(i)}) % $P) AS BIGINT) AS m$i")
+          .mkString(",\n       ")
+        // flat list_sum, not a `+` chain — the DuckDB 128-deep binder cap
+        val matches = "list_sum([" + (0 until 128)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString(", ") + "])"
+        val matches1 = "list_sum([" + (0 until 128)
+          .map(i => s"CASE WHEN (a.m$i & 1) = (b.m$i & 1) THEN 1 ELSE 0 END")
+          .mkString(", ") + "])"
+        s"""WITH $jaccardCtes,
+           |pr AS (SELECT a_id, b_id,
+           |              round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+           |       FROM inter
+           |       JOIN sz sa ON sa.doc_id = a_id
+           |       JOIN sz sb ON sb.doc_id = b_id
+           |       WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+           |ids AS (SELECT a_id AS doc_id FROM pr UNION SELECT b_id FROM pr),
+           |shp AS (SELECT DISTINCT q.doc_id,
+           |          substr(t[i] || ' ' || t[i+1] || ' ' || t[i+2], 1, 64) AS s
+           |        FROM (SELECT tt.doc_id, t,
+           |                     unnest(generate_series(1, len(t) - 2)) AS i
+           |              FROM tt JOIN ids USING (doc_id)
+           |              WHERE len(t) >= 3) q),
+           |ch AS (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS k FROM shp),
+           |h AS (SELECT doc_id, s,
+           |        CAST(sum(CAST(ascii(substr(s, k, 1)) AS BIGINT) * ($pwList)[length(s) - k + 1]) % $P AS BIGINT) AS h0
+           |      FROM ch GROUP BY doc_id, s),
+           |sig AS (SELECT doc_id,
+           |       $mins
+           |      FROM h GROUP BY doc_id),
+           |ps AS (SELECT pr.a_id, pr.b_id, pr.jaccard,
+           |              CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL
+           |                   THEN NULL ELSE CAST($matches AS BIGINT)
+           |              END AS matches,
+           |              CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL
+           |                   THEN NULL ELSE CAST($matches1 AS BIGINT)
+           |              END AS matches_1bit
+           |       FROM pr LEFT JOIN sig a ON a.doc_id = pr.a_id
+           |               LEFT JOIN sig b ON b.doc_id = pr.b_id)
+           |SELECT a_id, b_id,
+           |       CAST(round(jaccard * 10000) AS BIGINT) AS jaccard_bp,
+           |       matches, matches_1bit,
+           |       CAST(matches * 10000 // 128 AS BIGINT) AS est_bp,
+           |       CAST((2 * matches_1bit * 10000) // 128 - 10000 AS BIGINT) AS est1_bp,
+           |       CAST(abs(matches * 10000 // 128 - round(jaccard * 10000)) AS BIGINT) AS abs_err_bp,
+           |       CAST(abs((2 * matches_1bit * 10000) // 128 - 10000
+           |                - round(jaccard * 10000)) AS BIGINT) AS abs_err1_bp
+           |FROM ps ORDER BY a_id, b_id""".stripMargin
+      }),
+
     // Per-cluster dedup detail: the component labels joined back to the
     // docs — cluster sizes and reclaimable bytes per duplicate group (the
     // report a dedup audit actually reads; dd_cc_dedup is its corpus-level

@@ -630,4 +630,34 @@ class PlanQualitySpec extends AnyFunSuite {
         s"compaction window must run over the file listing, not raw rows:\n$w")
     }
   }
+
+  test("RA and Louvain stay equi-joined; only scalar frames ride condition-free joins") {
+    // the wedge self-join (RA) and degree joins (Louvain) must key on node
+    // ids — no CartesianProduct; Louvain's one condition-free join must
+    // carry the 1-row m aggregate (the broadcast-scalar convention)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    for (q <- Seq("gr_resource_alloc", "gr_louvain_move", "gr_node2vec_walks")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case j: Join if j.condition.isEmpty => j }.foreach { j =>
+        val ok = Seq(j.left, j.right).exists(_.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined)
+        assert(ok, s"$q: condition-free join over two non-scalar sides:\n$j")
+      }
+    }
+  }
+
+  test("DP release is one group aggregate; the noise adds no join or shuffle") {
+    // the ladder is pure projection over the O(groups) aggregate — any
+    // join in this plan means the mechanism grew a data dependency
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val p = plan("rel_dp_release")
+    assert(p.contains("HashAggregate"), p)
+    val lp = SparkEntry.queries("rel_dp_release")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join => j }.isEmpty,
+      s"noise projection acquired a join:\n$lp")
+  }
 }
