@@ -252,6 +252,57 @@ object Graph {
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 4).as("clustering"))
   }
 
+  /** Per-node 3-node graphlet degree vector (the size-3 orbits of Pržulj
+    * 2007): for each node, its degree (orbit 0), wedge-END positions
+    * (orbit 1: paths u−n−v it terminates), wedge-CENTER positions
+    * (orbit 2: neighbor pairs it bridges that are NOT adjacent), and
+    * triangle memberships (orbit 3) — the local-structure signature that
+    * separates a hub (huge orbit 2, zero orbit 3) from a clique member
+    * (all orbit 3) at equal degree, which is exactly the duplicate-family
+    * vs template-chain distinction. All four are exact integers derived
+    * from two frames: orbit3 by unpivoting the oriented triangle
+    * enumeration, orbit2 = C(deg,2) − tri, orbit1 = Σ_{u∈N(v)}(deg(u)−1)
+    * − 2·tri (each closed wedge was counted once from each end). The
+    * local clustering coefficient tri/C(deg,2) rides along in basis
+    * points (one integer division).
+    *
+    * Scale shape: the [[triangleStats]] oriented two-equi-join triangle
+    * enumeration (hub lever: degree re-orientation), one unpivot +
+    * keyed count, one adjacency⋈degree join for the neighbor-degree sum
+    * — everything keys on node ids.
+    */
+  def graphletCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct()
+    val es = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+    val deg = es.groupBy("id").agg(count(lit(1)).as("dg"))
+    val t = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = t.select(col("x").as("id"))
+      .unionAll(t.select(col("y").as("id")))
+      .unionAll(t.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    val nbdeg = es.join(deg.select(col("id").as("nb"), col("dg").as("ndg")), "nb")
+      .groupBy("id").agg(sum(col("ndg") - 1).as("nd1"))
+    deg.join(tri, Seq("id"), "left")
+      .join(nbdeg, Seq("id"), "left")
+      .select(col("id"), col("dg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        // `div`, not `/`: Column./ is double division (exact here, but the
+        // integer form states the contract)
+        expr("(dg * (dg - 1)) div 2 - coalesce(tri, CAST(0 AS BIGINT))")
+          .as("wedge_center"),
+        (coalesce(col("nd1"), lit(0L)) - lit(2L) * coalesce(col("tri"), lit(0L)))
+          .as("wedge_end"),
+        when(col("dg") < 2, lit(0L))
+          .otherwise(expr("(coalesce(tri, 0) * 10000) div (dg * (dg - 1) div 2)"))
+          .as("cc_bp"))
+      .orderBy("id")
+  }
+
   /** Degree distribution of the undirected graph given as oriented (a_id,
     * b_id) pairs: (deg, n_nodes) — the first thing anyone plots about a
     * graph, and the skew diagnostic that decides whether triangle/wedge

@@ -1922,6 +1922,39 @@ object PipelineQueries {
              |WHERE e.a IS NULL
              |ORDER BY w.a_id, w.b_id""".stripMargin)),
 
+    // Per-node 3-node graphlet degree vector (Pržulj 2007 orbits 0-3) over
+    // the shares->=3-shingles graph: degree, wedge-end, wedge-center and
+    // triangle counts + local clustering in bp — the signature that
+    // separates a hub (wedge_center-heavy, tri=0) from a clique member
+    // (tri-heavy) at equal degree. See Graph.graphletCounts.
+    QueryDef("gr_graphlets",
+      (s, d) => Graph.graphletCounts(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |e AS (SELECT a_id AS a, b_id AS b FROM inter WHERE c >= 3),
+             |es AS (SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT id, count(*) AS dg FROM es GROUP BY 1),
+             |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tri AS (SELECT id, count(*) AS tri FROM (
+             |          SELECT x AS id FROM t
+             |          UNION ALL SELECT y FROM t
+             |          UNION ALL SELECT z FROM t) GROUP BY 1),
+             |nbd AS (SELECT es.id, CAST(sum(d.dg - 1) AS BIGINT) AS nd1
+             |        FROM es JOIN deg d ON d.id = es.nb GROUP BY 1)
+             |SELECT deg.id, deg.dg,
+             |       coalesce(tri.tri, CAST(0 AS BIGINT)) AS tri,
+             |       (deg.dg * (deg.dg - 1)) // 2
+             |         - coalesce(tri.tri, CAST(0 AS BIGINT)) AS wedge_center,
+             |       coalesce(nbd.nd1, CAST(0 AS BIGINT))
+             |         - 2 * coalesce(tri.tri, CAST(0 AS BIGINT)) AS wedge_end,
+             |       CASE WHEN deg.dg < 2 THEN CAST(0 AS BIGINT)
+             |            ELSE (coalesce(tri.tri, 0) * 10000)
+             |                 // ((deg.dg * (deg.dg - 1)) // 2) END AS cc_bp
+             |FROM deg LEFT JOIN tri USING (id) LEFT JOIN nbd USING (id)
+             |ORDER BY deg.id""".stripMargin)),
+
     // Resource-allocation link prediction over the same shares->=3 graph as
     // gr_common_neighbors: the common-neighbor count weighted by how
     // exclusive each shared neighbor is (Σ 1/deg(z), exact ppm integers —

@@ -607,6 +607,32 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graphletCounts assigns exact size-3 orbits on the triangle+pendant") {
+    // triangle (1,2,3) + pendant edge (1,4):
+    //   node 1: deg 3, tri 1, wedge_center C(3,2)-1=2 (pairs {2,4},{3,4}),
+    //           wedge_end 0 (1-2-3 and 1-3-2 are closed), cc 1/3
+    //   node 2: deg 2, tri 1, wedge_center 0, wedge_end 1 (2-1-4), cc 1
+    //   node 4: deg 1, tri 0, wedge_end 2 (4-1-2, 4-1-3), cc 0
+    val got = Graph.graphletCounts(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 2L, 0L, 3333L), (2L, 2L, 1L, 0L, 1L, 10000L),
+      (3L, 2L, 1L, 0L, 1L, 10000L), (4L, 1L, 0L, 0L, 2L, 0L)), got)
+    // identity: total wedge_end = 2 x total wedge_center (each open wedge
+    // has two ends and one center) on a random graph
+    val rng = new scala.util.Random(31)
+    val edges = (1 to 60)
+      .map(_ => (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val g = Graph.graphletCounts(edges.toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(g.map(_._5).sum == 2 * g.map(_._4).sum, "wedge end/center identity")
+    // identity: sum of per-node tri = 3 x number of triangles
+    assert(g.map(_._3).sum % 3 == 0, "per-node triangle sum not divisible by 3")
+  }
+
   test("node2vecWalks return bias actually changes a trajectory") {
     import org.apache.spark.sql.functions.lit
     // heavily return-FAVORING weights vs return-PENALIZING weights on a
