@@ -689,6 +689,135 @@ object EventQueries {
              |         AS sax
              |FROM f ORDER BY event_type, frame""".stripMargin)),
 
+    // Winsorization report — the robust-prep companion to ts_hampel:
+    // per event_type, clip values to the [5th, 95th] percentile bounds and
+    // report the bounds, the clipped-row count, and the mean before/after
+    // (how much the tails were dragging the estimate). Percentile
+    // selection is DISCRETE by rank (value at rank max(1, (5n) div 100)
+    // and its mirror), not interpolated: quantile_cont's fractional
+    // interpolation multiplies by a non-dyadic f where the two engines'
+    // formula association differs at the ulp — rank selection on the
+    // total (cents, event_id) order is exact. Means on the 1e-4 lattice
+    // ((sum·100) div n). Shape: one row_number per type + an O(types)
+    // bound frame broadcast back — two passes over the facts, no
+    // self-join.
+    QueryDef("ts_winsorize",
+      (s, d) => {
+        val base = T(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("bigint").as("c"))
+        val byC = Window.partitionBy("event_type").orderBy("c", "event_id")
+        val r = base.withColumn("r", row_number().over(byC).cast("bigint"))
+        val n = base.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val bounds = r.join(n, "event_type")
+          .withColumn("klo", greatest(lit(1L), expr("(5 * n) div 100")))
+          .filter(col("r") === col("klo") || col("r") === col("n") + 1 - col("klo"))
+          .groupBy("event_type")
+          .agg(max(when(col("r") === col("klo"), col("c"))).as("lo"),
+            max(when(col("r") =!= col("klo"), col("c"))).as("hi"))
+        base.join(bounds, "event_type")
+          .select(col("event_type"), col("c"),
+            least(greatest(col("c"), col("lo")), col("hi")).as("w"),
+            col("lo"), col("hi"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max(col("lo")).as("lo_cents"),
+            max(col("hi")).as("hi_cents"),
+            sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+              .otherwise(0L)).as("n_clipped"),
+            sum(col("c")).as("sc"), sum(col("w")).as("sw"))
+          .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+            col("n_clipped"),
+            expr("(sc * 100) div n").as("mean_e4"),
+            expr("(sw * 100) div n").as("wmean_e4"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_id, event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS c
+             |           FROM events),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+             |                     ORDER BY c, event_id) AS BIGINT) AS r
+             |      FROM b),
+             |n AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+             |k AS (SELECT r.*, n.n, greatest(1, (5 * n.n) // 100) AS klo
+             |      FROM r JOIN n USING (event_type)),
+             |bd AS (SELECT event_type,
+             |              max(CASE WHEN r = klo THEN c END) AS lo,
+             |              max(CASE WHEN r <> klo THEN c END) AS hi
+             |       FROM k WHERE r = klo OR r = n + 1 - klo
+             |       GROUP BY 1)
+             |SELECT b.event_type, count(*) AS n,
+             |       max(bd.lo) AS lo_cents, max(bd.hi) AS hi_cents,
+             |       CAST(sum(CASE WHEN b.c < bd.lo OR b.c > bd.hi
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             |       (CAST(sum(b.c) AS BIGINT) * 100) // count(*) AS mean_e4,
+             |       (CAST(sum(least(greatest(b.c, bd.lo), bd.hi)) AS BIGINT)
+             |        * 100) // count(*) AS wmean_e4
+             |FROM b JOIN bd USING (event_type)
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Hampel outlier filter (Hampel 1974; Pearson's robust de-spiking):
+    // flag x_t where |x_t − rolling_median_7| > 3·1.4826·rolling_MAD_7 —
+    // the robust sibling of ts_anomaly's global z-score (one spike
+    // inflates a stddev and masks itself; the median/MAD window doesn't).
+    // Entirely on exact integer lattices: cents doubled so every rolling
+    // median (midpoint of two evens) is an exact integer, MAD doubled
+    // again (mad4), and the 3·1.4826 threshold cross-multiplied as
+    // 20000·dev > 44478·mad4 — no float touches the gate. The rolling MAD
+    // needs each window's own median, so the member pass is an explode of
+    // sequence(-3,3) + one equi-join on (type, rn) — a bounded 7× blow-up,
+    // the relational form of the sliding window. At 100 TB the
+    // row_number runs per (type, day)-bucket spine instead of per type
+    // (the DistributedRank move); the semantics here are the operator's.
+    QueryDef("ts_hampel",
+      (s, d) => {
+        val base = T(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("ts"),
+            (round(col("value") * 100).cast("bigint") * 2).as("x2"))
+        val byTs = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val r = base.withColumn("rn", row_number().over(byTs).cast("bigint"))
+        val frame = Window.partitionBy("event_type").orderBy("rn")
+          .rowsBetween(-3, 3)
+        val m = r.withColumn("med2",
+          expr("percentile(x2, 0.5)").over(frame).cast("bigint"))
+        val members = m
+          .select(col("event_id"), col("event_type"), col("med2"), col("rn"),
+            explode(expr("sequence(-3, 3)")).as("kk"))
+          .withColumn("mrn", col("rn") + col("kk"))
+          .join(r.select(col("event_type").as("t2"), col("rn").as("rn2"),
+              col("x2").as("mx2")),
+            col("event_type") === col("t2") && col("mrn") === col("rn2"))
+          .select(col("event_id"), abs(col("mx2") - col("med2")).as("dev"))
+        val mad = members.groupBy("event_id")
+          .agg(expr("percentile(2 * dev, 0.5)").cast("bigint").as("mad4"))
+        m.join(mad, "event_id")
+          .select(col("event_id"), col("event_type"),
+            expr("x2 div 2").as("cents"), col("med2"),
+            abs(col("x2") - col("med2")).as("dev2"), col("mad4"))
+          .filter(expr("20000 * dev2 > 44478 * mad4"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (SELECT event_id, event_type, ts,
+             |                  CAST(round(value * 100) AS BIGINT) * 2 AS x2
+             |           FROM events),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+             |                     ORDER BY ts, event_id) AS BIGINT) AS rn
+             |      FROM b),
+             |m AS (SELECT *, CAST(median(x2) OVER (PARTITION BY event_type
+             |                     ORDER BY rn ROWS BETWEEN 3 PRECEDING
+             |                     AND 3 FOLLOWING) AS BIGINT) AS med2
+             |      FROM r),
+             |mem AS (SELECT c.event_id, abs(m2.x2 - c.med2) AS dev
+             |        FROM m c JOIN r m2 ON m2.event_type = c.event_type
+             |                          AND m2.rn BETWEEN c.rn - 3 AND c.rn + 3),
+             |md AS (SELECT event_id,
+             |              CAST(quantile_cont(2 * dev, 0.5) AS BIGINT) AS mad4
+             |       FROM mem GROUP BY 1)
+             |SELECT m.event_id, m.event_type, m.x2 // 2 AS cents, m.med2,
+             |       abs(m.x2 - m.med2) AS dev2, md.mad4
+             |FROM m JOIN md USING (event_id)
+             |WHERE 20000 * abs(m.x2 - m.med2) > 44478 * md.mad4
+             |ORDER BY m.event_id""".stripMargin)),
+
     // Theil–Sen robust trend per event_type series: the median of all
     // pairwise day-slopes — outlier-days move an OLS slope arbitrarily but
     // shift a slope median by at most one rank (the robust-regression

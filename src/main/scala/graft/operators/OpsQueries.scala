@@ -712,6 +712,67 @@ object OpsQueries {
              |       CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
              |       (10000 * CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT))
              |         // CAST(sum(nt) AS BIGINT) AS yield_bp
-             |FROM k GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM k GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Snapshot reconciliation diff — the release-to-release audit a table
+    // steward runs before promoting a new corpus snapshot: full-outer join
+    // the two snapshots on the primary key and classify every row
+    // added / removed / changed / same, rolled up per segment. Snapshot B
+    // is derived from A by a deterministic hash mutation (drop ~1%,
+    // perturb ~8%, clone ~1% under shifted keys) so the gate has known
+    // ground truth; a real run would read two table versions. Scale
+    // shape: ONE key-partitioned full-outer sort-merge join + an
+    // O(groups) rollup — the diff never materializes more than the two
+    // snapshots' union, and the classify is a codegen'd projection.
+    QueryDef("rel_snapshot_diff",
+      (s, d) => {
+        val a = T(s, d, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            col("c_acctbal").as("bal"))
+        val h = pmod(col("k").cast("bigint").bitwiseAND(lit(2147483647L))
+          * lit(2654435761L) + lit(777L), lit(1000000007L))
+        val b0 = a.withColumn("h", h)
+        val b = b0.filter(col("h") % 97 =!= 0)
+          .select(col("k"), col("seg"),
+            when(col("h") % 13 === 3, col("bal") + 100).otherwise(col("bal"))
+              .as("bal"))
+          .unionAll(b0.filter(col("h") % 101 === 5)
+            .select((col("k") + 10000000L).as("k"), col("seg"), col("bal")))
+        a.select(col("k"), col("seg").as("a_seg"), col("bal").as("a_bal"))
+          .join(b.select(col("k"), col("seg").as("b_seg"), col("bal").as("b_bal")),
+            Seq("k"), "full_outer")
+          .select(coalesce(col("a_seg"), col("b_seg")).as("segment"),
+            when(col("a_seg").isNull, "added")
+              .when(col("b_seg").isNull, "removed")
+              .when(col("a_bal") =!= col("b_bal"), "changed")
+              .otherwise("same").as("cls"))
+          .groupBy("segment")
+          .agg(sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("cls") === "removed", 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("cls") === "same", 1L).otherwise(0L)).as("n_same"))
+          .orderBy("segment")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+             |                  c_acctbal AS bal FROM customer),
+             |b0 AS (SELECT *, ((CAST(k AS BIGINT) & 2147483647) * 2654435761
+             |                  + 777) % 1000000007 AS h FROM a),
+             |b AS (SELECT k, seg,
+             |             CASE WHEN h % 13 = 3 THEN bal + 100 ELSE bal END AS bal
+             |      FROM b0 WHERE h % 97 <> 0
+             |      UNION ALL
+             |      SELECT k + 10000000, seg, bal FROM b0 WHERE h % 101 = 5),
+             |d AS (SELECT coalesce(a.seg, b.seg) AS segment,
+             |             CASE WHEN a.seg IS NULL THEN 'added'
+             |                  WHEN b.seg IS NULL THEN 'removed'
+             |                  WHEN a.bal <> b.bal THEN 'changed'
+             |                  ELSE 'same' END AS cls
+             |      FROM a FULL OUTER JOIN b USING (k))
+             |SELECT segment,
+             |       CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             |       CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |       CAST(sum(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |       CAST(sum(CASE WHEN cls = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+             |FROM d GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 }

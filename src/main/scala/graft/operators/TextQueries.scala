@@ -338,6 +338,59 @@ object TextQueries {
              |SELECT bigram, count(*) AS cnt FROM bg
              |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Interpolated Kneser-Ney bigram table (Kneser & Ney 1995; the
+    // smoothing every production n-gram LM ships): for the top bigrams,
+    // the full count battery — c(ab), prefix total c(a·), distinct
+    // continuations N1+(a·), and the KN CONTINUATION count N1+(·b)
+    // (how many contexts b follows — the insight that makes "francisco"
+    // unlikely outside "san") — plus the interpolated probability with
+    // absolute discount D = 3/4, kept exact: with D a dyadic rational the
+    // whole expression cross-multiplies to integers, one ppm division at
+    // the end. p_kn = max(c_ab − D, 0)/c_a + D·N1a/c_a · cont_b/T.
+    // All four count tables are vocab-/type-sized aggregates of the one
+    // exploded bigram frame; at ≥1e9 bigram types the ppm numerator
+    // (~4·c_ab·T·1e6) outgrows BIGINT and needs the DECIMAL(38,0)
+    // widening rel_table_checksum documents.
+    QueryDef("tx_kneser_ney",
+      (s, d) => {
+        val bi = T(s, d, "documents")
+          .select(TextFns.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        val ca = bi.groupBy("w1")
+          .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1a"))
+        val cont = bi.groupBy(col("w2"))
+          .agg(count(lit(1)).as("cont_b"))
+        val types = broadcast(bi.agg(count(lit(1)).as("tt")))
+        bi.join(ca, "w1").join(cont, "w2").crossJoin(types)
+          .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
+            col("n1a"), col("cont_b"),
+            expr("""(1000000 * (greatest(4 * c_ab - 3, 0) * tt
+                    + 3 * n1a * cont_b)) div (4 * c_a * tt)""").as("p_kn_ppm"))
+          .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some(s"""WITH tt0 AS (SELECT doc_id, $tk AS t FROM documents),
+             |pos AS (SELECT doc_id, unnest(t) AS w,
+             |               unnest(generate_series(1, len(t))) AS i FROM tt0),
+             |bi AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+             |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |       GROUP BY 1, 2),
+             |ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a,
+             |              count(*) AS n1a FROM bi GROUP BY 1),
+             |cont AS (SELECT w2, count(*) AS cont_b FROM bi GROUP BY 1),
+             |ty AS (SELECT count(*) AS tt FROM bi)
+             |SELECT w1, w2, c_ab, c_a, n1a, cont_b,
+             |       (1000000 * (greatest(4 * c_ab - 3, 0) * tt
+             |        + 3 * n1a * cont_b)) // (4 * c_a * tt) AS p_kn_ppm
+             |FROM bi JOIN ca USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+             |ORDER BY c_ab DESC, w1, w2 LIMIT 50""".stripMargin)),
+
     // Per-document cross-entropy / perplexity under the corpus's own bigram
     // model — the LM-flavored quality signal (template boilerplate scores
     // low, anomalous token sequences score high). p(w2|w1) = c(w1 w2)/c(w1·)

@@ -149,4 +149,71 @@ class OpsPropertySpec extends AnyFunSuite {
       assert(math.abs(got(j.toLong) - v(j)) < 1e-5, s"j=$j ${got(j.toLong)} vs ${v(j)}")
     }
   }
+
+  test("snapshot diff classifications replay the mutation hash exactly") {
+    // independent in-Scala reference: read the same sf0.01 customer rows
+    // (sf0.001's ~150 keys draw zero h%97 removals — a data property, not
+    // an operator one), apply the documented hash mutation, and classify —
+    // the registered QueryDef's per-segment rollup must match
+    // class-for-class
+    val rows = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT) AS k", "c_mktsegment AS seg",
+        "c_acctbal AS bal")
+      .as[(Long, String, Double)].collect()
+    def h(k: Long): Long = java.lang.Math.floorMod(
+      (k & 2147483647L) * 2654435761L + 777L, 1000000007L)
+    val want = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    rows.foreach { case (k, seg, _) =>
+      val cls =
+        if (h(k) % 97 == 0) "removed"
+        else if (h(k) % 13 == 3) "changed"
+        else "same"
+      want((seg, cls)) += 1
+      if (h(k) % 101 == 5) want((seg, "added")) += 1
+    }
+    assert(want.values.sum > rows.length, "mutation produced no added rows")
+    assert(want.exists(_._1._2 == "removed"), "mutation produced no removals")
+    assert(want.exists(_._1._2 == "changed"), "mutation produced no changes")
+    val got = SparkEntry.queries("rel_snapshot_diff")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long, Long, Long)].collect()
+    got.foreach { case (seg, add, rem, chg, same) =>
+      assert(add == want((seg, "added")), s"$seg added")
+      assert(rem == want((seg, "removed")), s"$seg removed")
+      assert(chg == want((seg, "changed")), s"$seg changed")
+      assert(same == want((seg, "same")), s"$seg same")
+    }
+  }
+
+  test("hampel flags replay an independent rolling median/MAD reference") {
+    // in-Scala reference on the real sf0.001 events: per type, sort by
+    // (ts, event_id), window +-3 clipped at edges, median and MAD on the
+    // doubled-cents lattice, flag iff 20000*dev > 44478*mad4 — the
+    // registered QueryDef must flag exactly the same event ids
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "event_type", "CAST(ts AS STRING) AS tss",
+        "CAST(round(value * 100) AS BIGINT) * 2 AS x2")
+      .as[(Long, String, String, Long)].collect()
+    def med(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val want = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val ord = rows.sortBy(r => (r._3, r._1))
+      ord.indices.flatMap { i =>
+        val win = ord.slice(math.max(0, i - 3), math.min(ord.length, i + 4))
+          .map(_._4)
+        val m2 = med(win)
+        val mad4 = med(win.map(x => 2 * math.abs(x - m2)))
+        val dev2 = math.abs(ord(i)._4 - m2)
+        if (20000L * dev2 > 44478L * mad4) Some(ord(i)._1) else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("ts_hampel")(spark, "/root/testdata/sf0.001")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == want,
+      s"flag sets differ: extra=${got -- want} missing=${want -- got}")
+    assert(want.nonEmpty, "reference flagged nothing — degenerate input")
+  }
 }
