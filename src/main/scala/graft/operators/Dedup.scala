@@ -948,20 +948,48 @@ object Dedup {
     math.min(cap, math.max(floor, bits))
   }
 
+  /** Fixed hyperplane-pool width per probe table — [[lshKeyBitsFor]]'s cap.
+    * Every call evaluates tables × KeyPoolBits sign bits per vector and the
+    * bucket key MASKS down to the requested width, so the per-vector key
+    * cost is CONSTANT in both n and bitsPerTable. Rationale: rhpPlanes'
+    * plane for (table, bit) does not depend on the requested width, so
+    * `fullKey & (2^bits − 1)` is bit-identical to computing at that width
+    * directly — masking changes cost, never keys. Before this, the
+    * stats-driven width made per-vector cost grow ~log n (tables × bits ×
+    * dim multiplies): the 10× scale smoke read 12× for 10× vectors —
+    * exactly 10 × (18 bits / 14 bits) — a measurement of key arithmetic,
+    * not bucket fan-out. At the fixed pool the key stage is flat and only
+    * the O(n) scan/shuffle grows.
+    */
+  private val KeyPoolBits = 24
+
   def embeddingLshPairs(embs: DataFrame, minCos: Double, dim: Int = 64,
                         bitsPerTable: Int = 8, tables: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
+    require(bitsPerTable >= 1 && bitsPerTable <= KeyPoolBits,
+      s"bitsPerTable must be in [1, $KeyPoolBits] (the fixed key pool)")
     val keyed = materialize(embs.select(col("vec_id"), col("embedding"),
-      VectorFns.rhpKeys(col("embedding"), dim, bitsPerTable, tables).as("keys")))
+      VectorFns.rhpKeys(col("embedding"), dim, KeyPoolBits, tables).as("keys")))
+    val mask = (1L << bitsPerTable) - 1
     val buckets = keyed
       .select(col("vec_id"), posexplode(col("keys")).as(Seq("tbl", "key")))
+      .select(col("vec_id"), col("tbl"),
+        col("key").bitwiseAND(lit(mask)).as("key"))
       .groupBy("tbl", "key")
       .agg(array_sort(collect_set(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+    // Verification joins carry NO broadcast hint: the candidate side is
+    // the FASTER-growing side (bucket-pair volume tracks the key-skew
+    // tail, ~Σ|bucket|² — the 10× smoke measured 32× candidates for 10×
+    // vectors on this cube corpus), so pinning it as the build side
+    // re-broadcast 3.65M rows WITH 64-float vectors attached (~GB) and
+    // was the whole 12×-growth signature. Unhinted, AQE builds on the
+    // O(corpus) keyed side while it fits (10-15 MB at the smoke's 40k
+    // vectors) and degrades to a shuffled join when neither side is
+    // broadcastable — the only posture that stays linear at 100×.
     val candM = materialize(bucketPairs(buckets, maxBucket))
-    val j1 = broadcast(candM)
+    candM
       .join(keyed.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
-    broadcast(j1)
       .join(keyed.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
@@ -1025,6 +1053,63 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count_distinct(col("test_id")).as("n_test_docs"),
         count(lit(1)).as("n_shared"))
+  }
+
+  /** Exact substring-dedup accounting (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr variant their strongest results use): per candidate doc
+    * pair, the longest TOKEN RUN the two docs share, found by run-length
+    * merging consecutive shared spans. Every position-indexed `spanW`-token
+    * span (stride 1) is hashed; a span match at (pa, pb) lies on diagonal
+    * pa − pb, and k consecutive matches on one diagonal are exactly one
+    * shared substring of k + spanW − 1 tokens — so a per-diagonal
+    * row_number gap-and-island pass recovers every MAXIMAL shared run
+    * without ever materializing substrings. Reported per pair: matched
+    * span positions, maximal-run count, and the longest shared run in
+    * tokens; pairs clear the report at `minRunTokens` (the paper operates
+    * at 50 tokens on web corpora; callers scale the threshold to their
+    * doc-length regime).
+    *
+    * Scale shape: span hashing is a narrow per-doc explode (positions ×
+    * codegen'd xxhash64, no shuffle); the pair→span joins are equi-joins
+    * keyed on (doc, span-hash); the island window partitions on
+    * (pair, diagonal) — bounded by doc length, never corpus-sized. Join
+    * volume is candidate-bounded: `pairs` comes from a banded/bucketed
+    * generator (MinHash LSH, shingle stats), never all-pairs. Spark joins
+    * 8-byte span hashes while the oracle joins span STRINGS — the same
+    * accepted hash-collision equivalence as [[decontaminate]].
+    */
+  def substringRuns(docs: DataFrame, pairs: DataFrame, spanW: Int = 4,
+                    minRunTokens: Int = 20): DataFrame = {
+    require(spanW >= 1 && minRunTokens >= spanW,
+      s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
+    val spans = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= spanW)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("t")) - lit(spanW - 1)),
+        i => xxhash64(array_join(slice(col("t"), i, lit(spanW)), " "))))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val m = pairs.select(col("a_id"), col("b_id"))
+      .join(spans.select(col("doc_id").as("a_id"), col("p").as("pa"), col("h")),
+        "a_id")
+      .join(spans.select(col("doc_id").as("b_id"), col("p").as("pb"), col("h")),
+        Seq("b_id", "h"))
+    val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    val runs = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rid", col("pa") - row_number().over(byDiag))
+      .groupBy("a_id", "b_id", "diag", "rid")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("len")) + lit(spanW - 1)).as("longest_run_tokens"))
+    m.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_spans"))
+      .join(runs, Seq("a_id", "b_id"))
+      .filter(col("longest_run_tokens") >= minRunTokens)
+      .select(col("a_id"), col("b_id"), col("n_shared_spans"),
+        col("n_runs"), col("longest_run_tokens"))
+      .orderBy("a_id", "b_id")
   }
 
   /** Content-defined chunking dedup (Rabin/FastCDC family): a boundary is

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,49 @@ import org.apache.spark.sql.functions._
 object EventQueries {
 
   private def T(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** SAX symbol table (event_type, frame, n, paa_e4, sax) — THE single
+    * Spark-side definition of the discretization, shared by ts_paa_sax
+    * (reports it) and ts_sax_motifs (mines it); [[saxCtes]] is its oracle
+    * twin. One groupBy over the facts, then the ntile window on the
+    * O(frames x types) bucket spine. Cheap enough to recompute per
+    * consumer (no family cache — the staging convention is for expensive
+    * multi-round producers, and this is one aggregate).
+    */
+  private def saxFrames(s: SparkSession, d: String): DataFrame = {
+    val frames = T(s, d, "events")
+      .groupBy(col("event_type"), window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("frame"),
+        col("n"), expr("(cents * 100) div n").as("paa_e4"))
+    val byPaa = Window.partitionBy("event_type").orderBy("paa_e4", "frame")
+    frames
+      .withColumn("sym", ntile(4).over(byPaa))
+      .select(col("event_type"), col("frame"), col("n"), col("paa_e4"),
+        expr("chr(96 + sym)").as("sax"))
+  }
+
+  /** WITH-chain fragment ending in CTE `sax(event_type, frame, n, paa_e4,
+    * sax)` — [[saxFrames]] replayed in ANSI SQL; ts_paa_sax and
+    * ts_sax_motifs both interpolate it so the frame width / alphabet /
+    * lattice cannot drift between the producer and the miner.
+    */
+  private val saxCtes: String =
+    """f AS (SELECT event_type,
+      |             strftime(time_bucket(INTERVAL '30 minutes', ts),
+      |                      '%Y-%m-%d %H:%M') AS frame,
+      |             count(*) AS n,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |                  AS BIGINT) AS cents
+      |      FROM events GROUP BY 1, 2),
+      |sax AS (SELECT event_type, frame, n,
+      |               (cents * 100) // n AS paa_e4,
+      |               chr(96 + CAST(ntile(4) OVER (PARTITION BY event_type
+      |                             ORDER BY (cents * 100) // n, frame) AS INT))
+      |                 AS sax
+      |        FROM f)""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -660,34 +703,61 @@ object EventQueries {
     // over the O(frames × types) bucket spine — bounded by the time
     // range, never fact-sized.
     QueryDef("ts_paa_sax",
+      (s, d) => saxFrames(s, d).orderBy("event_type", "frame"),
+      Some(s"""WITH $saxCtes
+             |SELECT event_type, frame, n, paa_e4, sax
+             |FROM sax ORDER BY event_type, frame""".stripMargin)),
+
+    // SAX motif mining — the consumer the discretization above exists
+    // for (Lin et al. 2003 §4): assemble every 4-symbol SAX word from
+    // consecutive OBSERVED frames (lead-3 window over the frame spine;
+    // calendar gaps compress away, as in the paper's sliding word
+    // extraction), count exact occurrences per (event_type, word), and
+    // report each type's top repeated words — the recurring shapelets a
+    // monitoring pipeline promotes to alert templates. A word occurring
+    // once is noise, not a motif, so n_occ >= 2 gates the report; ties
+    // rank deterministically on the word itself. Scale shape: the word
+    // assembly is one lead-window over the O(frames x types) PAA spine
+    // (already bounded by the time range, never fact-sized); the count
+    // is a keyed aggregate on (type, word), and the top-10 rank runs on
+    // the O(distinct words) frame — at 100 TB the facts are touched only
+    // by saxFrames' one groupBy.
+    QueryDef("ts_sax_motifs",
       (s, d) => {
-        val frames = T(s, d, "events")
-          .groupBy(col("event_type"), window(col("ts"), "30 minutes").as("w"))
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("value") * 100).cast("bigint")).as("cents"))
-          .select(col("event_type"),
-            date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("frame"),
-            col("n"), expr("(cents * 100) div n").as("paa_e4"))
-        val byPaa = Window.partitionBy("event_type").orderBy("paa_e4", "frame")
-        frames
-          .withColumn("sym", ntile(4).over(byPaa))
-          .select(col("event_type"), col("frame"), col("n"), col("paa_e4"),
-            expr("chr(96 + sym)").as("sax"))
-          .orderBy("event_type", "frame")
+        val byFrame = Window.partitionBy("event_type").orderBy("frame")
+        val words = saxFrames(s, d)
+          .select(col("event_type"), col("frame"), col("sax"))
+          .withColumn("word", concat(col("sax"),
+            lead(col("sax"), 1).over(byFrame),
+            lead(col("sax"), 2).over(byFrame),
+            lead(col("sax"), 3).over(byFrame)))
+          .filter(col("word").isNotNull)
+        val cnts = words.groupBy("event_type", "word")
+          .agg(count(lit(1)).as("n_occ"), min(col("frame")).as("first_frame"))
+          .filter(col("n_occ") >= 2)
+        val byCnt = Window.partitionBy("event_type")
+          .orderBy(col("n_occ").desc, col("word"))
+        cnts.withColumn("rk", row_number().over(byCnt).cast("bigint"))
+          .filter(col("rk") <= 10)
+          .orderBy("event_type", "rk")
       },
-      Some("""WITH f AS (SELECT event_type,
-             |                  strftime(time_bucket(INTERVAL '30 minutes', ts),
-             |                           '%Y-%m-%d %H:%M') AS frame,
-             |                  count(*) AS n,
-             |                  CAST(sum(CAST(round(value * 100) AS BIGINT))
-             |                       AS BIGINT) AS cents
-             |           FROM events GROUP BY 1, 2)
-             |SELECT event_type, frame, n,
-             |       (cents * 100) // n AS paa_e4,
-             |       chr(96 + CAST(ntile(4) OVER (PARTITION BY event_type
-             |                     ORDER BY (cents * 100) // n, frame) AS INT))
-             |         AS sax
-             |FROM f ORDER BY event_type, frame""".stripMargin)),
+      Some(s"""WITH $saxCtes,
+             |words AS (SELECT event_type, frame,
+             |                 sax || lead(sax, 1) OVER w || lead(sax, 2) OVER w
+             |                     || lead(sax, 3) OVER w AS word
+             |          FROM sax
+             |          WINDOW w AS (PARTITION BY event_type ORDER BY frame)),
+             |cnts AS (SELECT event_type, word, count(*) AS n_occ,
+             |                min(frame) AS first_frame
+             |         FROM words WHERE word IS NOT NULL
+             |         GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT event_type, word, n_occ, first_frame,
+             |       CAST(rk AS BIGINT) AS rk
+             |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+             |                ORDER BY n_occ DESC, word) AS rk
+             |      FROM cnts)
+             |WHERE rk <= 10
+             |ORDER BY event_type, rk""".stripMargin)),
 
     // Winsorization report — the robust-prep companion to ts_hampel:
     // per event_type, clip values to the [5th, 95th] percentile bounds and
@@ -714,7 +784,12 @@ object EventQueries {
           .filter(col("r") === col("klo") || col("r") === col("n") + 1 - col("klo"))
           .groupBy("event_type")
           .agg(max(when(col("r") === col("klo"), col("c"))).as("lo"),
-            max(when(col("r") =!= col("klo"), col("c"))).as("hi"))
+            max(when(col("r") =!= col("klo"), col("c"))).as("hi0"))
+          // n = 1 collapses the mirror rank onto klo (hi0 NULL — the upper
+          // clip would silently vanish); degrade to lo = hi, a zero-width
+          // clip window, same guard stated in the oracle
+          .select(col("event_type"), col("lo"),
+            coalesce(col("hi0"), col("lo")).as("hi"))
         base.join(bounds, "event_type")
           .select(col("event_type"), col("c"),
             least(greatest(col("c"), col("lo")), col("hi")).as("w"),
@@ -742,7 +817,8 @@ object EventQueries {
              |      FROM r JOIN n USING (event_type)),
              |bd AS (SELECT event_type,
              |              max(CASE WHEN r = klo THEN c END) AS lo,
-             |              max(CASE WHEN r <> klo THEN c END) AS hi
+             |              coalesce(max(CASE WHEN r <> klo THEN c END),
+             |                       max(CASE WHEN r = klo THEN c END)) AS hi
              |       FROM k WHERE r = klo OR r = n + 1 - klo
              |       GROUP BY 1)
              |SELECT b.event_type, count(*) AS n,

@@ -1297,6 +1297,137 @@ object Graph {
       .orderBy("id")
   }
 
+  /** Two-level Louvain (Blondel et al. 2008, both phases) — completes
+    * [[louvainMove]]'s single sweep into the full algorithm shape: a
+    * bounded move PHASE (three parallel sweeps), then the COARSENING the
+    * method is named for (communities become super-nodes, edge weights
+    * aggregate by community pair — one groupBy), then one weighted move
+    * sweep on the coarse graph. Returns the per-level report
+    * (level, n_comms, q_2m2) for level 0 (singletons), 1 (after the move
+    * phase) and 2 (coarse partition mapped back to original nodes), with
+    * modularity in exact Q·(2m)² integer units: q = Σ_c (2m·2·intra_c −
+    * tot_c²) — no floats anywhere, so the whole report hash-matches an
+    * unrolled SQL oracle.
+    *
+    * Move rule (general-partition gain, exact integers): node i's score
+    * for community c is 2m·k_ic − deg_i·(Σtot(c) − [c = C(i)]·deg_i); the
+    * argmax with ties preferring the CURRENT community, then the smallest
+    * label, is the standard Louvain greedy (score differences are
+    * ΔQ·2m²). From singletons this reduces exactly to [[louvainMove]]'s
+    * 2m − deg_i·deg_j rule. Sweep 1 moves every node simultaneously (the
+    * distributed-Louvain parallel round); sweeps 2 and 3 move only even /
+    * odd ids respectively — the alternating-parity schedule that breaks
+    * the two-node swap cycles a fully-parallel iteration can enter, while
+    * staying a pure function of the graph that an oracle can replay
+    * (sequential Louvain's interleaved moves cannot be). The level-2
+    * sweep on the coarse graph uses the weighted singleton rule
+    * 2m·w_uv − wdeg_u·wdeg_v (self-loop terms cancel in the derivation).
+    *
+    * Scale shape per sweep: two O(nodes) broadcast-sized frames (degree,
+    * community Σtot) joined onto the edge list, one keyed count for k_ic,
+    * one per-node struct-min — co-partitioned with the adjacency, no
+    * all-pairs step; the coarsening is ONE groupBy on the community pair,
+    * and every level-2 frame is O(communities). Iterative frames go
+    * through materialize+release (the fixpoint staging convention).
+    * Overflow posture: scores and q terms are ≤ 2m·max_deg and 4m² — past
+    * ~2^31 edges the q lattice needs the DECIMAL(38,0) widening
+    * rel_table_checksum documents.
+    */
+  def louvainTwoLevel(pairs: DataFrame): DataFrame = {
+    import Dedup.{materialize, release}
+    val e = materialize(pairs.select(least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct())
+    val es = materialize(e.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("nb"))))
+    val deg = materialize(es.groupBy("id").agg(count(lit(1)).as("dg")))
+    val m2 = broadcast(e.agg((count(lit(1)) * 2).as("m2")))
+    val c0 = materialize(
+      es.select(col("id")).distinct().select(col("id"), col("id").as("c")))
+
+    def sweep(comm: DataFrame,
+              eligible: org.apache.spark.sql.Column): DataFrame = {
+      val cn = es.join(comm.select(col("id").as("nb"), col("c")), "nb")
+        .groupBy("id", "c").agg(count(lit(1)).as("k"))
+      val st = comm.join(deg, "id").groupBy("c").agg(sum(col("dg")).as("st"))
+      val ownCand = comm.join(cn, Seq("id", "c"), "left")
+        .select(col("id"), col("c"),
+          coalesce(col("k"), lit(0L)).as("k"), lit(0L).as("nown"))
+      val otherCand = cn.join(comm.select(col("id"), col("c").as("a")), "id")
+        .filter(col("c") =!= col("a"))
+        .select(col("id"), col("c"), col("k"), lit(1L).as("nown"))
+      val scored = ownCand.unionAll(otherCand)
+        .join(deg, "id").join(st, "c").crossJoin(m2)
+        .select(col("id"), col("c"), col("nown"),
+          (col("m2") * col("k") - col("dg") * (col("st") -
+            when(col("nown") === 0, col("dg")).otherwise(lit(0L)))).as("g"))
+      materialize(scored
+        .groupBy("id")
+        .agg(min(struct((-col("g")).as("ng"), col("nown").as("nown"),
+          col("c").as("c"))).as("b"))
+        .join(comm.select(col("id"), col("c").as("a")), "id")
+        .select(col("id"),
+          when(eligible, col("b.c")).otherwise(col("a")).as("c")))
+    }
+
+    val c1 = sweep(c0, lit(true))
+    val c2 = sweep(c1, col("id") % 2 === 0)
+    val c3 = sweep(c2, col("id") % 2 === 1)
+
+    // phase 2: coarsen — aggregate edge weights by community pair (the
+    // one groupBy); self-pairs are the intra-community mass
+    val ce = materialize(e
+      .join(c3.select(col("id").as("a"), col("c").as("ca")), "a")
+      .join(c3.select(col("id").as("b"), col("c").as("cb")), "b")
+      .select(least(col("ca"), col("cb")).as("u"),
+        greatest(col("ca"), col("cb")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w")))
+    val ces = ce.filter(col("u") =!= col("v"))
+    val cesSym = ces.select(col("u"), col("v"), col("w"))
+      .unionAll(ces.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val cwd = materialize(c3.select(col("c").as("u")).distinct()
+      .join(cesSym.groupBy("u").agg(sum(col("w")).as("nw")), Seq("u"), "left")
+      .join(ce.filter(col("u") === col("v"))
+        .select(col("u"), (col("w") * 2).as("sw")), Seq("u"), "left")
+      .select(col("u"),
+        (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L))).as("wd")))
+    val l2moves = cesSym
+      .join(cwd.select(col("u"), col("wd").as("wdu")), "u")
+      .join(cwd.select(col("u").as("v"), col("wd").as("wdv")), "v")
+      .crossJoin(m2)
+      .select(col("u"), col("v"),
+        (col("m2") * col("w") - col("wdu") * col("wdv")).as("g"))
+      .groupBy("u")
+      .agg(min(struct((-col("g")).as("ng"), col("v").as("v"))).as("b"))
+      .select(col("u"),
+        when(-col("b.ng") > 0, col("b.v")).otherwise(col("u")).as("cu"))
+    val l2full = materialize(cwd.select(col("u"))
+      .join(l2moves, Seq("u"), "left")
+      .select(col("u"), coalesce(col("cu"), col("u")).as("cu")))
+    val cf = materialize(c3.join(l2full, c3("c") === l2full("u"))
+      .select(col("id"), col("cu").as("c")))
+
+    def q(comm: DataFrame): DataFrame = {
+      val tot = comm.join(deg, "id").groupBy("c").agg(sum(col("dg")).as("tot"))
+      val intra = e
+        .join(comm.select(col("id").as("a"), col("c").as("ca")), "a")
+        .join(comm.select(col("id").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("inc"))
+      tot.join(intra, Seq("c"), "left").crossJoin(m2)
+        .select((col("m2") * lit(2L) * coalesce(col("inc"), lit(0L))
+          - col("tot") * col("tot")).as("qc"))
+        .agg(count(lit(1)).as("n_comms"), sum(col("qc")).as("q_2m2"))
+    }
+
+    val res = materialize(
+      q(c0).select(lit(0L).as("level"), col("n_comms"), col("q_2m2"))
+        .unionAll(q(c3).select(lit(1L).as("level"), col("n_comms"), col("q_2m2")))
+        .unionAll(q(cf).select(lit(2L).as("level"), col("n_comms"), col("q_2m2")))
+        .orderBy("level"))
+    Seq(cf, l2full, cwd, ce, c3, c2, c1, c0, deg, es, e).foreach(release)
+    res
+  }
+
   /** Deterministic node2vec walk corpus (Grover & Leskovec 2016) — the
     * SECOND-ORDER biased sibling of [[randomWalks]]: each hop from cur
     * (having arrived from prev) weights candidate nb by the node2vec α —
@@ -1306,12 +1437,19 @@ object Graph {
     * return discouraged, exploration mildly discouraged. The weighted
     * choice stays deterministic and integer-exact: candidate key
     * = (h·100) div w with h the same masked multiplicative hash as
-    * [[randomWalks]], so a heavier weight shrinks the key range
-    * proportionally (the integer-division form of the exponential race)
-    * and the struct-min picks the winner — the full trajectory table
-    * hash-matches an SQL oracle replaying the same argmin. Step 1 has no
-    * prev (all candidates weigh `wFar`), so it coincides with the
-    * first-order walk, as in the paper.
+    * [[randomWalks]], so a heavier weight shrinks the key range and the
+    * struct-min picks the winner — the full trajectory table
+    * hash-matches an SQL oracle replaying the same argmin. This race is
+    * weight-MONOTONE, not weight-proportional: over uniform h, weight
+    * ratio r makes the heavier candidate win with probability
+    * 1 − 1/(2r), not the r/(r+1) a true exponential race (key
+    * = −ln(u)/w) realizes — so the trajectories encode the p/q
+    * preference ORDER faithfully but not node2vec's exact transition
+    * distribution (a distribution-faithful variant would precompute
+    * integer floor(K·ln(P/h))/w keys; the gate's reproducibility
+    * contract is on the deterministic argmin, which either key form
+    * satisfies). Step 1 has no prev (all candidates weigh `wFar`), so
+    * it coincides with the first-order walk, as in the paper.
     *
     * Scale shape per step: the [[randomWalks]] state⋈edges equi-join plus
     * ONE extra left equi-join against the adjacency on (prev, nb) — the

@@ -719,8 +719,11 @@ object OpsQueries {
     // the two snapshots on the primary key and classify every row
     // added / removed / changed / same, rolled up per segment. Snapshot B
     // is derived from A by a deterministic hash mutation (drop ~1%,
-    // perturb ~8%, clone ~1% under shifted keys) so the gate has known
-    // ground truth; a real run would read two table versions. Scale
+    // perturb ~8%, clone ~1% under shifted keys — the shift sets bit 40,
+    // a namespace disjoint from any real custkey until sf ~7e6, where a
+    // fixed additive offset collided with real keys from sf ~67) so the
+    // gate has known ground truth; a real run would read two table
+    // versions. Scale
     // shape: ONE key-partitioned full-outer sort-merge join + an
     // O(groups) rollup — the diff never materializes more than the two
     // snapshots' union, and the classify is a codegen'd projection.
@@ -737,7 +740,7 @@ object OpsQueries {
             when(col("h") % 13 === 3, col("bal") + 100).otherwise(col("bal"))
               .as("bal"))
           .unionAll(b0.filter(col("h") % 101 === 5)
-            .select((col("k") + 10000000L).as("k"), col("seg"), col("bal")))
+            .select((col("k") + (1L << 40)).as("k"), col("seg"), col("bal")))
         a.select(col("k"), col("seg").as("a_seg"), col("bal").as("a_bal"))
           .join(b.select(col("k"), col("seg").as("b_seg"), col("bal").as("b_bal")),
             Seq("k"), "full_outer")
@@ -761,7 +764,7 @@ object OpsQueries {
              |             CASE WHEN h % 13 = 3 THEN bal + 100 ELSE bal END AS bal
              |      FROM b0 WHERE h % 97 <> 0
              |      UNION ALL
-             |      SELECT k + 10000000, seg, bal FROM b0 WHERE h % 101 = 5),
+             |      SELECT k + 1099511627776, seg, bal FROM b0 WHERE h % 101 = 5),
              |d AS (SELECT coalesce(a.seg, b.seg) AS segment,
              |             CASE WHEN a.seg IS NULL THEN 'added'
              |                  WHEN b.seg IS NULL THEN 'removed'

@@ -170,11 +170,76 @@ object PipelineQueries {
        |wk AS MATERIALIZED ($unionAll)""".stripMargin
   }
 
+  /** Deterministic node2vec (p=4, q=2) trajectory table, computed once per
+    * (session, sfDir): since r13 it has TWO consumers — gr_node2vec_walks
+    * (the trajectory output itself) and gr_n2v_skipgrams (the ±2-window
+    * training-pair extraction that completes the second-order pipeline) —
+    * so it graduates from the single-consumer staging exemption into the
+    * family caches, exactly like the first-order [[walkTable]]. The 8
+    * biased argmin rounds are the expensive part of both consumers;
+    * O(walks × steps) rows, bounded and safe to pin.
+    */
+  private val n2vWalkCache = FamilyCache.frames[(SparkSession, String)]()
+
+  private def n2vWalkTable(s: SparkSession, d: String) =
+    n2vWalkCache.getOrElseUpdate((s, d),
+      Graph.node2vecWalks(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        isStart = col("id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L) % 4 === 0,
+        steps = 8))
+
+  /** WITH-chain fragment ending in CTE `n2vwk(wid, step, cur)` — the
+    * node2vec trajectory table replayed in ANSI SQL (expects `jaccardCtes`
+    * in scope for `inter`), THE single oracle-side definition of the
+    * second-order walk: gr_node2vec_walks and gr_n2v_skipgrams both
+    * interpolate it so the bias weights / hash constants / start predicate
+    * cannot drift between consumers — the same contract as
+    * [[walkOracleCtes]]. CTE names are n-prefixed so the two walk
+    * fragments could coexist in one WITH chain.
+    */
+  private[operators] val n2vWalkOracleCtes: String = {
+    val stepCtes = (1 to 8).map { st =>
+      s"""nv$st AS MATERIALIZED (
+         |  SELECT w.wid, CAST($st AS BIGINT) AS step, max(w.cur) AS prev,
+         |         (min({'k': (((w.wid & 2147483647) * 2654435761 + $st * 40503
+         |                      + (c.t & 2147483647) * 97781) % 1000000007) * 100
+         |                    // (CASE WHEN c.t = w.prev THEN 25
+         |                            WHEN b.s IS NOT NULL THEN 100
+         |                            ELSE 50 END),
+         |               'nb': c.t})).nb AS cur
+         |  FROM nv${st - 1} w
+         |  JOIN ne c ON c.s = w.cur
+         |  LEFT JOIN ne b ON b.s = w.prev AND b.t = c.t
+         |  GROUP BY w.wid)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to 8).map(st => s"SELECT wid, step, cur FROM nv$st")
+      .mkString("\n       UNION ALL ")
+    s"""nprs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+       |ne AS (SELECT a_id AS s, b_id AS t FROM nprs
+       |       UNION SELECT b_id, a_id FROM nprs),
+       |nv0 AS (SELECT id AS wid, CAST(0 AS BIGINT) AS step,
+       |               CAST(NULL AS BIGINT) AS prev,
+       |               id AS cur
+       |        FROM (SELECT DISTINCT s AS id FROM ne)
+       |        WHERE ((id & 2147483647) * 2654435761) % 1000000007 % 4 = 0),
+       |$stepCtes,
+       |n2vwk AS MATERIALIZED ($unionAll)""".stripMargin
+  }
+
   /** k for gr_ktruss — the ONE constant both the Spark call and the
     * generated oracle's peel threshold (`sup >= k-2`) derive from, so
     * retuning k cannot silently diverge the two engines.
     */
   private val KtrussK = 3
+
+  /** dd_substring_runs parameters, shared by the Spark call and the
+    * generated oracle (span width in tokens; report threshold for the
+    * longest shared run — Lee et al. 2021 use 50 on web-scale docs, 20 is
+    * that threshold scaled to this corpus's 10-100-token documents).
+    */
+  private val SubstrSpanW = 4
+  private val SubstrMinRun = 20
 
   /** Test surface for the family-cache bound (JobServerSpec's
     * multi-sfDir submission case).
@@ -189,7 +254,7 @@ object PipelineQueries {
     Seq("minhash_pairs" -> minhashPairCache, "pair_stats" -> pairStatsCache,
       "cc_labels" -> ccLabelCache, "simhash_pairs" -> simhashPairCache,
       "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache,
-      "walks" -> walkCache)
+      "walks" -> walkCache, "n2v_walks" -> n2vWalkCache)
       .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
@@ -222,7 +287,9 @@ object PipelineQueries {
       // gr_walk_skipgrams (pair extraction), gr_walk_negatives (the SGNS
       // noise-distribution counts) and gr_sgns_batch (the drawn training
       // batch)
-      timed("walks") { walkTable(s, d) })
+      timed("walks") { walkTable(s, d) },
+      // two consumers since r13: gr_node2vec_walks + gr_n2v_skipgrams
+      timed("n2v_walks") { n2vWalkTable(s, d) })
     // incrMinhashVerdicts is deliberately NOT staged: staging exists to fix
     // cross-consumer attribution, and the verdicts have exactly ONE
     // consumer (dd_incremental_minhash) — staging would remove that query's
@@ -2007,53 +2074,161 @@ object PipelineQueries {
              |       CAST(CASE WHEN -(b.ng) > 0 THEN 1 ELSE 0 END AS BIGINT) AS moved
              |FROM best ORDER BY id""".stripMargin)),
 
+    // Full two-level Louvain over the shares->=3-shingles graph — the
+    // completion of gr_louvain_move's single sweep into the algorithm
+    // proper: a 3-sweep move phase (sweep 1 parallel-all = the move round
+    // above; sweeps 2/3 alternating-parity general-gain refinements), the
+    // coarsening groupBy (communities -> super-nodes with aggregated edge
+    // weights), and one weighted sweep at level 2. Output is the 3-row
+    // per-level report (level, n_comms, q_2m2) with modularity in exact
+    // Q·(2m)² integer units — level 0 is the singleton baseline
+    // (q = −Σ deg²), and the level-1 -> level-2 rows show what the
+    // coarse pass bought. See Graph.louvainTwoLevel for the move rule,
+    // determinism contract, and scale shape; the oracle unrolls all
+    // five stages as MATERIALIZED CTEs from one generated template.
+    QueryDef("gr_louvain_coarse",
+      (s, d) => Graph.louvainTwoLevel(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      Some {
+        def sweepCtes(sn: Int, pred: String): String =
+          s"""cn$sn AS (SELECT les.id, cm.c, count(*) AS k
+             |          FROM les JOIN lc${sn - 1} cm ON cm.id = les.nb
+             |          GROUP BY 1, 2),
+             |st$sn AS (SELECT cm.c, CAST(sum(d.dg) AS BIGINT) AS st
+             |          FROM lc${sn - 1} cm JOIN ldeg d ON d.id = cm.id
+             |          GROUP BY 1),
+             |cd$sn AS (SELECT cm.id, cm.c, coalesce(cn.k, 0) AS k, 0 AS nown
+             |          FROM lc${sn - 1} cm
+             |          LEFT JOIN cn$sn cn ON cn.id = cm.id AND cn.c = cm.c
+             |          UNION ALL
+             |          SELECT cn.id, cn.c, cn.k, 1
+             |          FROM cn$sn cn JOIN lc${sn - 1} cm ON cm.id = cn.id
+             |          WHERE cm.c <> cn.c),
+             |sc$sn AS (SELECT cd.id, cd.c, cd.nown,
+             |                 lm.m2 * cd.k - d.dg * (st.st -
+             |                   CASE WHEN cd.nown = 0 THEN d.dg ELSE 0 END) AS g
+             |          FROM cd$sn cd JOIN ldeg d ON d.id = cd.id
+             |                        JOIN st$sn st ON st.c = cd.c
+             |                        CROSS JOIN lm),
+             |lc$sn AS MATERIALIZED (
+             |  SELECT sc.id,
+             |         CASE WHEN $pred
+             |              THEN (min({'ng': -(sc.g), 'nown': sc.nown,
+             |                         'c': sc.c})).c
+             |              ELSE cm.c END AS c
+             |  FROM sc$sn sc JOIN lc${sn - 1} cm ON cm.id = sc.id
+             |  GROUP BY sc.id, cm.c)""".stripMargin
+        def qCte(qn: String, p: String): String =
+          s"""$qn AS (SELECT count(*) AS n_comms, CAST(sum(qc) AS BIGINT) AS q_2m2
+             |        FROM (SELECT t.c,
+             |                     lm.m2 * 2 * coalesce(i.inc, 0) - t.tot * t.tot AS qc
+             |              FROM (SELECT cm.c, CAST(sum(d.dg) AS BIGINT) AS tot
+             |                    FROM $p cm JOIN ldeg d ON d.id = cm.id
+             |                    GROUP BY 1) t
+             |              LEFT JOIN (SELECT x.c, count(*) AS inc
+             |                         FROM le JOIN $p x ON x.id = le.a
+             |                                 JOIN $p y ON y.id = le.b
+             |                                         AND y.c = x.c
+             |                         GROUP BY 1) i ON i.c = t.c
+             |              CROSS JOIN lm))""".stripMargin
+        s"""WITH $jaccardCtes,
+           |lprs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+           |le AS (SELECT a_id AS a, b_id AS b FROM lprs),
+           |les AS (SELECT a AS id, b AS nb FROM le
+           |        UNION ALL SELECT b, a FROM le),
+           |ldeg AS (SELECT id, count(*) AS dg FROM les GROUP BY 1),
+           |lm AS (SELECT 2 * count(*) AS m2 FROM le),
+           |lc0 AS (SELECT DISTINCT id, id AS c FROM les),
+           |${sweepCtes(1, "TRUE")},
+           |${sweepCtes(2, "sc.id % 2 = 0")},
+           |${sweepCtes(3, "sc.id % 2 = 1")},
+           |lce AS (SELECT least(x.c, y.c) AS u, greatest(x.c, y.c) AS v,
+           |               count(*) AS w
+           |        FROM le JOIN lc3 x ON x.id = le.a
+           |                JOIN lc3 y ON y.id = le.b
+           |        GROUP BY 1, 2),
+           |lces AS (SELECT u, v, w FROM lce WHERE u <> v
+           |         UNION ALL SELECT v, u, w FROM lce WHERE u <> v),
+           |lwd AS (SELECT t.u, CAST(coalesce(nw.s, 0) + coalesce(sw.s, 0)
+           |                    AS BIGINT) AS wd
+           |        FROM (SELECT DISTINCT c AS u FROM lc3) t
+           |        LEFT JOIN (SELECT u, sum(w) AS s FROM lces GROUP BY 1) nw
+           |               ON nw.u = t.u
+           |        LEFT JOIN (SELECT u, 2 * sum(w) AS s FROM lce
+           |                   WHERE u = v GROUP BY 1) sw ON sw.u = t.u),
+           |l2m AS (SELECT s.u, CASE WHEN -((s.b).ng) > 0 THEN (s.b).v
+           |                         ELSE s.u END AS cu
+           |        FROM (SELECT ces.u,
+           |                     min({'ng': -(lm.m2 * ces.w - du.wd * dv.wd),
+           |                          'v': ces.v}) AS b
+           |              FROM lces ces JOIN lwd du ON du.u = ces.u
+           |                            JOIN lwd dv ON dv.u = ces.v
+           |                            CROSS JOIN lm
+           |              GROUP BY 1) s),
+           |l2f AS (SELECT t.u, coalesce(l2m.cu, t.u) AS cu
+           |        FROM (SELECT DISTINCT c AS u FROM lc3) t
+           |        LEFT JOIN l2m ON l2m.u = t.u),
+           |lcf AS MATERIALIZED (SELECT lc3.id, l2f.cu AS c
+           |                     FROM lc3 JOIN l2f ON l2f.u = lc3.c),
+           |${qCte("q0", "lc0")},
+           |${qCte("q1", "lc3")},
+           |${qCte("q2", "lcf")}
+           |SELECT CAST(0 AS BIGINT) AS level, n_comms, q_2m2 FROM q0
+           |UNION ALL
+           |SELECT CAST(1 AS BIGINT), n_comms, q_2m2 FROM q1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), n_comms, q_2m2 FROM q2
+           |ORDER BY level""".stripMargin
+      }),
+
     // Deterministic node2vec trajectory table (p=4, q=2 as weight percents
     // 25/100/50): the SECOND-ORDER biased twin of gr_random_walks — each
     // hop re-weights candidates by whether they return to prev, stay in
     // prev's neighborhood, or leave it, with the weighted choice kept
-    // integer-exact as key = (h·100) div w (the integer-division
-    // exponential race). Starts from the same mod-4 hash sample as the
+    // integer-exact as key = (h·100) div w — a weight-MONOTONE
+    // deterministic race (preference order faithful; not the exact
+    // node2vec transition distribution — see Graph.node2vecWalks).
+    // Starts from the same mod-4 hash sample as the
     // first-order walk family; step 1 coincides (no prev yet), the bias
-    // diverges the trajectories from step 2. Single consumer, so NOT in
-    // the family cache (the staging convention). See Graph.node2vecWalks.
+    // diverges the trajectories from step 2. Family-cached since r13
+    // (second consumer: gr_n2v_skipgrams). See Graph.node2vecWalks.
     QueryDef("gr_node2vec_walks",
-      (s, d) => Graph.node2vecWalks(
-          pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
-          isStart = col("id").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
-            % lit(1000000007L) % 4 === 0,
-          steps = 8)
-        .orderBy("wid", "step"),
-      Some {
-        val stepCtes = (1 to 8).map { st =>
-          s"""v$st AS MATERIALIZED (
-             |  SELECT w.wid, CAST($st AS BIGINT) AS step, max(w.cur) AS prev,
-             |         (min({'k': (((w.wid & 2147483647) * 2654435761 + $st * 40503
-             |                      + (c.t & 2147483647) * 97781) % 1000000007) * 100
-             |                    // (CASE WHEN c.t = w.prev THEN 25
-             |                            WHEN b.s IS NOT NULL THEN 100
-             |                            ELSE 50 END),
-             |               'nb': c.t})).nb AS cur
-             |  FROM v${st - 1} w
-             |  JOIN e c ON c.s = w.cur
-             |  LEFT JOIN e b ON b.s = w.prev AND b.t = c.t
-             |  GROUP BY w.wid)""".stripMargin
-        }.mkString(",\n")
-        val unionAll = (0 to 8).map(st => s"SELECT wid, step, cur FROM v$st")
-          .mkString("\n       UNION ALL ")
-        s"""WITH $jaccardCtes,
-           |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
-           |e AS (SELECT a_id AS s, b_id AS t FROM prs
-           |      UNION SELECT b_id, a_id FROM prs),
-           |v0 AS (SELECT id AS wid, CAST(0 AS BIGINT) AS step,
-           |              CAST(NULL AS BIGINT) AS prev,
-           |              id AS cur
-           |       FROM (SELECT DISTINCT s AS id FROM e)
-           |       WHERE ((id & 2147483647) * 2654435761) % 1000000007 % 4 = 0),
-           |$stepCtes
-           |SELECT wid, step, cur AS node
-           |FROM ($unionAll)
-           |ORDER BY wid, step""".stripMargin
-      }),
+      (s, d) => n2vWalkTable(s, d).orderBy("wid", "step"),
+      Some(s"""WITH $jaccardCtes,
+             |$n2vWalkOracleCtes
+             |SELECT wid, step, cur AS node
+             |FROM n2vwk
+             |ORDER BY wid, step""".stripMargin)),
+
+    // Skip-gram training pairs off the BIASED trajectory table — the
+    // consumer that completes the second-order pipeline to its training
+    // batch (through r12 the p/q-biased walks had no pair extraction, so
+    // node2vec stopped one step short of what a trainer eats): every
+    // (center, context) co-occurrence within a ±2-step window of the same
+    // biased walk, with multiplicity — the exact twin of
+    // gr_walk_skipgrams over gr_node2vec_walks instead of
+    // gr_random_walks, sharing the walk-oracle CTE chain so the two
+    // engines replay one definition. Same scale shape: one self-join of
+    // the O(walks × steps) walk table keyed on wid (per-walk fan-out a
+    // constant 9×4 window), one keyed count.
+    QueryDef("gr_n2v_skipgrams",
+      (s, d) => {
+        val w = n2vWalkTable(s, d)
+        w.select(col("wid"), col("step").as("si"), col("node").as("center"))
+          .join(w.select(col("wid"), col("step").as("sj"), col("node").as("context")),
+            Seq("wid"))
+          .filter(abs(col("si") - col("sj")).between(1, 2))
+          .groupBy("center", "context")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("center", "context")
+      },
+      Some(s"""WITH $jaccardCtes,
+             |$n2vWalkOracleCtes
+             |SELECT a.cur AS center, b.cur AS context,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM n2vwk a JOIN n2vwk b ON b.wid = a.wid
+             |      AND abs(a.step - b.step) BETWEEN 1 AND 2
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Train/test decontamination: train docs sharing any 8-gram with the
     // held-out split (doc_id % 10 = 7 models the benchmark set). See
@@ -2079,6 +2254,48 @@ object PipelineQueries {
              |       count(*) AS n_shared
              |FROM train JOIN test ON train.s = test.s
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact substring-dedup accounting (Lee et al. 2021 ExactSubstr): per
+    // shares->=3-shingles candidate pair, the longest shared TOKEN RUN via
+    // run-length merge of consecutive shared 4-token spans along matching
+    // positional diagonals — the substring-level verdict whole-doc
+    // MinHash/SimHash and span-frequency filters all miss (a 25-token
+    // quotation is invisible to doc-level Jaccard and too rare for the
+    // C4 boilerplate cut). See Dedup.substringRuns for the
+    // gap-and-island mechanics and the hash-vs-string join equivalence.
+    QueryDef("dd_substring_runs",
+      (s, d) => Dedup.substringRuns(T(s, d, "documents"),
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        spanW = SubstrSpanW, minRunTokens = SubstrMinRun),
+      Some(s"""WITH $jaccardCtes,
+             |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+             |sp AS (SELECT doc_id, g AS p,
+             |              list_aggregate(t[g : g + ${SubstrSpanW - 1}],
+             |                             'string_agg', ' ') AS s
+             |       FROM (SELECT doc_id, t,
+             |                    unnest(generate_series(1,
+             |                           len(t) - ${SubstrSpanW - 1})) AS g
+             |             FROM tt WHERE len(t) >= $SubstrSpanW)),
+             |m AS (SELECT p.a_id, p.b_id, sa.p AS pa, sb.p AS pb
+             |      FROM prs p JOIN sp sa ON sa.doc_id = p.a_id
+             |                JOIN sp sb ON sb.doc_id = p.b_id AND sb.s = sa.s),
+             |r AS (SELECT a_id, b_id, pa - pb AS diag,
+             |             pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+             |                                     ORDER BY pa) AS rid
+             |      FROM m),
+             |runs AS (SELECT a_id, b_id, diag, rid, count(*) AS len
+             |         FROM r GROUP BY 1, 2, 3, 4),
+             |perpair AS (SELECT a_id, b_id, CAST(count(*) AS BIGINT) AS n_runs,
+             |                   CAST(max(len) + ${SubstrSpanW - 1} AS BIGINT)
+             |                     AS longest_run_tokens
+             |            FROM runs GROUP BY 1, 2),
+             |matched AS (SELECT a_id, b_id,
+             |                   CAST(count(*) AS BIGINT) AS n_shared_spans
+             |            FROM m GROUP BY 1, 2)
+             |SELECT a_id, b_id, n_shared_spans, n_runs, longest_run_tokens
+             |FROM matched JOIN perpair USING (a_id, b_id)
+             |WHERE longest_run_tokens >= $SubstrMinRun
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // Decontamination composed with the REAL split: 8-gram contamination
     // of the hash-assigned held-out slice (tx_split_assign's u >= 0.90
@@ -2383,8 +2600,12 @@ object PipelineQueries {
         // birthday collisions grow as n² (10x corpus = ~100x candidates —
         // the 10x smoke measured exactly that at a pinned 16 bits), so the
         // width must widen with the corpus for the candidate volume to stay
-        // O(n). The oracle is unaffected: output = exact verified cosine,
-        // and colinear recall is 1 at ANY width.
+        // O(n) — while the sign bits themselves come from the FIXED
+        // 24-bit-per-table pool and the key just masks down (constant
+        // per-vector cost; see Dedup.KeyPoolBits — the log-n hyperplane
+        // count was what made the 10x smoke read 12x). The oracle is
+        // unaffected: output = exact verified cosine, and colinear recall
+        // is 1 at ANY width.
         val all = base.union(planted)
         Dedup.embeddingLshPairs(all, minCos = 0.9,
             bitsPerTable = Dedup.lshKeyBitsFor(all.count()), tables = 8)

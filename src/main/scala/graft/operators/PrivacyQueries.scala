@@ -217,6 +217,22 @@ object PrivacyQueries {
       geoLadder.map { case (thr, z) => s"WHEN $u < $thr THEN $z" }.mkString(" ") +
       " ELSE 8 END"
 
+  /** Candidate lattice for [[dpExponentialMedian]]: $100 account-balance
+    * bands covering TPC-H's c_acctbal domain [-999.99, 9999.99] — a FIXED
+    * public grid (independent of the data), as the exponential mechanism
+    * requires of its output range.
+    */
+  private[graft] val MedBandLo = -10L
+  private[graft] val MedBandHi = 99L
+
+  /** Utility cap for the dyadic weight ladder: weights are 2^(Cap − d), so
+    * candidates further than Cap from balance are released with
+    * probability < 2^-40 · |R| — mass below any realizable draw
+    * resolution. Cap 40 keeps the per-segment weight sum ≤ 110·2^40 <
+    * 2^47, far inside BIGINT.
+    */
+  private[graft] val MedUtilCap = 40L
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -333,7 +349,64 @@ object PrivacyQueries {
              |            - 500000 AS BIGINT) AS est_yes_ppm,
              |       CAST((sum(truth) * 1000000) // count(*) AS BIGINT)
              |         AS true_yes_ppm
-             |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exponential-mechanism DP release of a NON-count statistic — the
+    // median balance band per segment (the geometric mechanism covers
+    // counts; argmax/median releases need the exponential mechanism).
+    // ε = 2·ln 2 makes every weight the exact dyadic integer 2^(Cap−d),
+    // so the whole release — utility lattice, cumulative axis, inverse-CDF
+    // draw — is pure BIGINT both engines replay. See dpExponentialMedian.
+    QueryDef("rel_dp_median",
+      (s, d) => dpExponentialMedian(T(s, d, "customer")),
+      Some(s"""WITH rows_ AS (SELECT c_mktsegment AS segment,
+             |                      CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+             |               FROM customer),
+             |segs AS (SELECT segment, count(*) AS n FROM rows_ GROUP BY 1),
+             |grid AS (SELECT segment, n, gb.band
+             |         FROM segs CROSS JOIN (SELECT unnest(generate_series(
+             |                $MedBandLo, $MedBandHi)) AS band) gb),
+             |cnt AS (SELECT segment, band, count(*) AS c FROM rows_ GROUP BY 1, 2),
+             |g AS (SELECT grid.segment, grid.n, grid.band,
+             |             coalesce(cnt.c, 0) AS c
+             |      FROM grid LEFT JOIN cnt USING (segment, band)),
+             |w AS (SELECT *,
+             |             CAST(sum(c) OVER (PARTITION BY segment ORDER BY band)
+             |                  AS BIGINT) AS cum,
+             |             CAST(abs(2 * (sum(c) OVER (PARTITION BY segment
+             |                                        ORDER BY band)
+             |                      - c) + c - n) AS BIGINT) AS d
+             |      FROM g),
+             |wt AS (SELECT *,
+             |              (CAST(1 AS BIGINT) << CAST($MedUtilCap
+             |                 - least(d, $MedUtilCap) AS INT)) AS wt
+             |       FROM w),
+             |cw AS (SELECT *,
+             |              CAST(sum(wt) OVER (PARTITION BY segment ORDER BY band)
+             |                   AS BIGINT) AS cumw,
+             |              CAST(sum(wt) OVER (PARTITION BY segment)
+             |                   AS BIGINT) AS tw
+             |       FROM wt),
+             |u AS (SELECT *,
+             |             ((CAST(ascii(substr(segment, 1, 1)) AS BIGINT) & 2147483647)
+             |              * 2654435761 + 131071) % 1000000007 % tw AS uh
+             |      FROM cw),
+             |rel AS (SELECT segment,
+             |               (min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).band
+             |                 AS released_band,
+             |               (min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).d
+             |                 AS d_released,
+             |               ((min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).wt
+             |                * 1000000)
+             |                // (min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).tw
+             |                 AS p_released_ppm
+             |        FROM u WHERE cumw > uh GROUP BY 1),
+             |med AS (SELECT segment, min(band) AS true_med_band, max(n) AS n
+             |        FROM u WHERE 2 * cum >= n GROUP BY 1)
+             |SELECT med.segment, med.n, med.true_med_band,
+             |       rel.released_band, rel.d_released, rel.p_released_ppm
+             |FROM med JOIN rel USING (segment)
+             |ORDER BY segment""".stripMargin))
   )
 
   /** LOCAL-DP prevalence estimation via randomized response (Warner 1965
@@ -398,5 +471,73 @@ object PrivacyQueries {
       .select(col("c_nationkey"),
         greatest(col("n") + geoNoise(u), lit(0L)).as("n_released"))
       .orderBy("c_nationkey")
+  }
+
+  /** Differentially-private MEDIAN release via the exponential mechanism
+    * (McSherry & Talwar 2007) — the non-count sibling of
+    * [[dpGeometricRelease]]: per market segment, release a $100
+    * account-balance band drawn with probability ∝ exp(ε·u/2) where the
+    * utility u(r) = −d(r), d(r) = |2·#{bal < r} + #{bal ∈ r} − n| — how
+    * unbalanced the split around candidate r is (d = 0 at an exact
+    * median; adding or removing one row changes d by ≤ 1, so Δu = 1).
+    * Choosing ε = 2·ln 2 makes every weight the EXACT dyadic integer
+    * 2^(Cap − min(d, Cap)) — the same integer-lattice trick as the
+    * geometric mechanism's ladder, so the whole release is a pure BIGINT
+    * function both engines replay bit-for-bit (no exp(), no floats). The
+    * draw is inverse-CDF over the per-segment cumulative weight axis with
+    * the masked multiplicative hash of the segment's first character as
+    * the uniform stand-in (the [[Graph.randomWalks]] deterministic-RNG
+    * posture — a production release draws real randomness; the candidate
+    * grid, utility, sensitivity accounting, dyadic weights, and
+    * inverse-CDF draw are what this operator carries).
+    *
+    * Output per segment: n, the true median band (curator-side audit
+    * column), the released band, its utility distance, and its release
+    * probability in ppm.
+    *
+    * Scale shape: one groupBy on (segment, band) over the facts, then
+    * every window runs on the FIXED segments × 110-band grid — O(groups),
+    * never fact-sized; the mechanism adds zero scans beyond the one
+    * aggregate.
+    */
+  def dpExponentialMedian(customer: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    val rows = customer.select(col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 100).cast("bigint").as("band"))
+    val segs = rows.groupBy("segment").agg(count(lit(1)).as("n"))
+    val grid = segs.crossJoin(broadcast(
+      spark.range(MedBandLo, MedBandHi + 1).select(col("id").as("band"))))
+    val cnt = rows.groupBy("segment", "band").agg(count(lit(1)).as("c"))
+    val g = grid.join(cnt, Seq("segment", "band"), "left")
+      .select(col("segment"), col("n"), col("band"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val byBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy("band")
+    val w = g
+      .withColumn("cum", sum(col("c")).over(byBand))
+      .withColumn("d", abs(lit(2L) * (col("cum") - col("c")) + col("c") - col("n")))
+      .withColumn("wt", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST($MedUtilCap - least(d, $MedUtilCap) AS INT))"))
+    val seg = org.apache.spark.sql.expressions.Window.partitionBy("segment")
+    val cw = w
+      .withColumn("cumw", sum(col("wt")).over(byBand))
+      .withColumn("tw", sum(col("wt")).over(seg))
+      .withColumn("uh", pmod(
+        ascii(substring(col("segment"), 1, 1)).cast("bigint")
+          .bitwiseAND(lit(2147483647L)) * lit(2654435761L) + lit(131071L),
+        lit(1000000007L)) % col("tw"))
+    val released = cw.filter(col("cumw") > col("uh"))
+      .groupBy("segment")
+      .agg(min(struct(col("band"), col("d"), col("wt"), col("tw"))).as("r"))
+      .select(col("segment"), col("r.band").as("released_band"),
+        col("r.d").as("d_released"),
+        expr("(r.wt * 1000000) div r.tw").as("p_released_ppm"))
+    val trueMed = cw.filter(lit(2L) * col("cum") >= col("n"))
+      .groupBy("segment")
+      .agg(min(col("band")).as("true_med_band"), max(col("n")).as("n"))
+    trueMed.join(released, "segment")
+      .select(col("segment"), col("n"), col("true_med_band"),
+        col("released_band"), col("d_released"), col("p_released_ppm"))
+      .orderBy("segment")
   }
 }

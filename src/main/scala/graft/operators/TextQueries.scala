@@ -348,9 +348,17 @@ object TextQueries {
     // whole expression cross-multiplies to integers, one ppm division at
     // the end. p_kn = max(c_ab − D, 0)/c_a + D·N1a/c_a · cont_b/T.
     // All four count tables are vocab-/type-sized aggregates of the one
-    // exploded bigram frame; at ≥1e9 bigram types the ppm numerator
-    // (~4·c_ab·T·1e6) outgrows BIGINT and needs the DECIMAL(38,0)
-    // widening rel_table_checksum documents.
+    // exploded bigram frame. The ppm expression is the FACTORED two-term
+    // form — discount term (4·c_ab−3)·250000 div c_a plus backoff term
+    // ((750000·cont_b) div T)·N1a div c_a — because the single-fraction
+    // numerator 1e6·(4·c_ab·T + 3·N1a·cont_b) outgrows BIGINT once
+    // c_ab·T passes ~2.3e12 (high-frequency bigrams hit that long before
+    // planet-scale: Spark wraps silently where DuckDB raises, so the two
+    // engines would diverge without an error). Factored, every
+    // intermediate is ≤ max(1e6·c_ab, 7.5e5·cont_b, 7.5e5·N1a) — safe to
+    // ~9e12 tokens per prefix and ~1.2e13 types. Cost: each floor
+    // truncates ≤ 1 ppm (the output lattice's own resolution), applied
+    // identically in both engines.
     QueryDef("tx_kneser_ney",
       (s, d) => {
         val bi = T(s, d, "documents")
@@ -370,8 +378,8 @@ object TextQueries {
         bi.join(ca, "w1").join(cont, "w2").crossJoin(types)
           .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
             col("n1a"), col("cont_b"),
-            expr("""(1000000 * (greatest(4 * c_ab - 3, 0) * tt
-                    + 3 * n1a * cont_b)) div (4 * c_a * tt)""").as("p_kn_ppm"))
+            expr("""(greatest(4 * c_ab - 3, 0) * 250000) div c_a
+                    + (((750000 * cont_b) div tt) * n1a) div c_a""").as("p_kn_ppm"))
           .orderBy(col("c_ab").desc, col("w1"), col("w2"))
           .limit(50)
       },
@@ -386,8 +394,8 @@ object TextQueries {
              |cont AS (SELECT w2, count(*) AS cont_b FROM bi GROUP BY 1),
              |ty AS (SELECT count(*) AS tt FROM bi)
              |SELECT w1, w2, c_ab, c_a, n1a, cont_b,
-             |       (1000000 * (greatest(4 * c_ab - 3, 0) * tt
-             |        + 3 * n1a * cont_b)) // (4 * c_a * tt) AS p_kn_ppm
+             |       (greatest(4 * c_ab - 3, 0) * 250000) // c_a
+             |       + (((750000 * cont_b) // tt) * n1a) // c_a AS p_kn_ppm
              |FROM bi JOIN ca USING (w1) JOIN cont USING (w2) CROSS JOIN ty
              |ORDER BY c_ab DESC, w1, w2 LIMIT 50""".stripMargin)),
 

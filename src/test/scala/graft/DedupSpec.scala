@@ -169,6 +169,31 @@ class DedupSpec extends AnyFunSuite {
       s"LSH pair set != exact pair set (missing=${exact -- lsh}, extra=${lsh -- exact})")
   }
 
+  test("substringRuns merges consecutive shared spans into maximal token runs") {
+    // Planted shared passages with all-distinct filler tokens so no span
+    // matches by accident: docs 1 and 2 share a 30-token passage p AND a
+    // separate 22-token passage q (two diagonals → two maximal runs);
+    // docs 1 and 3 share only a 10-token prefix run — under the 20-token
+    // threshold, so the (1,3) pair must be filtered out entirely.
+    def w(pfx: String, n: Int) = (1 to n).map(pfx + _)
+    val p = w("p", 30); val q = w("q", 22)
+    val d1 = (w("a", 10) ++ p ++ w("x", 10) ++ q ++ w("y", 10)).mkString(" ")
+    val d2 = (w("b", 5) ++ p ++ w("z", 5) ++ q ++ w("u", 5)).mkString(" ")
+    val d3 = (w("a", 10) ++ w("c", 40)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val got = Dedup.substringRuns(docs, pairs, spanW = 4, minRunTokens = 20)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // p contributes 27 span matches on one diagonal (run of 27+3 = 30
+    // tokens), q contributes 19 on another (19+3 = 22): 46 matched spans,
+    // 2 maximal runs, longest 30
+    assert(got == Seq((1L, 2L, 46L, 2L, 30L)), got)
+    // and at a 10-token threshold the (1,3) prefix run surfaces as 7+3
+    val loose = Dedup.substringRuns(docs, pairs, spanW = 4, minRunTokens = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(loose == Seq((1L, 2L, 46L, 2L, 30L), (1L, 3L, 7L, 1L, 10L)), loose)
+  }
+
   test("simhash pigeonhole: every pair at hamming <= 7 is found (recall bound)") {
     // Ground truth from the exposed simhash table: all-pairs hamming,
     // locally. With minJ = 0 the pair query's only filters are the chunk

@@ -548,6 +548,88 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("louvainTwoLevel: two triangles + bridge resolve in one move phase (hand case)") {
+    // edges: triangles {0,1,2} and {3,4,5} bridged by (2,3); m=7, 2m=14.
+    // Hand trace (also re-derived by the naive reference below):
+    //   sweep 1 (all): 0↔1 swap, 2→0, 3→4, 4↔5 swap (singleton rule);
+    //   sweep 2 (even): 0 rejoins {1,2} (g=18), 2 stays (own-tie
+    //     preference vs c1 at g=8), 4 rejoins {3,5} (g=18);
+    //   sweep 3 (odd): every triangle member stays — local optimum at
+    //     exactly the two triangles;
+    //   level 2: merging across the bridge scores 14·1 − 7·7 = −35 < 0,
+    //     so the coarse sweep correctly declines it.
+    // Modularity (Q·(2m)² units): singletons −Σdeg² = −34; both levels
+    // 2·(14·2·3 − 49) = 70.
+    val got = Graph.louvainTwoLevel(
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+        .toDF("a_id", "b_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 6L, -34L), (1L, 2L, 70L), (2L, 2L, 70L)), got)
+  }
+
+  test("louvainTwoLevel equals a naive two-level reference on random graphs") {
+    for (seed <- Seq(7, 19, 42)) {
+      val rng = new scala.util.Random(seed)
+      val n = 24
+      val edges = (1 to 60)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val nodes = adj.map(_._1).distinct.sorted
+      val deg = adj.groupBy(_._1).map { case (v, l) => v -> l.size.toLong }
+      val m2 = 2L * edges.size
+      def sweep(comm: Map[Long, Long], elig: Long => Boolean): Map[Long, Long] = {
+        val stot = comm.toSeq.groupBy(_._2)
+          .map { case (c, ms) => c -> ms.map(x => deg(x._1)).sum }
+        nodes.map { i =>
+          val a = comm(i)
+          val kic = adj.filter(_._1 == i).map(x => comm(x._2))
+            .groupBy(identity).map { case (c, l) => c -> l.size.toLong }
+          val best = (kic.keySet + a).toSeq.map { c =>
+            val st = stot(c) - (if (c == a) deg(i) else 0L)
+            (-(m2 * kic.getOrElse(c, 0L) - deg(i) * st),
+              if (c == a) 0L else 1L, c)
+          }.min
+          i -> (if (elig(i)) best._3 else a)
+        }.toMap
+      }
+      val c0 = nodes.map(v => v -> v).toMap
+      val c3 = sweep(sweep(sweep(c0, _ => true), _ % 2 == 0), _ % 2 == 1)
+      val ce = edges.groupBy { case (a, b) =>
+        (math.min(c3(a), c3(b)), math.max(c3(a), c3(b))) }
+        .map { case (k, l) => k -> l.size.toLong }
+      val cnodes = c3.values.toSeq.distinct
+      val wd = cnodes.map { u =>
+        u -> (ce.collect { case ((x, y), w) if x != y && (x == u || y == u) => w }.sum
+          + 2 * ce.getOrElse((u, u), 0L))
+      }.toMap
+      val l2 = cnodes.map { u =>
+        val nbrs = ce.collect { case ((x, y), w) if x != y && (x == u || y == u) =>
+          (if (x == u) y else x) -> w }
+        u -> (if (nbrs.isEmpty) u else {
+          val (ng, v) = nbrs.toSeq.map { case (v, w) => (-(m2 * w - wd(u) * wd(v)), v) }.min
+          if (-ng > 0) v else u
+        })
+      }.toMap
+      val cf = c3.map { case (i, c) => i -> l2(c) }
+      def q(comm: Map[Long, Long]): (Long, Long) = {
+        val tot = comm.toSeq.groupBy(_._2)
+          .map { case (c, ms) => c -> ms.map(x => deg(x._1)).sum }
+        val intra = edges.filter { case (a, b) => comm(a) == comm(b) }
+          .groupBy(x => comm(x._1)).map { case (c, l) => c -> l.size.toLong }
+        (tot.size.toLong,
+          tot.map { case (c, t) => m2 * 2 * intra.getOrElse(c, 0L) - t * t }.sum)
+      }
+      val want = Seq(q(c0), q(c3), q(cf)).zipWithIndex
+        .map { case ((nc, qv), i) => (i.toLong, nc, qv) }
+      val got = Graph.louvainTwoLevel(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
   test("node2vecWalks reduces to randomWalks under uniform weights") {
     import org.apache.spark.sql.functions.lit
     // with all three weights 100 the key is (h·100) div 100 = h exactly —

@@ -185,4 +185,43 @@ class PrivacySpec extends AnyFunSuite {
     assert(math.abs(est - 200000L) < 250000L,
       s"debiased estimate $est implausibly far from the 200000 ppm truth")
   }
+
+  test("exponential-mechanism median: dyadic mass function and draw replay exactly") {
+    import org.apache.spark.sql.functions.col
+    // One segment, 6 rows at known $100 bands {1, 1, 2, 2, 3, 90}: replay the
+    // full mechanism in Scala — utility lattice d(r) = |2·lt + eq − n|
+    // over the fixed grid, weights 2^(40−min(d,40)), cumulative axis,
+    // inverse-CDF draw off the segment hash — and require the operator's
+    // row to match field for field. Also pins the mass function itself:
+    // exact-median bands (d = 0) carry weight 2^40 and each halving of
+    // probability costs exactly one utility step (ε = 2·ln 2).
+    val rows = Seq(150.0, 160.0, 250.0, 260.0, 350.0, 9050.0).map(("SEG", _))
+    val customer = rows.toDF("c_mktsegment", "c_acctbal")
+    val bands = rows.map { case (_, b) => math.floor(b / 100).toLong }
+    val n = bands.size.toLong
+    val grid = (PrivacyQueries.MedBandLo to PrivacyQueries.MedBandHi).map { r =>
+      val lt = bands.count(_ < r).toLong
+      val eq = bands.count(_ == r).toLong
+      val d = math.abs(2 * lt + eq - n)
+      (r, lt + eq, d, 1L << (PrivacyQueries.MedUtilCap - math.min(d, PrivacyQueries.MedUtilCap)))
+    }
+    // d = 0 exactly at band 2 (lt = 2, eq = 2, n = 6 → |2·2+2−6| = 0)
+    // → the exact median carries the top dyadic mass 2^40
+    assert(grid.find(_._1 == 2L).get._3 == 0L)
+    assert(grid.find(_._1 == 2L).get._4 == (1L << 40))
+    // and every other weight is 2^(40−d) by construction — one utility
+    // step costs exactly one halving of release probability
+    grid.foreach { case (_, _, d, w) =>
+      assert(w == (1L << (40 - math.min(d, 40L))), s"d=$d w=$w") }
+    val tw = grid.map(_._4).sum
+    val uh = java.lang.Math.floorMod(
+      ('S'.toLong & 2147483647L) * 2654435761L + 131071L, 1000000007L) % tw
+    val cum = grid.scanLeft(0L)(_ + _._4).tail
+    val relIdx = cum.indexWhere(_ > uh)
+    val (relBand, _, relD, relW) = grid(relIdx)
+    val trueMed = grid.find { case (_, c, _, _) => 2 * c >= n }.get._1
+    val got = PrivacyQueries.dpExponentialMedian(customer)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("SEG", n, trueMed, relBand, relD, relW * 1000000L / tw)), got)
+  }
 }

@@ -130,6 +130,15 @@ class ScaleSmokeSpec extends AnyFunSuite {
     }
   }
 
+  /** Per-query growth ceilings tighter than the generic 30x wall, pinned
+    * after a fix so the regression cannot creep back unnoticed (the r12
+    * gr_kcore treatment): dd_embedding_lsh read 12.0x in r12 (stats-width
+    * key cost growing ~log n, PLUS the verify join broadcast-pinned on the
+    * faster-growing candidate side); the r13 fixed-pool keys + unhinted
+    * verify joins measure 3.7-5.8x, so 8x holds the line with margin.
+    */
+  private val GrowthCap = Map("dd_embedding_lsh" -> 8.0)
+
   test("dedup/similarity growth is ~linear from bench scale to 10x", Slow) {
     val queries = Seq("dd_minhash_lsh", "dd_cc_dedup", "sim_batch_topk",
       "dd_embedding_lsh")
@@ -144,9 +153,10 @@ class ScaleSmokeSpec extends AnyFunSuite {
       info(f"$q%-18s base=$t1%6.2fs rows=$r1%6d  10x=$t10%7.2fs rows=$r10%7d  growth=$growth%5.1fx")
       assert(r1 > 0, s"$q degenerate at base scale")
       assert(r10 > 0, s"$q degenerate at 10x scale")
-      assert(growth < 30.0,
-        s"$q grew ${growth}x for ${Factor}x data — quadratic creep " +
-          s"(linear lands near ${Factor}x)")
+      val cap = GrowthCap.getOrElse(q, 30.0)
+      assert(growth < cap,
+        s"$q grew ${growth}x for ${Factor}x data vs its ${cap}x ceiling — " +
+          s"quadratic creep (linear lands near ${Factor}x)")
     }
   }
 }
