@@ -1079,10 +1079,14 @@ object Dedup {
     * 8-byte span hashes while the oracle joins span STRINGS — the same
     * accepted hash-collision equivalence as [[decontaminate]].
     */
-  def substringRuns(docs: DataFrame, pairs: DataFrame, spanW: Int = 4,
-                    minRunTokens: Int = 20): DataFrame = {
-    require(spanW >= 1 && minRunTokens >= spanW,
-      s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
+  /** Position-indexed span matches (a_id, b_id, pa, pb) between candidate
+    * pair docs — the shared frame under [[substringRuns]] (per-pair run
+    * report) and [[substringRunCoverage]] (corpus savings rollup). One
+    * narrow span-hash explode per doc, two equi-joins keyed on
+    * (doc, span-hash).
+    */
+  private def spanMatches(docs: DataFrame, pairs: DataFrame,
+                          spanW: Int): DataFrame = {
     val spans = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= spanW)
@@ -1091,11 +1095,19 @@ object Dedup {
         i => xxhash64(array_join(slice(col("t"), i, lit(spanW)), " "))))
         .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
-    val m = pairs.select(col("a_id"), col("b_id"))
+    pairs.select(col("a_id"), col("b_id"))
       .join(spans.select(col("doc_id").as("a_id"), col("p").as("pa"), col("h")),
         "a_id")
       .join(spans.select(col("doc_id").as("b_id"), col("p").as("pb"), col("h")),
         Seq("b_id", "h"))
+      .select(col("a_id"), col("b_id"), col("pa"), col("pb"))
+  }
+
+  def substringRuns(docs: DataFrame, pairs: DataFrame, spanW: Int = 4,
+                    minRunTokens: Int = 20): DataFrame = {
+    require(spanW >= 1 && minRunTokens >= spanW,
+      s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
+    val m = spanMatches(docs, pairs, spanW)
     val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     val runs = m.withColumn("diag", col("pa") - col("pb"))
       .withColumn("rid", col("pa") - row_number().over(byDiag))
@@ -1110,6 +1122,55 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("n_shared_spans"),
         col("n_runs"), col("longest_run_tokens"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Corpus-level substring-dedup savings (the Lee et al. 2021 accounting
+    * panel next to [[substringRuns]]'s per-pair verdicts): how many tokens
+    * sit inside a shared run of >= `minRunTokens` — the upper bound on
+    * what an ExactSubstr pass would remove — rolled up per source. A
+    * token position counts when it is covered by ANY qualifying run on
+    * EITHER side of any candidate pair (both directions: doc a's
+    * positions pa..pa+spanW−1, doc b's pb..pb+spanW−1), with overlapping
+    * runs unioned exactly by exploding covered positions to a DISTINCT
+    * (doc, position) set — interval union as set semantics, no sweep-line
+    * state. Returns per source: docs, docs with a qualifying run, total
+    * tokens, covered tokens, and coverage in basis points.
+    *
+    * Scale shape: [[spanMatches]] plus one windowed run-length count over
+    * (pair, diagonal) partitions, a bounded spanW-fold position explode on
+    * qualifying match rows only, and two keyed aggregates — candidate-
+    * bounded throughout, like the run report.
+    */
+  def substringRunCoverage(docs: DataFrame, pairs: DataFrame, spanW: Int = 4,
+                           minRunTokens: Int = 20): DataFrame = {
+    require(spanW >= 1 && minRunTokens >= spanW,
+      s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
+    val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    val run = Window.partitionBy("a_id", "b_id", "diag", "rid")
+    val qual = spanMatches(docs, pairs, spanW)
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rid", col("pa") - row_number().over(byDiag))
+      .withColumn("len", count(lit(1)).over(run))
+      .filter(col("len") + lit(spanW - 1) >= minRunTokens)
+    val covered = qual
+      .select(col("a_id").as("doc_id"), explode(sequence(col("pa"),
+        col("pa") + lit(spanW - 1))).as("pos"))
+      .unionAll(qual.select(col("b_id").as("doc_id"),
+        explode(sequence(col("pb"), col("pb") + lit(spanW - 1))).as("pos")))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("cov"))
+    docs.select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .join(covered, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cov").isNotNull.cast("bigint")).as("n_dup_docs"),
+        sum(col("nt")).as("tokens_total"),
+        sum(coalesce(col("cov"), lit(0L))).as("tokens_in_runs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("tokens_total"), col("tokens_in_runs"),
+        expr("(tokens_in_runs * 10000) div tokens_total").as("dup_bp"))
+      .orderBy("source")
   }
 
   /** Content-defined chunking dedup (Rabin/FastCDC family): a boundary is

@@ -41,10 +41,30 @@ object EventQueries {
         expr("chr(96 + sym)").as("sax"))
   }
 
+  /** 4-symbol SAX words with exact occurrence counts per event type —
+    * the shared word table under ts_sax_motifs (top REPEATED words) and
+    * ts_sax_discords (RAREST words): one lead-3 window over the
+    * [[saxFrames]] spine assembles each word from consecutive observed
+    * frames, one keyed count. [[saxWordCtes]] is the oracle twin.
+    */
+  private def saxWordCounts(s: SparkSession, d: String): DataFrame = {
+    val byFrame = Window.partitionBy("event_type").orderBy("frame")
+    saxFrames(s, d)
+      .select(col("event_type"), col("frame"), col("sax"))
+      .withColumn("word", concat(col("sax"),
+        lead(col("sax"), 1).over(byFrame),
+        lead(col("sax"), 2).over(byFrame),
+        lead(col("sax"), 3).over(byFrame)))
+      .filter(col("word").isNotNull)
+      .groupBy("event_type", "word")
+      .agg(count(lit(1)).as("n_occ"), min(col("frame")).as("first_frame"))
+  }
+
   /** WITH-chain fragment ending in CTE `sax(event_type, frame, n, paa_e4,
-    * sax)` — [[saxFrames]] replayed in ANSI SQL; ts_paa_sax and
-    * ts_sax_motifs both interpolate it so the frame width / alphabet /
-    * lattice cannot drift between the producer and the miner.
+    * sax)` — [[saxFrames]] replayed in ANSI SQL; ts_paa_sax,
+    * ts_sax_motifs and ts_sax_discords all interpolate it so the frame
+    * width / alphabet / lattice cannot drift between the producer and
+    * the miners.
     */
   private val saxCtes: String =
     """f AS (SELECT event_type,
@@ -60,6 +80,22 @@ object EventQueries {
       |                             ORDER BY (cents * 100) // n, frame) AS INT))
       |                 AS sax
       |        FROM f)""".stripMargin
+
+  /** Extends [[saxCtes]] with `cnts(event_type, word, n_occ, first_frame)`
+    * — [[saxWordCounts]] replayed in ANSI SQL, shared by the motif and
+    * discord miners.
+    */
+  private val saxWordCtes: String =
+    s"""$saxCtes,
+      |words AS (SELECT event_type, frame,
+      |                 sax || lead(sax, 1) OVER w || lead(sax, 2) OVER w ||
+      |                    lead(sax, 3) OVER w AS word
+      |          FROM sax
+      |          WINDOW w AS (PARTITION BY event_type ORDER BY frame)),
+      |cnts AS (SELECT event_type, word, count(*) AS n_occ,
+      |                min(frame) AS first_frame
+      |         FROM words WHERE word IS NOT NULL
+      |         GROUP BY 1, 2)""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -724,39 +760,47 @@ object EventQueries {
     // by saxFrames' one groupBy.
     QueryDef("ts_sax_motifs",
       (s, d) => {
-        val byFrame = Window.partitionBy("event_type").orderBy("frame")
-        val words = saxFrames(s, d)
-          .select(col("event_type"), col("frame"), col("sax"))
-          .withColumn("word", concat(col("sax"),
-            lead(col("sax"), 1).over(byFrame),
-            lead(col("sax"), 2).over(byFrame),
-            lead(col("sax"), 3).over(byFrame)))
-          .filter(col("word").isNotNull)
-        val cnts = words.groupBy("event_type", "word")
-          .agg(count(lit(1)).as("n_occ"), min(col("frame")).as("first_frame"))
-          .filter(col("n_occ") >= 2)
         val byCnt = Window.partitionBy("event_type")
           .orderBy(col("n_occ").desc, col("word"))
-        cnts.withColumn("rk", row_number().over(byCnt).cast("bigint"))
+        saxWordCounts(s, d)
+          .filter(col("n_occ") >= 2)
+          .withColumn("rk", row_number().over(byCnt).cast("bigint"))
           .filter(col("rk") <= 10)
           .orderBy("event_type", "rk")
       },
-      Some(s"""WITH $saxCtes,
-             |words AS (SELECT event_type, frame,
-             |                 sax || lead(sax, 1) OVER w || lead(sax, 2) OVER w
-             |                     || lead(sax, 3) OVER w AS word
-             |          FROM sax
-             |          WINDOW w AS (PARTITION BY event_type ORDER BY frame)),
-             |cnts AS (SELECT event_type, word, count(*) AS n_occ,
-             |                min(frame) AS first_frame
-             |         FROM words WHERE word IS NOT NULL
-             |         GROUP BY 1, 2 HAVING count(*) >= 2)
+      Some(s"""WITH $saxWordCtes
              |SELECT event_type, word, n_occ, first_frame,
              |       CAST(rk AS BIGINT) AS rk
              |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
              |                ORDER BY n_occ DESC, word) AS rk
-             |      FROM cnts)
+             |      FROM cnts WHERE n_occ >= 2)
              |WHERE rk <= 10
+             |ORDER BY event_type, rk""".stripMargin)),
+
+    // SAX discord candidates — the anomaly half of the motif/discord pair
+    // (Lin et al. 2003 §4.2: a discord is the subsequence FURTHEST from
+    // every other; in symbol space the rarest words are the candidate
+    // set a miner verifies): per event type, the 5 least-frequent
+    // 4-symbol words with their occurrence count and first frame — the
+    // "when did the weird shape happen" pointer an on-call panel wants.
+    // Same shared word table and scale shape as ts_sax_motifs; ranking
+    // ties break on the word itself, deterministically.
+    QueryDef("ts_sax_discords",
+      (s, d) => {
+        val byRarity = Window.partitionBy("event_type")
+          .orderBy(col("n_occ"), col("word"))
+        saxWordCounts(s, d)
+          .withColumn("rk", row_number().over(byRarity).cast("bigint"))
+          .filter(col("rk") <= 5)
+          .orderBy("event_type", "rk")
+      },
+      Some(s"""WITH $saxWordCtes
+             |SELECT event_type, word, n_occ, first_frame,
+             |       CAST(rk AS BIGINT) AS rk
+             |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+             |                ORDER BY n_occ, word) AS rk
+             |      FROM cnts)
+             |WHERE rk <= 5
              |ORDER BY event_type, rk""".stripMargin)),
 
     // Winsorization report — the robust-prep companion to ts_hampel:

@@ -1297,17 +1297,26 @@ object Graph {
       .orderBy("id")
   }
 
-  /** Two-level Louvain (Blondel et al. 2008, both phases) — completes
-    * [[louvainMove]]'s single sweep into the full algorithm shape: a
-    * bounded move PHASE (three parallel sweeps), then the COARSENING the
-    * method is named for (communities become super-nodes, edge weights
-    * aggregate by community pair — one groupBy), then one weighted move
-    * sweep on the coarse graph. Returns the per-level report
-    * (level, n_comms, q_2m2) for level 0 (singletons), 1 (after the move
-    * phase) and 2 (coarse partition mapped back to original nodes), with
-    * modularity in exact Q·(2m)² integer units: q = Σ_c (2m·2·intra_c −
-    * tot_c²) — no floats anywhere, so the whole report hash-matches an
-    * unrolled SQL oracle.
+  /** Materialized frames of the shared two-level pipeline — consumed by
+    * [[louvainTwoLevel]] (per-level modularity report) and
+    * [[louvainCommunities]] (the membership table); each consumer
+    * materializes its own output then releases `toRelease`.
+    */
+  private case class LouvainFrames(e: DataFrame, deg: DataFrame,
+                                   m2: DataFrame, c0: DataFrame,
+                                   c3: DataFrame, cf: DataFrame,
+                                   toRelease: Seq[DataFrame])
+
+  /** Two-level Louvain pipeline (Blondel et al. 2008, both phases) —
+    * completes [[louvainMove]]'s single sweep into the full algorithm
+    * shape: a bounded move PHASE (three parallel sweeps), then the
+    * COARSENING the method is named for (communities become super-nodes,
+    * edge weights aggregate by community pair — one groupBy), then one
+    * weighted move sweep on the coarse graph. [[louvainTwoLevel]] reports
+    * per-level modularity off these frames in exact Q·(2m)² integer
+    * units — q = Σ_c (2m·2·intra_c − tot_c²), no floats anywhere, so the
+    * report hash-matches an unrolled SQL oracle — and
+    * [[louvainCommunities]] emits the membership table.
     *
     * Move rule (general-partition gain, exact integers): node i's score
     * for community c is 2m·k_ic − deg_i·(Σtot(c) − [c = C(i)]·deg_i); the
@@ -1333,7 +1342,7 @@ object Graph {
     * ~2^31 edges the q lattice needs the DECIMAL(38,0) widening
     * rel_table_checksum documents.
     */
-  def louvainTwoLevel(pairs: DataFrame): DataFrame = {
+  private def louvainPipeline(pairs: DataFrame): LouvainFrames = {
     import Dedup.{materialize, release}
     val e = materialize(pairs.select(least(col("a_id"), col("b_id")).as("a"),
       greatest(col("a_id"), col("b_id")).as("b")).distinct())
@@ -1405,26 +1414,56 @@ object Graph {
       .select(col("u"), coalesce(col("cu"), col("u")).as("cu")))
     val cf = materialize(c3.join(l2full, c3("c") === l2full("u"))
       .select(col("id"), col("cu").as("c")))
+    LouvainFrames(e, deg, m2, c0, c3, cf,
+      Seq(cf, l2full, cwd, ce, c3, c2, c1, c0, deg, es, e))
+  }
+
+  def louvainTwoLevel(pairs: DataFrame): DataFrame = {
+    import Dedup.{materialize, release}
+    val f = louvainPipeline(pairs)
 
     def q(comm: DataFrame): DataFrame = {
-      val tot = comm.join(deg, "id").groupBy("c").agg(sum(col("dg")).as("tot"))
-      val intra = e
+      val tot = comm.join(f.deg, "id").groupBy("c").agg(sum(col("dg")).as("tot"))
+      val intra = f.e
         .join(comm.select(col("id").as("a"), col("c").as("ca")), "a")
         .join(comm.select(col("id").as("b"), col("c").as("cb")), "b")
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("c")).agg(count(lit(1)).as("inc"))
-      tot.join(intra, Seq("c"), "left").crossJoin(m2)
+      tot.join(intra, Seq("c"), "left").crossJoin(f.m2)
         .select((col("m2") * lit(2L) * coalesce(col("inc"), lit(0L))
           - col("tot") * col("tot")).as("qc"))
         .agg(count(lit(1)).as("n_comms"), sum(col("qc")).as("q_2m2"))
     }
 
     val res = materialize(
-      q(c0).select(lit(0L).as("level"), col("n_comms"), col("q_2m2"))
-        .unionAll(q(c3).select(lit(1L).as("level"), col("n_comms"), col("q_2m2")))
-        .unionAll(q(cf).select(lit(2L).as("level"), col("n_comms"), col("q_2m2")))
+      q(f.c0).select(lit(0L).as("level"), col("n_comms"), col("q_2m2"))
+        .unionAll(q(f.c3).select(lit(1L).as("level"), col("n_comms"), col("q_2m2")))
+        .unionAll(q(f.cf).select(lit(2L).as("level"), col("n_comms"), col("q_2m2")))
         .orderBy("level"))
-    Seq(cf, l2full, cwd, ce, c3, c2, c1, c0, deg, es, e).foreach(release)
+    f.toRelease.foreach(release)
+    res
+  }
+
+  /** Final community membership — the table [[louvainTwoLevel]]'s report
+    * summarizes and the one a dedup-cluster triage panel actually reads:
+    * per node, its community after the level-1 move phase, its final
+    * (coarse-pass) community, and that community's size. Same pipeline,
+    * second consumer; one extra O(communities) size aggregate joined
+    * back. Rows = O(nodes).
+    */
+  def louvainCommunities(pairs: DataFrame): DataFrame = {
+    import Dedup.{materialize, release}
+    val f = louvainPipeline(pairs)
+    val sz = f.cf.groupBy(col("c")).agg(count(lit(1)).as("comm_size"))
+    val res = materialize(
+      f.c3.select(col("id"), col("c").as("comm_move"))
+        .join(f.cf.select(col("id"), col("c").as("comm_final")), "id")
+        .join(sz.select(col("c").as("comm_final"), col("comm_size")),
+          "comm_final")
+        .select(col("id"), col("comm_move"), col("comm_final"),
+          col("comm_size"))
+        .orderBy("id"))
+    f.toRelease.foreach(release)
     res
   }
 

@@ -227,19 +227,118 @@ object PipelineQueries {
        |n2vwk AS MATERIALIZED ($unionAll)""".stripMargin
   }
 
+  private def louvainSweepCtes(sn: Int, pred: String): String =
+    s"""cn$sn AS (SELECT les.id, cm.c, count(*) AS k
+       |          FROM les JOIN lc${sn - 1} cm ON cm.id = les.nb
+       |          GROUP BY 1, 2),
+       |st$sn AS (SELECT cm.c, CAST(sum(d.dg) AS BIGINT) AS st
+       |          FROM lc${sn - 1} cm JOIN ldeg d ON d.id = cm.id
+       |          GROUP BY 1),
+       |cd$sn AS (SELECT cm.id, cm.c, coalesce(cn.k, 0) AS k, 0 AS nown
+       |          FROM lc${sn - 1} cm
+       |          LEFT JOIN cn$sn cn ON cn.id = cm.id AND cn.c = cm.c
+       |          UNION ALL
+       |          SELECT cn.id, cn.c, cn.k, 1
+       |          FROM cn$sn cn JOIN lc${sn - 1} cm ON cm.id = cn.id
+       |          WHERE cm.c <> cn.c),
+       |sc$sn AS (SELECT cd.id, cd.c, cd.nown,
+       |                 lm.m2 * cd.k - d.dg * (st.st -
+       |                   CASE WHEN cd.nown = 0 THEN d.dg ELSE 0 END) AS g
+       |          FROM cd$sn cd JOIN ldeg d ON d.id = cd.id
+       |                        JOIN st$sn st ON st.c = cd.c
+       |                        CROSS JOIN lm),
+       |lc$sn AS MATERIALIZED (
+       |  SELECT sc.id,
+       |         CASE WHEN $pred
+       |              THEN (min({'ng': -(sc.g), 'nown': sc.nown,
+       |                         'c': sc.c})).c
+       |              ELSE cm.c END AS c
+       |  FROM sc$sn sc JOIN lc${sn - 1} cm ON cm.id = sc.id
+       |  GROUP BY sc.id, cm.c)""".stripMargin
+
+  /** WITH-chain fragment ending in CTEs `lc0`/`lc3` (move-phase
+    * partitions) and `lcf` (final coarse-pass partition) — the full
+    * two-level Louvain pipeline of [[Graph.louvainPipeline]] replayed in
+    * ANSI SQL (expects `jaccardCtes` in scope). gr_louvain_coarse and
+    * gr_louvain_members both interpolate it so the sweep rules, parity
+    * schedule, and coarsening cannot drift between the report and the
+    * membership table.
+    */
+  private[operators] val louvainOracleChain: String =
+    s"""lprs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+       |le AS (SELECT a_id AS a, b_id AS b FROM lprs),
+       |les AS (SELECT a AS id, b AS nb FROM le
+       |        UNION ALL SELECT b, a FROM le),
+       |ldeg AS (SELECT id, count(*) AS dg FROM les GROUP BY 1),
+       |lm AS (SELECT 2 * count(*) AS m2 FROM le),
+       |lc0 AS (SELECT DISTINCT id, id AS c FROM les),
+       |${louvainSweepCtes(1, "TRUE")},
+       |${louvainSweepCtes(2, "sc.id % 2 = 0")},
+       |${louvainSweepCtes(3, "sc.id % 2 = 1")},
+       |lce AS (SELECT least(x.c, y.c) AS u, greatest(x.c, y.c) AS v,
+       |               count(*) AS w
+       |        FROM le JOIN lc3 x ON x.id = le.a
+       |                JOIN lc3 y ON y.id = le.b
+       |        GROUP BY 1, 2),
+       |lces AS (SELECT u, v, w FROM lce WHERE u <> v
+       |         UNION ALL SELECT v, u, w FROM lce WHERE u <> v),
+       |lwd AS (SELECT t.u, CAST(coalesce(nw.s, 0) + coalesce(sw.s, 0)
+       |                    AS BIGINT) AS wd
+       |        FROM (SELECT DISTINCT c AS u FROM lc3) t
+       |        LEFT JOIN (SELECT u, sum(w) AS s FROM lces GROUP BY 1) nw
+       |               ON nw.u = t.u
+       |        LEFT JOIN (SELECT u, 2 * sum(w) AS s FROM lce
+       |                   WHERE u = v GROUP BY 1) sw ON sw.u = t.u),
+       |l2m AS (SELECT s.u, CASE WHEN -((s.b).ng) > 0 THEN (s.b).v
+       |                         ELSE s.u END AS cu
+       |        FROM (SELECT ces.u,
+       |                     min({'ng': -(lm.m2 * ces.w - du.wd * dv.wd),
+       |                          'v': ces.v}) AS b
+       |              FROM lces ces JOIN lwd du ON du.u = ces.u
+       |                            JOIN lwd dv ON dv.u = ces.v
+       |                            CROSS JOIN lm
+       |              GROUP BY 1) s),
+       |l2f AS (SELECT t.u, coalesce(l2m.cu, t.u) AS cu
+       |        FROM (SELECT DISTINCT c AS u FROM lc3) t
+       |        LEFT JOIN l2m ON l2m.u = t.u),
+       |lcf AS MATERIALIZED (SELECT lc3.id, l2f.cu AS c
+       |                     FROM lc3 JOIN l2f ON l2f.u = lc3.c)""".stripMargin
+
   /** k for gr_ktruss — the ONE constant both the Spark call and the
     * generated oracle's peel threshold (`sup >= k-2`) derive from, so
     * retuning k cannot silently diverge the two engines.
     */
   private val KtrussK = 3
 
-  /** dd_substring_runs parameters, shared by the Spark call and the
-    * generated oracle (span width in tokens; report threshold for the
-    * longest shared run — Lee et al. 2021 use 50 on web-scale docs, 20 is
-    * that threshold scaled to this corpus's 10-100-token documents).
+  /** dd_substring_runs / dd_substring_yield parameters, shared by the
+    * Spark calls and the generated oracles (span width in tokens; report
+    * threshold for a shared run — Lee et al. 2021 use 50 on web-scale
+    * docs, 20 is that threshold scaled to this corpus's 10-100-token
+    * documents).
     */
   private val SubstrSpanW = 4
   private val SubstrMinRun = 20
+
+  /** WITH-chain fragment ending in CTE `m(a_id, b_id, pa, pb)` — the
+    * position-indexed span matches of [[Dedup.spanMatches]] replayed in
+    * ANSI SQL (expects `jaccardCtes` in scope); dd_substring_runs and
+    * dd_substring_yield both interpolate it so the span definition and
+    * candidate-pair source cannot drift between the report and the
+    * rollup. Oracle joins span STRINGS where Spark joins xxhash64 keys —
+    * the decontaminate equivalence.
+    */
+  private[operators] val substrMatchCtes: String =
+    s"""sprs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
+       |ssp AS (SELECT doc_id, g AS p,
+       |               list_aggregate(t[g : g + ${SubstrSpanW - 1}],
+       |                              'string_agg', ' ') AS s
+       |        FROM (SELECT doc_id, t,
+       |                     unnest(generate_series(1,
+       |                            len(t) - ${SubstrSpanW - 1})) AS g
+       |              FROM tt WHERE len(t) >= $SubstrSpanW)),
+       |m AS (SELECT p.a_id, p.b_id, sa.p AS pa, sb.p AS pb
+       |      FROM sprs p JOIN ssp sa ON sa.doc_id = p.a_id
+       |                  JOIN ssp sb ON sb.doc_id = p.b_id AND sb.s = sa.s)""".stripMargin
 
   /** Test surface for the family-cache bound (JobServerSpec's
     * multi-sfDir submission case).
@@ -2090,34 +2189,6 @@ object PipelineQueries {
       (s, d) => Graph.louvainTwoLevel(
         pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
       Some {
-        def sweepCtes(sn: Int, pred: String): String =
-          s"""cn$sn AS (SELECT les.id, cm.c, count(*) AS k
-             |          FROM les JOIN lc${sn - 1} cm ON cm.id = les.nb
-             |          GROUP BY 1, 2),
-             |st$sn AS (SELECT cm.c, CAST(sum(d.dg) AS BIGINT) AS st
-             |          FROM lc${sn - 1} cm JOIN ldeg d ON d.id = cm.id
-             |          GROUP BY 1),
-             |cd$sn AS (SELECT cm.id, cm.c, coalesce(cn.k, 0) AS k, 0 AS nown
-             |          FROM lc${sn - 1} cm
-             |          LEFT JOIN cn$sn cn ON cn.id = cm.id AND cn.c = cm.c
-             |          UNION ALL
-             |          SELECT cn.id, cn.c, cn.k, 1
-             |          FROM cn$sn cn JOIN lc${sn - 1} cm ON cm.id = cn.id
-             |          WHERE cm.c <> cn.c),
-             |sc$sn AS (SELECT cd.id, cd.c, cd.nown,
-             |                 lm.m2 * cd.k - d.dg * (st.st -
-             |                   CASE WHEN cd.nown = 0 THEN d.dg ELSE 0 END) AS g
-             |          FROM cd$sn cd JOIN ldeg d ON d.id = cd.id
-             |                        JOIN st$sn st ON st.c = cd.c
-             |                        CROSS JOIN lm),
-             |lc$sn AS MATERIALIZED (
-             |  SELECT sc.id,
-             |         CASE WHEN $pred
-             |              THEN (min({'ng': -(sc.g), 'nown': sc.nown,
-             |                         'c': sc.c})).c
-             |              ELSE cm.c END AS c
-             |  FROM sc$sn sc JOIN lc${sn - 1} cm ON cm.id = sc.id
-             |  GROUP BY sc.id, cm.c)""".stripMargin
         def qCte(qn: String, p: String): String =
           s"""$qn AS (SELECT count(*) AS n_comms, CAST(sum(qc) AS BIGINT) AS q_2m2
              |        FROM (SELECT t.c,
@@ -2132,44 +2203,7 @@ object PipelineQueries {
              |                         GROUP BY 1) i ON i.c = t.c
              |              CROSS JOIN lm))""".stripMargin
         s"""WITH $jaccardCtes,
-           |lprs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
-           |le AS (SELECT a_id AS a, b_id AS b FROM lprs),
-           |les AS (SELECT a AS id, b AS nb FROM le
-           |        UNION ALL SELECT b, a FROM le),
-           |ldeg AS (SELECT id, count(*) AS dg FROM les GROUP BY 1),
-           |lm AS (SELECT 2 * count(*) AS m2 FROM le),
-           |lc0 AS (SELECT DISTINCT id, id AS c FROM les),
-           |${sweepCtes(1, "TRUE")},
-           |${sweepCtes(2, "sc.id % 2 = 0")},
-           |${sweepCtes(3, "sc.id % 2 = 1")},
-           |lce AS (SELECT least(x.c, y.c) AS u, greatest(x.c, y.c) AS v,
-           |               count(*) AS w
-           |        FROM le JOIN lc3 x ON x.id = le.a
-           |                JOIN lc3 y ON y.id = le.b
-           |        GROUP BY 1, 2),
-           |lces AS (SELECT u, v, w FROM lce WHERE u <> v
-           |         UNION ALL SELECT v, u, w FROM lce WHERE u <> v),
-           |lwd AS (SELECT t.u, CAST(coalesce(nw.s, 0) + coalesce(sw.s, 0)
-           |                    AS BIGINT) AS wd
-           |        FROM (SELECT DISTINCT c AS u FROM lc3) t
-           |        LEFT JOIN (SELECT u, sum(w) AS s FROM lces GROUP BY 1) nw
-           |               ON nw.u = t.u
-           |        LEFT JOIN (SELECT u, 2 * sum(w) AS s FROM lce
-           |                   WHERE u = v GROUP BY 1) sw ON sw.u = t.u),
-           |l2m AS (SELECT s.u, CASE WHEN -((s.b).ng) > 0 THEN (s.b).v
-           |                         ELSE s.u END AS cu
-           |        FROM (SELECT ces.u,
-           |                     min({'ng': -(lm.m2 * ces.w - du.wd * dv.wd),
-           |                          'v': ces.v}) AS b
-           |              FROM lces ces JOIN lwd du ON du.u = ces.u
-           |                            JOIN lwd dv ON dv.u = ces.v
-           |                            CROSS JOIN lm
-           |              GROUP BY 1) s),
-           |l2f AS (SELECT t.u, coalesce(l2m.cu, t.u) AS cu
-           |        FROM (SELECT DISTINCT c AS u FROM lc3) t
-           |        LEFT JOIN l2m ON l2m.u = t.u),
-           |lcf AS MATERIALIZED (SELECT lc3.id, l2f.cu AS c
-           |                     FROM lc3 JOIN l2f ON l2f.u = lc3.c),
+           |$louvainOracleChain,
            |${qCte("q0", "lc0")},
            |${qCte("q1", "lc3")},
            |${qCte("q2", "lcf")}
@@ -2180,6 +2214,24 @@ object PipelineQueries {
            |SELECT CAST(2 AS BIGINT), n_comms, q_2m2 FROM q2
            |ORDER BY level""".stripMargin
       }),
+
+    // Final Louvain membership table — the per-node view gr_louvain_coarse
+    // summarizes: community after the move phase, final coarse-pass
+    // community, and its size (the panel a dedup-cluster triage reads).
+    // Second consumer of the shared pipeline; both oracles interpolate
+    // one louvainOracleChain so the sweep rules cannot drift.
+    QueryDef("gr_louvain_members",
+      (s, d) => Graph.louvainCommunities(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      Some(s"""WITH $jaccardCtes,
+             |$louvainOracleChain,
+             |lsz AS (SELECT c, count(*) AS comm_size FROM lcf GROUP BY 1)
+             |SELECT lc3.id, lc3.c AS comm_move, lcf.c AS comm_final,
+             |       lsz.comm_size
+             |FROM lc3 JOIN lcf ON lcf.id = lc3.id
+             |         JOIN lsz ON lsz.c = lcf.c
+             |ORDER BY lc3.id""".stripMargin)),
+
 
     // Deterministic node2vec trajectory table (p=4, q=2 as weight percents
     // 25/100/50): the SECOND-ORDER biased twin of gr_random_walks — each
@@ -2268,17 +2320,7 @@ object PipelineQueries {
         pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
         spanW = SubstrSpanW, minRunTokens = SubstrMinRun),
       Some(s"""WITH $jaccardCtes,
-             |prs AS (SELECT a_id, b_id FROM inter WHERE c >= 3),
-             |sp AS (SELECT doc_id, g AS p,
-             |              list_aggregate(t[g : g + ${SubstrSpanW - 1}],
-             |                             'string_agg', ' ') AS s
-             |       FROM (SELECT doc_id, t,
-             |                    unnest(generate_series(1,
-             |                           len(t) - ${SubstrSpanW - 1})) AS g
-             |             FROM tt WHERE len(t) >= $SubstrSpanW)),
-             |m AS (SELECT p.a_id, p.b_id, sa.p AS pa, sb.p AS pb
-             |      FROM prs p JOIN sp sa ON sa.doc_id = p.a_id
-             |                JOIN sp sb ON sb.doc_id = p.b_id AND sb.s = sa.s),
+             |$substrMatchCtes,
              |r AS (SELECT a_id, b_id, pa - pb AS diag,
              |             pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
              |                                     ORDER BY pa) AS rid
@@ -2296,6 +2338,51 @@ object PipelineQueries {
              |FROM matched JOIN perpair USING (a_id, b_id)
              |WHERE longest_run_tokens >= $SubstrMinRun
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Corpus-level substring-dedup savings — the Lee et al. accounting
+    // panel a curation owner reads before turning ExactSubstr ON: per
+    // source, how many tokens sit inside a >=20-token shared run (the
+    // upper bound on removal), with overlapping runs unioned exactly via
+    // a DISTINCT covered-(doc, position) set. Second consumer of the
+    // shared span-match frame. See Dedup.substringRunCoverage.
+    QueryDef("dd_substring_yield",
+      (s, d) => Dedup.substringRunCoverage(T(s, d, "documents"),
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        spanW = SubstrSpanW, minRunTokens = SubstrMinRun),
+      Some(s"""WITH $jaccardCtes,
+             |$substrMatchCtes,
+             |r AS (SELECT a_id, b_id, pa, pb, pa - pb AS diag,
+             |             pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+             |                                     ORDER BY pa) AS rid
+             |      FROM m),
+             |q AS (SELECT * FROM (SELECT r.*, count(*) OVER (PARTITION BY
+             |                a_id, b_id, diag, rid) AS len FROM r)
+             |      WHERE len + ${SubstrSpanW - 1} >= $SubstrMinRun),
+             |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cov
+             |        FROM (SELECT DISTINCT doc_id, pos FROM (
+             |              SELECT a_id AS doc_id,
+             |                     unnest(generate_series(pa,
+             |                            pa + ${SubstrSpanW - 1})) AS pos
+             |              FROM q
+             |              UNION ALL
+             |              SELECT b_id,
+             |                     unnest(generate_series(pb,
+             |                            pb + ${SubstrSpanW - 1}))
+             |              FROM q))
+             |        GROUP BY 1),
+             |base AS (SELECT doc_id, source,
+             |                CAST(len(${graft.functions.TextFns.tokensSqlDuckDB("text")})
+             |                     AS BIGINT) AS nt
+             |         FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN cov IS NOT NULL THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_dup_docs,
+             |       CAST(sum(nt) AS BIGINT) AS tokens_total,
+             |       CAST(sum(coalesce(cov, 0)) AS BIGINT) AS tokens_in_runs,
+             |       (CAST(sum(coalesce(cov, 0)) AS BIGINT) * 10000)
+             |         // CAST(sum(nt) AS BIGINT) AS dup_bp
+             |FROM base LEFT JOIN cov USING (doc_id)
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
 
     // Decontamination composed with the REAL split: 8-gram contamination
     // of the hash-assigned held-out slice (tx_split_assign's u >= 0.90

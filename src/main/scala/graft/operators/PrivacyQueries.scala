@@ -505,8 +505,11 @@ object PrivacyQueries {
     val rows = customer.select(col("c_mktsegment").as("segment"),
       floor(col("c_acctbal") / 100).cast("bigint").as("band"))
     val segs = rows.groupBy("segment").agg(count(lit(1)).as("n"))
-    val grid = segs.crossJoin(broadcast(
-      spark.range(MedBandLo, MedBandHi + 1).select(col("id").as("band"))))
+    // literal local 110-row lattice (LocalTableScan — provably tiny to
+    // the PlanAudit nested-loop sweep, unlike a Range exec)
+    val bands = spark.createDataset(MedBandLo to MedBandHi)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("band")
+    val grid = segs.crossJoin(broadcast(bands))
     val cnt = rows.groupBy("segment", "band").agg(count(lit(1)).as("c"))
     val g = grid.join(cnt, Seq("segment", "band"), "left")
       .select(col("segment"), col("n"), col("band"),

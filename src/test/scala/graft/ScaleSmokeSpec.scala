@@ -105,7 +105,13 @@ class ScaleSmokeSpec extends AnyFunSuite {
       // near 100x here)
       ("incrementalMinhashProbe/op",
         d => Dedup.incrementalMinhashProbe(d, isNew = col("doc_id") % 10 === 0,
-          minJ = 0.5)))
+          minJ = 0.5)),
+      // r13: the ExactSubstr run merge over LSH candidates — span joins +
+      // the diagonal island window must track the candidate volume, not
+      // the pair-square (planted twins share ≥29-token prefixes, so rows
+      // stay > 0 at the 20-token threshold)
+      ("substringRuns/op", d => Dedup.substringRuns(d,
+        Dedup.minhashLshPairs(d).select("a_id", "b_id"))))
     // JIT/codegen warmup on the real small fixture, off the clock
     val warm = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     ops.foreach { case (_, op) => op(warm).count() }
