@@ -1418,52 +1418,95 @@ object Graph {
       Seq(cf, l2full, cwd, ce, c3, c2, c1, c0, deg, es, e))
   }
 
-  def louvainTwoLevel(pairs: DataFrame): DataFrame = {
+  /** (id, comm_move, comm_final) membership table — the ONE expensive
+    * product of [[louvainPipeline]] (the 3 sweeps + coarsening), built
+    * once and shared: [[louvainReport]] scores per-level modularity off
+    * it and [[louvainCommunities]] decorates it with community sizes, so
+    * the query layer can family-cache this frame instead of running the
+    * pipeline per consumer. Materialized; caller owns the release.
+    */
+  def louvainMemberTable(pairs: DataFrame): DataFrame = {
     import Dedup.{materialize, release}
     val f = louvainPipeline(pairs)
+    val res = materialize(
+      f.c3.select(col("id"), col("c").as("comm_move"))
+        .join(f.cf.select(col("id"), col("c").as("comm_final")), "id"))
+    f.toRelease.foreach(release)
+    res
+  }
+
+  /** Per-level modularity report off a prebuilt [[louvainMemberTable]]:
+    * the graph frames it rescoring needs (edges, degrees, 2m) are one
+    * cheap pass over `pairs` — the expensive sweeps live in the member
+    * table. Does NOT release `members` (it may be a cached frame).
+    */
+  def louvainReport(pairs: DataFrame, members: DataFrame): DataFrame = {
+    import Dedup.{materialize, release}
+    val e = materialize(pairs.select(least(col("a_id"), col("b_id")).as("a"),
+      greatest(col("a_id"), col("b_id")).as("b")).distinct())
+    val deg = materialize(
+      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg")))
+    val m2 = broadcast(e.agg((count(lit(1)) * 2).as("m2")))
 
     def q(comm: DataFrame): DataFrame = {
-      val tot = comm.join(f.deg, "id").groupBy("c").agg(sum(col("dg")).as("tot"))
-      val intra = f.e
+      val tot = comm.join(deg, "id").groupBy("c").agg(sum(col("dg")).as("tot"))
+      val intra = e
         .join(comm.select(col("id").as("a"), col("c").as("ca")), "a")
         .join(comm.select(col("id").as("b"), col("c").as("cb")), "b")
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("c")).agg(count(lit(1)).as("inc"))
-      tot.join(intra, Seq("c"), "left").crossJoin(f.m2)
+      tot.join(intra, Seq("c"), "left").crossJoin(m2)
         .select((col("m2") * lit(2L) * coalesce(col("inc"), lit(0L))
           - col("tot") * col("tot")).as("qc"))
         .agg(count(lit(1)).as("n_comms"), sum(col("qc")).as("q_2m2"))
     }
 
+    val c0 = deg.select(col("id"), col("id").as("c"))
     val res = materialize(
-      q(f.c0).select(lit(0L).as("level"), col("n_comms"), col("q_2m2"))
-        .unionAll(q(f.c3).select(lit(1L).as("level"), col("n_comms"), col("q_2m2")))
-        .unionAll(q(f.cf).select(lit(2L).as("level"), col("n_comms"), col("q_2m2")))
+      q(c0).select(lit(0L).as("level"), col("n_comms"), col("q_2m2"))
+        .unionAll(q(members.select(col("id"), col("comm_move").as("c")))
+          .select(lit(1L).as("level"), col("n_comms"), col("q_2m2")))
+        .unionAll(q(members.select(col("id"), col("comm_final").as("c")))
+          .select(lit(2L).as("level"), col("n_comms"), col("q_2m2")))
         .orderBy("level"))
-    f.toRelease.foreach(release)
+    Seq(deg, e).foreach(release)
     res
   }
 
-  /** Final community membership — the table [[louvainTwoLevel]]'s report
-    * summarizes and the one a dedup-cluster triage panel actually reads:
-    * per node, its community after the level-1 move phase, its final
-    * (coarse-pass) community, and that community's size. Same pipeline,
-    * second consumer; one extra O(communities) size aggregate joined
-    * back. Rows = O(nodes).
+  /** Final community membership with sizes off a prebuilt
+    * [[louvainMemberTable]] — the table [[louvainReport]] summarizes and
+    * the one a dedup-cluster triage panel actually reads. One
+    * O(communities) size aggregate joined back; rows = O(nodes). Does
+    * NOT release `members`.
+    */
+  def louvainCommunitiesFrom(members: DataFrame): DataFrame = {
+    val sz = members.groupBy(col("comm_final")).agg(count(lit(1)).as("comm_size"))
+    members.join(sz, "comm_final")
+      .select(col("id"), col("comm_move"), col("comm_final"), col("comm_size"))
+      .orderBy("id")
+  }
+
+  /** Self-contained report (builds and releases its own member table) —
+    * the spec-facing form; the query layer shares one cached member table
+    * across both consumers instead.
+    */
+  def louvainTwoLevel(pairs: DataFrame): DataFrame = {
+    import Dedup.release
+    val m = louvainMemberTable(pairs)
+    val res = louvainReport(pairs, m)
+    release(m)
+    res
+  }
+
+  /** Self-contained membership table (spec-facing form of
+    * [[louvainCommunitiesFrom]]).
     */
   def louvainCommunities(pairs: DataFrame): DataFrame = {
     import Dedup.{materialize, release}
-    val f = louvainPipeline(pairs)
-    val sz = f.cf.groupBy(col("c")).agg(count(lit(1)).as("comm_size"))
-    val res = materialize(
-      f.c3.select(col("id"), col("c").as("comm_move"))
-        .join(f.cf.select(col("id"), col("c").as("comm_final")), "id")
-        .join(sz.select(col("c").as("comm_final"), col("comm_size")),
-          "comm_final")
-        .select(col("id"), col("comm_move"), col("comm_final"),
-          col("comm_size"))
-        .orderBy("id"))
-    f.toRelease.foreach(release)
+    val m = louvainMemberTable(pairs)
+    val res = materialize(louvainCommunitiesFrom(m))
+    release(m)
     res
   }
 

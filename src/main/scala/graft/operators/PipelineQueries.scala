@@ -189,6 +189,20 @@ object PipelineQueries {
           % lit(1000000007L) % 4 === 0,
         steps = 8))
 
+  /** Louvain membership table (id, comm_move, comm_final), computed once
+    * per (session, sfDir): the 3-sweep move phase + coarsening is the
+    * expensive part of BOTH gr_louvain_coarse (per-level modularity
+    * rescoring) and gr_louvain_members (sizes joined back) — the
+    * one-producer/many-consumers pattern, so it joins the family caches
+    * rather than running the pipeline per consumer. O(nodes) rows.
+    */
+  private val louvainCache = FamilyCache.frames[(SparkSession, String)]()
+
+  private def louvainMembers(s: SparkSession, d: String) =
+    louvainCache.getOrElseUpdate((s, d),
+      Graph.louvainMemberTable(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")))
+
   /** WITH-chain fragment ending in CTE `n2vwk(wid, step, cur)` — the
     * node2vec trajectory table replayed in ANSI SQL (expects `jaccardCtes`
     * in scope for `inter`), THE single oracle-side definition of the
@@ -353,7 +367,8 @@ object PipelineQueries {
     Seq("minhash_pairs" -> minhashPairCache, "pair_stats" -> pairStatsCache,
       "cc_labels" -> ccLabelCache, "simhash_pairs" -> simhashPairCache,
       "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache,
-      "walks" -> walkCache, "n2v_walks" -> n2vWalkCache)
+      "walks" -> walkCache, "n2v_walks" -> n2vWalkCache,
+      "louvain_members" -> louvainCache)
       .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
@@ -388,7 +403,10 @@ object PipelineQueries {
       // batch)
       timed("walks") { walkTable(s, d) },
       // two consumers since r13: gr_node2vec_walks + gr_n2v_skipgrams
-      timed("n2v_walks") { n2vWalkTable(s, d) })
+      timed("n2v_walks") { n2vWalkTable(s, d) },
+      // two consumers: gr_louvain_coarse (modularity rescoring) +
+      // gr_louvain_members (size decoration)
+      timed("louvain_members") { louvainMembers(s, d) })
     // incrMinhashVerdicts is deliberately NOT staged: staging exists to fix
     // cross-consumer attribution, and the verdicts have exactly ONE
     // consumer (dd_incremental_minhash) — staging would remove that query's
@@ -2186,8 +2204,9 @@ object PipelineQueries {
     // determinism contract, and scale shape; the oracle unrolls all
     // five stages as MATERIALIZED CTEs from one generated template.
     QueryDef("gr_louvain_coarse",
-      (s, d) => Graph.louvainTwoLevel(
-        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      (s, d) => Graph.louvainReport(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        louvainMembers(s, d)),
       Some {
         def qCte(qn: String, p: String): String =
           s"""$qn AS (SELECT count(*) AS n_comms, CAST(sum(qc) AS BIGINT) AS q_2m2
@@ -2221,8 +2240,7 @@ object PipelineQueries {
     // Second consumer of the shared pipeline; both oracles interpolate
     // one louvainOracleChain so the sweep rules cannot drift.
     QueryDef("gr_louvain_members",
-      (s, d) => Graph.louvainCommunities(
-        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")),
+      (s, d) => Graph.louvainCommunitiesFrom(louvainMembers(s, d)),
       Some(s"""WITH $jaccardCtes,
              |$louvainOracleChain,
              |lsz AS (SELECT c, count(*) AS comm_size FROM lcf GROUP BY 1)

@@ -84,10 +84,15 @@ class JobServerSpec extends AnyFunSuite {
       // and every resident entry implies at least one recorded miss
       assert(metrics.contains(""""name":"minhash_pairs""""), metrics)
       val entryStats =
-        """\{"name":"([a-z_]+)","entries":(\d+),"hits":(\d+),"misses":(\d+)\}""".r
+        """\{"name":"([a-z0-9_]+)","entries":(\d+),"hits":(\d+),"misses":(\d+)\}""".r
       val parsed = entryStats.findAllMatchIn(metrics).map(m =>
         (m.group(1), m.group(2).toInt, m.group(3).toLong, m.group(4).toLong)).toSeq
-      assert(parsed.size == 8, s"expected 8 cache stat rows in $metrics")
+      // every query-layer family cache plus OpsQueries' gram/power cache —
+      // derived, not hard-coded (r13: a hard-coded 8 plus a digit-less
+      // name regex silently dropped n2v_walks from this check)
+      val expected = graft.operators.PipelineQueries.familyCacheStats.size + 1
+      assert(parsed.size == expected,
+        s"expected $expected cache stat rows in $metrics")
       parsed.foreach { case (n, entries, _, misses) =>
         assert(misses >= entries, s"cache $n: $entries entries but only $misses misses")
       }
