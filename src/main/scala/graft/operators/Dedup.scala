@@ -943,7 +943,12 @@ object Dedup {
     * count() is an AQE-style planning statistic (at warehouse scale it comes
     * from table stats), not a data collect.
     */
-  def lshKeyBitsFor(n: Long, floor: Int = 12, cap: Int = 24): Int = {
+  // cap defaults to the fixed hyperplane pool width: embeddingLshPairs
+  // REQUIRES bitsPerTable <= KeyPoolBits, so a cap retuned past the pool
+  // would throw at runtime once n grows the stats-driven width there —
+  // deriving the default keeps the two knobs one constant (the KtrussK
+  // convention)
+  def lshKeyBitsFor(n: Long, floor: Int = 12, cap: Int = KeyPoolBits): Int = {
     val bits = 2 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
     math.min(cap, math.max(floor, bits))
   }
@@ -1107,7 +1112,10 @@ object Dedup {
                     minRunTokens: Int = 20): DataFrame = {
     require(spanW >= 1 && minRunTokens >= spanW,
       s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
-    val m = spanMatches(docs, pairs, spanW)
+    // materialized: TWO consumers (the run census and the matched-span
+    // count) would otherwise each re-run the span-hash joins — the
+    // dominant stage per the scale-shape note above
+    val m = materialize(spanMatches(docs, pairs, spanW))
     val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     val runs = m.withColumn("diag", col("pa") - col("pb"))
       .withColumn("rid", col("pa") - row_number().over(byDiag))
@@ -1116,12 +1124,15 @@ object Dedup {
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_runs"),
         (max(col("len")) + lit(spanW - 1)).as("longest_run_tokens"))
-    m.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_spans"))
-      .join(runs, Seq("a_id", "b_id"))
-      .filter(col("longest_run_tokens") >= minRunTokens)
-      .select(col("a_id"), col("b_id"), col("n_shared_spans"),
-        col("n_runs"), col("longest_run_tokens"))
-      .orderBy("a_id", "b_id")
+    val res = materialize(
+      m.groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_spans"))
+        .join(runs, Seq("a_id", "b_id"))
+        .filter(col("longest_run_tokens") >= minRunTokens)
+        .select(col("a_id"), col("b_id"), col("n_shared_spans"),
+          col("n_runs"), col("longest_run_tokens"))
+        .orderBy("a_id", "b_id"))
+    release(m)
+    res
   }
 
   /** Corpus-level substring-dedup savings (the Lee et al. 2021 accounting
@@ -1147,11 +1158,14 @@ object Dedup {
       s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
     val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
     val run = Window.partitionBy("a_id", "b_id", "diag", "rid")
-    val qual = spanMatches(docs, pairs, spanW)
+    // materialized: the two explode branches of the position union each
+    // consume it — unmaterialized, the span joins + island windows would
+    // execute twice
+    val qual = materialize(spanMatches(docs, pairs, spanW)
       .withColumn("diag", col("pa") - col("pb"))
       .withColumn("rid", col("pa") - row_number().over(byDiag))
       .withColumn("len", count(lit(1)).over(run))
-      .filter(col("len") + lit(spanW - 1) >= minRunTokens)
+      .filter(col("len") + lit(spanW - 1) >= minRunTokens))
     val covered = qual
       .select(col("a_id").as("doc_id"), explode(sequence(col("pa"),
         col("pa") + lit(spanW - 1))).as("pos"))
@@ -1159,18 +1173,21 @@ object Dedup {
         explode(sequence(col("pb"), col("pb") + lit(spanW - 1))).as("pos")))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("cov"))
-    docs.select(col("doc_id"), col("source"),
-        size(TextFns.tokens(col("text"))).cast("long").as("nt"))
-      .join(covered, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("cov").isNotNull.cast("bigint")).as("n_dup_docs"),
-        sum(col("nt")).as("tokens_total"),
-        sum(coalesce(col("cov"), lit(0L))).as("tokens_in_runs"))
-      .select(col("source"), col("n_docs"), col("n_dup_docs"),
-        col("tokens_total"), col("tokens_in_runs"),
-        expr("(tokens_in_runs * 10000) div tokens_total").as("dup_bp"))
-      .orderBy("source")
+    val res = materialize(
+      docs.select(col("doc_id"), col("source"),
+          size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+        .join(covered, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cov").isNotNull.cast("bigint")).as("n_dup_docs"),
+          sum(col("nt")).as("tokens_total"),
+          sum(coalesce(col("cov"), lit(0L))).as("tokens_in_runs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          col("tokens_total"), col("tokens_in_runs"),
+          expr("(tokens_in_runs * 10000) div tokens_total").as("dup_bp"))
+        .orderBy("source"))
+    release(qual)
+    res
   }
 
   /** Content-defined chunking dedup (Rabin/FastCDC family): a boundary is

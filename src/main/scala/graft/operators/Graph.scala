@@ -1299,7 +1299,7 @@ object Graph {
 
   /** Materialized frames of the shared two-level pipeline — consumed by
     * [[louvainTwoLevel]] (per-level modularity report) and
-    * [[louvainCommunities]] (the membership table); each consumer
+    * [[louvainCommunitiesFrom]] (the membership table); each consumer
     * materializes its own output then releases `toRelease`.
     */
   private case class LouvainFrames(e: DataFrame, deg: DataFrame,
@@ -1316,7 +1316,7 @@ object Graph {
     * per-level modularity off these frames in exact Q·(2m)² integer
     * units — q = Σ_c (2m·2·intra_c − tot_c²), no floats anywhere, so the
     * report hash-matches an unrolled SQL oracle — and
-    * [[louvainCommunities]] emits the membership table.
+    * [[louvainCommunitiesFrom]] emits the membership table.
     *
     * Move rule (general-partition gain, exact integers): node i's score
     * for community c is 2m·k_ic − deg_i·(Σtot(c) − [c = C(i)]·deg_i); the
@@ -1421,7 +1421,7 @@ object Graph {
   /** (id, comm_move, comm_final) membership table — the ONE expensive
     * product of [[louvainPipeline]] (the 3 sweeps + coarsening), built
     * once and shared: [[louvainReport]] scores per-level modularity off
-    * it and [[louvainCommunities]] decorates it with community sizes, so
+    * it and [[louvainCommunitiesFrom]] decorates it with community sizes, so
     * the query layer can family-cache this frame instead of running the
     * pipeline per consumer. Materialized; caller owns the release.
     */
@@ -1495,17 +1495,6 @@ object Graph {
     import Dedup.release
     val m = louvainMemberTable(pairs)
     val res = louvainReport(pairs, m)
-    release(m)
-    res
-  }
-
-  /** Self-contained membership table (spec-facing form of
-    * [[louvainCommunitiesFrom]]).
-    */
-  def louvainCommunities(pairs: DataFrame): DataFrame = {
-    import Dedup.{materialize, release}
-    val m = louvainMemberTable(pairs)
-    val res = materialize(louvainCommunitiesFrom(m))
     release(m)
     res
   }

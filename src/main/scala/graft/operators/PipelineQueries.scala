@@ -189,6 +189,23 @@ object PipelineQueries {
           % lit(1000000007L) % 4 === 0,
         steps = 8))
 
+  /** ±2-window skip-gram (center, context) pair extraction with
+    * multiplicity over a (wid, step, node) walk table — THE single
+    * Spark-side definition, shared by the first-order
+    * (gr_walk_skipgrams) and biased (gr_n2v_skipgrams) consumers so a
+    * window-size or multiplicity change cannot silently diverge the two
+    * training-pair families. One wid-keyed self-join (per-walk fan-out a
+    * constant 9×4 window), one keyed count.
+    */
+  private def skipgramPairs(w: org.apache.spark.sql.DataFrame) =
+    w.select(col("wid"), col("step").as("si"), col("node").as("center"))
+      .join(w.select(col("wid"), col("step").as("sj"), col("node").as("context")),
+        Seq("wid"))
+      .filter(abs(col("si") - col("sj")).between(1, 2))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("center", "context")
+
   /** Louvain membership table (id, comm_move, comm_final), computed once
     * per (session, sfDir): the 3-sweep move phase + coarsening is the
     * expensive part of BOTH gr_louvain_coarse (per-level modularity
@@ -1754,16 +1771,7 @@ object PipelineQueries {
     // is a constant 9x4 window — no blow-up possible), one keyed count.
     // Second consumer of the walks family cache.
     QueryDef("gr_walk_skipgrams",
-      (s, d) => {
-        val w = walkTable(s, d)
-        w.select(col("wid"), col("step").as("si"), col("node").as("center"))
-          .join(w.select(col("wid"), col("step").as("sj"), col("node").as("context")),
-            Seq("wid"))
-          .filter(abs(col("si") - col("sj")).between(1, 2))
-          .groupBy("center", "context")
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("center", "context")
-      },
+      (s, d) => skipgramPairs(walkTable(s, d)),
       Some(s"""WITH $jaccardCtes,
              |$walkOracleCtes
              |SELECT a.cur AS center, b.cur AS context,
@@ -2282,16 +2290,7 @@ object PipelineQueries {
     // the O(walks × steps) walk table keyed on wid (per-walk fan-out a
     // constant 9×4 window), one keyed count.
     QueryDef("gr_n2v_skipgrams",
-      (s, d) => {
-        val w = n2vWalkTable(s, d)
-        w.select(col("wid"), col("step").as("si"), col("node").as("center"))
-          .join(w.select(col("wid"), col("step").as("sj"), col("node").as("context")),
-            Seq("wid"))
-          .filter(abs(col("si") - col("sj")).between(1, 2))
-          .groupBy("center", "context")
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("center", "context")
-      },
+      (s, d) => skipgramPairs(n2vWalkTable(s, d)),
       Some(s"""WITH $jaccardCtes,
              |$n2vWalkOracleCtes
              |SELECT a.cur AS center, b.cur AS context,

@@ -225,14 +225,6 @@ object PrivacyQueries {
   private[graft] val MedBandLo = -10L
   private[graft] val MedBandHi = 99L
 
-  /** Utility cap for the dyadic weight ladder: weights are 2^(Cap − d), so
-    * candidates further than Cap from balance are released with
-    * probability < 2^-40 · |R| — mass below any realizable draw
-    * resolution. Cap 40 keeps the per-segment weight sum ≤ 110·2^40 <
-    * 2^47, far inside BIGINT.
-    */
-  private[graft] val MedUtilCap = 40L
-
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -354,9 +346,11 @@ object PrivacyQueries {
     // Exponential-mechanism DP release of a NON-count statistic — the
     // median balance band per segment (the geometric mechanism covers
     // counts; argmax/median releases need the exponential mechanism).
-    // ε = 2·ln 2 makes every weight the exact dyadic integer 2^(Cap−d),
-    // so the whole release — utility lattice, cumulative axis, inverse-CDF
-    // draw — is pure BIGINT both engines replay. See dpExponentialMedian.
+    // Race (Gumbel-max) form: released = argmin(d − z) with z the
+    // trailing-zero count of the per-(segment, band) hash — a
+    // Geometric(1/2) draw, the integer floor of the Exp(ln 2) race noise
+    // — so only utility DIFFERENCES enter and the release stays exact
+    // BIGINT at any d scale. See dpExponentialMedian.
     QueryDef("rel_dp_median",
       (s, d) => dpExponentialMedian(T(s, d, "customer")),
       Some(s"""WITH rows_ AS (SELECT c_mktsegment AS segment,
@@ -377,34 +371,26 @@ object PrivacyQueries {
              |                                        ORDER BY band)
              |                      - c) + c - n) AS BIGINT) AS d
              |      FROM g),
-             |wt AS (SELECT *,
-             |              (CAST(1 AS BIGINT) << CAST($MedUtilCap
-             |                 - least(d, $MedUtilCap) AS INT)) AS wt
-             |       FROM w),
-             |cw AS (SELECT *,
-             |              CAST(sum(wt) OVER (PARTITION BY segment ORDER BY band)
-             |                   AS BIGINT) AS cumw,
-             |              CAST(sum(wt) OVER (PARTITION BY segment)
-             |                   AS BIGINT) AS tw
-             |       FROM wt),
              |u AS (SELECT *,
              |             ((CAST(ascii(substr(segment, 1, 1)) AS BIGINT) & 2147483647)
-             |              * 2654435761 + 131071) % 1000000007 % tw AS uh
-             |      FROM cw),
+             |              * 2654435761 + (band + 11) * 97781 + 131071)
+             |              % 1000000007 + 1 AS h1
+             |      FROM w),
+             |z_ AS (SELECT *,
+             |              CAST(bit_count((h1 & (-h1)) - 1) AS BIGINT) AS z
+             |       FROM u),
              |rel AS (SELECT segment,
-             |               (min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).band
+             |               (min({'key': d - z, 'd': d, 'band': band, 'z': z})).band
              |                 AS released_band,
-             |               (min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).d
+             |               (min({'key': d - z, 'd': d, 'band': band, 'z': z})).d
              |                 AS d_released,
-             |               ((min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).wt
-             |                * 1000000)
-             |                // (min({'band': band, 'd': d, 'wt': wt, 'tw': tw})).tw
-             |                 AS p_released_ppm
-             |        FROM u WHERE cumw > uh GROUP BY 1),
+             |               (min({'key': d - z, 'd': d, 'band': band, 'z': z})).z
+             |                 AS noise_bits
+             |        FROM z_ GROUP BY 1),
              |med AS (SELECT segment, min(band) AS true_med_band, max(n) AS n
-             |        FROM u WHERE 2 * cum >= n GROUP BY 1)
+             |        FROM z_ WHERE 2 * cum >= n GROUP BY 1)
              |SELECT med.segment, med.n, med.true_med_band,
-             |       rel.released_band, rel.d_released, rel.p_released_ppm
+             |       rel.released_band, rel.d_released, rel.noise_bits
              |FROM med JOIN rel USING (segment)
              |ORDER BY segment""".stripMargin))
   )
@@ -474,29 +460,40 @@ object PrivacyQueries {
   }
 
   /** Differentially-private MEDIAN release via the exponential mechanism
-    * (McSherry & Talwar 2007) — the non-count sibling of
-    * [[dpGeometricRelease]]: per market segment, release a $100
-    * account-balance band drawn with probability ∝ exp(ε·u/2) where the
-    * utility u(r) = −d(r), d(r) = |2·#{bal < r} + #{bal ∈ r} − n| — how
-    * unbalanced the split around candidate r is (d = 0 at an exact
-    * median; adding or removing one row changes d by ≤ 1, so Δu = 1).
-    * Choosing ε = 2·ln 2 makes every weight the EXACT dyadic integer
-    * 2^(Cap − min(d, Cap)) — the same integer-lattice trick as the
-    * geometric mechanism's ladder, so the whole release is a pure BIGINT
-    * function both engines replay bit-for-bit (no exp(), no floats). The
-    * draw is inverse-CDF over the per-segment cumulative weight axis with
-    * the masked multiplicative hash of the segment's first character as
-    * the uniform stand-in (the [[Graph.randomWalks]] deterministic-RNG
-    * posture — a production release draws real randomness; the candidate
-    * grid, utility, sensitivity accounting, dyadic weights, and
-    * inverse-CDF draw are what this operator carries).
+    * (McSherry & Talwar 2007) in its RACE (Gumbel-max) form — the
+    * non-count sibling of [[dpGeometricRelease]]: per market segment,
+    * release the $100 account-balance band minimizing d(r) − z_r, where
+    * the utility distance d(r) = |2·#{bal < r} + #{bal ∈ r} − n| measures
+    * how unbalanced the split around candidate r is (adding or removing
+    * one row changes d by ≤ 1, so Δu = 1) and z_r is an independent
+    * per-candidate Geometric(1/2) draw — the integer floor of an
+    * Exp(ln 2) race noise, extracted as the TRAILING-ZERO count of the
+    * per-(segment, band) hash via the exact bit identity
+    * z = bit_count((h & −h) − 1). Argmin of (d − z) with ties on (d,
+    * band) is the base-2 exponential race: the un-quantized form releases
+    * r with probability ∝ 2^(−d(r)) = exp(ε·u/2) at ε = 2·ln 2, and the
+    * floor-quantized z distorts each candidate's win odds by at most 2×
+    * each way — conservatively ε ≤ 4·ln 2.
+    *
+    * Why the race and not an inverse-CDF over 2^(−d) weights (the r13
+    * review's catch): the weight ladder spans 2^(d_max − d_min), which
+    * outgrows any fixed-width integer as soon as the lattice's best
+    * candidate is far from an exact median — on a $100 grid d_min ≈ the
+    * median band's own row count, i.e. HUNDREDS at sf1 — so a capped
+    * ladder degenerates to a utility-blind uniform draw and a modular
+    * draw undershoots the weight sum. The race compares only DIFFERENCES
+    * d − z (bounded by the lattice spread), so it is exact at any scale
+    * with plain BIGINTs. The hash is the deterministic uniform stand-in
+    * (the [[Graph.randomWalks]] posture — a production release draws real
+    * randomness; the candidate grid, utility, sensitivity accounting, and
+    * race rule are what this operator carries).
     *
     * Output per segment: n, the true median band (curator-side audit
-    * column), the released band, its utility distance, and its release
-    * probability in ppm.
+    * column), the released band, its utility distance, and the noise bits
+    * the winner drew.
     *
     * Scale shape: one groupBy on (segment, band) over the facts, then
-    * every window runs on the FIXED segments × 110-band grid — O(groups),
+    * everything runs on the FIXED segments × 110-band grid — O(groups),
     * never fact-sized; the mechanism adds zero scans beyond the one
     * aggregate.
     */
@@ -519,28 +516,27 @@ object PrivacyQueries {
     val w = g
       .withColumn("cum", sum(col("c")).over(byBand))
       .withColumn("d", abs(lit(2L) * (col("cum") - col("c")) + col("c") - col("n")))
-      .withColumn("wt", expr(
-        s"shiftleft(CAST(1 AS BIGINT), CAST($MedUtilCap - least(d, $MedUtilCap) AS INT))"))
-    val seg = org.apache.spark.sql.expressions.Window.partitionBy("segment")
-    val cw = w
-      .withColumn("cumw", sum(col("wt")).over(byBand))
-      .withColumn("tw", sum(col("wt")).over(seg))
-      .withColumn("uh", pmod(
+      // h1 in [1, 1e9+7]: per-(segment, band) masked multiplicative hash
+      .withColumn("h1", pmod(
         ascii(substring(col("segment"), 1, 1)).cast("bigint")
-          .bitwiseAND(lit(2147483647L)) * lit(2654435761L) + lit(131071L),
-        lit(1000000007L)) % col("tw"))
-    val released = cw.filter(col("cumw") > col("uh"))
+          .bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          + (col("band") + lit(11L)) * lit(97781L) + lit(131071L),
+        lit(1000000007L)) + lit(1L))
+      // z = trailing zeros of h1: (h1 & -h1) isolates the lowest set bit,
+      // minus 1 yields z set bits — Geometric(1/2) over a uniform draw
+      .withColumn("z", expr("CAST(bit_count((h1 & -h1) - 1) AS BIGINT)"))
+      .withColumn("key", col("d") - col("z"))
+    val released = w
       .groupBy("segment")
-      .agg(min(struct(col("band"), col("d"), col("wt"), col("tw"))).as("r"))
+      .agg(min(struct(col("key"), col("d"), col("band"), col("z"))).as("r"))
       .select(col("segment"), col("r.band").as("released_band"),
-        col("r.d").as("d_released"),
-        expr("(r.wt * 1000000) div r.tw").as("p_released_ppm"))
-    val trueMed = cw.filter(lit(2L) * col("cum") >= col("n"))
+        col("r.d").as("d_released"), col("r.z").as("noise_bits"))
+    val trueMed = w.filter(lit(2L) * col("cum") >= col("n"))
       .groupBy("segment")
       .agg(min(col("band")).as("true_med_band"), max(col("n")).as("n"))
     trueMed.join(released, "segment")
       .select(col("segment"), col("n"), col("true_med_band"),
-        col("released_band"), col("d_released"), col("p_released_ppm"))
+        col("released_band"), col("d_released"), col("noise_bits"))
       .orderBy("segment")
   }
 }

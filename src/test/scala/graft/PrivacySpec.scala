@@ -186,15 +186,17 @@ class PrivacySpec extends AnyFunSuite {
       s"debiased estimate $est implausibly far from the 200000 ppm truth")
   }
 
-  test("exponential-mechanism median: dyadic mass function and draw replay exactly") {
+  test("exponential-mechanism median: the quantized race replays exactly") {
     import org.apache.spark.sql.functions.col
-    // One segment, 6 rows at known $100 bands {1, 1, 2, 2, 3, 90}: replay the
-    // full mechanism in Scala — utility lattice d(r) = |2·lt + eq − n|
-    // over the fixed grid, weights 2^(40−min(d,40)), cumulative axis,
-    // inverse-CDF draw off the segment hash — and require the operator's
-    // row to match field for field. Also pins the mass function itself:
-    // exact-median bands (d = 0) carry weight 2^40 and each halving of
-    // probability costs exactly one utility step (ε = 2·ln 2).
+    // One segment, 6 rows at known $100 bands {1, 1, 2, 2, 3, 90}: replay
+    // the full race in Scala — utility lattice d(r) = |2·lt + eq − n| over
+    // the fixed grid, per-candidate geometric noise z = trailing zeros of
+    // the (segment, band) hash, released = argmin(d − z, d, band) — and
+    // require the operator's row to match field for field. Also pins the
+    // race's mass function: the exact median (d = 0) leads by
+    // construction unless an opponent out-draws it by its full utility
+    // deficit, each deficit step halving that chance (ε = 2·ln 2 ideal,
+    // ≤ 4·ln 2 after floor quantization).
     val rows = Seq(150.0, 160.0, 250.0, 260.0, 350.0, 9050.0).map(("SEG", _))
     val customer = rows.toDF("c_mktsegment", "c_acctbal")
     val bands = rows.map { case (_, b) => math.floor(b / 100).toLong }
@@ -203,25 +205,31 @@ class PrivacySpec extends AnyFunSuite {
       val lt = bands.count(_ < r).toLong
       val eq = bands.count(_ == r).toLong
       val d = math.abs(2 * lt + eq - n)
-      (r, lt + eq, d, 1L << (PrivacyQueries.MedUtilCap - math.min(d, PrivacyQueries.MedUtilCap)))
+      val h1 = java.lang.Math.floorMod(
+        ('S'.toLong & 2147483647L) * 2654435761L + (r + 11L) * 97781L + 131071L,
+        1000000007L) + 1L
+      val z = java.lang.Long.numberOfTrailingZeros(h1).toLong
+      (r, lt + eq, d, z)
     }
-    // d = 0 exactly at band 2 (lt = 2, eq = 2, n = 6 → |2·2+2−6| = 0)
-    // → the exact median carries the top dyadic mass 2^40
+    // d = 0 exactly at band 2 (lt = 2, eq = 2, n = 6 → |2·2+2−6| = 0):
+    // the exact median starts the race at key = −z ≤ 0
     assert(grid.find(_._1 == 2L).get._3 == 0L)
-    assert(grid.find(_._1 == 2L).get._4 == (1L << 40))
-    // and every other weight is 2^(40−d) by construction — one utility
-    // step costs exactly one halving of release probability
-    grid.foreach { case (_, _, d, w) =>
-      assert(w == (1L << (40 - math.min(d, 40L))), s"d=$d w=$w") }
-    val tw = grid.map(_._4).sum
-    val uh = java.lang.Math.floorMod(
-      ('S'.toLong & 2147483647L) * 2654435761L + 131071L, 1000000007L) % tw
-    val cum = grid.scanLeft(0L)(_ + _._4).tail
-    val relIdx = cum.indexWhere(_ > uh)
-    val (relBand, _, relD, relW) = grid(relIdx)
+    // the bit identity the engines use — bit_count((h & −h) − 1) — IS the
+    // trailing-zero count, for every candidate on the grid
+    grid.foreach { case (r, _, _, z) =>
+      val h1 = java.lang.Math.floorMod(
+        ('S'.toLong & 2147483647L) * 2654435761L + (r + 11L) * 97781L + 131071L,
+        1000000007L) + 1L
+      assert(java.lang.Long.bitCount((h1 & -h1) - 1) == z, s"band=$r") }
+    val (relBand, _, relD, relZ) =
+      grid.minBy { case (r, _, d, z) => (d - z, d, r) }
+    // the winner's key is minimal across the whole lattice
+    assert(grid.forall { case (r, _, d, z) =>
+      (relD - relZ) < (d - z) || ((relD - relZ) == (d - z) && relD <= d) },
+      "released candidate does not minimize the race key")
     val trueMed = grid.find { case (_, c, _, _) => 2 * c >= n }.get._1
     val got = PrivacyQueries.dpExponentialMedian(customer)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
-    assert(got == Seq(("SEG", n, trueMed, relBand, relD, relW * 1000000L / tw)), got)
+    assert(got == Seq(("SEG", n, trueMed, relBand, relD, relZ)), got)
   }
 }
