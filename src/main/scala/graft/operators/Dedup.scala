@@ -1184,8 +1184,74 @@ object Dedup {
           sum(coalesce(col("cov"), lit(0L))).as("tokens_in_runs"))
         .select(col("source"), col("n_docs"), col("n_dup_docs"),
           col("tokens_total"), col("tokens_in_runs"),
-          expr("(tokens_in_runs * 10000) div tokens_total").as("dup_bp"))
+          // greatest(.., 1): a source whose docs all tokenize empty must
+          // read 0 bp in BOTH engines — unguarded, Spark's `div` returns
+          // NULL while DuckDB's `//` raises Division by error, so the
+          // engines diverge on degenerate input (the oracle states the
+          // same guard)
+          expr("(tokens_in_runs * 10000) div greatest(tokens_total, 1)")
+            .as("dup_bp"))
         .orderBy("source"))
+    release(qual)
+    res
+  }
+
+  /** The ExactSubstr REMOVAL transform (Lee et al. 2021 §4 — the output a
+    * dedup pipeline actually ships, where [[substringRuns]] and
+    * [[substringRunCoverage]] are its accounting panels): emit the
+    * deduplicated corpus. For every maximal shared token run of
+    * >= `minRunTokens` between a candidate pair, the canonical copy — the
+    * MIN-doc_id side, matching the `a_id < b_id` orientation of every pair
+    * generator here — survives and the other side's covered positions are
+    * cut; overlapping runs on one doc union exactly (a position is cut
+    * once no matter how many runs cover it, via a DISTINCT (doc, pos) cut
+    * set). Returns one row per input doc: doc_id, tokens_before,
+    * tokens_kept, and the reassembled deduplicated text (kept tokens in
+    * original order, single-space joined) — docs with no qualifying run
+    * pass through verbatim at the token level.
+    *
+    * Scale shape: [[spanMatches]] + the per-(pair, diagonal) island window
+    * as in the accounting queries; the cut set explodes spanW positions on
+    * QUALIFYING b-side match rows only, then collapses to one sorted
+    * per-doc cut array (bounded by doc length). Reassembly is a LEFT join
+    * of the corpus scan against that (dup docs only) cut table followed by
+    * a per-row higher-order `filter` over the token array — no corpus-wide
+    * position explode, no shuffle beyond the keyed join. The cut is
+    * position-exact but token-granular: Spark filters array slots while
+    * the oracle replays the identical slot arithmetic on unnested
+    * positions.
+    */
+  def substringApply(docs: DataFrame, pairs: DataFrame, spanW: Int = 4,
+                     minRunTokens: Int = 20): DataFrame = {
+    require(spanW >= 1 && minRunTokens >= spanW,
+      s"need minRunTokens >= spanW >= 1, got spanW=$spanW minRunTokens=$minRunTokens")
+    val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    val run = Window.partitionBy("a_id", "b_id", "diag", "rid")
+    val qual = materialize(spanMatches(docs, pairs, spanW)
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rid", col("pa") - row_number().over(byDiag))
+      .withColumn("len", count(lit(1)).over(run))
+      .filter(col("len") + lit(spanW - 1) >= minRunTokens))
+    // cut ONLY the non-canonical (b = larger doc_id) side: the min-id doc
+    // of each run is the surviving canonical copy
+    val cuts = qual
+      .select(col("b_id").as("doc_id"),
+        explode(sequence(col("pb"), col("pb") + lit(spanW - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("cut"))
+    val res = materialize(docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("tokens_before"),
+        when(col("cut").isNull, col("t"))
+          .otherwise(filter(col("t"), (_, i) =>
+            !array_contains(col("cut"), i + lit(1)))).as("kept"))
+      .select(col("doc_id"), col("tokens_before"),
+        size(col("kept")).cast("long").as("tokens_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
+      .orderBy("doc_id"))
     release(qual)
     res
   }

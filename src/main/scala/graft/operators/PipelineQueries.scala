@@ -2397,9 +2397,52 @@ object PipelineQueries {
              |       CAST(sum(nt) AS BIGINT) AS tokens_total,
              |       CAST(sum(coalesce(cov, 0)) AS BIGINT) AS tokens_in_runs,
              |       (CAST(sum(coalesce(cov, 0)) AS BIGINT) * 10000)
-             |         // CAST(sum(nt) AS BIGINT) AS dup_bp
+             |         // greatest(CAST(sum(nt) AS BIGINT), 1) AS dup_bp
              |FROM base LEFT JOIN cov USING (doc_id)
              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // The ExactSubstr REMOVAL pass (Lee et al. 2021 §4's actual output —
+    // the operator a pipeline runs, where dd_substring_runs/_yield are its
+    // accounting panels): emit the deduplicated corpus. Each >=20-token
+    // shared run keeps its canonical copy (the min-doc_id side of the
+    // a_id < b_id candidate pair) and cuts the other side's covered token
+    // positions, overlapping runs unioned via a DISTINCT (doc, pos) cut
+    // set; untouched docs pass through verbatim at the token level. See
+    // Dedup.substringApply for the no-corpus-explode reassembly shape.
+    QueryDef("dd_substring_apply",
+      (s, d) => Dedup.substringApply(T(s, d, "documents"),
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        spanW = SubstrSpanW, minRunTokens = SubstrMinRun),
+      Some(s"""WITH $jaccardCtes,
+             |$substrMatchCtes,
+             |r AS (SELECT a_id, b_id, pa, pb, pa - pb AS diag,
+             |             pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+             |                                     ORDER BY pa) AS rid
+             |      FROM m),
+             |q AS (SELECT * FROM (SELECT r.*, count(*) OVER (PARTITION BY
+             |                a_id, b_id, diag, rid) AS len FROM r)
+             |      WHERE len + ${SubstrSpanW - 1} >= $SubstrMinRun),
+             |cut AS (SELECT DISTINCT doc_id, pos FROM (
+             |              SELECT b_id AS doc_id,
+             |                     unnest(generate_series(pb,
+             |                            pb + ${SubstrSpanW - 1})) AS pos
+             |              FROM q)),
+             |tok AS (SELECT doc_id, g AS pos, t[g] AS tok
+             |        FROM (SELECT doc_id, t,
+             |                     unnest(generate_series(1, len(t))) AS g
+             |              FROM tt)),
+             |keep AS (SELECT tok.doc_id, tok.pos, tok.tok
+             |         FROM tok LEFT JOIN cut
+             |           ON cut.doc_id = tok.doc_id AND cut.pos = tok.pos
+             |         WHERE cut.pos IS NULL),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_kept,
+             |               string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+             |        FROM keep GROUP BY 1)
+             |SELECT tt.doc_id, CAST(len(tt.t) AS BIGINT) AS tokens_before,
+             |       coalesce(agg.tokens_kept, 0) AS tokens_kept,
+             |       coalesce(agg.text_dedup, '') AS text_dedup
+             |FROM tt LEFT JOIN agg ON agg.doc_id = tt.doc_id
+             |ORDER BY tt.doc_id""".stripMargin)),
 
     // Decontamination composed with the REAL split: 8-gram contamination
     // of the hash-assigned held-out slice (tx_split_assign's u >= 0.90

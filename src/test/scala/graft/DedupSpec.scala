@@ -194,6 +194,39 @@ class DedupSpec extends AnyFunSuite {
     assert(loose == Seq((1L, 2L, 46L, 2L, 30L), (1L, 3L, 7L, 1L, 10L)), loose)
   }
 
+  test("substringApply cuts overlapping runs once and keeps the canonical copy") {
+    // Same planted-passage layout as the run-report test, plus doc 4
+    // pairing with BOTH 1 and 2 on the same passage p — so doc 4's
+    // p-positions are covered by TWO qualifying runs (pairs (1,4) and
+    // (2,4)) and must be cut exactly ONCE; docs 1 (min id of every pair it
+    // appears in) keeps everything, doc 2 loses p and q to canonical doc
+    // 1, and the under-threshold (1,3) prefix run must cut nothing.
+    def w(pfx: String, n: Int) = (1 to n).map(pfx + _)
+    val p = w("p", 30); val q = w("q", 22)
+    val d1 = (w("a", 10) ++ p ++ w("x", 10) ++ q ++ w("y", 10)).mkString(" ")
+    val d2 = (w("b", 5) ++ p ++ w("z", 5) ++ q ++ w("u", 5)).mkString(" ")
+    val d3 = (w("a", 10) ++ w("c", 40)).mkString(" ")
+    val d4 = (w("e", 7) ++ p ++ w("f", 7)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.substringApply(docs, pairs, spanW = 4, minRunTokens = 20)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: canonical side of every run — untouched (82 tokens)
+    // doc 2: loses p (30) + q (22) of its 67 tokens → 15 kept, fillers only
+    // doc 3: prefix run under threshold → untouched
+    // doc 4: loses p ONCE (covered by two pairs' runs) → 14 kept
+    val keptByDoc = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(keptByDoc == Map(1L -> (82L, 82L), 2L -> (67L, 15L),
+      3L -> (50L, 50L), 4L -> (44L, 14L)), got)
+    assert(got.find(_._1 == 2L).get._4 ==
+      (w("b", 5) ++ w("z", 5) ++ w("u", 5)).mkString(" "))
+    assert(got.find(_._1 == 4L).get._4 ==
+      (w("e", 7) ++ w("f", 7)).mkString(" "))
+    assert(got.find(_._1 == 1L).get._4 == d1)
+  }
+
   test("simhash pigeonhole: every pair at hamming <= 7 is found (recall bound)") {
     // Ground truth from the exposed simhash table: all-pairs hamming,
     // locally. With minJ = 0 the pair query's only filters are the chunk
