@@ -657,6 +657,44 @@ object PipelineQueries {
       |                CASE WHEN cs * tc > ts * cc THEN 1 ELSE 0 END AS b
       |         FROM cells JOIN tot ON cells.doc_id = tot.doc_id)""".stripMargin
 
+  /** Frame width (samples) for the audio fingerprint — the ONE constant
+    * the Spark call and the generated oracle both derive from.
+    */
+  private val AudioFpFrame = 4
+
+  /** Closed-form synthWav sample `s(i)` as BIGINT SQL. */
+  private def wavSampleSql(iExpr: String): String =
+    s"CAST((doc_id * 131 + ($iExpr) * 17) % 2001 - 1000 AS BIGINT)"
+
+  /** Shared audio-fingerprint replay CTE chain ending in
+    * `afp(doc_id, n_frames, fp, n_set)` — the synthWav closed-form sample
+    * stream, even/odd polyphase band energies, double-delta sign bits and
+    * bit packing of [[Multimodal.wavFingerprint]]. mm_audio_fp (per-clip
+    * hash) and mm_audio_dedup (duplicate groups) both interpolate it, so
+    * the fingerprint definition cannot drift between the value gate and
+    * the dedup rollup — the phashCtes convention for the audio modality.
+    */
+  private val audioFpCtes: String = {
+    // D(f) = Σ_even s² − Σ_odd s² over the frame's samples, exact integers
+    val dvExpr = (0 until AudioFpFrame).map { k =>
+      val s = wavSampleSql(s"$AudioFpFrame * f + $k")
+      val sign = if (k % 2 == 0) "+" else "-"
+      s"$sign $s * $s"
+    }.mkString(" ")
+    s"""sa AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+       |fr AS (SELECT doc_id, n // $AudioFpFrame AS nf,
+       |              unnest(generate_series(0, n // $AudioFpFrame - 1)) AS f
+       |       FROM sa),
+       |dv AS (SELECT doc_id, nf, f, $dvExpr AS dv FROM fr),
+       |ab AS (SELECT a.doc_id, a.nf, a.f,
+       |              CASE WHEN a.dv > p.dv THEN 1 ELSE 0 END AS b
+       |       FROM dv a JOIN dv p ON p.doc_id = a.doc_id AND p.f = a.f - 1),
+       |afp AS (SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+       |               CAST(sum(CAST(b AS BIGINT) << (f - 1)) AS BIGINT) AS fp,
+       |               CAST(sum(b) AS BIGINT) AS n_set
+       |        FROM ab GROUP BY 1)""".stripMargin
+  }
+
   /** Shared IVF+PQ oracle CTE chain (query vec_id=0, nprobe=2, subDim=16)
     * ending in `codes(vec_id, label, ss, code)` + `dt(ss, code, dq)` —
     * THE single definition of the composed serving path's replay;
@@ -3744,6 +3782,46 @@ object PipelineQueries {
              |       CAST(sum(CASE WHEN a * b < 0 THEN 1 ELSE 0 END) * 10000
              |            // (max(n) - 1) AS BIGINT) AS zcr_bp
              |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Haitsma-Kalker audio fingerprint under the oracle: REAL RIFF/PCM-16
+    // decode -> even/odd polyphase band energies per 4-sample frame ->
+    // double-delta sign bits packed into one 64-bit word. Integer sums of
+    // int16 squares end to end, so DuckDB replays every bit from the
+    // synthWav closed form — the audio twin of mm_image_phash. See
+    // Multimodal.wavFingerprint for the HK mapping.
+    QueryDef("mm_audio_fp",
+      (s, d) => Multimodal.wavFingerprint(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav), frame = AudioFpFrame)
+        .select(col("doc_id"), col("n_frames").cast("bigint").as("n_frames"),
+          col("fp"), col("n_set").cast("bigint").as("n_set"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $audioFpCtes
+             |SELECT doc_id, n_frames, fp, n_set FROM afp
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Fingerprint-exact audio dedup — the AUDIO twin of mm_phash_dedup:
+    // duplicate-clip groups by exact (n_frames, fingerprint) equality over
+    // the real-decode pipeline (partition-local decode+fingerprint -> ONE
+    // groupBy on a 16-byte key; at 100 TB the only shuffle is hash-keyed
+    // group formation, independent of media size). Exact-bucket grouping,
+    // not hamming pairs, matching production HK lookup (equal
+    // subfingerprint words are THE match signal; hamming search is the
+    // query-side refinement) and the mm_phash_dedup convention. Shares the
+    // fingerprint CTE chain with mm_audio_fp (one definition, no drift).
+    QueryDef("mm_audio_dedup",
+      (s, d) => Multimodal.wavFingerprint(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav), frame = AudioFpFrame)
+        .groupBy(col("n_frames").cast("bigint").as("n_frames"), col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_clips"))
+        .filter(col("n_clips") > 1)
+        .select(col("keeper"), col("n_clips"), col("n_frames"), col("fp"))
+        .orderBy("keeper"),
+      Some(s"""WITH $audioFpCtes
+             |SELECT min(doc_id) AS keeper, count(*) AS n_clips, n_frames, fp
+             |FROM afp GROUP BY n_frames, fp HAVING count(*) > 1
+             |ORDER BY keeper""".stripMargin)),
 
     // Per-image channel histogram under the oracle: the REAL javax.imageio
     // decode gated at histogram granularity (4 red-channel buckets per

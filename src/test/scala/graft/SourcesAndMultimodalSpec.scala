@@ -101,6 +101,53 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(out(2)._2.isEmpty) // non-WAV payload -> null struct, no exception
   }
 
+  test("audio fingerprint packs double-delta sign bits over polyphase band energies") {
+    // hand-traceable 12-sample clip, frame=4 -> 3 frames, 2 delta bits:
+    //   frame 0: samples 10,0,0,0   -> D(0) = 100 - 0   = 100
+    //   frame 1: samples 0,20,0,0   -> D(1) = 0 - 400   = -400  bit0 = 0
+    //   frame 2: samples 30,0,0,5   -> D(2) = 900 - 25  = 875   bit1 = 1
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val hand = wav(Array[Short](10, 0, 0, 0, 0, 20, 0, 0, 30, 0, 0, 5))
+    val partial = wav(Array[Short](1, 2, 3)) // under one frame -> nF = 0
+    val df = Seq((1L, hand), (2L, partial)).toDF("id", "content")
+    val got = Multimodal.wavFingerprint(df, frame = 4)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3, 2L, 1)), got.toSeq) // fp = bit1 only = 2
+    assert(got(1) == ((2L, 0, 0L, 0)), got.toSeq)
+
+    // and the synth fixture matches an independent in-test replay of the
+    // closed form (the oracle's computation, in Scala)
+    val ids = Seq(7L, 42L, 123L)
+    val docs = ids.map(i => (i, "")).toDF("doc_id", "text")
+    val fps = Multimodal.wavFingerprint(
+        Multimodal.withSynthPayload(docs.select("doc_id"), Multimodal.synthWav),
+        frame = 4)
+      .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    ids.foreach { id =>
+      val n = (64 + id % 50).toInt
+      val s = (0 until n).map(i => (id * 131 + i * 17) % 2001 - 1000)
+      val nF = n / 4
+      val d = (0 until nF).map(f =>
+        s(4 * f) * s(4 * f) - s(4 * f + 1) * s(4 * f + 1) +
+          s(4 * f + 2) * s(4 * f + 2) - s(4 * f + 3) * s(4 * f + 3))
+      val fp = (1 until nF).filter(f => d(f) > d(f - 1))
+        .map(f => 1L << (f - 1)).sum
+      assert(fps(id) == ((id, nF, fp, java.lang.Long.bitCount(fp))), id)
+    }
+  }
+
   test("image decode parses real PNG/BMP bytes: dims, luma, resize-grid features") {
     // synthesize images through the JDK's own encoder (no external codec):
     // an 8x4 two-tone (left black, right white) and a uniform mid-gray BMP
