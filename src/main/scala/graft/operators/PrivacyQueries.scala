@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy & governance operators for a training-data pipeline: PII
@@ -225,6 +226,12 @@ object PrivacyQueries {
   private[graft] val MedBandLo = -10L
   private[graft] val MedBandHi = 99L
 
+  /** Per-user contribution bound for rel_dp_user — the ONE constant the
+    * Spark call, the oracle's rank cut, and the sensitivity statement all
+    * derive from.
+    */
+  private[graft] val DpUserC = 5
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -343,6 +350,33 @@ object PrivacyQueries {
              |         AS true_yes_ppm
              |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // USER-level DP release (contribution bounding) — the guarantee
+    // rel_dp_release can't claim: cap each customer to DpUserC orders via
+    // a deterministic Knuth-hash rank, so one user — however many orders
+    // they own — moves the released per-priority count vector by <= C
+    // (L1 sensitivity = C), then the same exact-lattice geometric ladder.
+    // See PrivacyQueries.dpUserLevelRelease for the epsilon accounting.
+    QueryDef("rel_dp_user",
+      (s, d) => dpUserLevelRelease(T(s, d, "orders"), c = DpUserC),
+      Some(s"""WITH rk AS (
+             |  SELECT o_orderpriority,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY ${graft.functions.HashFns.knuthUSql("o_orderkey")},
+             |                    o_orderkey) AS rk
+             |  FROM orders),
+             |g AS (SELECT o_orderpriority AS priority, count(*) AS n_raw,
+             |             CAST(sum(CASE WHEN rk <= $DpUserC THEN 1 ELSE 0 END)
+             |                  AS BIGINT) AS n_bounded
+             |      FROM rk GROUP BY 1),
+             |u AS (SELECT priority, n_raw, n_bounded,
+             |             ((CAST(substr(priority, 1, 1) AS BIGINT) & 2147483647)
+             |              * 2654435761 + 31337) % 1000000007 % $GeoT AS uu
+             |      FROM g)
+             |SELECT priority, n_raw, n_bounded,
+             |       CAST(greatest(n_bounded + ${geoNoiseSql("uu")}, 0) AS BIGINT)
+             |         AS n_released
+             |FROM u ORDER BY priority""".stripMargin)),
+
     // Exponential-mechanism DP release of a NON-count statistic — the
     // median balance band per segment (the geometric mechanism covers
     // counts; argmax/median releases need the exponential mechanism).
@@ -457,6 +491,50 @@ object PrivacyQueries {
       .select(col("c_nationkey"),
         greatest(col("n") + geoNoise(u), lit(0L)).as("n_released"))
       .orderBy("c_nationkey")
+  }
+
+  /** USER-level differentially-private count release — the contribution-
+    * bounded form a training-data release actually needs (row-level DP
+    * like [[dpGeometricRelease]] protects one ROW; a user with 1000 orders
+    * is protected only at ε × 1000). Standard two-step recipe (Wilson et
+    * al. 2020, "Differentially Private SQL with Bounded User Contribution",
+    * PETS): (1) cap each user's contribution to `c` rows via a
+    * DETERMINISTIC hash-rank — row_number per user ordered by the Knuth
+    * hash of the row key (an unbiased, replayable stand-in for random
+    * reservoir selection), keep rank ≤ c — so removing or adding ANY one
+    * user, however many rows they own, moves the whole released vector by
+    * at most c (L1 sensitivity = c); (2) release per-group bounded counts
+    * through the α = 1/2 geometric ladder. With unscaled ladder noise the
+    * guarantee is user-level ε = c·ln 2 (sensitivity-c release through a
+    * ln 2-per-unit mechanism); a production release targeting a fixed ε
+    * would widen the noise to α = 2^(−1/c), which leaves the exact dyadic
+    * lattice — the accounting, not the mechanism shape, is what changes.
+    * Output per group: raw count (curator-side audit column, the
+    * [[dpExponentialMedian]] true_med convention), bounded count, and the
+    * noised release.
+    *
+    * Scale shape: one hash partition by user for the rank-and-cap window
+    * (partitions bounded by per-user row count), one groupBy on the
+    * release key, then O(groups) noise projection — no step beyond the
+    * standard aggregate's shuffle.
+    */
+  def dpUserLevelRelease(orders: DataFrame, c: Int = 5): DataFrame = {
+    require(c >= 1, s"contribution bound must be >= 1, got $c")
+    val byUser = Window.partitionBy("o_custkey")
+      .orderBy(graft.functions.HashFns.knuthU(col("o_orderkey")).asc,
+        col("o_orderkey").asc)
+    val u = pmod(
+      substring(col("priority"), 1, 1).cast("bigint")
+        .bitwiseAND(lit(2147483647L)) * lit(2654435761L) + lit(31337L),
+      lit(1000000007L)) % lit(GeoT)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("rk", row_number().over(byUser))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum((col("rk") <= c).cast("bigint")).as("n_bounded"))
+      .select(col("priority"), col("n_raw"), col("n_bounded"),
+        greatest(col("n_bounded") + geoNoise(u), lit(0L)).as("n_released"))
+      .orderBy("priority")
   }
 
   /** Differentially-private MEDIAN release via the exponential mechanism

@@ -159,6 +159,53 @@ class PrivacySpec extends AnyFunSuite {
     assert(keys.exists(k => got(k) == 0L), "clamp never exercised")
   }
 
+  test("dpUserLevelRelease: a 1000-row user moves the release by at most C before noise") {
+    // background: 30 users with 1..3 orders each, priorities spread over
+    // two groups; then ONE whale user (custkey 999) with 1000 orders, all
+    // in priority "1-URGENT". User-level sensitivity demands that adding
+    // the whale moves the BOUNDED count vector by <= C in L1 — the whole
+    // point contribution bounding buys that row-level DP can't.
+    val c = 5
+    def mkOrders(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("o_custkey", "o_orderkey", "o_orderpriority")
+    var oid = 0L
+    val background = (1L to 30L).flatMap { cust =>
+      (0L until (cust % 3 + 1)).map { _ =>
+        oid += 1
+        (cust, oid, if (cust % 2 == 0) "1-URGENT" else "2-HIGH")
+      }
+    }
+    val whale = (1L to 1000L).map(i => (999L, 100000L + i, "1-URGENT"))
+    val without = PrivacyQueries.dpUserLevelRelease(mkOrders(background), c)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val withWhale = PrivacyQueries.dpUserLevelRelease(
+        mkOrders(background ++ whale), c)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // raw counts move by the whale's full 1000 rows...
+    assert(withWhale("1-URGENT")._2 - without("1-URGENT")._2 == 1000L)
+    // ...but the bounded counts move by exactly min(1000, C) = C in total
+    val l1 = (without.keySet ++ withWhale.keySet).toSeq.map { k =>
+      math.abs(withWhale.get(k).map(_._3).getOrElse(0L) -
+        without.get(k).map(_._3).getOrElse(0L))
+    }.sum
+    assert(l1 == c.toLong, s"bounded-count L1 moved by $l1, expected $c")
+    // background users (all under the cap) are untouched by bounding
+    assert(without.values.forall(r => r._2 == r._3),
+      "no background user exceeds the cap, so bounded == raw without whale")
+    // and the released value is the bounded count plus its ladder draw
+    def draw(k: Long): Long = {
+      val u = java.lang.Math.floorMod(
+        (k & 2147483647L) * 2654435761L + 31337L, 1000000007L) % PrivacyQueries.GeoT
+      PrivacyQueries.geoLadder.find { case (thr, _) => u < thr }
+        .map(_._2.toLong).getOrElse(8L)
+    }
+    withWhale.foreach { case (p, r) =>
+      assert(r._4 == math.max(r._3 + draw(p.take(1).toLong), 0L), p)
+    }
+  }
+
   test("randomized response debiases to the exact integer estimator") {
     import org.apache.spark.sql.functions.col
     // 200 rows, one segment, truth = negative balance on every 5th key;
