@@ -340,6 +340,52 @@ object StreamingQueries {
              |       round(sum(value), 2) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Idle-key TTL eviction via transformWithState EVENT-TIME TIMERS — the
+    // state-bounding primitive an unbounded stream needs when keys churn:
+    // each user's idle timer re-arms at last-seen + 12h; when the
+    // watermark (1h delay) passes an armed timer the key emits an eviction
+    // record and clears its state. One data batch emits one update row per
+    // user; the AvailableNow no-data finalization batch then advances the
+    // watermark to max(ts) − 1h and fires every timer at expiry <= wm
+    // (boundary pinned NON-STRICT by StreamingSpec's tie case), which the
+    // oracle replays as the horizon cut last_ms + TTL <= max_ms − delay
+    // on millisecond-floored event times (Spark tracks watermarks and
+    // Timestamp.getTime in ms). See EventStreams.TtlEvictProcessor.
+    QueryDef("st_ttl",
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val emitted = StreamGate.runUpdateToParquet(
+            s, s"$d/events.parquet", eventsSchema(s, d),
+            df => {
+              import s.implicits._
+              EventStreams.userTotalsWithTtl(
+                toTs(df).select(col("user_id"), col("value"), col("ts"))
+                  .withWatermark("ts", "1 hour")
+                  .as[(Long, Double, java.sql.Timestamp)],
+                ttlMs = 43200000L).toDF()
+            },
+            "st_ttl")
+          emitted.orderBy("user_id", "evicted")
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None    => s.conf.unset(key)
+        }
+      },
+      Some("""WITH t AS (SELECT user_id, count(*) AS n_events,
+             |               round(sum(value), 2) AS total_value,
+             |               epoch_us(max(ts)) // 1000 AS last_ms
+             |        FROM events GROUP BY 1),
+             |w AS (SELECT max(last_ms) - 3600000 AS wm FROM t)
+             |SELECT user_id, n_events, total_value, false AS evicted FROM t
+             |UNION ALL
+             |SELECT user_id, n_events, total_value, true AS evicted
+             |FROM t, w WHERE t.last_ms + 43200000 <= w.wm
+             |ORDER BY user_id, evicted""".stripMargin)),
+
     // mapGroupsWithState running totals through the engine (the classic
     // arbitrary-stateful API; st_twstate covers its transformWithState
     // successor). Same one-batch = final-totals reasoning as st_twstate.

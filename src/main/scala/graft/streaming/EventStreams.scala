@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import java.sql.Timestamp
 
@@ -229,5 +229,71 @@ object EventStreams {
       .groupByKey(_._1)(Encoders.scalaLong)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-user totals row with the eviction flag — update emissions carry
+    * evicted = false, timer-fired eviction records evicted = true.
+    */
+  case class UserActivity(user_id: Long, n_events: Long, total_value: Double,
+                          evicted: Boolean)
+
+  /** Idle-key TTL eviction via transformWithState EVENT-TIME TIMERS — the
+    * state-bounding primitive an unbounded 100 TB stream needs when keys
+    * churn (without it, one state row per ever-seen key grows forever;
+    * with it, resident state is only the keys active in the last `ttlMs`).
+    * Per input batch each user's totals update and the user's single idle
+    * timer is re-armed at last-seen + ttl (delete-old + register-new — the
+    * standard timer-rotation idiom, since timers are keyed by expiry).
+    * When the event-time watermark passes an armed timer, the engine calls
+    * [[handleExpiredTimer]]: the key emits its eviction record (final
+    * totals, evicted = true) and clears its state — so the state store
+    * SHRINKS while the output stream keeps an auditable record of every
+    * eviction.
+    */
+  class TtlEvictProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, (Long, Double, java.sql.Timestamp),
+        UserActivity] {
+    @transient private var st: ValueState[(Long, Double, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Long)]("totals",
+        Encoders.product[(Long, Double, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Double, java.sql.Timestamp)],
+                                 timers: TimerValues): Iterator[UserActivity] = {
+      val (n0, s0, t0) = if (st.exists()) st.get() else (0L, 0.0, Long.MinValue)
+      var n = n0; var s = s0; var last = t0
+      rows.foreach { r =>
+        n += 1; s += r._2
+        val ms = r._3.getTime
+        if (ms > last) last = ms
+      }
+      if (t0 != Long.MinValue && t0 + ttlMs != last + ttlMs)
+        getHandle.deleteTimer(t0 + ttlMs)
+      getHandle.registerTimer(last + ttlMs)
+      st.update((n, s, last))
+      Iterator.single(
+        UserActivity(user, n, math.round(s * 100).toDouble / 100, evicted = false))
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[UserActivity] = {
+      val (n, s, _) = st.get()
+      st.clear()
+      Iterator.single(
+        UserActivity(user, n, math.round(s * 100).toDouble / 100, evicted = true))
+    }
+  }
+
+  /** Running user totals with idle-TTL eviction (see [[TtlEvictProcessor]]):
+    * event-time mode, so `events` must already carry a watermark on its
+    * timestamp column. Update rows flow per batch; eviction rows fire when
+    * the watermark passes last-seen + ttl.
+    */
+  def userTotalsWithTtl(events: Dataset[(Long, Double, java.sql.Timestamp)],
+                        ttlMs: Long): Dataset[UserActivity] = {
+    implicit val outEnc = Encoders.product[UserActivity]
+    events
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new TtlEvictProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 }

@@ -218,6 +218,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL timers evict idle keys, re-arm on activity, and state shrinks across restart") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val inDir = java.nio.file.Files.createTempDirectory("ttlin")
+    val outDir = java.nio.file.Files.createTempDirectory("ttlout").toString + "/out"
+    val ckDir = java.nio.file.Files.createTempDirectory("ttlck").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, value DOUBLE, ts TIMESTAMP")
+    val base = 1700000000000L
+    def t(s: Long) = new Timestamp(base + s * 1000)
+    def write(name: String, rows: Seq[(Long, Double, Timestamp)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ttlstage")
+      rows.toDF("user_id", "value", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, inDir.resolve(name))
+    }
+    def start() = {
+      val src = spark.readStream.schema(schema).parquet(inDir.toString)
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Double, Timestamp)]
+      EventStreams.userTotalsWithTtl(src, ttlMs = 10000L)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[EventStreams.UserActivity],
+                       _: Long) => b.write.mode("append").parquet(outDir))
+        .option("checkpointLocation", ckDir).outputMode("update").start()
+    }
+    try {
+      // b1: u1,u2 idle from t0; u3 from t5 -> timers 10s,10s,15s
+      write("b1.parquet", Seq((1L, 1.0, t(0)), (2L, 2.0, t(0)), (3L, 3.0, t(5))))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // b2 (same run dir, restarted query): u2 re-arms to 30s, u5 arrives;
+      // wm -> 20s, so u1 (10s <= 20s) and u3 (15s) evict — u2 does NOT
+      // (the re-arm in this same batch deleted its 10s timer first)
+      write("b2.parquet", Seq((2L, 5.0, t(20)), (5L, 7.0, t(20))))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val mid = spark.read.parquet(outDir)
+        .filter($"evicted").select($"user_id").as[Long].collect().toSet
+      assert(mid == Set(1L, 3L), s"after restart+b2, evicted = $mid")
+      // b3: u5 event at exactly 30s -> wm == u2's 30s timer: the boundary
+      // is NON-STRICT (expiry <= watermark fires) — this tie pins the
+      // semantics the st_ttl oracle replays
+      write("b3.parquet", Seq((5L, 1.0, t(30))))
+      val q3 = start()
+      try {
+        q3.processAllAvailable()
+        val ev = spark.read.parquet(outDir)
+          .filter($"evicted").select($"user_id").as[Long].collect().toSet
+        assert(ev == Set(1L, 2L, 3L), s"tie at wm==expiry must fire: $ev")
+        // eviction record carries the key's FINAL totals (2 events, 7.0)
+        val u2row = spark.read.parquet(outDir)
+          .filter($"evicted" && $"user_id" === 2L)
+          .as[EventStreams.UserActivity].collect().toSeq
+        assert(u2row == Seq(EventStreams.UserActivity(2L, 2L, 7.0, true)), u2row)
+        // state SHRANK to the one live key (u5) — the TTL's whole point
+        val stateRows = q3.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows == 1L, s"state rows after evictions: $stateRows")
+      } finally q3.stop()
+      // no duplicate evictions across the two restarts
+      val evAll = spark.read.parquet(outDir).filter($"evicted")
+        .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+      assert(evAll.values.forall(_ == 1L), s"duplicate eviction records: $evAll")
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("file-source stream over the events parquet matches batch results") {
     // a real file stream source (not MemoryStream): the sf0.001 events
     // parquet read as a one-batch stream, through the same windowedCounts
