@@ -1302,9 +1302,7 @@ object Graph {
     * [[louvainCommunitiesFrom]] (the membership table); each consumer
     * materializes its own output then releases `toRelease`.
     */
-  private case class LouvainFrames(e: DataFrame, deg: DataFrame,
-                                   m2: DataFrame, c0: DataFrame,
-                                   c3: DataFrame, cf: DataFrame,
+  private case class LouvainFrames(c3: DataFrame, cf: DataFrame,
                                    toRelease: Seq[DataFrame])
 
   /** Two-level Louvain pipeline (Blondel et al. 2008, both phases) —
@@ -1328,9 +1326,18 @@ object Graph {
     * odd ids respectively — the alternating-parity schedule that breaks
     * the two-node swap cycles a fully-parallel iteration can enter, while
     * staying a pure function of the graph that an oracle can replay
-    * (sequential Louvain's interleaved moves cannot be). The level-2
-    * sweep on the coarse graph uses the weighted singleton rule
-    * 2m·w_uv − wdeg_u·wdeg_v (self-loop terms cancel in the derivation).
+    * (sequential Louvain's interleaved moves cannot be). Level 2 runs the
+    * SAME 3-sweep schedule on the coarse graph with the weighted general-
+    * partition gain 2m·k_uc − wdeg_u·(Σwtot(c) − [c = C(u)]·wdeg_u)
+    * (k_uc = edge weight from u into c, self-loops excluded — they cancel
+    * in the derivation): a single fully-parallel coarse sweep would let
+    * two communities that mutually prefer each other SWAP labels instead
+    * of merging (the canonical phase-2 merge becomes a silent no-op) and
+    * let move chains merge communities whose combined gain was never
+    * evaluated, violating Louvain's monotone-Q property exactly when the
+    * coarse pass should help; the parity sweeps break those opposite-
+    * parity cycles (GraphSpec's mutual-preference triangles pin the
+    * accepted merge).
     *
     * Scale shape per sweep: two O(nodes) broadcast-sized frames (degree,
     * community Σtot) joined onto the edge list, one keyed count for k_ic,
@@ -1399,23 +1406,44 @@ object Graph {
         .select(col("u"), (col("w") * 2).as("sw")), Seq("u"), "left")
       .select(col("u"),
         (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L))).as("wd")))
-    val l2moves = cesSym
-      .join(cwd.select(col("u"), col("wd").as("wdu")), "u")
-      .join(cwd.select(col("u").as("v"), col("wd").as("wdv")), "v")
-      .crossJoin(m2)
-      .select(col("u"), col("v"),
-        (col("m2") * col("w") - col("wdu") * col("wdv")).as("g"))
-      .groupBy("u")
-      .agg(min(struct((-col("g")).as("ng"), col("v").as("v"))).as("b"))
-      .select(col("u"),
-        when(-col("b.ng") > 0, col("b.v")).otherwise(col("u")).as("cu"))
-    val l2full = materialize(cwd.select(col("u"))
-      .join(l2moves, Seq("u"), "left")
-      .select(col("u"), coalesce(col("cu"), col("u")).as("cu")))
-    val cf = materialize(c3.join(l2full, c3("c") === l2full("u"))
-      .select(col("id"), col("cu").as("c")))
-    LouvainFrames(e, deg, m2, c0, c3, cf,
-      Seq(cf, l2full, cwd, ce, c3, c2, c1, c0, deg, es, e))
+    // level-2 move phase: the SAME 3-sweep alternating-parity schedule as
+    // level 1, with the weighted general-partition gain over the coarse
+    // graph (k_uc = Σ edge weight into c; wtot = Σ weighted degree; the
+    // coarse node's self-loop mass sits in wd but never in k, matching
+    // the gain derivation where self-loop terms cancel)
+    def wsweep(comm: DataFrame,
+               eligible: org.apache.spark.sql.Column): DataFrame = {
+      val cn = cesSym.join(comm.select(col("u").as("v"), col("c")), "v")
+        .groupBy("u", "c").agg(sum(col("w")).as("k"))
+      val st = comm.join(cwd, "u").groupBy("c").agg(sum(col("wd")).as("st"))
+      val ownCand = comm.join(cn, Seq("u", "c"), "left")
+        .select(col("u"), col("c"),
+          coalesce(col("k"), lit(0L)).as("k"), lit(0L).as("nown"))
+      val otherCand = cn.join(comm.select(col("u"), col("c").as("a")), "u")
+        .filter(col("c") =!= col("a"))
+        .select(col("u"), col("c"), col("k"), lit(1L).as("nown"))
+      val scored = ownCand.unionAll(otherCand)
+        .join(cwd, "u").join(st, "c").crossJoin(m2)
+        .select(col("u"), col("c"), col("nown"),
+          (col("m2") * col("k") - col("wd") * (col("st") -
+            when(col("nown") === 0, col("wd")).otherwise(lit(0L)))).as("g"))
+      materialize(scored
+        .groupBy("u")
+        .agg(min(struct((-col("g")).as("ng"), col("nown").as("nown"),
+          col("c").as("c"))).as("b"))
+        .join(comm.select(col("u"), col("c").as("a")), "u")
+        .select(col("u"),
+          when(eligible, col("b.c")).otherwise(col("a")).as("c")))
+    }
+
+    val l2c0 = materialize(cwd.select(col("u"), col("u").as("c")))
+    val l2c1 = wsweep(l2c0, lit(true))
+    val l2c2 = wsweep(l2c1, col("u") % 2 === 0)
+    val l2c3 = wsweep(l2c2, col("u") % 2 === 1)
+    val cf = materialize(c3.join(l2c3, c3("c") === l2c3("u"))
+      .select(c3("id"), l2c3("c")))
+    LouvainFrames(c3, cf,
+      Seq(cf, l2c3, l2c2, l2c1, l2c0, cwd, ce, c3, c2, c1, c0, deg, es, e))
   }
 
   /** (id, comm_move, comm_final) membership table — the ONE expensive

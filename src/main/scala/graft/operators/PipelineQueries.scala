@@ -287,6 +287,40 @@ object PipelineQueries {
        |  FROM sc$sn sc JOIN lc${sn - 1} cm ON cm.id = sc.id
        |  GROUP BY sc.id, cm.c)""".stripMargin
 
+  /** Weighted twin of [[louvainSweepCtes]] over the COARSE graph
+    * (lces/lwd): sum-of-edge-weight k, weighted-degree Σtot, same
+    * struct-min move rule — the level-2 parity schedule mirrored CTE for
+    * CTE so the two levels' sweep rules cannot drift.
+    */
+  private def louvainL2SweepCtes(sn: Int, pred: String): String =
+    s"""wcn$sn AS (SELECT lces.u, cm.c, CAST(sum(lces.w) AS BIGINT) AS k
+       |           FROM lces JOIN wlc${sn - 1} cm ON cm.u = lces.v
+       |           GROUP BY 1, 2),
+       |wst$sn AS (SELECT cm.c, CAST(sum(d.wd) AS BIGINT) AS st
+       |           FROM wlc${sn - 1} cm JOIN lwd d ON d.u = cm.u
+       |           GROUP BY 1),
+       |wcd$sn AS (SELECT cm.u, cm.c, coalesce(cn.k, 0) AS k, 0 AS nown
+       |           FROM wlc${sn - 1} cm
+       |           LEFT JOIN wcn$sn cn ON cn.u = cm.u AND cn.c = cm.c
+       |           UNION ALL
+       |           SELECT cn.u, cn.c, cn.k, 1
+       |           FROM wcn$sn cn JOIN wlc${sn - 1} cm ON cm.u = cn.u
+       |           WHERE cm.c <> cn.c),
+       |wsc$sn AS (SELECT cd.u, cd.c, cd.nown,
+       |                  lm.m2 * cd.k - d.wd * (st.st -
+       |                    CASE WHEN cd.nown = 0 THEN d.wd ELSE 0 END) AS g
+       |           FROM wcd$sn cd JOIN lwd d ON d.u = cd.u
+       |                          JOIN wst$sn st ON st.c = cd.c
+       |                          CROSS JOIN lm),
+       |wlc$sn AS MATERIALIZED (
+       |  SELECT sc.u,
+       |         CASE WHEN $pred
+       |              THEN (min({'ng': -(sc.g), 'nown': sc.nown,
+       |                         'c': sc.c})).c
+       |              ELSE cm.c END AS c
+       |  FROM wsc$sn sc JOIN wlc${sn - 1} cm ON cm.u = sc.u
+       |  GROUP BY sc.u, cm.c)""".stripMargin
+
   /** WITH-chain fragment ending in CTEs `lc0`/`lc3` (move-phase
     * partitions) and `lcf` (final coarse-pass partition) — the full
     * two-level Louvain pipeline of [[Graph.louvainPipeline]] replayed in
@@ -320,20 +354,12 @@ object PipelineQueries {
        |               ON nw.u = t.u
        |        LEFT JOIN (SELECT u, 2 * sum(w) AS s FROM lce
        |                   WHERE u = v GROUP BY 1) sw ON sw.u = t.u),
-       |l2m AS (SELECT s.u, CASE WHEN -((s.b).ng) > 0 THEN (s.b).v
-       |                         ELSE s.u END AS cu
-       |        FROM (SELECT ces.u,
-       |                     min({'ng': -(lm.m2 * ces.w - du.wd * dv.wd),
-       |                          'v': ces.v}) AS b
-       |              FROM lces ces JOIN lwd du ON du.u = ces.u
-       |                            JOIN lwd dv ON dv.u = ces.v
-       |                            CROSS JOIN lm
-       |              GROUP BY 1) s),
-       |l2f AS (SELECT t.u, coalesce(l2m.cu, t.u) AS cu
-       |        FROM (SELECT DISTINCT c AS u FROM lc3) t
-       |        LEFT JOIN l2m ON l2m.u = t.u),
-       |lcf AS MATERIALIZED (SELECT lc3.id, l2f.cu AS c
-       |                     FROM lc3 JOIN l2f ON l2f.u = lc3.c)""".stripMargin
+       |wlc0 AS (SELECT u, u AS c FROM lwd),
+       |${louvainL2SweepCtes(1, "TRUE")},
+       |${louvainL2SweepCtes(2, "sc.u % 2 = 0")},
+       |${louvainL2SweepCtes(3, "sc.u % 2 = 1")},
+       |lcf AS MATERIALIZED (SELECT lc3.id, wlc3.c
+       |                     FROM lc3 JOIN wlc3 ON wlc3.u = lc3.c)""".stripMargin
 
   /** k for gr_ktruss — the ONE constant both the Spark call and the
     * generated oracle's peel threshold (`sup >= k-2`) derive from, so

@@ -605,14 +605,28 @@ class GraphSpec extends AnyFunSuite {
         u -> (ce.collect { case ((x, y), w) if x != y && (x == u || y == u) => w }.sum
           + 2 * ce.getOrElse((u, u), 0L))
       }.toMap
-      val l2 = cnodes.map { u =>
-        val nbrs = ce.collect { case ((x, y), w) if x != y && (x == u || y == u) =>
-          (if (x == u) y else x) -> w }
-        u -> (if (nbrs.isEmpty) u else {
-          val (ng, v) = nbrs.toSeq.map { case (v, w) => (-(m2 * w - wd(u) * wd(v)), v) }.min
-          if (-ng > 0) v else u
-        })
-      }.toMap
+      // level-2 naive reference: the SAME weighted 3-sweep parity schedule
+      // as the engine (k = summed edge weight into the community, wtot =
+      // summed weighted degree, self-loops excluded from k)
+      def wsweep(comm: Map[Long, Long], elig: Long => Boolean): Map[Long, Long] = {
+        val stot = comm.toSeq.groupBy(_._2)
+          .map { case (c, ms) => c -> ms.map(x => wd(x._1)).sum }
+        cnodes.map { u =>
+          val a = comm(u)
+          val kuc = ce.toSeq.collect {
+              case ((x, y), w) if x != y && (x == u || y == u) =>
+                comm(if (x == u) y else x) -> w
+            }.groupBy(_._1).map { case (c, l) => c -> l.map(_._2).sum }
+          val best = (kuc.keySet + a).toSeq.map { c =>
+            val st = stot(c) - (if (c == a) wd(u) else 0L)
+            (-(m2 * kuc.getOrElse(c, 0L) - wd(u) * st),
+              if (c == a) 0L else 1L, c)
+          }.min
+          u -> (if (elig(u)) best._3 else a)
+        }.toMap
+      }
+      val l2c0 = cnodes.map(u => u -> u).toMap
+      val l2 = wsweep(wsweep(wsweep(l2c0, _ => true), _ % 2 == 0), _ % 2 == 1)
       val cf = c3.map { case (i, c) => i -> l2(c) }
       def q(comm: Map[Long, Long]): (Long, Long) = {
         val tot = comm.toSeq.groupBy(_._2)
@@ -628,6 +642,39 @@ class GraphSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSeq
       assert(got == want, s"seed=$seed got=$got want=$want")
     }
+  }
+
+  test("louvainTwoLevel: mutually-preferring coarse communities MERGE at level 2") {
+    // The accepted-merge case the declined-merge hand test can't cover —
+    // and the exact failure a single fully-parallel coarse sweep has: two
+    // coarse communities whose best (and only) target is each other would
+    // SWAP labels (partition unchanged, merge silently skipped). Graph:
+    // triangles {1,3,5} and {2,4,6} with low bridges (1,2),(3,4),(5,6),
+    // plus a disconnected K6 ballast on 11..16 that inflates m2 so the
+    // coarse merge gain turns positive. Level 1 settles at 3 communities:
+    // comm 1 = {1,3,4,5,6}, comm 2 = {2}, and the K6. Coarse frame:
+    // intra(1) = 6 (triangle A + 4-6 + bridges 3-4, 5-6), w(1,2) = 3
+    // (bridge 1-2 + B edges 2-4, 2-6), wd(1) = 15, wd(2) = 3, m2 = 48 —
+    // merge gain both ways = 48·3 − 15·3 = 99 > 0, each the other's ONLY
+    // neighbor: mutual preference. Parity schedule: sweep 1 swaps them,
+    // sweep 2 (even coarse id) moves 2 back into 1's label — MERGED —
+    // and sweep 3 keeps it (staying scores 48·3 − 3·15 = 99 > 0 vs 0 for
+    // leaving). Q·(2m)² rises 882 → 1080; a swap would have left 882.
+    val triA = Seq((1L, 3L), (3L, 5L), (1L, 5L))
+    val triB = Seq((2L, 4L), (4L, 6L), (2L, 6L))
+    val bridges = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val k6 = (11L to 16L).combinations(2).map(p => (p(0), p(1))).toSeq
+    val pairs = (triA ++ triB ++ bridges ++ k6).toDF("a_id", "b_id")
+    val rep = Graph.louvainTwoLevel(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((0L, 12L, -204L), (1L, 3L, 882L), (2L, 2L, 1080L)), rep)
+    assert(rep(2)._3 > rep(1)._3, "level-2 Q must exceed level-1 Q on a merge")
+    val members = Graph.louvainMemberTable(pairs)
+      .as[(Long, Long, Long)].collect()
+    val finalOf = members.map(r => r._1 -> r._3).toMap
+    assert((1L to 6L).map(finalOf).toSet.size == 1,
+      "both triangle communities must share ONE final label after the merge")
+    assert(finalOf(11L) != finalOf(1L), "the K6 ballast stays separate")
   }
 
   test("node2vecWalks reduces to randomWalks under uniform weights") {
