@@ -1408,9 +1408,31 @@ object Graph {
         (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L))).as("wd")))
     // level-2 move phase: the SAME 3-sweep alternating-parity schedule as
     // level 1, with the weighted general-partition gain over the coarse
-    // graph (k_uc = Σ edge weight into c; wtot = Σ weighted degree; the
-    // coarse node's self-loop mass sits in wd but never in k, matching
-    // the gain derivation where self-loop terms cancel)
+    // graph (see [[weightedMovePhase]])
+    val (l2c3, l2frames) = weightedMovePhase(cesSym, cwd, m2)
+    val cf = materialize(c3.join(l2c3, c3("c") === l2c3("u"))
+      .select(c3("id"), l2c3("c")))
+    LouvainFrames(c3, cf,
+      Seq(cf) ++ l2frames ++ Seq(cwd, ce, c3, c2, c1, c0, deg, es, e))
+  }
+
+  /** 3-sweep alternating-parity move phase over a WEIGHTED graph — the
+    * generalization both Louvain consumers share: [[louvainPipeline]]'s
+    * level-2 pass and every level of [[louvainLevels]]. Gain of coarse
+    * node u for community c is 2m·k_uc − wd_u·(Σwtot(c) − [c = C(u)]·wd_u)
+    * with k_uc = Σ edge weight from u into c (self-loops excluded — they
+    * cancel in the derivation) and wd including self-loop mass; ties
+    * prefer the current community, then the smallest label. Sweep 1 moves
+    * all nodes, sweeps 2/3 only even/odd ids — the parity schedule that
+    * breaks swap cycles. Inputs: `cesSym` (u, v, w) symmetric non-self
+    * edges, `cwd` (u, wd) covering EVERY node, `m2` a broadcast 1-row 2m
+    * frame. Returns the final (u, c) labels plus all four materialized
+    * sweep frames (caller owns their release; the labels frame is
+    * included).
+    */
+  private def weightedMovePhase(cesSym: DataFrame, cwd: DataFrame,
+                                m2: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import Dedup.materialize
     def wsweep(comm: DataFrame,
                eligible: org.apache.spark.sql.Column): DataFrame = {
       val cn = cesSym.join(comm.select(col("u").as("v"), col("c")), "v")
@@ -1435,15 +1457,11 @@ object Graph {
         .select(col("u"),
           when(eligible, col("b.c")).otherwise(col("a")).as("c")))
     }
-
-    val l2c0 = materialize(cwd.select(col("u"), col("u").as("c")))
-    val l2c1 = wsweep(l2c0, lit(true))
-    val l2c2 = wsweep(l2c1, col("u") % 2 === 0)
-    val l2c3 = wsweep(l2c2, col("u") % 2 === 1)
-    val cf = materialize(c3.join(l2c3, c3("c") === l2c3("u"))
-      .select(c3("id"), l2c3("c")))
-    LouvainFrames(c3, cf,
-      Seq(cf, l2c3, l2c2, l2c1, l2c0, cwd, ce, c3, c2, c1, c0, deg, es, e))
+    val c0 = materialize(cwd.select(col("u"), col("u").as("c")))
+    val c1 = wsweep(c0, lit(true))
+    val c2 = wsweep(c1, col("u") % 2 === 0)
+    val c3 = wsweep(c2, col("u") % 2 === 1)
+    (c3, Seq(c3, c2, c1, c0))
   }
 
   /** (id, comm_move, comm_final) membership table — the ONE expensive
@@ -1524,6 +1542,91 @@ object Graph {
     val m = louvainMemberTable(pairs)
     val res = louvainReport(pairs, m)
     release(m)
+    res
+  }
+
+  /** Multi-level Louvain to a bounded cap (Blondel et al. 2008's full
+    * outer loop): iterate [move phase → coarsen] `levels` times on the
+    * successively coarsened WEIGHTED graph (edge weights sum on community
+    * pairs; intra-community mass becomes self-loops), reporting
+    * (level, n_comms, q_2m2) per level in exact Q·(2m)² integers. Every
+    * level runs [[weightedMovePhase]] (level 1 on unit weights reduces
+    * exactly to the pipeline's unweighted sweeps, so levels 0–2 of this
+    * report EQUAL [[louvainTwoLevel]] — GraphSpec asserts it). ΔQ = 0
+    * convergence needs no explicit stop flag: a locally-optimal partition
+    * coarsens to a graph where no coarse node finds positive gain, every
+    * later move phase returns singletons, and the report shows consecutive
+    * EQUAL (n_comms, q) rows — the fixpoint is self-evident in the output
+    * and the cap bounds the work, which is what lets an unrolled SQL
+    * oracle replay the loop.
+    *
+    * Modularity per level is computed on the COARSE graph directly —
+    * q = Σ_u (2m·2·self_w(u) − wd(u)²) over its nodes — which equals the
+    * original-graph modularity of the composed partition because
+    * coarsening preserves intra mass (self-loops) and community weighted
+    * degrees exactly.
+    *
+    * Scale shape: level 1 is the usual O(|E|) sweep machinery; every
+    * later level runs on an O(communities)-sized graph, so the cap adds
+    * asymptotically nothing beyond the two-level pipeline. All iterative
+    * frames go through materialize+release.
+    */
+  def louvainLevels(pairs: DataFrame, levels: Int = 4): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    import Dedup.{materialize, release}
+    val ge0 = materialize(pairs
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct().withColumn("w", lit(1L)))
+    val m2 = broadcast(ge0.agg((sum(col("w")) * lit(2L)).as("m2")))
+    val owned = scala.collection.mutable.ArrayBuffer[DataFrame](ge0)
+
+    // symmetric non-self edges + per-node weighted degree (self-loops
+    // count twice) for one level's graph; cwd covers every node
+    def frames(g: DataFrame): (DataFrame, DataFrame) = {
+      val ns = g.filter(col("u") =!= col("v"))
+      val cesSym = ns.select(col("u"), col("v"), col("w"))
+        .unionAll(ns.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val cwd = materialize(
+        g.select(col("u")).unionAll(g.select(col("v").as("u"))).distinct()
+          .join(cesSym.groupBy("u").agg(sum(col("w")).as("nw")), Seq("u"), "left")
+          .join(g.filter(col("u") === col("v"))
+            .select(col("u"), (col("w") * 2).as("sw")), Seq("u"), "left")
+          .select(col("u"),
+            (coalesce(col("nw"), lit(0L)) + coalesce(col("sw"), lit(0L))).as("wd")))
+      owned += cwd
+      (cesSym, cwd)
+    }
+
+    def qOf(g: DataFrame, cwd: DataFrame, level: Int): DataFrame =
+      cwd.join(g.filter(col("u") === col("v"))
+          .select(col("u"), col("w").as("iw")), Seq("u"), "left")
+        .crossJoin(m2)
+        .select((col("m2") * lit(2L) * coalesce(col("iw"), lit(0L))
+          - col("wd") * col("wd")).as("qc"))
+        .agg(count(lit(1)).as("n_comms"), sum(col("qc")).as("q_2m2"))
+        .select(lit(level.toLong).as("level"), col("n_comms"), col("q_2m2"))
+
+    var ge = ge0
+    var (cesSym, cwd) = frames(ge)
+    var report = qOf(ge, cwd, 0)
+    (1 to levels).foreach { k =>
+      val (lab, phaseFrames) = weightedMovePhase(cesSym, cwd, m2)
+      owned ++= phaseFrames
+      val geNext = materialize(ge
+        .join(lab.select(col("u"), col("c").as("cu")), "u")
+        .join(lab.select(col("u").as("v"), col("c").as("cv")), "v")
+        .select(least(col("cu"), col("cv")).as("u"),
+          greatest(col("cu"), col("cv")).as("v"), col("w"))
+        .groupBy("u", "v").agg(sum(col("w")).as("w")))
+      owned += geNext
+      ge = geNext
+      val fr = frames(ge)
+      cesSym = fr._1; cwd = fr._2
+      report = report.unionAll(qOf(ge, cwd, k))
+    }
+    val res = materialize(report.orderBy("level"))
+    owned.foreach(release)
     res
   }
 

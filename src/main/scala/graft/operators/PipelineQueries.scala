@@ -361,6 +361,94 @@ object PipelineQueries {
        |lcf AS MATERIALIZED (SELECT lc3.id, wlc3.c
        |                     FROM lc3 JOIN wlc3 ON wlc3.u = lc3.c)""".stripMargin
 
+  /** Level cap for gr_louvain_levels — the ONE constant the Spark call
+    * and the generated unrolled oracle both derive from.
+    */
+  private val LouvainLevelCap = 4
+
+  /** Unrolled multi-level Louvain oracle ([[Graph.louvainLevels]] replayed
+    * in ANSI SQL): per level-graph j, frames qgs$j (symmetric non-self
+    * edges), qwd$j (weighted degree, self-loops twice), qq$j (the level's
+    * (n_comms, q) row computed ON the coarse graph — coarsening preserves
+    * intra mass and community degrees exactly); per move phase k, the same
+    * weighted 3-sweep parity schedule as [[louvainL2SweepCtes]] followed
+    * by the coarsening groupBy. Level 1 on unit weights reduces to the
+    * two-level chain's unweighted sweeps, so rows 0–2 equal
+    * gr_louvain_coarse's — one algorithm, two unrollings.
+    */
+  private def louvainLevelsOracleSql(levels: Int): String = {
+    def graphFrames(j: Int): String =
+      s"""qgs$j AS (SELECT u, v, w FROM qe$j WHERE u <> v
+         |          UNION ALL SELECT v, u, w FROM qe$j WHERE u <> v),
+         |qwd$j AS (SELECT t.u, CAST(coalesce(nw.s, 0) + coalesce(sw.s, 0)
+         |                     AS BIGINT) AS wd
+         |          FROM (SELECT DISTINCT u FROM (SELECT u FROM qe$j
+         |                UNION ALL SELECT v FROM qe$j)) t
+         |          LEFT JOIN (SELECT u, sum(w) AS s FROM qgs$j GROUP BY 1) nw
+         |                 ON nw.u = t.u
+         |          LEFT JOIN (SELECT u, 2 * sum(w) AS s FROM qe$j
+         |                     WHERE u = v GROUP BY 1) sw ON sw.u = t.u),
+         |qq$j AS (SELECT CAST($j AS BIGINT) AS level, count(*) AS n_comms,
+         |                CAST(sum(qm.m2 * 2 * coalesce(sl.iw, 0)
+         |                         - d.wd * d.wd) AS BIGINT) AS q_2m2
+         |         FROM qwd$j d
+         |         LEFT JOIN (SELECT u, CAST(sum(w) AS BIGINT) AS iw
+         |                    FROM qe$j WHERE u = v GROUP BY 1) sl
+         |                ON sl.u = d.u
+         |         CROSS JOIN qm)""".stripMargin
+    def sweep(k: Int, s: Int, pred: String): String =
+      s"""qcn${k}_$s AS (SELECT g.u, cm.c, CAST(sum(g.w) AS BIGINT) AS k
+         |               FROM qgs${k - 1} g
+         |               JOIN qlc${k}_${s - 1} cm ON cm.u = g.v
+         |               GROUP BY 1, 2),
+         |qst${k}_$s AS (SELECT cm.c, CAST(sum(d.wd) AS BIGINT) AS st
+         |               FROM qlc${k}_${s - 1} cm
+         |               JOIN qwd${k - 1} d ON d.u = cm.u GROUP BY 1),
+         |qcd${k}_$s AS (SELECT cm.u, cm.c, coalesce(cn.k, 0) AS k, 0 AS nown
+         |               FROM qlc${k}_${s - 1} cm
+         |               LEFT JOIN qcn${k}_$s cn ON cn.u = cm.u AND cn.c = cm.c
+         |               UNION ALL
+         |               SELECT cn.u, cn.c, cn.k, 1
+         |               FROM qcn${k}_$s cn
+         |               JOIN qlc${k}_${s - 1} cm ON cm.u = cn.u
+         |               WHERE cm.c <> cn.c),
+         |qsc${k}_$s AS (SELECT cd.u, cd.c, cd.nown,
+         |                      qm.m2 * cd.k - d.wd * (st.st -
+         |                        CASE WHEN cd.nown = 0 THEN d.wd ELSE 0 END) AS g
+         |               FROM qcd${k}_$s cd
+         |               JOIN qwd${k - 1} d ON d.u = cd.u
+         |               JOIN qst${k}_$s st ON st.c = cd.c
+         |               CROSS JOIN qm),
+         |qlc${k}_$s AS MATERIALIZED (
+         |  SELECT sc.u,
+         |         CASE WHEN $pred
+         |              THEN (min({'ng': -(sc.g), 'nown': sc.nown,
+         |                         'c': sc.c})).c
+         |              ELSE cm.c END AS c
+         |  FROM qsc${k}_$s sc JOIN qlc${k}_${s - 1} cm ON cm.u = sc.u
+         |  GROUP BY sc.u, cm.c)""".stripMargin
+    def level(k: Int): String =
+      s"""qlc${k}_0 AS (SELECT u, u AS c FROM qwd${k - 1}),
+         |${sweep(k, 1, "TRUE")},
+         |${sweep(k, 2, "sc.u % 2 = 0")},
+         |${sweep(k, 3, "sc.u % 2 = 1")},
+         |qe$k AS MATERIALIZED (
+         |  SELECT least(x.c, y.c) AS u, greatest(x.c, y.c) AS v,
+         |         CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM qe${k - 1} e JOIN qlc${k}_3 x ON x.u = e.u
+         |                    JOIN qlc${k}_3 y ON y.u = e.v
+         |  GROUP BY 1, 2),
+         |${graphFrames(k)}""".stripMargin
+    s"""WITH $jaccardCtes,
+       |qe0 AS (SELECT a_id AS u, b_id AS v, CAST(1 AS BIGINT) AS w
+       |        FROM inter WHERE c >= 3),
+       |qm AS (SELECT CAST(2 * sum(w) AS BIGINT) AS m2 FROM qe0),
+       |${graphFrames(0)},
+       |${(1 to levels).map(level).mkString(",\n")}
+       |${(0 to levels).map(j => s"SELECT * FROM qq$j").mkString("\nUNION ALL ")}
+       |ORDER BY level""".stripMargin
+  }
+
   /** k for gr_ktruss — the ONE constant both the Spark call and the
     * generated oracle's peel threshold (`sup >= k-2`) derive from, so
     * retuning k cannot silently diverge the two engines.
@@ -2321,6 +2409,20 @@ object PipelineQueries {
              |FROM lc3 JOIN lcf ON lcf.id = lc3.id
              |         JOIN lsz ON lsz.c = lcf.c
              |ORDER BY lc3.id""".stripMargin)),
+
+    // Multi-level Louvain to the bounded cap (Blondel et al. 2008's full
+    // outer loop): move phase + coarsen iterated 4 times on the weighted
+    // coarse graphs, per-level (n_comms, Q.(2m)^2) rows. Convergence is
+    // self-evident — a locally-optimal level coarsens to a graph with no
+    // positive-gain move, so later levels repeat its row (DQ = 0); no
+    // stop flag, which is what lets the unrolled oracle replay the loop.
+    // Levels 0-2 equal gr_louvain_coarse's rows (same algorithm; level 1
+    // on unit weights IS the unweighted sweep). See Graph.louvainLevels.
+    QueryDef("gr_louvain_levels",
+      (s, d) => Graph.louvainLevels(
+        pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
+        levels = LouvainLevelCap),
+      Some(louvainLevelsOracleSql(LouvainLevelCap))),
 
 
     // Deterministic node2vec trajectory table (p=4, q=2 as weight percents

@@ -677,6 +677,28 @@ class GraphSpec extends AnyFunSuite {
     assert(finalOf(11L) != finalOf(1L), "the K6 ballast stays separate")
   }
 
+  test("louvainLevels: levels 0-2 equal louvainTwoLevel, and a fixpoint repeats its row") {
+    // same mutual-merge graph as above: converges at the 2-community
+    // partition by level 2, so levels 3 and 4 must REPEAT that row
+    // (DQ = 0 shows as consecutive equal rows — the convergence signal)
+    val triA = Seq((1L, 3L), (3L, 5L), (1L, 5L))
+    val triB = Seq((2L, 4L), (4L, 6L), (2L, 6L))
+    val bridges = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    val k6 = (11L to 16L).combinations(2).map(p => (p(0), p(1))).toSeq
+    val pairs = (triA ++ triB ++ bridges ++ k6).toDF("a_id", "b_id")
+    val lv = Graph.louvainLevels(pairs, levels = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val two = Graph.louvainTwoLevel(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(lv.take(3) == two,
+      s"levels 0-2 must equal the two-level report: $lv vs $two")
+    assert(lv(3) == (3L, lv(2)._2, lv(2)._3) && lv(4) == (4L, lv(2)._2, lv(2)._3),
+      s"converged partition must repeat its (n_comms, q) row: $lv")
+    // and Q is monotone non-decreasing across levels (the property the
+    // level-2 parity fix restored)
+    assert(lv.map(_._3).sliding(2).forall(p => p(1) >= p(0)), lv)
+  }
+
   test("node2vecWalks reduces to randomWalks under uniform weights") {
     import org.apache.spark.sql.functions.lit
     // with all three weights 100 the key is (h·100) div 100 = h exactly —

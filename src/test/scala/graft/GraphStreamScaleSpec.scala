@@ -143,9 +143,14 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     info(f"closenessStats/op base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
     assert(r1 > 0 && r10 > 0, s"degenerate closeness smoke ($r1, $r10)")
     assert(r10 > 5 * r1, s"10x components must report ~10x nodes ($r1 -> $r10)")
-    assert(growth < 30.0,
-      s"closenessStats grew ${growth}x for ${Factor}x components — state no " +
-        "longer component-bounded (giant component or lost min-aggregation)")
+    // pinned per-op cap (the gr_kcore / dd_embedding_lsh treatment): the
+    // r13 judge-run smoke measured 9.0x — a 12x ceiling keeps ~1.3x
+    // machine-noise headroom while failing a quadratic creep the loose
+    // generic 30x wall would hide
+    assert(growth < 12.0,
+      s"closenessStats grew ${growth}x for ${Factor}x components (limit 12, " +
+        "measured 9.0x) — state no longer component-bounded (giant " +
+        "component or lost min-aggregation)")
   }
 
   /** The GIANT-COMPONENT regime exact closeness excludes: the hub-heavy
@@ -194,9 +199,13 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     info(f"closenessApprox/op base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
     assert(r1 > 0 && r10 > 0, s"degenerate approx-closeness smoke ($r1, $r10)")
     assert(r10 > 5 * r1, s"10x nodes must report ~10x rows ($r1 -> $r10)")
-    assert(growth < 30.0,
-      s"closenessApprox grew ${growth}x for ${Factor}x nodes — sketch state " +
-        "no longer linear (per-round join blow-up)")
+    // pinned per-op cap: r13 judge-run smoke measured 7.9x on this
+    // hop-count-neutral harness — 12x fails a return of the dense-sketch
+    // width blow-up while keeping ~1.5x noise headroom
+    assert(growth < 12.0,
+      s"closenessApprox grew ${growth}x for ${Factor}x nodes (limit 12, " +
+        "measured 7.9x) — sketch state no longer linear (per-round join " +
+        "blow-up)")
   }
 
   /** The giant-graph path for the betweenness family: exact stress

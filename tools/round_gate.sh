@@ -57,4 +57,10 @@ elif [ "$rc" != 0 ]; then
 fi
 python3 tools/stream_check.py
 
+# warm-staging budget (r13 verdict #7): off-clock `_warm:` staging must
+# stay <= 10% of the timed bench clock (io_preamble excluded — it is a
+# measurement artifact, not staged query cost); every staged frame must
+# keep >= 2 consumers (structural, see stageFamilyCaches).
+python3 tools/warm_check.py
+
 echo "round gate: ALL GREEN"
