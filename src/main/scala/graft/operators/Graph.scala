@@ -1430,9 +1430,36 @@ object Graph {
     * sweep frames (caller owns their release; the labels frame is
     * included).
     */
+  /** [[Dedup.materialize]] + statistics RESET — the form every frame in
+    * the deeply-chained Louvain machinery must use. localCheckpoint copies
+    * the child plan's ESTIMATED statistics onto the checkpointed
+    * LogicalRDD (so join planning stays informed), but size estimates
+    * MULTIPLY through joins, so chaining checkpoints through an iterative
+    * multi-join operator compounds them doubly-exponentially: by the
+    * fourth Louvain level the estimates are BigIntegers of ~10^6 digits
+    * and the OPTIMIZER spends tens of seconds per sweep inside
+    * BigInteger.multiply (measured: level-4 sweeps 5s → 22s → 66s on a
+    * 95-node coarse graph, Karatsuba/ToomCook3 frames dominating the
+    * driver stack; optimizer time 2.5s → 8.6s → 30s on a constant-size
+    * plan). Rebuilding the frame from the checkpointed RDD drops the
+    * estimate to the session default — a CONSTANT — so each plan's stats
+    * arithmetic is bounded by its own join count. Auto-broadcast choices
+    * lost to the default estimate are recovered at runtime by AQE, which
+    * re-plans joins on ACTUAL stage sizes. Only applied under the default
+    * localCheckpoint strategy: `persist` keeps lineage (no stats copy to
+    * compound) and needs the original frame for cache release.
+    */
+  private def materializeReset(df: DataFrame): DataFrame = {
+    val ck = Dedup.materialize(df)
+    if (df.sparkSession.conf.getOption("spark.graft.materialize")
+        .forall(_ == "localCheckpoint"))
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    else ck
+  }
+
   private def weightedMovePhase(cesSym: DataFrame, cwd: DataFrame,
                                 m2: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    import Dedup.materialize
+    def materialize(df: DataFrame): DataFrame = materializeReset(df)
     def wsweep(comm: DataFrame,
                eligible: org.apache.spark.sql.Column): DataFrame = {
       val cn = cesSym.join(comm.select(col("u").as("v"), col("c")), "v")
@@ -1571,9 +1598,21 @@ object Graph {
     * asymptotically nothing beyond the two-level pipeline. All iterative
     * frames go through materialize+release.
     */
-  def louvainLevels(pairs: DataFrame, levels: Int = 4): DataFrame = {
+  /** @param l1 optional precomputed LEVEL-1 labels (id → community, as
+    *   (u, c)) — pass the family-cached member table's comm_move column to
+    *   skip re-running the expensive full-graph move phase: level 1 of
+    *   this loop on unit weights is EXACTLY the pipeline's unweighted
+    *   3-sweep (GraphSpec proves rows 0–2 equal louvainTwoLevel), so the
+    *   reuse is an identity, not an approximation.
+    */
+  def louvainLevels(pairs: DataFrame, levels: Int = 4,
+                    l1: Option[DataFrame] = None): DataFrame = {
     require(levels >= 1, s"levels must be >= 1, got $levels")
-    import Dedup.{materialize, release}
+    import Dedup.release
+    // every frame here chains through many checkpoint generations — the
+    // stats-reset materialize is what keeps the optimizer O(plan), see
+    // [[materializeReset]]
+    def materialize(df: DataFrame): DataFrame = materializeReset(df)
     val ge0 = materialize(pairs
       .select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
@@ -1611,8 +1650,13 @@ object Graph {
     var (cesSym, cwd) = frames(ge)
     var report = qOf(ge, cwd, 0)
     (1 to levels).foreach { k =>
-      val (lab, phaseFrames) = weightedMovePhase(cesSym, cwd, m2)
-      owned ++= phaseFrames
+      val lab = (k, l1) match {
+        case (1, Some(pre)) => pre
+        case _ =>
+          val (moved, phaseFrames) = weightedMovePhase(cesSym, cwd, m2)
+          owned ++= phaseFrames
+          moved
+      }
       val geNext = materialize(ge
         .join(lab.select(col("u"), col("c").as("cu")), "u")
         .join(lab.select(col("u").as("v"), col("c").as("cv")), "v")

@@ -2418,10 +2418,17 @@ object PipelineQueries {
     // stop flag, which is what lets the unrolled oracle replay the loop.
     // Levels 0-2 equal gr_louvain_coarse's rows (same algorithm; level 1
     // on unit weights IS the unweighted sweep). See Graph.louvainLevels.
+    // Third consumer of the louvain family cache: level 1 of the loop on
+    // unit weights IS the pipeline's move phase (identity, GraphSpec-
+    // proven), so the cached member table's comm_move labels stand in for
+    // the expensive full-graph sweeps and the query pays only the
+    // O(communities) upper levels.
     QueryDef("gr_louvain_levels",
       (s, d) => Graph.louvainLevels(
         pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id"),
-        levels = LouvainLevelCap),
+        levels = LouvainLevelCap,
+        l1 = Some(louvainMembers(s, d)
+          .select(col("id").as("u"), col("comm_move").as("c")))),
       Some(louvainLevelsOracleSql(LouvainLevelCap))),
 
 
