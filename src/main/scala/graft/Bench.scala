@@ -41,9 +41,12 @@ object Bench {
       // the staged-layout plans) evictions recurred as isolated in-suite
       // spikes (fn_json 1.6s solo vs 9-11s mid-suite), and at 282 queries
       // the same signature returned under 5000 (fn_json 8.8s in-suite in
-      // two consecutive full runs, 1.46s solo). Size for the whole
+      // two consecutive full runs, 1.46s solo). At 375 queries (r14) the
+      // syndrome returned under 12000 — fn_array read 2.81s in-suite
+      // (REPEAT=3 median) vs a same-day solo of 0.77s, and fn_csv 1.73s
+      // vs 0.44s, both with untouched code. Size for the whole
       // inventory with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "12000")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
       // temp warehouse, not ./spark-warehouse in the repo
       .config("spark.sql.warehouse.dir",

@@ -1461,7 +1461,10 @@ object Graph {
                                 m2: DataFrame): (DataFrame, Seq[DataFrame]) = {
     def materialize(df: DataFrame): DataFrame = materializeReset(df)
     def wsweep(comm: DataFrame,
-               eligible: org.apache.spark.sql.Column): DataFrame = {
+               eligible: org.apache.spark.sql.Column): DataFrame =
+      materialize(wsweepLazy(comm, eligible))
+    def wsweepLazy(comm: DataFrame,
+                   eligible: org.apache.spark.sql.Column): DataFrame = {
       val cn = cesSym.join(comm.select(col("u").as("v"), col("c")), "v")
         .groupBy("u", "c").agg(sum(col("w")).as("k"))
       val st = comm.join(cwd, "u").groupBy("c").agg(sum(col("wd")).as("st"))
@@ -1476,19 +1479,29 @@ object Graph {
         .select(col("u"), col("c"), col("nown"),
           (col("m2") * col("k") - col("wd") * (col("st") -
             when(col("nown") === 0, col("wd")).otherwise(lit(0L)))).as("g"))
-      materialize(scored
+      scored
         .groupBy("u")
         .agg(min(struct((-col("g")).as("ng"), col("nown").as("nown"),
           col("c").as("c"))).as("b"))
         .join(comm.select(col("u"), col("c").as("a")), "u")
         .select(col("u"),
-          when(eligible, col("b.c")).otherwise(col("a")).as("c")))
+          when(eligible, col("b.c")).otherwise(col("a")).as("c"))
     }
-    val c0 = materialize(cwd.select(col("u"), col("u").as("c")))
-    val c1 = wsweep(c0, lit(true))
+    // c0/c1 stay LAZY: a sweep references its predecessor ~4 times, so a
+    // lazy c1 is recomputed 4x inside c2's job — trivial on the coarse
+    // graphs every caller feeds this phase (louvainPipeline's level 2,
+    // louvainLevels' levels >= 2 via the cached level-1 labels; the spec
+    // path's level 1 runs on hand-sized graphs). Checkpointing only
+    // c2/c3 halves the phase's checkpoint-block churn — the burst that
+    // showed up as suite-position spikes on the queries alphabetically
+    // AFTER gr_louvain_levels (gr_random_walks 0.41s in-suite vs 0.12s
+    // solo, gr_sgns_batch 1.56 vs 0.87, gr_stress 2.34 vs 1.31 — all
+    // solo-disproved same-day, BASELINE.md §r14).
+    val c0 = cwd.select(col("u"), col("u").as("c"))
+    val c1 = wsweepLazy(c0, lit(true))
     val c2 = wsweep(c1, col("u") % 2 === 0)
     val c3 = wsweep(c2, col("u") % 2 === 1)
-    (c3, Seq(c3, c2, c1, c0))
+    (c3, Seq(c3, c2))
   }
 
   /** (id, comm_move, comm_final) membership table — the ONE expensive
