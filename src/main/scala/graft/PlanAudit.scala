@@ -62,12 +62,16 @@ object PlanAudit {
     *  - gr_sgns_batch: DistributedRank.globalRunningSum offsets window
     *    over per-partition weight totals — numPartitions rows by
     *    construction (the same prefix-sum spine as rel_histogram_eqdepth)
+    *  - rel_dp_topk: the top-k race rank over the per-BRAND rollup —
+    *    dimension-sized (|brand| = 25 candidate rows, the exponential
+    *    mechanism's fixed public candidate set, corpus-independent)
     */
   private val boundedSpineWindows = Set(
     "rel_histogram_eqdepth", "rel_zorder", "rel_skyline", "win_lift",
     "rel_compaction_plan", "tx_vocab_growth",
     "ts_cume_users", "ts_ewma", "ts_rolling_corr", "ts_lerp",
-    "rel_share_of_total", "tx_mixture_plan", "gr_sgns_batch")
+    "rel_share_of_total", "tx_mixture_plan", "gr_sgns_batch",
+    "rel_dp_topk")
 
   /** The only query excused an UNREDUCED (class-0) window verdict: its
     * bound is a literal prefix filter the structural walk cannot see.

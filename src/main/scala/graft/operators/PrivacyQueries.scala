@@ -232,6 +232,12 @@ object PrivacyQueries {
     */
   private[graft] val DpUserC = 5
 
+  /** k for [[dpTopK]] — release the k most frequent brands. */
+  private[graft] val DpTopK = 5
+
+  /** Quantile vector (integer percents) for [[dpExponentialQuantiles]]. */
+  private[graft] val DpQuantiles = Seq(25, 50, 75)
+
   val queries: Seq[QueryDef] = Seq(
 
     QueryDef("tx_pii_redact",
@@ -426,7 +432,83 @@ object PrivacyQueries {
              |SELECT med.segment, med.n, med.true_med_band,
              |       rel.released_band, rel.d_released, rel.noise_bits
              |FROM med JOIN rel USING (segment)
-             |ORDER BY segment""".stripMargin))
+             |ORDER BY segment""".stripMargin)),
+
+    // DP top-k selection — one-shot exponential race over per-brand
+    // counts (Durfee & Rogers 2019): rank by count + trailing-zero
+    // geometric race noise, take the k best, then release each winner's
+    // count through the geometric ladder. See dpTopK for the peeling
+    // equivalence and budget accounting.
+    QueryDef("rel_dp_topk",
+      (s, d) => dpTopK(T(s, d, "part"), k = DpTopK),
+      Some(s"""WITH g AS (SELECT p_brand AS brand, count(*) AS n_raw,
+             |                  CAST(substr(p_brand, 7) AS BIGINT)
+             |                    & 2147483647 AS b
+             |           FROM part GROUP BY 1, 3),
+             |h AS (SELECT brand, n_raw,
+             |             (b * 2654435761 + 777) % 1000000007 + 1 AS h1,
+             |             (b * 2654435761 + 12345) % 1000000007 % $GeoT AS uu
+             |      FROM g),
+             |z_ AS (SELECT brand, n_raw, uu,
+             |              CAST(bit_count((h1 & (-h1)) - 1) AS BIGINT) AS z
+             |       FROM h),
+             |rk AS (SELECT *,
+             |              row_number() OVER (ORDER BY n_raw + z DESC,
+             |                                 n_raw DESC, brand ASC) AS rank
+             |       FROM z_)
+             |SELECT CAST(rank AS BIGINT) AS rank, brand, n_raw,
+             |       z AS noise_bits,
+             |       CAST(greatest(n_raw + ${geoNoiseSql("uu")}, 0) AS BIGINT)
+             |         AS n_released
+             |FROM rk WHERE rank <= $DpTopK ORDER BY rank""".stripMargin)),
+
+    // DP quantile vector — per (segment, q in {25,50,75}) exponential
+    // race on the percent-scaled utility lattice; the q = 50 race is the
+    // median race at 100x scale. See dpExponentialQuantiles.
+    QueryDef("rel_dp_quantiles",
+      (s, d) => dpExponentialQuantiles(T(s, d, "customer"), qs = DpQuantiles),
+      Some(s"""WITH rows_ AS (SELECT c_mktsegment AS segment,
+             |                      CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+             |               FROM customer),
+             |segs AS (SELECT segment, count(*) AS n FROM rows_ GROUP BY 1),
+             |grid AS (SELECT segment, n, gb.band
+             |         FROM segs CROSS JOIN (SELECT unnest(generate_series(
+             |                $MedBandLo, $MedBandHi)) AS band) gb),
+             |cnt AS (SELECT segment, band, count(*) AS c FROM rows_ GROUP BY 1, 2),
+             |g AS (SELECT grid.segment, grid.n, grid.band,
+             |             coalesce(cnt.c, 0) AS c
+             |      FROM grid LEFT JOIN cnt USING (segment, band)),
+             |w AS (SELECT *,
+             |             CAST(sum(c) OVER (PARTITION BY segment ORDER BY band)
+             |                  AS BIGINT) AS cum
+             |      FROM g),
+             |wq AS (SELECT w.*, qq.q,
+             |              CAST(abs(100 * (2 * (cum - c) + c) - 2 * qq.q * n)
+             |                   AS BIGINT) AS d
+             |       FROM w CROSS JOIN (SELECT unnest([${DpQuantiles.mkString(", ")}]
+             |              ::BIGINT[]) AS q) qq),
+             |u AS (SELECT *,
+             |             ((CAST(ascii(substr(segment, 1, 1)) AS BIGINT) & 2147483647)
+             |              * 2654435761 + (band + 11) * 97781
+             |              + q * 50021 + 131071) % 1000000007 + 1 AS h1
+             |      FROM wq),
+             |z_ AS (SELECT *,
+             |              CAST(bit_count((h1 & (-h1)) - 1) AS BIGINT) AS z
+             |       FROM u),
+             |rel AS (SELECT segment, q,
+             |               (min({'key': d - 200 * z, 'd': d, 'band': band,
+             |                     'z': z})).band AS released_band,
+             |               (min({'key': d - 200 * z, 'd': d, 'band': band,
+             |                     'z': z})).d AS d_released,
+             |               (min({'key': d - 200 * z, 'd': d, 'band': band,
+             |                     'z': z})).z AS noise_bits
+             |        FROM z_ GROUP BY 1, 2),
+             |tq AS (SELECT segment, q, min(band) AS true_band, max(n) AS n
+             |       FROM z_ WHERE 100 * cum >= q * n GROUP BY 1, 2)
+             |SELECT tq.segment, tq.q, tq.n, tq.true_band,
+             |       rel.released_band, rel.d_released, rel.noise_bits
+             |FROM tq JOIN rel USING (segment, q)
+             |ORDER BY segment, q""".stripMargin))
   )
 
   /** LOCAL-DP prevalence estimation via randomized response (Warner 1965
@@ -616,5 +698,116 @@ object PrivacyQueries {
       .select(col("segment"), col("n"), col("true_med_band"),
         col("released_band"), col("d_released"), col("noise_bits"))
       .orderBy("segment")
+  }
+
+  /** Differentially-private TOP-K selection via the one-shot exponential
+    * race (Durfee & Rogers 2019, "Practical Differentially Private Top-k
+    * Selection with Pay-what-you-get Composition": adding independent
+    * noise to every candidate's count and taking the k largest noisy
+    * values in ONE shot is distributionally identical to k sequential
+    * exponential-mechanism peels): per-brand part counts n_b, race key
+    * n_b + z_b with z_b the trailing-zero Geometric(1/2) draw of the
+    * per-brand hash (the integer floor of the Exp(ln 2) Gumbel-race noise
+    * — same quantization argument as [[dpExponentialMedian]], ε ≤ 4·ln 2
+    * per peel, k peels by pay-what-you-get composition), ranked by
+    * (key desc, n desc, brand asc). Each winner's count is then released
+    * through the α = 1/2 geometric ladder — the rank order and the count
+    * value are SEPARATE releases with separate budget lines. n_raw rides
+    * along as the curator-side audit column ([[dpExponentialMedian]]'s
+    * true_med convention).
+    *
+    * Scale shape: one groupBy on the candidate key over the facts, then
+    * the race, rank, and noise all run on the O(candidates) aggregate —
+    * 25 rows here, never fact-sized; the mechanism adds zero scans beyond
+    * the one aggregate. The rank window is a single partition over those
+    * 25 rows, not over facts.
+    */
+  def dpTopK(part: DataFrame, k: Int = DpTopK): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = substring(col("brand"), 7, 10).cast("bigint")
+      .bitwiseAND(lit(2147483647L))
+    val g = part.groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_raw"))
+      .withColumn("h1",
+        pmod(b * lit(2654435761L) + lit(777L), lit(1000000007L)) + lit(1L))
+      .withColumn("z", expr("CAST(bit_count((h1 & -h1) - 1) AS BIGINT)"))
+      .withColumn("key", col("n_raw") + col("z"))
+    val u = pmod(b * lit(2654435761L) + lit(12345L), lit(1000000007L)) % lit(GeoT)
+    val byKey = Window.orderBy(col("key").desc, col("n_raw").desc, col("brand").asc)
+    g.withColumn("rank", row_number().over(byKey))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("bigint").as("rank"), col("brand"),
+        col("n_raw"), col("z").as("noise_bits"),
+        greatest(col("n_raw") + geoNoise(u), lit(0L)).as("n_released"))
+      .orderBy("rank")
+  }
+
+  /** Differentially-private QUANTILE VECTOR release — the multi-quantile
+    * generalization of [[dpExponentialMedian]] (one exponential-mechanism
+    * race per requested quantile, budget split across the vector; Smith
+    * 2011's smooth-sensitivity quantiles are the continuous relative):
+    * per (segment, q ∈ qs), release the $100 balance band minimizing
+    * d_q(r) − 200·z_r where the utility distance
+    * d_q(r) = |100·(2·#{bal < r} + #{bal ∈ r}) − 2·q·n| is the median
+    * race's d scaled onto the integer lattice of percents (at q = 50 it
+    * is exactly 100× the median's d). Adding or removing one row moves
+    * d_q by at most 200, so the race noise is scaled to match
+    * (key = d − 200·z, i.e. Δu = 200 units per z bit — the same
+    * conservative ε ≤ 4·ln 2 PER QUANTILE as the median race; a vector
+    * release composes over |qs|). z is the trailing-zero Geometric(1/2)
+    * draw of the per-(segment, band, q) hash, so the three races are
+    * independent.
+    *
+    * Output per (segment, q): n, the true q-th band (curator-side audit
+    * column: min band with 100·cum ≥ q·n), the released band, its
+    * utility distance, and the winner's noise bits.
+    *
+    * Scale shape: identical to [[dpExponentialMedian]] — one (segment,
+    * band) groupBy over the facts, then everything runs on the FIXED
+    * segments × 110-band × |qs| grid, O(groups), never fact-sized.
+    */
+  def dpExponentialQuantiles(customer: DataFrame,
+                             qs: Seq[Int] = DpQuantiles): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      s"quantiles must be integer percents in [1, 99], got $qs")
+    val spark = customer.sparkSession
+    val rows = customer.select(col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 100).cast("bigint").as("band"))
+    val segs = rows.groupBy("segment").agg(count(lit(1)).as("n"))
+    val bands = spark.createDataset(MedBandLo to MedBandHi)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("band")
+    val qdf = spark.createDataset(qs.map(_.toLong))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("q")
+    val cnt = rows.groupBy("segment", "band").agg(count(lit(1)).as("c"))
+    val g = segs.crossJoin(broadcast(bands))
+      .join(cnt, Seq("segment", "band"), "left")
+      .select(col("segment"), col("n"), col("band"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val byBand = Window.partitionBy("segment").orderBy("band")
+    val w = g
+      .withColumn("cum", sum(col("c")).over(byBand))
+      .crossJoin(broadcast(qdf))
+      .withColumn("d", abs(lit(100L) * (lit(2L) * (col("cum") - col("c")) + col("c"))
+        - lit(2L) * col("q") * col("n")))
+      .withColumn("h1", pmod(
+        ascii(substring(col("segment"), 1, 1)).cast("bigint")
+          .bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          + (col("band") + lit(11L)) * lit(97781L)
+          + col("q") * lit(50021L) + lit(131071L),
+        lit(1000000007L)) + lit(1L))
+      .withColumn("z", expr("CAST(bit_count((h1 & -h1) - 1) AS BIGINT)"))
+      .withColumn("key", col("d") - lit(200L) * col("z"))
+    val released = w
+      .groupBy("segment", "q")
+      .agg(min(struct(col("key"), col("d"), col("band"), col("z"))).as("r"))
+      .select(col("segment"), col("q"), col("r.band").as("released_band"),
+        col("r.d").as("d_released"), col("r.z").as("noise_bits"))
+    val trueQ = w.filter(lit(100L) * col("cum") >= col("q") * col("n"))
+      .groupBy("segment", "q")
+      .agg(min(col("band")).as("true_band"), max(col("n")).as("n"))
+    trueQ.join(released, Seq("segment", "q"))
+      .select(col("segment"), col("q"), col("n"), col("true_band"),
+        col("released_band"), col("d_released"), col("noise_bits"))
+      .orderBy("segment", "q")
   }
 }

@@ -279,4 +279,78 @@ class PrivacySpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("SEG", n, trueMed, relBand, relD, relZ)), got)
   }
+
+  test("dpTopK: one-shot race replays exactly and a dominant count always wins") {
+    // Brands with hand-picked counts. The race key is n + z with z the
+    // trailing-zero geometric of the per-brand hash — replay it in Scala
+    // and require the released ranking to match field for field. z is the
+    // trailing-zero count of h1 <= 2^30, so z <= 30: any count lead > 30
+    // is noise-proof — brand 1's 100-count lead must put it at rank 1
+    // regardless of every draw.
+    val counts = Map(1L -> 200L, 2L -> 100L, 3L -> 97L, 4L -> 96L,
+      5L -> 95L, 6L -> 94L, 7L -> 50L)
+    val part = counts.toSeq.flatMap { case (b, n) =>
+      (1L to n).map(i => (b * 1000 + i, s"Brand#$b"))
+    }.toDF("p_partkey", "p_brand")
+    def race(b: Long): (Long, Long) = {
+      val h1 = java.lang.Math.floorMod(
+        (b & 2147483647L) * 2654435761L + 777L, 1000000007L) + 1L
+      val z = java.lang.Long.numberOfTrailingZeros(h1).toLong
+      (counts(b) + z, z)
+    }
+    def drawU(b: Long): Long = {
+      val u = java.lang.Math.floorMod(
+        (b & 2147483647L) * 2654435761L + 12345L, 1000000007L) % PrivacyQueries.GeoT
+      PrivacyQueries.geoLadder.find { case (thr, _) => u < thr }
+        .map(_._2.toLong).getOrElse(8L)
+    }
+    val expected = counts.keys.toSeq
+      .map(b => (b, race(b)._1, race(b)._2))
+      .sortBy { case (b, key, _) => (-key, -counts(b), s"Brand#$b") }
+      .take(5).zipWithIndex
+      .map { case ((b, _, z), i) =>
+        (i + 1L, s"Brand#$b", counts(b), z,
+          math.max(counts(b) + drawU(b), 0L)) }
+    val got = PrivacyQueries.dpTopK(part, k = 5)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected, got)
+    assert(got.head._2 == "Brand#1",
+      "a count lead exceeding the max noise (30 bits) must win rank 1")
+  }
+
+  test("dpExponentialQuantiles: per-quantile races replay exactly; q=50 scales the median race") {
+    val rows = Seq(150.0, 160.0, 250.0, 260.0, 350.0, 9050.0).map(("SEG", _))
+    val customer = rows.toDF("c_mktsegment", "c_acctbal")
+    val bandsData = rows.map { case (_, b) => math.floor(b / 100).toLong }
+    val n = bandsData.size.toLong
+    val qs = Seq(25L, 50L, 75L)
+    def raceRow(r: Long, q: Long): (Long, Long) = {
+      val lt = bandsData.count(_ < r).toLong
+      val eq = bandsData.count(_ == r).toLong
+      val d = math.abs(100L * (2 * lt + eq) - 2 * q * n)
+      val h1 = java.lang.Math.floorMod(
+        ('S'.toLong & 2147483647L) * 2654435761L + (r + 11L) * 97781L
+          + q * 50021L + 131071L, 1000000007L) + 1L
+      (d, java.lang.Long.numberOfTrailingZeros(h1).toLong)
+    }
+    val expected = qs.map { q =>
+      val grid = (PrivacyQueries.MedBandLo to PrivacyQueries.MedBandHi)
+        .map { r => val (d, z) = raceRow(r, q); (r, d, z) }
+      val (relBand, relD, relZ) =
+        grid.minBy { case (r, d, z) => (d - 200L * z, d, r) }
+      val trueBand = grid.map(_._1).find { r =>
+        100L * bandsData.count(_ <= r) >= q * n }.get
+      ("SEG", q, n, trueBand, relBand, relD, relZ)
+    }
+    val got = PrivacyQueries.dpExponentialQuantiles(customer)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, got)
+    // the q=50 utility lattice is exactly 100x the median's d at every band
+    (PrivacyQueries.MedBandLo to PrivacyQueries.MedBandHi).foreach { r =>
+      val lt = bandsData.count(_ < r).toLong
+      val eq = bandsData.count(_ == r).toLong
+      val dMed = math.abs(2 * lt + eq - n)
+      assert(raceRow(r, 50L)._1 == 100L * dMed, s"band=$r")
+    }
+  }
 }
