@@ -218,6 +218,95 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3, minC: Double = 0.9): DataFrame =
     containmentFromStats(shinglePairStats(docs, n), minC)
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" §4 — the
+    * MOSS fingerprinter): per document, hash every token n-gram at its
+    * position, slide a window of `w` consecutive gram hashes, and in each
+    * window select the minimum hash, breaking ties by the RIGHTMOST
+    * position (the paper's robust-winnowing tie rule, which maximizes
+    * window-to-window selection reuse); the fingerprint set is the
+    * distinct (hash, position) selections. Guarantees (paper §3-4): any
+    * shared token run of length >= w + n - 1 contributes at least one
+    * COMMON fingerprint to both documents (no-miss locality), and the
+    * expected fingerprint density is 2/(w+1) of the gram stream —
+    * downstream pair detection runs on a ~60% smaller frame at (n=3, w=4)
+    * with a hard detection floor, which is what MinHash (probabilistic,
+    * whole-doc) cannot promise for LOCAL overlaps.
+    *
+    * Returns (doc_id, n_grams, h, p) — one row per selected fingerprint,
+    * n_grams riding along for density accounting. The gram hash is the
+    * cross-engine PolyHash31 polynomial over the space-joined gram
+    * (truncated at 64 chars, the [[simhashCrossEngine]] convention), so
+    * the whole selection replays bit-for-bit in the SQL oracle.
+    *
+    * Scale shape: one narrow pass over the token stream (posexplode +
+    * window-lead gram assembly, codegen'd polynomial), then ONE
+    * doc-partitioned ordered window for the min-selection — no shuffle
+    * beyond the per-doc repartition the gram assembly already does, and
+    * per-doc partitions are document-sized, never corpus-sized. Documents
+    * shorter than one full window (n_grams < w) select their single
+    * global minimum — the paper's boundary semantics for short docs.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, s"need n >= 1 and w >= 1, got n=$n w=$w")
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
+    val byPos = Window.partitionBy("doc_id").orderBy("p")
+    val grams = (1 until n).map(i => lead(col("t"), i).over(byPos).as(s"t$i"))
+    val g = tok.select(col("doc_id") +: col("p") +: col("t") +: grams: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), (col("p") + 1).cast("bigint").as("i"),
+        graft.plans.VectorExpressions.polyHash31(
+          substring(concat_ws(" ",
+            col("t") +: (1 until n).map(i => col(s"t$i")): _*), 1, 64)).as("h"))
+    val ng = g.groupBy("doc_id").agg(max(col("i")).as("n_grams"))
+    val selWin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    g.withColumn("m", min(struct(col("h"), (-col("i")).as("np"))).over(selWin))
+      .join(ng, "doc_id")
+      .filter(col("i") <= greatest(lit(1L), col("n_grams") - (w - 1)))
+      .select(col("doc_id"), col("n_grams"),
+        col("m.h").as("h"), (-col("m.np")).as("p"))
+      .distinct()
+  }
+
+  /** Per-document winnowing density report over a [[winnowFingerprints]]
+    * frame: gram count, selected fingerprint count, and the achieved
+    * density in basis points (expected ~2/(w+1) = 4000 bp at w = 4 on
+    * random hashes; sharply lower density flags low-entropy/repetitive
+    * text, which is itself a curation signal). O(fingerprints) rollup.
+    */
+  def winnowStatsFromFp(fp: DataFrame): DataFrame =
+    fp.groupBy("doc_id")
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_fp"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        expr("(10000 * n_fp) div n_grams").as("density_bp"))
+
+  /** Fingerprint-overlap near-dup pairs over a [[winnowFingerprints]]
+    * frame: equi-join documents on shared fingerprint HASHES (positions
+    * dropped — cross-document positions don't align) and score each pair
+    * by Jaccard over the distinct-hash sets. The same bucket-join shape
+    * as the shingle pair join at ~2/(w+1) the stream size, with the
+    * winnowing guarantee that any shared run >= w + n - 1 tokens still
+    * collides; hot fingerprints (boilerplate grams) are the skew lever —
+    * at 100 TB cap bucket fan-out exactly as [[bucketPairs]] does for
+    * MinHash buckets (the dd_shingle_skew profile sizes this join too).
+    */
+  def winnowPairsFromFp(fp: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val hs = fp.select(col("doc_id"), col("h")).distinct()
+    val sz = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    hs.select(col("doc_id").as("a_id"), col("h"))
+      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("wjac"))
+      .filter(col("wjac") >= minJ)
+  }
+
   /** MinHash + LSH candidate pairs, verified by exact Jaccard on the shingle
     * sets. With k=128, 32 bands x 4 rows, P(candidate | J=0.8) ~ 1 - (1 -
     * 0.8^4)^32 ~= 1.0, so verified output equals the exact >=minJ pair set —

@@ -60,6 +60,19 @@ object PipelineQueries {
       // stays resident for the family's lifetime.
       Dedup.materializedPairStats(T(s, d, "documents")))
 
+  /** Winnowing fingerprint frame (Dedup.winnowFingerprints), computed once
+    * per (session, sfDir): the gram-hash pass + selection window is the
+    * expensive part of both dd_winnow (density report) and
+    * dd_winnow_pairs (overlap pairing) — same one-producer/two-consumers
+    * family pattern as the pair sets above. The frame is ~2/(w+1) of the
+    * gram stream.
+    */
+  private val winnowFpCache = FamilyCache.frames[(SparkSession, String)]()
+
+  private def winnowFp(s: SparkSession, d: String) =
+    winnowFpCache.getOrElseUpdate((s, d),
+      Dedup.materialize(Dedup.winnowFingerprints(T(s, d, "documents"))))
+
   /** Connected-component labels over the MinHash pair graph, computed once
     * per (session, sfDir): the iterative fixpoint is the expensive part of
     * both dd_cc_dedup (corpus rollup) and dd_cc_clusters (per-cluster
@@ -499,7 +512,7 @@ object PipelineQueries {
       "cc_labels" -> ccLabelCache, "simhash_pairs" -> simhashPairCache,
       "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache,
       "walks" -> walkCache, "n2v_walks" -> n2vWalkCache,
-      "louvain_members" -> louvainCache)
+      "louvain_members" -> louvainCache, "winnow_fp" -> winnowFpCache)
       .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
@@ -524,6 +537,9 @@ object PipelineQueries {
       timed("pair_stats") { pairStats(s, d) },
       timed("cc_labels") { ccLabels(s, d) },
       timed("simhash_pairs") { simhashVerifiedPairs(s, d) },
+      // two consumers: dd_winnow (density report) + dd_winnow_pairs
+      // (fingerprint-overlap pairing)
+      timed("winnow_fp") { winnowFp(s, d) },
       // staged because it has TWO consumers (gr_closeness +
       // gr_eccentricity) — the single-consumer exemption that keeps
       // incrMinhashVerdicts unstaged does not apply
@@ -574,6 +590,38 @@ object PipelineQueries {
       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
+
+  /** CTE chain replaying Dedup.winnowFingerprints: POSITIONAL gram hashes
+    * (no distinct — winnowing needs every occurrence), the PolyHash31
+    * polynomial (the simhashSimsCtes hash, same pow31 table), the
+    * w-window min-selection with the rightmost tie-break as a struct-min
+    * window ({'h', 'np': -i} — minimal hash, then maximal position), and
+    * the short-doc boundary (n_grams < w → the single global window at
+    * i = 1). Ends at `fp` = (doc_id, h, p, n_grams).
+    */
+  private def winnowCtes(n: Int = 3, w: Int = 4): String = {
+    val P = graft.functions.TextFns.HashP
+    val pwList = Dedup.pow31.mkString("[", ", ", "]")
+    val gram = (0 until n).map(k => if (k == 0) "t[i]" else s"t[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""tt AS (SELECT doc_id, ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t FROM documents),
+      |g AS (SELECT doc_id, i, substr($gram, 1, 64) AS s
+      |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+      |            FROM tt WHERE len(t) >= $n) q),
+      |ch AS (SELECT doc_id, i, s, unnest(generate_series(1, length(s))) AS k FROM g),
+      |hh AS (SELECT doc_id, i,
+      |         CAST(sum(CAST(ascii(substr(s, k, 1)) AS BIGINT)
+      |              * ($pwList)[length(s) - k + 1]) % $P AS BIGINT) AS h
+      |       FROM ch GROUP BY doc_id, i, s),
+      |ngr AS (SELECT doc_id, max(i) AS n_grams FROM hh GROUP BY 1),
+      |selw AS (SELECT doc_id, i,
+      |           min({'h': h, 'np': -i}) OVER (PARTITION BY doc_id ORDER BY i
+      |             ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+      |         FROM hh),
+      |fp AS (SELECT DISTINCT selw.doc_id, (m).h AS h, -((m).np) AS p, n_grams
+      |       FROM selw JOIN ngr USING (doc_id)
+      |       WHERE i <= greatest(1, n_grams - ${w - 1}))""".stripMargin
+  }
 
   /** Exact >= 0.8 3-gram Jaccard pairs — shared oracle for the text near-dup
     * pair queries.
@@ -2799,6 +2847,39 @@ object PipelineQueries {
              |f AS (SELECT s, count(*) AS docs_per_shingle FROM sh GROUP BY 1)
              |SELECT docs_per_shingle, count(*) AS n_shingles
              |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Winnowing fingerprint density (Schleimer et al. 2003): per doc, the
+    // gram count, the selected fingerprint count, and the achieved
+    // density (expect ~2/(w+1) = 4000 bp at w=4). The full selection —
+    // positional PolyHash31 gram hashes, w-window struct-min with
+    // rightmost tie-break, short-doc boundary — replays bit-for-bit in
+    // the oracle's window CTE. Shares the fingerprint frame with
+    // dd_winnow_pairs via the family cache.
+    QueryDef("dd_winnow",
+      (s, d) => Dedup.winnowStatsFromFp(winnowFp(s, d)).orderBy("doc_id"),
+      Some(s"""WITH ${winnowCtes()}
+             |SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+             |       (10000 * count(*)) // n_grams AS density_bp
+             |FROM fp GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin)),
+
+    // Fingerprint-overlap near-dup pairs over the winnowed frame: the
+    // shingle pair join at ~40% the stream size, with the winnowing
+    // no-miss guarantee (any shared run >= w+n-1 tokens still collides).
+    QueryDef("dd_winnow_pairs",
+      (s, d) => Dedup.winnowPairsFromFp(winnowFp(s, d), minJ = 0.5)
+        .orderBy("a_id", "b_id"),
+      Some(s"""WITH ${winnowCtes()},
+             |hset AS (SELECT DISTINCT doc_id, h FROM fp),
+             |hsz AS (SELECT doc_id, count(*) AS n FROM hset GROUP BY 1),
+             |itx AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+             |        FROM hset a JOIN hset b ON a.h = b.h AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2)
+             |SELECT a_id, b_id,
+             |       round(c * 1.0 / (sa.n + sb.n - c), 4) AS wjac
+             |FROM itx JOIN hsz sa ON sa.doc_id = a_id
+             |         JOIN hsz sb ON sb.doc_id = b_id
+             |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin)),
 
     // Asymmetric containment (|A∩B| / min(|A|,|B|)): the "short doc quoted
     // inside a long doc" detector — same shingle CTE chain as the Jaccard

@@ -423,4 +423,61 @@ class DedupSpec extends AnyFunSuite {
     assert(got._3 >= 1, s"no duplicate chunk group found: $got")
     assert(got._4 > 0, s"no duplicate bytes: $got")
   }
+
+  test("winnowing: no-miss guarantee, density bound, and short-doc boundary") {
+    // Paper guarantees (Schleimer et al. 2003 §3-4) at (n=3, w=4):
+    //  - any shared token run of length >= w + n - 1 = 6 yields a COMMON
+    //    fingerprint in both docs (locality/no-miss)
+    //  - per full window at least one selection is made, and a selection
+    //    is reused across consecutive windows, so 1 <= n_fp <= n_grams
+    //  - a doc with n_grams < w selects exactly its global minimum (1 fp)
+    val run = "alpha beta gamma delta epsilon zeta" // 6 shared tokens
+    val docs = Seq(
+      (1L, "one two three four five " + run + " six seven eight nine"),
+      (2L, "red blue green yellow " + run + " purple orange pink"),
+      (3L, "tiny little doc here"), // 4 tokens -> 2 grams < w
+      (4L, "unrelated words entirely distinct from everything else written"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, n = 3, w = 4)
+    val byDoc = fp.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // no-miss: docs 1 and 2 share at least one fingerprint HASH
+    val h1 = fp.filter(col("doc_id") === 1L).select("h").as[Long].collect().toSet
+    val h2 = fp.filter(col("doc_id") === 2L).select("h").as[Long].collect().toSet
+    assert((h1 & h2).nonEmpty, "shared 6-token run produced no common fingerprint")
+    // doc 4 shares nothing with doc 1 or 2 (disjoint vocabulary)
+    val h4 = fp.filter(col("doc_id") === 4L).select("h").as[Long].collect().toSet
+    assert((h4 & (h1 ++ h2)).isEmpty, "disjoint doc shares a fingerprint")
+    // short-doc boundary: 2 grams < w=4 -> exactly one (global-min) selection
+    assert(byDoc(3L) == 1L, s"short doc selected ${byDoc(3L)} fingerprints")
+    // density: every doc selects at least 1 and at most n_grams fingerprints
+    val stats = Dedup.winnowStatsFromFp(fp)
+      .as[(Long, Long, Long, Long)].collect()
+    stats.foreach { case (id, ng, nfp, bp) =>
+      assert(nfp >= 1L && nfp <= ng, s"doc $id: n_fp=$nfp out of [1, $ng]")
+      assert(bp == 10000L * nfp / ng, s"doc $id density")
+    }
+    // rightmost tie-break: a constant-token doc hashes every gram equally,
+    // so each window's min is its RIGHTMOST position; consecutive windows
+    // then select consecutive positions — n_fp = number of full windows
+    // (the paper's worst case: density 1 per window, still bounded)
+    val const = Seq((9L, Seq.fill(8)("same").mkString(" "))).toDF("doc_id", "text")
+    val cfp = Dedup.winnowFingerprints(const, n = 3, w = 4)
+      .select("p").as[Long].collect().sorted
+    // 6 grams, full windows at i = 1..3 select positions 4, 5, 6
+    assert(cfp.toSeq == Seq(4L, 5L, 6L), cfp.toSeq)
+  }
+
+  test("winnowPairsFromFp scores planted near-dups and skips unrelated docs") {
+    val fp = Dedup.winnowFingerprints(corpus)
+    val pairs = Dedup.winnowPairsFromFp(fp, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // the exact dup and both planted near-dups must pair with their base
+    assert(pairs.contains((5L, 102L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((3L, 100L)), s"near-dup 1 missed: $pairs")
+    assert(pairs.contains((7L, 101L)), s"near-dup 2 missed: $pairs")
+    // disjoint-vocabulary base docs never pair with each other
+    assert(!pairs.exists { case (a, b) => a < 20L && b < 20L },
+      s"unrelated base docs paired: $pairs")
+  }
 }
