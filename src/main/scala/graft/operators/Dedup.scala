@@ -307,6 +307,105 @@ object Dedup {
       .filter(col("wjac") >= minJ)
   }
 
+  /** rec_id offset separating planted dirty variants from base registry
+    * records in [[erRegistry]] — above every partkey at any tested SF, so
+    * `rec_id >= ErOffset` identifies a variant and `rec_id - ErOffset`
+    * its true entity.
+    */
+  private[graft] val ErOffset = 10000000L
+
+  /** Entity-resolution registry: one base record per part (name =
+    * p_name + lowercased type, plus brand and size), and for every third
+    * part a planted DIRTY duplicate — same entity re-keyed above
+    * [[ErOffset]] with one character deleted at a deterministic position
+    * in [4, 9] (prefix-preserving, so blocking is variant-stable by
+    * construction) and the size jittered by partkey parity. The plant is
+    * a pure function of p_partkey (the PII-planting convention of
+    * [[PrivacyQueries.piiRedact]]): the oracle re-derives the identical
+    * registry, so the gate checks the matcher's semantics on records with
+    * KNOWN ground truth, not just plumbing.
+    */
+  private[graft] def erRegistry(part: DataFrame): DataFrame = {
+    val base = part.select(
+      col("p_partkey").cast("bigint").as("rec_id"),
+      concat_ws(" ", col("p_name"), lower(col("p_type"))).as("nm"),
+      col("p_brand").as("brand"),
+      col("p_size").cast("bigint").as("size"))
+    val variants = part.filter(col("p_partkey") % 3 === 0)
+      .select(
+        (col("p_partkey").cast("bigint") + lit(ErOffset)).as("rec_id"),
+        concat_ws(" ", col("p_name"), lower(col("p_type"))).as("nm0"),
+        col("p_brand").as("brand"),
+        (col("p_size") + col("p_partkey") % 2).cast("bigint").as("size"),
+        (col("p_partkey") % 6 + 4).as("pos"))
+      .select(col("rec_id"),
+        expr("concat(substr(nm0, 1, pos - 1), substr(nm0, pos + 1))").as("nm"),
+        col("brand"), col("size"))
+    base.union(variants)
+  }
+
+  /** Entity-resolution matched pairs over [[erRegistry]] — the blocking +
+    * field-comparison + linear-weight shape of Fellegi & Sunter 1969 (the
+    * record-linkage decision model; weights here are FIXED published
+    * agreement/disagreement scores in deci-units rather than EM-estimated
+    * m/u log-ratios, which keeps the decision rule a pure deterministic
+    * function both engines replay):
+    *   - BLOCK on (brand, 2-char name prefix) — candidate generation is
+    *     an equi-join, never all-pairs; the planted edits preserve both
+    *     fields, so blocking costs zero recall on the ground truth
+    *   - name comparator: the codegen'd Jaro-Winkler expression
+    *     ([[graft.plans.StringExpressions.jaroWinkler]], semantics pinned
+    *     to the oracle engine), tiered +22 / +10 / −8 at 0.94 / 0.85
+    *   - size comparator: +8 exact, +3 off-by-one, −6 otherwise
+    *   - match threshold: total score >= 25, so a match needs a
+    *     near-exact name AND a compatible size — a strong name alone
+    *     (22 − 6 = 16) or a merely-similar name with equal size
+    *     (10 + 8 = 18) both fall short.
+    * By construction every planted variant scores >= 25 against its base
+    * (one deletion in a >= 13-char name keeps JW >= 0.97; size moves by
+    * <= 1), so ground-truth recall is 1 — DedupSpec asserts it.
+    *
+    * Scale shape (100 TB registry): one shuffle on the block key, pair
+    * expansion inside blocks (block sizes are brand × prefix bounded),
+    * the scorer fully codegen'd inside the join — the standard blocked
+    * record-linkage plan. Skewed blocks are the known lever: tighten the
+    * key (add a third field) or cap expansion exactly as [[bucketPairs]]
+    * does for LSH buckets.
+    */
+  def erMatchedPairs(part: DataFrame): DataFrame = {
+    val reg = erRegistry(part)
+      .withColumn("blk", concat_ws("|", col("brand"), substring(col("nm"), 1, 2)))
+    val a = reg.select(col("rec_id").as("a_id"), col("nm").as("nm_a"),
+      col("size").as("sz_a"), col("blk"))
+    val b = reg.select(col("rec_id").as("b_id"), col("nm").as("nm_b"),
+      col("size").as("sz_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jw",
+        round(graft.plans.StringExpressions.jaroWinkler(col("nm_a"), col("nm_b")), 4))
+      .withColumn("score",
+        when(col("jw") >= 0.94, 22L).when(col("jw") >= 0.85, 10L).otherwise(-8L)
+          + when(col("sz_a") === col("sz_b"), 8L)
+            .when(abs(col("sz_a") - col("sz_b")) === 1, 3L).otherwise(-6L))
+      .filter(col("score") >= 25)
+      .select(col("a_id"), col("b_id"), col("jw"), col("score"))
+  }
+
+  /** Entity clusters over [[erMatchedPairs]]: connected components of the
+    * match graph (the star variant — O(log n) rounds at any diameter,
+    * which matters here because same-name registries chain through
+    * off-by-one sizes), rolled up per entity: cluster id (min rec_id),
+    * member count, and how many members are planted variants. The CC step
+    * is what turns PAIRWISE match decisions into ENTITIES — the step a
+    * pairwise-only linkage gets transitively wrong.
+    */
+  def erClustersFromPairs(pairs: DataFrame): DataFrame =
+    connectedComponentsStar(pairs.select("a_id", "b_id"))
+      .groupBy(col("comp").as("ent"))
+      .agg(count(lit(1)).as("n_records"),
+        sum((col("id") >= ErOffset).cast("bigint")).as("n_variants"))
+      .orderBy("ent")
+
   /** MinHash + LSH candidate pairs, verified by exact Jaccard on the shingle
     * sets. With k=128, 32 bands x 4 rows, P(candidate | J=0.8) ~ 1 - (1 -
     * 0.8^4)^32 ~= 1.0, so verified output equals the exact >=minJ pair set —

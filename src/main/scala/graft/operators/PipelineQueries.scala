@@ -73,6 +73,18 @@ object PipelineQueries {
     winnowFpCache.getOrElseUpdate((s, d),
       Dedup.materialize(Dedup.winnowFingerprints(T(s, d, "documents"))))
 
+  /** Entity-resolution matched pairs (Dedup.erMatchedPairs), computed once
+    * per (session, sfDir): the blocked Jaro-Winkler scoring join is the
+    * expensive part of both dd_er_pairs (the match table) and
+    * dd_er_clusters (CC entity rollup) — the same one-producer/
+    * two-consumers pattern as the MinHash pair set.
+    */
+  private val erPairCache = FamilyCache.frames[(SparkSession, String)]()
+
+  private def erPairs(s: SparkSession, d: String) =
+    erPairCache.getOrElseUpdate((s, d),
+      Dedup.materialize(Dedup.erMatchedPairs(T(s, d, "part"))))
+
   /** Connected-component labels over the MinHash pair graph, computed once
     * per (session, sfDir): the iterative fixpoint is the expensive part of
     * both dd_cc_dedup (corpus rollup) and dd_cc_clusters (per-cluster
@@ -512,7 +524,8 @@ object PipelineQueries {
       "cc_labels" -> ccLabelCache, "simhash_pairs" -> simhashPairCache,
       "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache,
       "walks" -> walkCache, "n2v_walks" -> n2vWalkCache,
-      "louvain_members" -> louvainCache, "winnow_fp" -> winnowFpCache)
+      "louvain_members" -> louvainCache, "winnow_fp" -> winnowFpCache,
+      "er_pairs" -> erPairCache)
       .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
@@ -540,6 +553,9 @@ object PipelineQueries {
       // two consumers: dd_winnow (density report) + dd_winnow_pairs
       // (fingerprint-overlap pairing)
       timed("winnow_fp") { winnowFp(s, d) },
+      // two consumers: dd_er_pairs (match table) + dd_er_clusters (CC
+      // entity rollup)
+      timed("er_pairs") { erPairs(s, d) },
       // staged because it has TWO consumers (gr_closeness +
       // gr_eccentricity) — the single-consumer exemption that keeps
       // incrMinhashVerdicts unstaged does not apply
@@ -621,6 +637,44 @@ object PipelineQueries {
       |fp AS (SELECT DISTINCT selw.doc_id, (m).h AS h, -((m).np) AS p, n_grams
       |       FROM selw JOIN ngr USING (doc_id)
       |       WHERE i <= greatest(1, n_grams - ${w - 1}))""".stripMargin
+  }
+
+  /** CTE chain replaying Dedup.erRegistry + Dedup.erMatchedPairs: the
+    * planted-variant registry (delete one char at 4 + pk % 6, jitter size
+    * by parity, re-key above ErOffset), the (brand, 2-char prefix) block
+    * join, the oracle engine's own jaro_winkler_similarity (the semantics
+    * the codegen'd Spark expression is pinned to), and the fixed
+    * Fellegi-Sunter-style weight tiers. Ends at `sc` = scored pairs
+    * (a_id, b_id, jw, score) BEFORE the >= 25 match cut.
+    */
+  private val erCtes: String = {
+    val off = Dedup.ErOffset
+    s"""base AS (SELECT CAST(p_partkey AS BIGINT) AS rec_id,
+      |                p_name || ' ' || lower(p_type) AS nm,
+      |                p_brand AS brand, CAST(p_size AS BIGINT) AS size
+      |         FROM part),
+      |var AS (SELECT CAST(p_partkey + $off AS BIGINT) AS rec_id,
+      |               substr(nm0, 1, pos - 1) || substr(nm0, pos + 1) AS nm,
+      |               brand, size
+      |        FROM (SELECT p_partkey,
+      |                     p_name || ' ' || lower(p_type) AS nm0,
+      |                     p_brand AS brand,
+      |                     CAST(p_size + p_partkey % 2 AS BIGINT) AS size,
+      |                     p_partkey % 6 + 4 AS pos
+      |              FROM part WHERE p_partkey % 3 = 0) q),
+      |reg AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+      |blk AS (SELECT *, brand || '|' || substr(nm, 1, 2) AS blk FROM reg),
+      |p AS (SELECT a.rec_id AS a_id, b.rec_id AS b_id,
+      |             round(jaro_winkler_similarity(a.nm, b.nm), 4) AS jw,
+      |             a.size AS sa, b.size AS sb
+      |      FROM blk a JOIN blk b ON a.blk = b.blk AND a.rec_id < b.rec_id),
+      |sc AS (SELECT a_id, b_id, jw,
+      |              CAST(CASE WHEN jw >= 0.94 THEN 22
+      |                        WHEN jw >= 0.85 THEN 10 ELSE -8 END
+      |                 + CASE WHEN sa = sb THEN 8
+      |                        WHEN abs(sa - sb) = 1 THEN 3 ELSE -6 END
+      |                   AS BIGINT) AS score
+      |       FROM p)""".stripMargin
   }
 
   /** Exact >= 0.8 3-gram Jaccard pairs — shared oracle for the text near-dup
@@ -2880,6 +2934,36 @@ object PipelineQueries {
              |         JOIN hsz sb ON sb.doc_id = b_id
              |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.5
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Entity resolution, step 1 — matched pairs: blocked Jaro-Winkler
+    // record linkage with fixed Fellegi-Sunter-style weight tiers over a
+    // registry with planted dirty duplicates (known ground truth). The
+    // oracle re-derives the registry, re-scores with its own
+    // jaro_winkler_similarity, and applies the same threshold.
+    QueryDef("dd_er_pairs",
+      (s, d) => erPairs(s, d).orderBy("a_id", "b_id"),
+      Some(s"""WITH $erCtes
+             |SELECT a_id, b_id, jw, score FROM sc
+             |WHERE score >= 25 ORDER BY a_id, b_id""".stripMargin)),
+
+    // Entity resolution, step 2 — entity clusters: connected components
+    // over the match graph (transitive identity), rolled per entity with
+    // the planted-variant count. Oracle closure is the dd_cc_dedup
+    // recursive-CTE pattern over the same scored pairs.
+    QueryDef("dd_er_clusters",
+      (s, d) => Dedup.erClustersFromPairs(erPairs(s, d)),
+      Some(s"""WITH RECURSIVE $erCtes,
+             |e AS (SELECT a_id AS s, b_id AS d FROM sc WHERE score >= 25
+             |      UNION SELECT b_id, a_id FROM sc WHERE score >= 25),
+             |reach(s, d) AS (SELECT s, d FROM e
+             |                UNION
+             |                SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s),
+             |comp AS (SELECT s AS id, least(s, min(d)) AS comp
+             |         FROM reach GROUP BY s)
+             |SELECT comp AS ent, count(*) AS n_records,
+             |       CAST(sum(CASE WHEN id >= ${Dedup.ErOffset} THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_variants
+             |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Asymmetric containment (|A∩B| / min(|A|,|B|)): the "short doc quoted
     // inside a long doc" detector — same shingle CTE chain as the Jaccard

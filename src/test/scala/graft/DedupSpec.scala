@@ -468,6 +468,55 @@ class DedupSpec extends AnyFunSuite {
     assert(cfp.toSeq == Seq(4L, 5L, 6L), cfp.toSeq)
   }
 
+  test("entity resolution: ground-truth recall 1, threshold semantics, transitive clusters") {
+    // Miniature part registry covering the decision tiers:
+    //  pk 0, 6, 12: planted variants (pk % 3 == 0) -> must match base
+    //  pk 1 vs 2: same name+type, same size -> jw = 1.0, +22+8 -> match
+    //  pk 3 vs 4: same name+type, size off by 5 -> 22-6 = 16 -> NO match
+    //  pk 7 vs 8: different second word, same size -> jw < 0.94 -> NO match
+    val part = Seq(
+      (0L, "small ring", "ECONOMY", "Brand#1", 10L),
+      (6L, "small ring", "STANDARD", "Brand#1", 20L),
+      (12L, "blue bolt", "ECONOMY", "Brand#2", 30L),
+      (1L, "red widget", "ECONOMY", "Brand#3", 7L),
+      (2L, "red widget", "ECONOMY", "Brand#3", 7L),
+      (3L, "hot gear", "ECONOMY", "Brand#4", 1L),
+      (4L, "hot gear", "ECONOMY", "Brand#4", 6L),
+      (7L, "red gadget", "ECONOMY", "Brand#5", 9L),
+      (8L, "red gizmo", "ECONOMY", "Brand#5", 9L))
+      .toDF("p_partkey", "p_name", "p_type", "p_brand", "p_size")
+    val pairs = Dedup.erMatchedPairs(part)
+      .as[(Long, Long, Double, Long)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // recall: every planted variant (pk + offset) matches its base
+    Seq(0L, 6L, 12L).foreach { pk =>
+      assert(pairSet.contains((pk, pk + Dedup.ErOffset)),
+        s"variant of $pk missed: $pairSet")
+    }
+    // identical records match; incompatible size or weak name do not
+    assert(pairSet.contains((1L, 2L)), pairSet)
+    assert(!pairSet.contains((3L, 4L)), "size-incompatible pair matched")
+    assert(!pairSet.contains((7L, 8L)), "weak-name pair matched")
+    // every match carries a score >= 25 by construction
+    assert(pairs.forall(_._4 >= 25L), pairs.toSeq)
+    // clusters: variant + base collapse to one entity keyed by min rec_id
+    val clusters = Dedup.erClustersFromPairs(Dedup.erMatchedPairs(part))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(clusters.contains((0L, 2L, 1L)), clusters)   // base 0 + its variant
+    assert(clusters.contains((1L, 2L, 0L)), clusters)   // 1 ~ 2, no variants
+    // transitivity: chain a ~ b ~ c via off-by-one sizes becomes ONE entity
+    val chain = Seq(
+      (20L, "lace crown", "ECONOMY", "Brand#9", 10L),
+      (22L, "lace crown", "ECONOMY", "Brand#9", 11L),
+      (23L, "lace crown", "ECONOMY", "Brand#9", 12L))
+      .toDF("p_partkey", "p_name", "p_type", "p_brand", "p_size")
+    val chained = Dedup.erClustersFromPairs(Dedup.erMatchedPairs(chain))
+      .as[(Long, Long, Long)].collect().toSeq
+    // 20~22 and 22~23 match (off-by-one), 20~23 does not (off-by-two) —
+    // but CC must still produce the single entity {20, 22, 23}
+    assert(chained == Seq((20L, 3L, 0L)), chained)
+  }
+
   test("winnowPairsFromFp scores planted near-dups and skips unrelated docs") {
     val fp = Dedup.winnowFingerprints(corpus)
     val pairs = Dedup.winnowPairsFromFp(fp, minJ = 0.5)
