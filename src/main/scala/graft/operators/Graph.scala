@@ -1765,4 +1765,100 @@ object Graph {
     Dedup.release(es)
     out
   }
+
+  /** Bucket width of [[plantedDigraph]] — ids in different buckets are
+    * never connected, so every closure/SCC/condensation step is bounded by
+    * this constant. A multiple of [[DigraphSeg]] so back edges cannot
+    * cross a bucket boundary.
+    */
+  private[graft] val DigraphBucket = 40
+
+  /** Segment width of [[plantedDigraph]] — one 4-node cycle is planted per
+    * segment (back edge at offset 5 to offset 2).
+    */
+  private[graft] val DigraphSeg = 8
+
+  /** Deterministic planted DIGRAPH over the documents id domain — the
+    * directed-graph test harness, in the planted-structure convention the
+    * ER registry established (a known ground truth derived by pure
+    * arithmetic, so exact structural invariants are oracle-checkable).
+    * Nodes are doc ids. Within each [[DigraphBucket]]-id bucket, a chain
+    * edge i -> i+1 links consecutive ids, and a back edge i -> i-3 at
+    * every i = 5 (mod [[DigraphSeg]]) closes a 4-node cycle per segment —
+    * so each full bucket carries 5 known 4-node SCCs threaded on singleton
+    * chain nodes, and the condensation of a bucket is a path. Candidate
+    * targets are existence-joined against the node set, which truncates
+    * both rules correctly on a partial last bucket. Both rules are pure id
+    * arithmetic: the SQL oracle re-derives the edge set in two SELECTs.
+    */
+  def plantedDigraph(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id").as("id"))
+    val cand = ids.filter(col("id") % DigraphBucket =!= (DigraphBucket - 1))
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .unionAll(ids.filter(col("id") % DigraphSeg === 5)
+        .select(col("id").as("src"), (col("id") - 3).as("dst")))
+    cand.join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** Strongly-connected-component labels (id, scc) over a directed edge
+    * table, scc = the smallest node id in the component. `nodes` is the
+    * EXPLICIT id domain (one `id` column): isolated ids become singleton
+    * components via the seeded identity rows, keeping the output domain a
+    * caller decision instead of an edge-derivation artifact.
+    *
+    * Method: reflexive-transitive closure by ITERATIVE DOUBLING —
+    * R_(k+1) = R_k compose R_k (the identity rows seeded into R_0 make the
+    * composition inclusive, so R_k holds all paths of length <= 2^k) —
+    * then one bidirectional reduction: v and u share a component iff
+    * (v,u) and (u,v) are both in the closure, so scc(v) = min over u of
+    * the mutual-reach set (v itself always qualifies via the seeded
+    * identity). `doublings` = 6 covers paths of length 64 — more than any
+    * [[plantedDigraph]] bucket (or dedup-cluster component) can hold.
+    *
+    * Scale shape: closure size is per-component QUADRATIC — the right
+    * tool exactly when components are bounded (planted buckets,
+    * duplicate clusters); each doubling is one equi-join keyed on the
+    * midpoint node + one distinct, and the bidirectional reduction is one
+    * more self-join, all node-id-keyed shuffles. For unbounded web-scale
+    * digraphs the standard replacement is forward-backward pivot
+    * decomposition with trimming (FW-BW-Trim) — same primitive per round
+    * (a reachability fixpoint), recursing on the unresolved remainder
+    * instead of materializing all-pairs reach.
+    */
+  def sccLabels(nodes: DataFrame, edges: DataFrame, doublings: Int = 6): DataFrame = {
+    require(doublings >= 1 && doublings <= 16, s"bad doublings $doublings")
+    var r = Dedup.materialize(
+      edges.select(col("src").as("s"), col("dst").as("d"))
+        .unionAll(nodes.select(col("id").as("s"), col("id").as("d")))
+        .distinct())
+    for (_ <- 1 to doublings) {
+      val prev = r
+      r = Dedup.materialize(
+        prev.select(col("s"), col("d").as("mid"))
+          .join(prev.select(col("s").as("mid"), col("d")), "mid")
+          .select(col("s"), col("d")).distinct())
+      Dedup.release(prev)
+    }
+    val lab = r.select(col("s"), col("d"))
+      .join(r.select(col("s").as("bs"), col("d").as("bd")),
+        col("d") === col("bs") && col("s") === col("bd"))
+      .select(col("s").as("id"), col("d").as("m"))
+      .groupBy("id").agg(min(col("m")).as("scc"))
+    val out = Dedup.materialize(lab)
+    Dedup.release(r)
+    out
+  }
+
+  /** Condensation edges (cs, cd) of a digraph under an (id, scc) label
+    * table: the distinct cross-component edges — the DAG the SCC quotient
+    * induces. Two label equi-joins + one distinct, all id-keyed.
+    */
+  def sccCondensation(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("scc").as("cs")), "src")
+      .join(labels.select(col("id").as("dst"), col("scc").as("cd")), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs"), col("cd")).distinct()
+
 }

@@ -245,6 +245,20 @@ object PipelineQueries {
       Graph.louvainMemberTable(
         pairStats(s, d).filter(col("inter") >= 3).select("a_id", "b_id")))
 
+  /** SCC labels (id, scc) over the planted digraph, computed once per
+    * (session, sfDir): the 6-round doubling closure + bidirectional
+    * reduction is the expensive part of BOTH gr_scc (component rollup)
+    * and gr_scc_condense (condensation-DAG geometry) — the
+    * one-producer/two-consumers family pattern. O(nodes) label rows.
+    */
+  private val sccLabelCache = FamilyCache.frames[(SparkSession, String)]()
+
+  private def sccLabelTable(s: SparkSession, d: String) =
+    sccLabelCache.getOrElseUpdate((s, d),
+      Graph.sccLabels(
+        T(s, d, "documents").select(col("doc_id").as("id")),
+        Graph.plantedDigraph(T(s, d, "documents"))))
+
   /** WITH-chain fragment ending in CTE `n2vwk(wid, step, cur)` — the
     * node2vec trajectory table replayed in ANSI SQL (expects `jaccardCtes`
     * in scope for `inter`), THE single oracle-side definition of the
@@ -510,6 +524,35 @@ object PipelineQueries {
        |      FROM sprs p JOIN ssp sa ON sa.doc_id = p.a_id
        |                  JOIN ssp sb ON sb.doc_id = p.b_id AND sb.s = sa.s)""".stripMargin
 
+  /** WITH-chain fragment ending in CTE `de(src, dst)` — the planted
+    * digraph of [[Graph.plantedDigraph]] re-derived in ANSI SQL from the
+    * same two arithmetic rules, THE single oracle-side definition shared
+    * by gr_scc, gr_scc_condense and gr_hits so the harness cannot drift
+    * between its consumers. `dnodes` is the id domain; the existence join
+    * mirrors the Spark side's left-semi target check.
+    */
+  private[operators] val digraphCtes: String = {
+    val b = Graph.DigraphBucket
+    val g = Graph.DigraphSeg
+    s"""dnodes AS (SELECT doc_id AS id FROM documents),
+       |dcand AS (SELECT id AS src, id + 1 AS dst FROM dnodes WHERE id % $b <> ${b - 1}
+       |          UNION ALL SELECT id, id - 3 FROM dnodes WHERE id % $g = 5),
+       |de AS (SELECT c.src, c.dst FROM dcand c JOIN dnodes n ON n.id = c.dst)""".stripMargin
+  }
+
+  /** WITH-chain fragment (expects [[digraphCtes]] in scope) ending in CTE
+    * `slab(id, scc)` — the SCC labels of [[Graph.sccLabels]] replayed as a
+    * recursive reachability closure + the same bidirectional min
+    * reduction; shared by gr_scc and gr_scc_condense.
+    */
+  private[operators] val sccLabelCtes: String =
+    """sreach(s, d) AS (SELECT id, id FROM dnodes
+      |                 UNION
+      |                 SELECT r.s, de.dst FROM sreach r JOIN de ON de.src = r.d),
+      |slab AS (SELECT f.s AS id, min(f.d) AS scc
+      |         FROM sreach f JOIN sreach b ON b.s = f.d AND b.d = f.s
+      |         GROUP BY 1)""".stripMargin
+
   /** Test surface for the family-cache bound (JobServerSpec's
     * multi-sfDir submission case).
     */
@@ -525,7 +568,7 @@ object PipelineQueries {
       "incr_minhash" -> incrMinhashCache, "all_pairs_dist" -> allPairsDistCache,
       "walks" -> walkCache, "n2v_walks" -> n2vWalkCache,
       "louvain_members" -> louvainCache, "winnow_fp" -> winnowFpCache,
-      "er_pairs" -> erPairCache)
+      "er_pairs" -> erPairCache, "scc_labels" -> sccLabelCache)
       .map { case (n, c) => val (sz, h, ms) = c.stats; (n, sz, h, ms) }
 
   /** Stage every dedup family cache for (s, d) OFF the bench clock,
@@ -569,7 +612,10 @@ object PipelineQueries {
       timed("n2v_walks") { n2vWalkTable(s, d) },
       // two consumers: gr_louvain_coarse (modularity rescoring) +
       // gr_louvain_members (size decoration)
-      timed("louvain_members") { louvainMembers(s, d) })
+      timed("louvain_members") { louvainMembers(s, d) },
+      // two consumers: gr_scc (component rollup) + gr_scc_condense
+      // (condensation-DAG geometry)
+      timed("scc_labels") { sccLabelTable(s, d) })
     // incrMinhashVerdicts is deliberately NOT staged: staging exists to fix
     // cross-consumer attribution, and the verdicts have exactly ONE
     // consumer (dd_incremental_minhash) — staging would remove that query's
@@ -2340,6 +2386,103 @@ object PipelineQueries {
            |       FROM es WHERE id % 20 = 0),
            |$rounds
            |SELECT id, hop FROM v6 ORDER BY id""".stripMargin
+      }),
+
+    // Strongly connected components over the planted digraph (chain +
+    // back-edge rules, Graph.plantedDigraph): per-SCC size and internal
+    // edge count — the 4-node cycle SCCs read (4, 4), chain singletons
+    // (1, 0). The doubling closure is per-component quadratic, the right
+    // shape for bucket-bounded components; Graph.sccLabels' scaladoc
+    // names FW-BW-Trim as the unbounded-digraph replacement. The label
+    // table is a staged family cache (gr_scc_condense is the second
+    // consumer).
+    QueryDef("gr_scc",
+      (s, d) => {
+        val labels = sccLabelTable(s, d)
+        val edges = Graph.plantedDigraph(T(s, d, "documents"))
+        val sz = labels.groupBy("scc").agg(count(lit(1)).as("n_nodes"))
+        val ie = edges
+          .join(labels.select(col("id").as("src"), col("scc").as("cs")), "src")
+          .join(labels.select(col("id").as("dst"), col("scc").as("cd")), "dst")
+          .filter(col("cs") === col("cd"))
+          .select(col("cs").as("scc"))
+          .groupBy("scc").agg(count(lit(1)).as("cnt"))
+        sz.join(ie, Seq("scc"), "left")
+          .select(col("scc").as("scc_id"), col("n_nodes"),
+            coalesce(col("cnt"), lit(0L)).as("n_internal_edges"))
+          .orderBy("scc_id")
+      },
+      Some(s"""WITH RECURSIVE $digraphCtes,
+             |$sccLabelCtes,
+             |ssz AS (SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes
+             |        FROM slab GROUP BY 1),
+             |sie AS (SELECT la.scc, CAST(count(*) AS BIGINT) AS cnt
+             |        FROM de JOIN slab la ON la.id = de.src
+             |                JOIN slab lb ON lb.id = de.dst AND lb.scc = la.scc
+             |        GROUP BY 1)
+             |SELECT s.scc AS scc_id, s.n_nodes,
+             |       coalesce(i.cnt, CAST(0 AS BIGINT)) AS n_internal_edges
+             |FROM ssz s LEFT JOIN sie i ON i.scc = s.scc
+             |ORDER BY scc_id""".stripMargin)),
+
+    // Condensation-DAG geometry of the same SCC decomposition: per bucket,
+    // how many components the quotient has, how many DAG edges thread
+    // them, and how many are sources/sinks — a full bucket reads
+    // (25 sccs, 24 edges, 1 source, 1 sink): the planted condensation is
+    // a path, and this query PROVES it per bucket. Second consumer of the
+    // scc_labels family cache; everything here is id-keyed joins over
+    // O(sccs) rows.
+    QueryDef("gr_scc_condense",
+      (s, d) => {
+        val b = Graph.DigraphBucket
+        val labels = sccLabelTable(s, d)
+        val edges = Graph.plantedDigraph(T(s, d, "documents"))
+        val ced = Graph.sccCondensation(edges, labels)
+        val bk = labels.select(col("scc")).distinct()
+          .select(col("scc"), expr(s"scc div $b").as("bucket"))
+        val nsc = bk.groupBy("bucket").agg(count(lit(1)).as("n_sccs"))
+        val nce = ced.select(expr(s"cs div $b").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_cedges"))
+        val nsrc = bk.join(ced.select(col("cd").as("scc")).distinct(),
+            Seq("scc"), "left_anti")
+          .groupBy("bucket").agg(count(lit(1)).as("n_source_sccs"))
+        val nsnk = bk.join(ced.select(col("cs").as("scc")).distinct(),
+            Seq("scc"), "left_anti")
+          .groupBy("bucket").agg(count(lit(1)).as("n_sink_sccs"))
+        nsc.join(nce, Seq("bucket"), "left")
+          .join(nsrc, Seq("bucket"), "left")
+          .join(nsnk, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_sccs"),
+            coalesce(col("n_cedges"), lit(0L)).as("n_cedges"),
+            coalesce(col("n_source_sccs"), lit(0L)).as("n_source_sccs"),
+            coalesce(col("n_sink_sccs"), lit(0L)).as("n_sink_sccs"))
+          .orderBy("bucket")
+      },
+      Some {
+        val b = Graph.DigraphBucket
+        s"""WITH RECURSIVE $digraphCtes,
+           |$sccLabelCtes,
+           |ced AS (SELECT DISTINCT la.scc AS cs, lb.scc AS cd
+           |        FROM de JOIN slab la ON la.id = de.src
+           |                JOIN slab lb ON lb.id = de.dst
+           |        WHERE la.scc <> lb.scc),
+           |bk AS (SELECT scc, scc // $b AS bucket
+           |       FROM (SELECT DISTINCT scc FROM slab)),
+           |nsc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_sccs
+           |        FROM bk GROUP BY 1),
+           |nce AS (SELECT cs // $b AS bucket, CAST(count(*) AS BIGINT) AS n_cedges
+           |        FROM ced GROUP BY 1),
+           |nsrc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_source_sccs
+           |         FROM bk WHERE scc NOT IN (SELECT cd FROM ced) GROUP BY 1),
+           |nsnk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_sink_sccs
+           |         FROM bk WHERE scc NOT IN (SELECT cs FROM ced) GROUP BY 1)
+           |SELECT n.bucket, n.n_sccs,
+           |       coalesce(c.n_cedges, CAST(0 AS BIGINT)) AS n_cedges,
+           |       coalesce(s.n_source_sccs, CAST(0 AS BIGINT)) AS n_source_sccs,
+           |       coalesce(k.n_sink_sccs, CAST(0 AS BIGINT)) AS n_sink_sccs
+           |FROM nsc n LEFT JOIN nce c USING (bucket)
+           |LEFT JOIN nsrc s USING (bucket) LEFT JOIN nsnk k USING (bucket)
+           |ORDER BY bucket""".stripMargin
       }),
 
     // Common-neighbor link prediction: non-adjacent doc pairs whose

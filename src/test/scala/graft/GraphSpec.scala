@@ -784,6 +784,72 @@ class GraphSpec extends AnyFunSuite {
     assert(g.map(_._3).sum % 3 == 0, "per-node triangle sum not divisible by 3")
   }
 
+  test("plantedDigraph emits exactly the chain + back-edge rules") {
+    // 16 ids = two 8-id segments inside one bucket: chain 0->1..->15 and
+    // back edges 5->2, 13->10; target-existence join must drop nothing
+    // here (all targets exist) and the bucket rule must not fire (<40 ids)
+    val got = Graph.plantedDigraph((0L until 16L).toDF("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val chain = (0L until 15L).map(i => (i, i + 1)).toSet
+    assert(got == chain + ((5L, 2L)) + ((13L, 10L)), got)
+  }
+
+  test("sccLabels recovers the planted 4-cycle components (hand-traced)") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val labels = Graph.sccLabels(docs.select($"doc_id".as("id")),
+        Graph.plantedDigraph(docs))
+      .as[(Long, Long)].collect().toMap
+    val want = (0L until 16L).map { i =>
+      i -> (if (i >= 2 && i <= 5) 2L else if (i >= 10 && i <= 13) 10L else i)
+    }.toMap
+    assert(labels == want, labels)
+  }
+
+  test("sccLabels matches a naive closure reference on random digraphs") {
+    // independent reference: boolean Floyd-Warshall reachability + mutual-
+    // reach minimum — shares no algorithmic structure with the doubling
+    // closure under test
+    def naiveScc(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {
+      val reach = Array.fill(n, n)(false)
+      (0 until n).foreach(i => reach(i)(i) = true)
+      edges.foreach { case (a, b) => reach(a)(b) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      (0 until n).map(v => v.toLong ->
+        (0 until n).filter(u => reach(v)(u) && reach(u)(v)).min.toLong).toMap
+    }
+    for (seed <- Seq(7, 19, 43)) {
+      val rng = new scala.util.Random(seed)
+      val n = 22
+      val edges = (1 to 50)
+        .map(_ => (rng.nextInt(n), rng.nextInt(n)))
+        .filter { case (a, b) => a != b }.distinct
+      val got = Graph.sccLabels(
+          (0L until n.toLong).toDF("id"),
+          edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == naiveScc(n, edges), s"seed=$seed")
+    }
+  }
+
+  test("sccCondensation of a planted bucket is a path (1 source, 1 sink)") {
+    // one full 40-id bucket: 5 cycle SCCs + 20 singletons = 25 components,
+    // condensation a path of 24 edges; a path's DAG has exactly one source
+    // and one sink, and no edge may point backward in component-min order
+    val docs = (0L until 40L).toDF("doc_id")
+    val labels = Graph.sccLabels(docs.select($"doc_id".as("id")),
+      Graph.plantedDigraph(docs))
+    val ced = Graph.sccCondensation(Graph.plantedDigraph(docs), labels)
+      .as[(Long, Long)].collect().toSeq
+    val comps = labels.select($"scc").distinct().as[Long].collect().toSet
+    assert(comps.size == 25, comps.size)
+    assert(ced.size == 24, ced)
+    assert(ced.forall { case (cs, cd) => cs < cd }, ced)
+    val sources = comps -- ced.map(_._2).toSet
+    val sinks = comps -- ced.map(_._1).toSet
+    assert(sources == Set(0L) && sinks == Set(39L), (sources, sinks))
+  }
+
   test("node2vecWalks return bias actually changes a trajectory") {
     import org.apache.spark.sql.functions.lit
     // heavily return-FAVORING weights vs return-PENALIZING weights on a
