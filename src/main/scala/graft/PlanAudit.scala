@@ -33,7 +33,11 @@ object PlanAudit {
   private val nlAllowed = Set(
     "dd_embedding_cosine", "dd_ngram_jaccard", "dd_containment",
     "dd_neardup_filter", "dd_threshold_sweep",
-    "fn_levenshtein", "rel_join_theta")
+    "fn_levenshtein", "rel_join_theta",
+    // theta-sketch pair algebra: the `<` self-join runs on the per-
+    // EVENT-TYPE sketch rollup — dimension-sized (5 rows x one <= k-long
+    // array), corpus-independent
+    "rel_kmv_setops")
 
   /** Queries allowed an unpartitioned window whose only reduction below it
     * is a KEYED aggregate — each documented as a bounded spine whose key

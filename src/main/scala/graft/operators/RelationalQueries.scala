@@ -338,6 +338,115 @@ object RelationalQueries {
              |       TRUE AS k3_within_band
              |FROM lineitem""".stripMargin)),
 
+    // KMV/theta sketch SET ALGEBRA — the fourth mergeable sketch (HLL:
+    // rel_hll_merge, KLL: rel_quantile_merge, CMS: rel_cms_merge): one
+    // bounded k=64 sketch of the distinct-user hash per event type
+    // (graft.functions.KmvSketch), then union / intersection / DIFFERENCE
+    // estimates for every type pair read off the retained values below
+    // theta = min of the two sketches' k-th minima — the estimate HLL
+    // fundamentally cannot give for A\B (inclusion-exclusion subtracts
+    // two large noisy numbers; theta algebra scales a direct sample
+    // count). Unlike the banded sketch gates above, this one is
+    // HASH-EXACT cross-engine: the sketch is a pure function of a
+    // caller-stated affine-mod hash, so the oracle replays it with a
+    // window rank and the estimates match bit-for-bit. Exact truths ride
+    // along for calibration. Scale shape: one scan + one <= k-long row
+    // per group through map-side combine; the pair algebra runs on a
+    // 5-row frame (the type-pair nested loop is a broadcast of 5 rows —
+    // a documented bounded anchor, not a data-sized cross).
+    QueryDef("rel_kmv_setops",
+      (s, d) => {
+        import graft.functions.KmvSketch.{kmv_agg, DefaultK}
+        val M = 1000000007L
+        val ev = T(s, d, "events")
+        val hs = ev.select(col("event_type").as("et"),
+          expr(s"((user_id & 2147483647) * 2654435761 + 911) % $M").as("h"))
+        val sk = hs.groupBy("et").agg(kmv_agg(col("h")).as("sk"))
+        val du = ev.select(col("event_type").as("et"), col("user_id").as("u"))
+          .distinct()
+        val cnt = du.groupBy("et").agg(count(lit(1)).as("n"))
+        val tr = du.select(col("et").as("eta"), col("u"))
+          .join(du.select(col("et").as("etb"), col("u")), "u")
+          .filter(col("eta") < col("etb"))
+          .groupBy("eta", "etb").agg(count(lit(1)).as("true_inter"))
+        val pairs = sk.select(col("et").as("eta"), col("sk").as("sa"))
+          .join(sk.select(col("et").as("etb"), col("sk").as("sb")),
+            col("eta") < col("etb"))
+        val alg = pairs
+          .withColumn("ta", expr(
+            s"CASE WHEN size(sa) >= $DefaultK THEN element_at(sa, $DefaultK) ELSE $M END"))
+          .withColumn("tb", expr(
+            s"CASE WHEN size(sb) >= $DefaultK THEN element_at(sb, $DefaultK) ELSE $M END"))
+          .withColumn("tc", least(col("ta"), col("tb")))
+          .withColumn("rac", expr("filter(sa, v -> v < tc)"))
+          .withColumn("rbc", expr("filter(sb, v -> v < tc)"))
+          .withColumn("nin", expr(
+            "CAST(size(filter(rac, v -> array_contains(rbc, v))) AS BIGINT)"))
+          .select(col("eta"), col("etb"),
+            expr(s"(CAST(size(filter(sa, v -> v < ta)) AS BIGINT) * $M) div ta")
+              .as("est_a"),
+            expr(s"(CAST(size(filter(sb, v -> v < tb)) AS BIGINT) * $M) div tb")
+              .as("est_b"),
+            expr(s"((CAST(size(rac) AS BIGINT) + CAST(size(rbc) AS BIGINT) - nin) * $M) div tc")
+              .as("est_union"),
+            expr(s"(nin * $M) div tc").as("est_inter"),
+            expr(s"((CAST(size(rac) AS BIGINT) - nin) * $M) div tc")
+              .as("est_diff"))
+        alg
+          .join(cnt.select(col("et").as("eta"), col("n").as("true_a")), "eta")
+          .join(cnt.select(col("et").as("etb"), col("n").as("true_b")), "etb")
+          .join(tr, Seq("eta", "etb"))
+          .select(col("eta"), col("etb"), col("est_a"), col("est_b"),
+            col("est_union"), col("est_inter"), col("est_diff"),
+            col("true_a"), col("true_b"), col("true_inter"),
+            (col("true_a") - col("true_inter")).as("true_diff"))
+          .orderBy("eta", "etb")
+      },
+      Some("""WITH hs AS (SELECT DISTINCT event_type AS et,
+             |              ((user_id & 2147483647) * 2654435761 + 911) % 1000000007 AS h
+             |            FROM events),
+             |rk AS (SELECT et, h, row_number() OVER (PARTITION BY et ORDER BY h) AS rn
+             |       FROM hs),
+             |sk AS (SELECT et, list(h ORDER BY h) AS s
+             |       FROM rk WHERE rn <= 64 GROUP BY 1),
+             |du AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+             |cnt AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+             |tr AS (SELECT a.et AS eta, b.et AS etb,
+             |              CAST(count(*) AS BIGINT) AS true_inter
+             |       FROM du a JOIN du b ON b.u = a.u AND a.et < b.et GROUP BY 1, 2),
+             |pr AS (SELECT a.et AS eta, a.s AS sa, b.et AS etb, b.s AS sb
+             |       FROM sk a JOIN sk b ON a.et < b.et),
+             |th AS (SELECT eta, etb, sa, sb,
+             |         CASE WHEN len(sa) >= 64 THEN sa[64] ELSE 1000000007 END AS ta,
+             |         CASE WHEN len(sb) >= 64 THEN sb[64] ELSE 1000000007 END AS tb
+             |       FROM pr),
+             |th2 AS (SELECT *, least(ta, tb) AS tc FROM th),
+             |th3 AS (SELECT eta, etb, ta, tb, tc,
+             |          list_filter(sa, v -> v < ta) AS raa,
+             |          list_filter(sb, v -> v < tb) AS rbb,
+             |          list_filter(sa, v -> v < tc) AS rac,
+             |          list_filter(sb, v -> v < tc) AS rbc
+             |        FROM th2),
+             |th4 AS (SELECT eta, etb, ta, tb, tc, raa, rbb, rac, rbc,
+             |          CAST(len(list_filter(rac, v -> list_contains(rbc, v)))
+             |               AS BIGINT) AS nin
+             |        FROM th3),
+             |alg AS (SELECT eta, etb,
+             |          (CAST(len(raa) AS BIGINT) * 1000000007) // ta AS est_a,
+             |          (CAST(len(rbb) AS BIGINT) * 1000000007) // tb AS est_b,
+             |          ((CAST(len(rac) AS BIGINT) + CAST(len(rbc) AS BIGINT) - nin)
+             |           * 1000000007) // tc AS est_union,
+             |          (nin * 1000000007) // tc AS est_inter,
+             |          ((CAST(len(rac) AS BIGINT) - nin) * 1000000007) // tc AS est_diff
+             |        FROM th4)
+             |SELECT a.eta, a.etb, a.est_a, a.est_b, a.est_union, a.est_inter,
+             |       a.est_diff, ca.n AS true_a, cb.n AS true_b, tr.true_inter,
+             |       ca.n - tr.true_inter AS true_diff
+             |FROM alg a JOIN cnt ca ON ca.et = a.eta
+             |JOIN cnt cb ON cb.et = a.etb
+             |JOIN tr ON tr.eta = a.eta AND tr.etb = a.etb
+             |ORDER BY a.eta, a.etb""".stripMargin)),
+
     // Broadcast-hash join: dimension tables are tiny at every SF.
     QueryDef("rel_join_broadcast",
       (s, d) => T(s, d, "customer")

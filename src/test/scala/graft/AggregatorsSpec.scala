@@ -94,6 +94,37 @@ class AggregatorsSpec extends AnyFunSuite {
       s"estimate $est outside band")
   }
 
+  test("kmv sketch: order/partition independence, merge-is-union, estimate error") {
+    import graft.functions.KmvSketch
+    val M = 1000000007L
+    def h(x: Long): Long = ((x & 2147483647L) * 2654435761L + 911L) % M
+    val n = 2000
+    val hashes = (0L until n.toLong).map(h)
+    // order independence: ascending vs descending vs shuffled feeds give
+    // the byte-identical retained set
+    def feed(xs: Seq[Long]) =
+      xs.foldLeft(new KmvSketch.KmvBuffer())(_ add _).vals.toSeq
+    val asc = feed(hashes.sorted)
+    assert(feed(hashes.sorted.reverse) == asc)
+    assert(feed(new scala.util.Random(5).shuffle(hashes)) == asc)
+    assert(asc == hashes.sorted.take(KmvSketch.DefaultK), "not the k smallest")
+    // merge(A, B) equals the sketch of A union B
+    val (la, lb) = hashes.splitAt(700)
+    val merged = feed(la).foldLeft(
+      lb.foldLeft(new KmvSketch.KmvBuffer())(_ add _))(_ add _).vals.toSeq
+    assert(merged == asc)
+    // estimate error: (k-1) * M / m_k within 4 relative standard errors
+    // (rse ~ 1/sqrt(k-2) ~ 13% at k=64) of the true distinct count
+    val est = (KmvSketch.DefaultK - 1).toLong * M / asc.last
+    assert(math.abs(est.toDouble - n) / n < 0.52, s"est=$est n=$n")
+    // partition independence through Spark's partial aggregation
+    val df = hashes.toDF("h")
+    def viaSpark(parts: Int) =
+      df.repartition(parts).agg(KmvSketch.kmv_agg(col("h")).as("s"))
+        .collect()(0).getSeq[Long](0)
+    assert(viaSpark(1) == asc && viaSpark(7) == asc)
+  }
+
   test("float_cosine fused expression equals the composed dot/norm form") {
     val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("a", "b")
       .withColumn("a", col("a").cast("array<float>"))
