@@ -1501,4 +1501,64 @@ object Dedup {
         expr("(100 * sum(copies * CAST(length(chunk) AS BIGINT))) div sum(copies)")
           .as("avg_len_x100"))
   }
+
+  /** Onion-style block dedup report (Pomikálek 2011, "onion" — Removing
+    * boilerplate and duplicate content from web corpora, ch. 5): cut each
+    * document into NON-overlapping `blockW`-token blocks, count how many
+    * of a document's blocks also occur in at least one OTHER document
+    * anywhere in the corpus, and drop documents whose duplicate-block
+    * ratio reaches `dropBp` basis points. This is the corpus-GLOBAL
+    * complement of the candidate-pair span machinery ([[spanMatches]] /
+    * [[substringRuns]]): no pair generation at all — a block's dup status
+    * comes from one frequency table — so it catches the document whose
+    * content is stitched from MANY sources, which never forms a strong
+    * pairwise candidate with any single one of them.
+    *
+    * Returns one row per source: docs with >= 1 full block, total blocks,
+    * cross-doc duplicate blocks, docs dropped by the threshold, and the
+    * drop rate in bp.
+    *
+    * Scale shape: explode to ~tokens/blockW block rows, ONE groupBy on the
+    * 64-bit block hash (map-side combined) for the frequency table, one
+    * hash-keyed join back, two keyed rollups — O(corpus tokens) with no
+    * quadratic step anywhere. The frequency join is hash-to-hash; the
+    * oracle joins block STRINGS instead (the decontaminate equivalence).
+    * Within-doc repeats deliberately do NOT count as duplicates (ndocs
+    * counts DISTINCT docs): self-repetition is tx_repetition's subject —
+    * conflating it here would let one boilerplate-heavy doc drop itself.
+    */
+  def onionReport(docs: DataFrame, blockW: Int = 8, dropBp: Int = 5000): DataFrame = {
+    require(blockW >= 1 && dropBp >= 0 && dropBp <= 10000,
+      s"bad onion params blockW=$blockW dropBp=$dropBp")
+    val blocks = materialize(docs
+      .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
+      .withColumn("nt", size(col("t")))
+      .filter(col("nt") >= blockW)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(0, nt div $blockW - 1), " +
+          s"g -> xxhash64(array_join(slice(t, g * $blockW + 1, $blockW), ' ')))"))
+          .as("bh")))
+    val freq = blocks.groupBy("bh")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val per = blocks.join(freq, "bh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_bp", expr("(n_dup_blocks * 10000) div n_blocks"))
+    // blocks is materialized because the plan consumes it TWICE (frequency
+    // table + join-back); the source-rollup result is materialized so the
+    // block frame can be released before returning (substringRunCoverage's
+    // lifecycle)
+    val res = materialize(per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_blocks")).as("n_blocks"),
+        sum(col("n_dup_blocks")).as("n_dup_blocks"),
+        sum(when(col("dup_bp") >= dropBp, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_blocks"),
+        col("n_dup_blocks"), col("n_dropped"),
+        expr("(n_dropped * 10000) div n_docs").as("drop_bp"))
+      .orderBy("source"))
+    release(blocks)
+    res
+  }
 }

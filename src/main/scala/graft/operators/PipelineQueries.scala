@@ -503,6 +503,15 @@ object PipelineQueries {
   private val SubstrSpanW = 4
   private val SubstrMinRun = 20
 
+  /** dd_onion parameters, shared by the Spark call and the generated
+    * oracle: non-overlapping block width in tokens, and the duplicate-
+    * block ratio (bp) at which a document is dropped. Pomikálek 2011 cuts
+    * at 50% duplicate content; 8-token blocks are his ~10-word
+    * "paragraph-ish" unit scaled to this corpus's 10-100-token docs.
+    */
+  private val OnionBlockW = 8
+  private val OnionDropBp = 5000
+
   /** WITH-chain fragment ending in CTE `m(a_id, b_id, pa, pb)` — the
     * position-indexed span matches of [[Dedup.spanMatches]] replayed in
     * ANSI SQL (expects `jaccardCtes` in scope); dd_substring_runs and
@@ -2867,6 +2876,46 @@ object PipelineQueries {
     // cut), rolled up to the report an eval owner actually reads — how
     // many train docs leak into the held-out set and what fraction of
     // train is affected. The two operators compose on the same corpus
+    // Onion-style corpus-GLOBAL block dedup (Pomikálek 2011): every doc
+    // cut into non-overlapping 8-token blocks, a block is duplicate if it
+    // occurs in >= 2 DISTINCT docs anywhere, and a doc is dropped once
+    // half its blocks are duplicates. The complement of the pairwise span
+    // machinery (dd_substring_runs needs a candidate PAIR; this catches
+    // the doc stitched from many sources that pairs with none of them).
+    // One frequency groupBy on the block hash + one join-back — no
+    // quadratic step; Spark groups 64-bit block hashes, the oracle block
+    // strings (the decontaminate equivalence).
+    QueryDef("dd_onion",
+      (s, d) => Dedup.onionReport(T(s, d, "documents"),
+        blockW = OnionBlockW, dropBp = OnionDropBp),
+      Some(s"""WITH tt AS (SELECT doc_id, source,
+             |              ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t
+             |            FROM documents),
+             |bl AS (SELECT doc_id, source,
+             |         list_aggregate(t[g * $OnionBlockW + 1 : g * $OnionBlockW + $OnionBlockW],
+             |                        'string_agg', ' ') AS btxt
+             |       FROM (SELECT doc_id, source, t,
+             |                    unnest(generate_series(0, len(t) // $OnionBlockW - 1)) AS g
+             |             FROM tt WHERE len(t) >= $OnionBlockW)),
+             |fr AS (SELECT btxt, count(DISTINCT doc_id) AS ndocs
+             |       FROM bl GROUP BY 1),
+             |per AS (SELECT doc_id, any_value(source) AS source,
+             |               CAST(count(*) AS BIGINT) AS n_blocks,
+             |               CAST(sum(CASE WHEN fr.ndocs >= 2 THEN 1 ELSE 0 END)
+             |                    AS BIGINT) AS n_dup_blocks
+             |        FROM bl JOIN fr USING (btxt) GROUP BY doc_id),
+             |per2 AS (SELECT *, (n_dup_blocks * 10000) // n_blocks AS dup_bp
+             |         FROM per)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_blocks) AS BIGINT) AS n_blocks,
+             |       CAST(sum(n_dup_blocks) AS BIGINT) AS n_dup_blocks,
+             |       CAST(sum(CASE WHEN dup_bp >= $OnionDropBp THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_dropped,
+             |       (CAST(sum(CASE WHEN dup_bp >= $OnionDropBp THEN 1 ELSE 0 END)
+             |             AS BIGINT) * 10000)
+             |         // CAST(count(*) AS BIGINT) AS drop_bp
+             |FROM per2 GROUP BY source ORDER BY source""".stripMargin)),
+
     // scan; the split predicate is the same Knuth-hash expression in both
     // engines.
     QueryDef("dd_split_contamination",

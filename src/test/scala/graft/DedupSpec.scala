@@ -517,6 +517,22 @@ class DedupSpec extends AnyFunSuite {
     assert(chained == Seq((20L, 3L, 0L)), chained)
   }
 
+  test("onionReport counts cross-doc blocks only and applies the drop rule") {
+    // blockW=2: A and B share block "a b" (each 1/2 duplicated -> both
+    // dropped at 50%); C's single block is unique; D repeats "q q" WITHIN
+    // itself only (ndocs=1 -> not duplicate, the distinct-doc rule); E is
+    // shorter than a block and must not count as a doc at all
+    val docs = Seq(
+      (1L, "a b c d", "s0"), (2L, "a b x y", "s0"), (3L, "z z z", "s0"),
+      (4L, "q q q q", "s0"), (5L, "s", "s0"),
+      (6L, "u v w t", "s1")).toDF("doc_id", "text", "source")
+    val got = Dedup.onionReport(docs, blockW = 2, dropBp = 5000)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s0", 4L, 7L, 2L, 2L, 5000L),
+      ("s1", 1L, 2L, 0L, 0L, 0L)), got)
+  }
+
   test("winnowPairsFromFp scores planted near-dups and skips unrelated docs") {
     val fp = Dedup.winnowFingerprints(corpus)
     val pairs = Dedup.winnowPairsFromFp(fp, minJ = 0.5)
