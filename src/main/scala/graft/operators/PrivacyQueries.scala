@@ -235,6 +235,32 @@ object PrivacyQueries {
   /** k for [[dpTopK]] — release the k most frequent brands. */
   private[graft] val DpTopK = 5
 
+  /** Per-doc distinct-bigram contribution cap for [[dpVocabRelease]] — the
+    * ONE constant the Spark rank cut, the oracle, and the ε statement all
+    * derive from (the [[DpUserC]] convention).
+    */
+  private[graft] val DpVocabC = 20
+
+  /** Stability threshold Γ for [[dpVocabRelease]]: a key is released only
+    * if its noised bounded count reaches Γ.
+    */
+  private[graft] val DpVocabGamma = 10
+
+  /** 131-polynomial rolling hash of a string column mod 1e9+7, as a SQL
+    * expression both engines state identically (exact BIGINT at every
+    * step: acc < 1e9+7, acc·131 + 127 < 2^63). Drives the per-KEY uniform
+    * for [[dpVocabRelease]]'s noise draw, where the release key is a
+    * string with no integer surrogate.
+    */
+  private def polyHashExprSpark(c: String): String =
+    s"aggregate(sequence(1, length($c)), 7L, " +
+      s"(a, i) -> (a * 131L + ascii(substring($c, i, 1))) % 1000000007L)"
+
+  private def polyHashExprDuck(c: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($c)), " +
+      s"i -> CAST(ascii($c[i]) AS BIGINT))), (a, x) -> (a * 131 + x) % 1000000007)"
+
   /** Quantile vector (integer percents) for [[dpExponentialQuantiles]]. */
   private[graft] val DpQuantiles = Seq(25, 50, 75)
 
@@ -465,6 +491,36 @@ object PrivacyQueries {
     // DP quantile vector — per (segment, q in {25,50,75}) exponential
     // race on the percent-scaled utility lattice; the q = 50 race is the
     // median race at 100x scale. See dpExponentialQuantiles.
+    // DP partition selection over the documents vocabulary: release each
+    // bigram's contribution-bounded doc-count through the geometric
+    // ladder, but only if the noised count clears the stability threshold
+    // — the unknown-domain release (which KEYS exist is itself private)
+    // that rel_dp_release's fixed public key domain never faces.
+    // Suppressed bigrams leave no row. See dpVocabRelease for the
+    // (c·ln 2, δ) accounting.
+    QueryDef("tx_dp_vocab",
+      (s, d) => dpVocabRelease(T(s, d, "documents")),
+      Some(s"""WITH tt AS (SELECT doc_id,
+             |              ${graft.functions.TextFns.tokensSqlDuckDB("text")} AS t
+             |            FROM documents),
+             |bg AS (SELECT doc_id, i, t[i] || ' ' || t[i+1] AS b
+             |       FROM (SELECT doc_id, t,
+             |                    unnest(generate_series(1, len(t) - 1)) AS i
+             |             FROM tt WHERE len(t) >= 2)),
+             |fstp AS (SELECT doc_id, b, min(i) AS fp FROM bg GROUP BY 1, 2),
+             |cap AS (SELECT doc_id, b FROM (
+             |          SELECT doc_id, b, row_number() OVER (
+             |            PARTITION BY doc_id ORDER BY fp, b) AS rn
+             |          FROM fstp) q WHERE rn <= $DpVocabC),
+             |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+             |        FROM cap GROUP BY 1),
+             |u AS (SELECT b, n,
+             |        ${polyHashExprDuck("b")} % $GeoT AS uu
+             |      FROM cnt)
+             |SELECT b AS bigram, n + ${geoNoiseSql("uu")} AS n_released
+             |FROM u WHERE n + ${geoNoiseSql("uu")} >= $DpVocabGamma
+             |ORDER BY bigram""".stripMargin)),
+
     QueryDef("rel_dp_quantiles",
       (s, d) => dpExponentialQuantiles(T(s, d, "customer"), qs = DpQuantiles),
       Some(s"""WITH rows_ AS (SELECT c_mktsegment AS segment,
@@ -809,5 +865,63 @@ object PrivacyQueries {
       .select(col("segment"), col("q"), col("n"), col("true_band"),
         col("released_band"), col("d_released"), col("noise_bits"))
       .orderBy("segment", "q")
+  }
+
+  /** Differentially-private VOCABULARY release with stability thresholding
+    * — DP partition selection (Desfontaines, Voss, Gipson & Mandayam 2020,
+    * "Differentially private partition selection"; the recipe behind
+    * releasing n-gram/token statistics from private corpora): the key
+    * domain (here: word bigrams over the documents table) is UNKNOWN and
+    * itself data-derived, so releasing even a key's NAME leaks — the fix
+    * is (1) bound each doc's contribution to its first `c` distinct
+    * bigrams in reading order (a deterministic first-occurrence rank), (2)
+    * noise each bigram's bounded doc-count through the α = 1/2 geometric
+    * ladder keyed by a per-bigram string hash, and (3) release ONLY keys
+    * whose noised count reaches Γ = [[DpVocabGamma]].
+    *
+    * Accounting (teaching-grade, stated not tuned): the bounded vector
+    * moves by at most c = [[DpVocabC]] coordinates (one count each) per
+    * doc, each through a ln 2-per-unit mechanism → doc-level ε = c·ln 2;
+    * the thresholding bounds the key-name leak: a bigram present in ONE
+    * doc releases only if its noise draw reaches Γ − 1, probability
+    * 2^−(Γ−1)/3 per key under the exact dyadic ladder (≈ 6.5e−4 at
+    * Γ = 10), so δ ≤ c·2^−(Γ−1)/3 per doc. The tail-collapsed ladder
+    * (|z| ≤ 8) additionally makes release probability EXACTLY zero for
+    * bounded counts ≤ Γ − 9 — stronger than the untruncated geometric,
+    * at the price of the collapsed 0.13% tail mass
+    * ([[dpGeometricRelease]]'s documented caveat). The cap posture is
+    * [[dpUserLevelRelease]]'s, with first-occurrence position instead of
+    * the Knuth hash as the deterministic rank key.
+    *
+    * Output: (bigram, n_released) for released keys only — suppressed
+    * keys leave no row, which IS the mechanism's point.
+    *
+    * Scale shape: explode to bigram rows, one (doc, bigram) groupBy, one
+    * doc-keyed rank window for the cap, one bigram-keyed count, then an
+    * O(released keys) projection — every shuffle keyed, no step beyond
+    * the aggregate a non-private vocabulary count already pays.
+    */
+  def dpVocabRelease(docs: DataFrame, c: Int = DpVocabC,
+                     gamma: Int = DpVocabGamma): DataFrame = {
+    require(c >= 1 && gamma >= 1, s"bad dp vocab params c=$c gamma=$gamma")
+    val toks = docs
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"),
+        posexplode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as(Seq("i0", "b")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("b"))
+    val fstp = bg.groupBy("doc_id", "b").agg(min(col("i")).as("fp"))
+    val cap = fstp
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("fp", "b")))
+      .filter(col("rn") <= c)
+    cap.groupBy("b").agg(count(lit(1)).as("n"))
+      .withColumn("uu", pmod(expr(polyHashExprSpark("b")), lit(GeoT)))
+      .select(col("b").as("bigram"),
+        (col("n") + geoNoise(col("uu"))).as("n_released"))
+      .filter(col("n_released") >= gamma)
+      .orderBy("bigram")
   }
 }

@@ -353,4 +353,37 @@ class PrivacySpec extends AnyFunSuite {
       assert(raceRow(r, 50L)._1 == 100L * dMed, s"band=$r")
     }
   }
+
+  test("dpVocabRelease: one doc moves the release by at most c coordinates") {
+    // noise is a pure function of the bigram STRING, so the A-vs-B released
+    // vectors differ exactly by the whale's bounded count contribution —
+    // the sensitivity statement, observable end-to-end
+    def release(docs: Seq[(Long, String)]) =
+      PrivacyQueries.dpVocabRelease(
+          docs.toDF("doc_id", "text"), c = 3, gamma = 1)
+        .as[(String, Long)].collect().toMap
+    val base = (1L to 6L).map(i => (i, "a b c d e f"))
+    val relA = release(base)
+    // whale doc: 20 distinct bigrams, cap must cut its contribution to 3
+    val whale = (100L, (0 to 20).map(j => s"z$j").mkString(" "))
+    val relB = release(base :+ whale)
+    val keys = relA.keySet ++ relB.keySet
+    val changed = keys.filter(k => relA.get(k) != relB.get(k))
+    assert(changed.size <= 3, s"more than c coordinates moved: $changed")
+    // every moved coordinate moved by exactly the whale's single count
+    changed.foreach { k =>
+      val da = relA.getOrElse(k, 0L)
+      assert(math.abs(relB.getOrElse(k, 0L) - da) <= 1 || da == 0L,
+        s"$k: ${relA.get(k)} -> ${relB.get(k)}")
+    }
+  }
+
+  test("dpVocabRelease: counts below gamma - 8 can never be released") {
+    // the tail-collapsed ladder caps noise at +8, so a bounded count of 2
+    // against gamma = 12 has EXACTLY zero release probability
+    val docs = Seq((1L, "p q r"), (2L, "p q s")).toDF("doc_id", "text")
+    val rel = PrivacyQueries.dpVocabRelease(docs, c = 5, gamma = 12)
+      .as[(String, Long)].collect()
+    assert(rel.isEmpty, rel.toSeq)
+  }
 }
