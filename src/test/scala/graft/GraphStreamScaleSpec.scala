@@ -109,6 +109,34 @@ class GraphStreamScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("SCC doubling closure is ~linear in bucket count on the planted digraph", Slow) {
+    import graft.operators.Graph
+    // the closure is per-component quadratic by design; with the planted
+    // bucket width CONSTANT, 10x the id domain = 10x the buckets and the
+    // closure must cost ~10x — a bucket rule silently lost (closure
+    // leaking across buckets) would land near 100x
+    def op(n: Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val docs = spark.range(n).selectExpr("id AS doc_id")
+        val t0 = System.nanoTime()
+        val rows = Graph.sccLabels(
+          docs.selectExpr("doc_id AS id"), Graph.plantedDigraph(docs)).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), b._2)
+    }
+    op(2000L) // JIT/codegen warmup, off the clock
+    val (t1, r1) = op(5000L)
+    val (t10, r10) = op(5000L * Factor)
+    val growth = t10 / t1
+    info(f"sccLabels/op base=$t1%6.2fs rows=$r1%7d  10x=$t10%7.2fs rows=$r10%8d  growth=$growth%5.1fx")
+    assert(r1 == 5000L && r10 == 5000L * Factor, "label table must cover the domain")
+    assert(growth < 30.0,
+      s"sccLabels grew ${growth}x for ${Factor}x ids — closure leaking " +
+        "across buckets (per-component bound lost)")
+  }
+
   /** Cluster graph for the closeness smoke: MANY SMALL components (edges
     * only within 16-node groups) — the dedup-cluster regime
     * [[graft.operators.Graph.closenessStats]] is designed for, where the

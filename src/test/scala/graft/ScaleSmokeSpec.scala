@@ -111,7 +111,12 @@ class ScaleSmokeSpec extends AnyFunSuite {
       // the pair-square (planted twins share ≥29-token prefixes, so rows
       // stay > 0 at the 20-token threshold)
       ("substringRuns/op", d => Dedup.substringRuns(d,
-        Dedup.minhashLshPairs(d).select("a_id", "b_id"))))
+        Dedup.minhashLshPairs(d).select("a_id", "b_id"))),
+      // r14: the onion block-frequency pass — one groupBy on the block
+      // hash + one join-back, so it must track corpus tokens; a frequency
+      // join degenerating to string keys or losing map-side combine shows
+      // up here as super-linear growth
+      ("onionReport/op", d => Dedup.onionReport(d)))
     // JIT/codegen warmup on the real small fixture, off the clock
     val warm = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     ops.foreach { case (_, op) => op(warm).count() }
