@@ -1008,6 +1008,52 @@ object PipelineQueries {
     * the query in any table, and ranks those candidates by exact cosine.
     * Sign convention matches RhpTableKeys: bit set iff dot >= 0.
     */
+  /** Shared oracle CTE chain for the cluster-blocked kNN graph
+    * (sim_knn_graph / sim_knn_mutual): label-mean centroids, (d2, c_label)
+    * argmin assignment (the [[Similarity.assignVectors]] twin, same
+    * struct-min tie-break), within-cluster directed pair square, and the
+    * rounded-cosine per-a_id ranking.
+    */
+  private val knnGraphCtes: String =
+    """WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |                   unnest(generate_series(1, len(embedding))) AS i
+      |            FROM embeddings),
+      |cent AS (SELECT label AS c_label, i, avg(x) AS cx FROM ex GROUP BY 1, 2),
+      |d AS (SELECT ex.vec_id, cent.c_label,
+      |             sum((ex.x - cent.cx) * (ex.x - cent.cx)) AS d2
+      |      FROM ex JOIN cent ON ex.i = cent.i
+      |      GROUP BY 1, 2),
+      |a AS (SELECT vec_id,
+      |             (min({'d2': d2, 'c_label': c_label})).c_label AS cluster
+      |      FROM d GROUP BY 1),
+      |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+      |dots AS (SELECT aa.cluster, aa.vec_id AS a_id, ab.vec_id AS b_id,
+      |                sum(ea.x * eb.x) AS dp
+      |         FROM a aa JOIN a ab ON aa.cluster = ab.cluster
+      |                            AND aa.vec_id <> ab.vec_id
+      |         JOIN ex ea ON ea.vec_id = aa.vec_id
+      |         JOIN ex eb ON eb.vec_id = ab.vec_id AND ea.i = eb.i
+      |         GROUP BY 1, 2, 3),
+      |scored AS (SELECT cluster, a_id, b_id,
+      |                  round(dp / (na.n * nb.n), 3) AS cos_sim
+      |           FROM dots JOIN nrm na ON na.vec_id = a_id
+      |                     JOIN nrm nb ON nb.vec_id = b_id),
+      |ranked AS (SELECT cluster, a_id, b_id, cos_sim,
+      |                  CAST(row_number() OVER (PARTITION BY a_id
+      |                       ORDER BY cos_sim DESC, b_id) AS INT) AS rn
+      |           FROM scored)""".stripMargin
+
+  /** Sign-bit signature expression for the binary-quantization oracle —
+    * the DuckDB twin of [[Similarity.bqSignatures]] (bit j set iff
+    * embedding[j] >= 0; bit 63 spelled as the min-long literal because
+    * DuckDB range-checks 1 << 63, the simhashSimsCtes convention).
+    */
+  private val bqSigSql: String = (0 until 64).map { j =>
+    val bit = if (j == 63) "(-9223372036854775808)::BIGINT"
+              else s"(1::BIGINT << $j)"
+    s"(CASE WHEN embedding[${j + 1}] >= 0 THEN $bit ELSE 0::BIGINT END)"
+  }.mkString(" | ")
+
   private def lshAnnOracleSql(queryId: Long, k: Int, nBits: Int, tables: Int,
                               dim: Int): String = {
     val planeRows = graft.functions.VectorFns.rhpPlanes(dim, nBits, tables)
@@ -4093,6 +4139,79 @@ object PipelineQueries {
       (s, d) => Similarity.lshTopK(T(s, d, "embeddings"), queryId = 0L, k = 5,
         nBits = 2, tables = 8),
       Some(lshAnnOracleSql(queryId = 0L, k = 5, nBits = 2, tables = 8, dim = 64))),
+
+    // Cluster-blocked kNN graph: per-vector top-3 cosine neighbors WITHIN
+    // the vector's nearest-centroid cluster (label-mean coarse quantizer) —
+    // Σ n_c² work, never the global n² square. The fixture's 10-label
+    // quantizer pins C = 10 (blocks grow with n here, like the
+    // dd_embedding_cosine anchor); the scale path sizes C ~ sqrt(n) so
+    // blocks stay bounded — see the knnGraph scaladoc. DuckDB replays
+    // centroid means, the (d2, c_label) argmin, the within-cluster pair
+    // square, and the rounded-cosine ranking, so assignment + neighborhood
+    // are gated end to end.
+    QueryDef("sim_knn_graph",
+      (s, d) => Similarity.knnGraph(T(s, d, "embeddings"), k = 3)
+        .orderBy("a_id", "rn"),
+      Some(s"""$knnGraphCtes
+             |SELECT a_id, b_id, cluster, cos_sim, rn
+             |FROM ranked WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin)),
+
+    // Mutual-kNN pruning of the same graph: keep (a < b) only when each
+    // endpoint ranks the other in its top-3 — the high-precision edge set
+    // near-dup CC clustering consumes (one-sided kNN edges attach hub
+    // vectors to everything; mutuality is the classical filter). The join
+    // is between two O(n·k) adjacency frames, k-bounded by construction.
+    QueryDef("sim_knn_mutual",
+      (s, d) => Similarity.knnMutualEdges(T(s, d, "embeddings"), k = 3),
+      Some(s"""$knnGraphCtes,
+             |knn AS (SELECT a_id, b_id, cos_sim FROM ranked WHERE rn <= 3)
+             |SELECT f.a_id, f.b_id, f.cos_sim
+             |FROM knn f JOIN knn r ON r.a_id = f.b_id AND r.b_id = f.a_id
+             |WHERE f.a_id < f.b_id
+             |ORDER BY f.a_id, f.b_id""".stripMargin)),
+
+    // Two-stage binary-quantized search: sign-bit signatures (64x
+    // compression, the memory-tier scan), hamming shortlist of 32 per
+    // query, exact-cosine rerank to top-5. DuckDB replays the sign-bit
+    // packing (simhash's bit-63 literal convention), the (ham, vec_id)
+    // shortlist cutoff, and the rounded rerank — candidate generation AND
+    // rerank are hash-gated end to end.
+    QueryDef("sim_bq_rerank",
+      (s, d) => Similarity.bqRerank(T(s, d, "embeddings"),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), cand = 32, k = 5)
+        .orderBy("q_id", "rn"),
+      Some(s"""WITH sig AS (SELECT vec_id, $bqSigSql AS sig FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, sig AS q_sig FROM sig
+             |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+             |hm AS (SELECT q.q_id, s.vec_id,
+             |              CAST(bit_count(xor(s.sig, q.q_sig)) AS INT) AS ham
+             |       FROM sig s CROSS JOIN q
+             |       WHERE s.vec_id NOT IN (0, 1, 2, 3, 4)),
+             |cnd AS (SELECT q_id, vec_id, ham,
+             |               row_number() OVER (PARTITION BY q_id
+             |                    ORDER BY ham, vec_id) AS hrn
+             |        FROM hm),
+             |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |              unnest(generate_series(1, len(embedding))) AS i
+             |       FROM embeddings),
+             |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY 1),
+             |dots AS (SELECT c.q_id, c.vec_id, c.ham, sum(ea.x * eb.x) AS dp
+             |         FROM cnd c
+             |         JOIN ex ea ON ea.vec_id = c.q_id
+             |         JOIN ex eb ON eb.vec_id = c.vec_id AND ea.i = eb.i
+             |         WHERE c.hrn <= 32
+             |         GROUP BY 1, 2, 3),
+             |scored AS (SELECT q_id, dots.vec_id AS vec_id, ham,
+             |                  round(dp / (nq.n * nv.n), 3) AS cos_sim
+             |           FROM dots
+             |           JOIN nrm nq ON nq.vec_id = dots.q_id
+             |           JOIN nrm nv ON nv.vec_id = dots.vec_id),
+             |ranked AS (SELECT q_id, vec_id, ham, cos_sim,
+             |                  CAST(row_number() OVER (PARTITION BY q_id
+             |                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+             |           FROM scored)
+             |SELECT q_id, vec_id, ham, cos_sim, rn FROM ranked
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
     QueryDef("mm_multimodal_join",
       (s, d) => Multimodal.multimodalJoin(T(s, d, "documents"), T(s, d, "embeddings"))

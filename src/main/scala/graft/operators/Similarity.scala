@@ -678,4 +678,111 @@ object Similarity {
       .join(broadcast(idxMap), "idx")
       .select(col("i"), col("j"), col("g_e8"))
   }
+
+  /** Cluster-blocked kNN-graph construction: every vector's top-k cosine
+    * neighbors WITHIN its coarse cluster, as directed (a_id, b_id) adjacency
+    * rows — the neighborhood structure graph-based curation builds once and
+    * reuses (mutual-kNN dedup clusters, diversity sampling, label
+    * propagation over embeddings).
+    *
+    * Scale posture: the global all-pairs square is never formed. Vectors are
+    * assigned to their nearest label-mean centroid (the IVF coarse
+    * quantizer, a broadcast-sized frame), and the pair square is built
+    * per-cluster via a shuffle on the cluster key — Σ n_c² work instead of
+    * n², the standard blocked-kNN regime (each block's square fits one
+    * executor when the quantizer is sized so n_c ~ n/C with C ~ sqrt(n)).
+    * The per-a_id top-k is a row_number-only window, so WindowGroupLimit
+    * prunes each partition to k rows per vector before the final shuffle.
+    * Recall vs the exact global kNN graph is the IVF recall at nprobe=1;
+    * raising it is a candidate-union (probe 2 cells), not a new operator.
+    */
+  def knnGraph(embs: DataFrame, k: Int): DataFrame = {
+    val assigned = assignVectors(embs, centroids(embs))
+      .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val left = assigned
+      .select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val right = assigned
+      .select(col("cluster").as("b_cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
+    left.join(right,
+        col("cluster") === col("b_cluster") && col("a_id") =!= col("b_id"))
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        round(VectorFns.cosine(col("a_emb"), col("b_emb")), 3).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("cluster"), col("cos_sim"), col("rn"))
+  }
+
+  /** 1-bit (sign) binary quantization of the embedding column: bit j of the
+    * 64-bit signature is set iff component j >= 0 — 64x compression of a
+    * 64-dim float vector into one BIGINT. The memory tier of a two-stage
+    * serving stack: hamming distance on signatures approximates angle
+    * (each sign bit is an axis-aligned random-hyperplane bit), and only
+    * the few hamming survivors ever re-read the full float vector.
+    */
+  def bqSignatures(embs: DataFrame, dim: Int = 64): DataFrame = {
+    // get() (not getItem) so vectors shorter than `dim` pack 0 bits past
+    // their length instead of an ANSI out-of-bounds error
+    val sig = (0 until dim)
+      .map(j => when(get(col("embedding"), lit(j)) >= 0f, lit(1L << j))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    embs.select(col("vec_id"), sig.as("sig"))
+  }
+
+  /** Two-stage binary-quantized top-k: stage 1 scans ONLY the 8-byte
+    * signatures (hamming = codegen'd bit_count(xor), ties broken on
+    * vec_id) and keeps `cand` candidates per query via a row_number-only
+    * window (WindowGroupLimit prunes map-side, shuffle O(queries*cand));
+    * stage 2 re-reads full vectors for just those candidates and reranks
+    * by exact cosine. At 100 TB the signature table is the only full scan
+    * — 1/64th the bytes of the float corpus — and the float fetch is a
+    * cand-bounded semi-join against the (bucketed) vector store.
+    */
+  def bqRerank(embs: DataFrame, queryIds: Seq[Long], cand: Int, k: Int): DataFrame = {
+    val ids = queryIds.map(l => l: Any)
+    val sigs = bqSignatures(embs)
+    val qsig = broadcast(sigs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig")))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ham"), col("vec_id"))
+    val cands = sigs.filter(!col("vec_id").isin(ids: _*))
+      .crossJoin(qsig)
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.TextFns.hamming(col("sig"), col("q_sig"))
+          .cast("int").as("ham"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= cand)
+    val qemb = broadcast(embs.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(qemb, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("ham"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 3).as("cos_sim"))
+      .withColumn("rn", row_number().over(wC).cast("int"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Mutual-kNN edge list from [[knnGraph]]: undirected (a_id < b_id) pairs
+    * where EACH endpoint ranks the other inside its top-k — the
+    * high-precision edge set near-dup clustering feeds to connected
+    * components (one-sided kNN edges attach hubs to everything; mutuality
+    * is the classical pruning). Self-join of the adjacency on the swapped
+    * key pair; both sides are the same O(n·k) frame, so the join is
+    * k-bounded, never quadratic.
+    */
+  def knnMutualEdges(embs: DataFrame, k: Int): DataFrame = {
+    val g = knnGraph(embs, k)
+    val fwd = g.filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+    val bwd = g.filter(col("a_id") > col("b_id"))
+      .select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    fwd.join(bwd, Seq("a_id", "b_id"), "left_semi")
+      .orderBy("a_id", "b_id")
+  }
 }

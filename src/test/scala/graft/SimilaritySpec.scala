@@ -266,6 +266,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(_._2 != 0L), got)
   }
 
+  test("knnGraph blocks by nearest centroid; knnMutualEdges keeps reciprocal pairs") {
+    // label-mean centroids resolve the clusters to the label groups
+    // {0,1}, {2,3}, {4}: each vector's only in-cluster neighbor ranks 1
+    // (v0's global runner-up v2 is OUT of its cluster — the blocking is
+    // what the assertion pins), and the singleton cluster emits nothing.
+    val g = Similarity.knnGraph(vecs, k = 2)
+      .select("a_id", "b_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(g == Set((0L, 1L, 1), (1L, 0L, 1), (2L, 3L, 1), (3L, 2L, 1)), g)
+    val m = Similarity.knnMutualEdges(vecs, k = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(m == Set((0L, 1L), (2L, 3L)), m)
+  }
+
+  test("knnMutualEdges prunes one-sided edges (a ranks b, b ranks c)") {
+    // one cluster, k=1: A's nearest is B, but B's nearest is C (and C's is
+    // B) — so A->B is one-sided and only (B, C) survives the mutual filter
+    val tri = Seq(
+      (0L, Array(1f, 0f, 0f), 0),    // A
+      (1L, Array(0.8f, 0.6f, 0f), 0), // B
+      (2L, Array(0.79f, 0.61f, 0f), 0) // C
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val knn = Similarity.knnGraph(tri, k = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(knn == Set((0L, 1L), (1L, 2L), (2L, 1L)), knn)
+    val m = Similarity.knnMutualEdges(tri, k = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(m == Set((1L, 2L)), m)
+  }
+
+  test("bqSignatures packs sign bits; bqRerank shortlists by hamming then reranks") {
+    // 3-dim fixture: components 0-2 map to bits 0-2, missing dims pack 0.
+    // v0,v1,v2,v3 are all-nonnegative -> sig 7; v4 has a negative x -> 6.
+    val sigs = Similarity.bqSignatures(vecs)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs == Map(0L -> 7L, 1L -> 7L, 2L -> 7L, 3L -> 7L, 4L -> 6L), sigs)
+    // query 0, cand=2: hamming ties at 0 break on vec_id -> shortlist
+    // {1, 2}; v4 (ham 1) never reaches the rerank even though cand=2
+    // would admit it on cosine alone. Rerank: v1 (0.994) over v2 (0.0).
+    val got = Similarity.bqRerank(vecs, Seq(0L), cand = 2, k = 2)
+      .select("vec_id", "ham", "rn").as[(Long, Int, Int)].collect().toSet
+    assert(got == Set((1L, 0, 1), (2L, 0, 2)), got)
+  }
+
   test("sim_rrf_fusion: fused score is exactly the stated function of the ranks") {
     // In-Scala twin of the oracle's arithmetic gate: every output row's
     // rrf_micro must equal floor(1e6/(60+rank)) summed over the lists the
