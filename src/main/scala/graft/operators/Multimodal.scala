@@ -284,6 +284,76 @@ object Multimodal {
     }
   }
 
+  /** Exact integer per-frame energies (sum of int16 squares per
+    * `frame`-sample window) — the bit-replayable frame feature under
+    * [[wavSceneCut]] (the RMS variant [[wavFrameEnergy]] reports the
+    * normalized double instead). Same partition-local decode shape.
+    */
+  private def wavFrameEnergyLong(df: DataFrame, payloadCol: String,
+                                 frame: Int): DataFrame = {
+    require(frame > 0, "frame must be positive")
+    val schema = org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == payloadCol))
+      .add("frame_no", org.apache.spark.sql.types.IntegerType)
+      .add("energy", org.apache.spark.sql.types.LongType)
+    implicit val enc = Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val keep = r.toSeq.patch(idx, Nil, 1)
+        val pcm = decodeWavPcm(r.getAs[Array[Byte]](idx))
+        if (pcm == null) Iterator.empty
+        else {
+          val nVals = pcm.samples.length
+          val nFrames = (nVals + frame - 1) / frame
+          (0 until nFrames).iterator.map { f =>
+            val from = f * frame
+            val until = math.min(from + frame, nVals)
+            var sumSq = 0L
+            var i = from
+            while (i < until) {
+              val v = pcm.samples(i).toLong
+              sumSq += v * v
+              i += 1
+            }
+            Row.fromSeq(keep :+ f :+ sumSq)
+          }
+        }
+      }
+    }
+  }
+
+  /** Content-based scene segmentation — the video/audio shot-boundary
+    * pass a multimodal curation pipeline runs before per-scene sampling:
+    * a cut opens wherever the absolute delta of adjacent integer frame
+    * energies exceeds `threshold`, and scenes are the gap-and-islands
+    * rollup of the cut flags (running sum), reported per (doc, scene) as
+    * start/end frame, length, and total energy. Decode + frame energies
+    * are partition-local; the lag/cumsum windows are keyed per doc (no
+    * global window), and the rollup is one doc-keyed groupBy — shuffle
+    * volume is frames-per-doc rows, independent of media bytes. Exact
+    * integers end to end, so the oracle replays every cut decision.
+    */
+  def wavSceneCut(df: DataFrame, payloadCol: String = "content",
+                  frame: Int = 16, threshold: Long = 4000000L): DataFrame = {
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    val run = byFrame.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    wavFrameEnergyLong(df, payloadCol, frame)
+      .withColumn("prev_e", lag(col("energy"), 1).over(byFrame))
+      .withColumn("cut",
+        when(col("prev_e").isNull, lit(0L))
+          .when(abs(col("energy") - col("prev_e")) > threshold, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("scene_no", sum(col("cut")).over(run))
+      .groupBy(col("doc_id"), col("scene_no"))
+      .agg(min(col("frame_no")).cast("bigint").as("start_frame"),
+        max(col("frame_no")).cast("bigint").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("scene_energy"))
+  }
+
   /** Zero-crossing rate per clip — the classic voiced/unvoiced and
     * noisiness discriminator next to energy/silence/pitch: count of
     * adjacent sample pairs with v[i-1]·v[i] < 0 over the decoded PCM-16

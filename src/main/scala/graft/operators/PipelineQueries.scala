@@ -4434,6 +4434,41 @@ object PipelineQueries {
              |FROM afp GROUP BY n_frames, fp HAVING count(*) > 1
              |ORDER BY keeper""".stripMargin)),
 
+    // Content-based scene segmentation: cuts where adjacent integer frame
+    // energies jump by > 4e6 (≈ the 43rd percentile of the synth fixture's
+    // deltas, so docs land 1-4 scenes), scenes = gap-and-islands over the
+    // cut flags, per-scene start/end/length/energy. REAL decode under the
+    // gate; every cut decision is an exact integer compare DuckDB replays
+    // from the synthWav closed form.
+    QueryDef("mm_scene_cut",
+      (s, d) => Multimodal.wavSceneCut(
+          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+            Multimodal.synthWav))
+        .orderBy("doc_id", "scene_no"),
+      Some("""WITH s AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+             |i AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM s),
+             |x AS (SELECT doc_id, i // 16 AS frame_no,
+             |             CAST((doc_id * 131 + i * 17) % 2001 - 1000 AS BIGINT) AS v
+             |      FROM i),
+             |e AS (SELECT doc_id, frame_no, sum(v * v) AS energy
+             |      FROM x GROUP BY 1, 2),
+             |c AS (SELECT doc_id, frame_no, energy,
+             |             CASE WHEN lag(energy) OVER w IS NULL THEN 0
+             |                  WHEN abs(energy - lag(energy) OVER w) > 4000000
+             |                    THEN 1
+             |                  ELSE 0 END AS cut
+             |      FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+             |sc AS (SELECT doc_id, frame_no, energy,
+             |              sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+             |                   ROWS UNBOUNDED PRECEDING) AS scene_no
+             |       FROM c)
+             |SELECT doc_id, CAST(scene_no AS BIGINT) AS scene_no,
+             |       CAST(min(frame_no) AS BIGINT) AS start_frame,
+             |       CAST(max(frame_no) AS BIGINT) AS end_frame,
+             |       count(*) AS n_frames,
+             |       CAST(sum(energy) AS BIGINT) AS scene_energy
+             |FROM sc GROUP BY 1, 2 ORDER BY doc_id, scene_no""".stripMargin)),
+
     // Per-image channel histogram under the oracle: the REAL javax.imageio
     // decode gated at histogram granularity (4 red-channel buckets per
     // image, zero buckets included) — DuckDB replays the counts from the

@@ -101,6 +101,33 @@ class SourcesAndMultimodalSpec extends AnyFunSuite {
     assert(out(2)._2.isEmpty) // non-WAV payload -> null struct, no exception
   }
 
+  test("wavSceneCut opens a scene exactly where the frame-energy delta crosses the threshold") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(8000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // frame=2 energies: [20000, 20000, 18000000, 18000000] — the only
+    // delta > 1e6 is frame 1->2, so exactly two scenes: frames 0-1
+    // (energy 40000) and frames 2-3 (energy 36000000)
+    val clip = wav(Array[Short](100, 100, 100, 100, 3000, 3000, 3000, 3000))
+    val got = Multimodal.wavSceneCut(
+        Seq((1L, clip)).toDF("doc_id", "content"),
+        frame = 2, threshold = 1000000L)
+      .orderBy("scene_no")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 1L, 2L, 40000L),
+                      (1L, 1L, 2L, 3L, 2L, 36000000L)), got)
+  }
+
   test("audio fingerprint packs double-delta sign bits over polyphase band energies") {
     // hand-traceable 12-sample clip, frame=4 -> 3 frames, 2 delta bits:
     //   frame 0: samples 10,0,0,0   -> D(0) = 100 - 0   = 100
