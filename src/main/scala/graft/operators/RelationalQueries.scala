@@ -560,6 +560,68 @@ object RelationalQueries {
              |                        ELSE ${graft.functions.HashFns.cut(0.10)} END
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Approximate query processing: estimate a grouped total from the 5%
+    // knuthU hash sample (scan prunes to the sample — the 100 TB read is
+    // 1/20th of the table), scale by the exact integer 20, and report a
+    // CLT 95% relative half-width next to the realized error. Sample
+    // moments are exact integers (quantities are small ints in doubles;
+    // every partial sum is < 2^53, so summation order can't move them),
+    // and the CI arithmetic is the SAME IEEE expression tree in both
+    // engines, so even the floating floor is deterministic. The realized
+    // err_ppm <= rel_ci_ppm on every group at both SFs — the estimator's
+    // own guarantee, visible in the output.
+    QueryDef("rel_aqp_sum",
+      (s, d) => {
+        val u = graft.functions.HashFns.knuthU(col("l_orderkey"))
+        val samp = T(s, d, "lineitem")
+          .filter(u < lit(graft.functions.HashFns.cut(0.05)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_s"),
+            sum(col("l_quantity")).cast("bigint").as("sum_q"),
+            sum(col("l_quantity") * col("l_quantity")).cast("bigint").as("sum_q2"))
+        val truth = T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_quantity")).cast("bigint").as("true_total"))
+        val sq = col("sum_q").cast("double")
+        val sq2 = col("sum_q2").cast("double")
+        val ns = col("n_s").cast("double")
+        val mean = sq / ns
+        val s2 = (sq2 - sq * sq / ns) / (ns - lit(1.0))
+        samp.join(truth, "l_returnflag")
+          .select(col("l_returnflag"),
+            col("n_s").as("n_sampled"),
+            (col("sum_q") * 20).as("est_total"),
+            col("true_total"),
+            floor(abs(col("sum_q") * 20 - col("true_total")).cast("double")
+              * lit(1000000.0) / col("true_total")).cast("bigint").as("err_ppm"),
+            floor(lit(1.96) * sqrt(s2 / ns) / mean * lit(1000000.0))
+              .cast("bigint").as("rel_ci_ppm"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH s AS (SELECT l_returnflag, count(*) AS n_s,
+             |                  CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+             |                  CAST(sum(l_quantity * l_quantity) AS BIGINT) AS sum_q2
+             |           FROM lineitem
+             |           WHERE ${graft.functions.HashFns.knuthUSql("l_orderkey")} <
+             |                 ${graft.functions.HashFns.cut(0.05)}
+             |           GROUP BY 1),
+             |t AS (SELECT l_returnflag,
+             |             CAST(sum(l_quantity) AS BIGINT) AS true_total
+             |      FROM lineitem GROUP BY 1)
+             |SELECT s.l_returnflag, CAST(n_s AS BIGINT) AS n_sampled,
+             |       CAST(sum_q * 20 AS BIGINT) AS est_total, true_total,
+             |       CAST(floor(CAST(abs(sum_q * 20 - true_total) AS DOUBLE)
+             |            * 1000000.0 / true_total) AS BIGINT) AS err_ppm,
+             |       CAST(floor(1.96 * sqrt(((CAST(sum_q2 AS DOUBLE)
+             |              - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+             |                / CAST(n_s AS DOUBLE))
+             |              / (CAST(n_s AS DOUBLE) - 1.0))
+             |            / CAST(n_s AS DOUBLE))
+             |            / (CAST(sum_q AS DOUBLE) / CAST(n_s AS DOUBLE))
+             |            * 1000000.0) AS BIGINT) AS rel_ci_ppm
+             |FROM s JOIN t USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("rel_topk",
       (s, d) => T(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

@@ -216,4 +216,17 @@ class OpsPropertySpec extends AnyFunSuite {
       s"flag sets differ: extra=${got -- want} missing=${want -- got}")
     assert(want.nonEmpty, "reference flagged nothing — degenerate input")
   }
+
+  test("AQP estimate lands inside its own CLT half-width on every group") {
+    // the estimator's visible guarantee (documented in the QueryDef):
+    // realized error <= the reported 95% relative half-width, per group
+    val rows = SparkEntry.queries("rel_aqp_sum")(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "err_ppm", "rel_ci_ppm")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.size == 3, rows)
+    rows.foreach { case (g, err, ci) =>
+      assert(err <= ci, s"group $g: realized error $err ppm > CI $ci ppm")
+      assert(ci < 100000L, s"group $g: CI $ci ppm implausibly wide for a 5% sample")
+    }
+  }
 }
