@@ -37,7 +37,11 @@ object PlanAudit {
     // theta-sketch pair algebra: the `<` self-join runs on the per-
     // EVENT-TYPE sketch rollup — dimension-sized (5 rows x one <= k-long
     // array), corpus-independent
-    "rel_kmv_setops")
+    "rel_kmv_setops",
+    // recall eval: the EXACT-global-kNN reference side is the documented
+    // all-pairs anchor (same posture as dd_embedding_cosine); the
+    // measured subject (the blocked kNN graph) is cluster-keyed
+    "sim_knn_recall")
 
   /** Queries allowed an unpartitioned window whose only reduction below it
     * is a KEYED aggregate — each documented as a bounded spine whose key

@@ -4170,6 +4170,58 @@ object PipelineQueries {
              |WHERE f.a_id < f.b_id
              |ORDER BY f.a_id, f.b_id""".stripMargin)),
 
+    // Self-measured recall of the cluster-blocked kNN graph against the
+    // EXACT global kNN (the all-pairs anchor — PlanAudit nlAllowed): the
+    // number a pipeline reads to decide whether nprobe=1 blocking is
+    // admissible for ITS corpus, the kNN-graph twin of sim_ivfpq_recall.
+    // Expect well under 10000 bp here and that is the point: the driver
+    // embeddings are near-random, so many exact neighbors cross cluster
+    // boundaries (the favorable clustered case is gated in SimilaritySpec).
+    QueryDef("sim_knn_recall",
+      (s, d) => {
+        val embs = T(s, d, "embeddings")
+        val blocked = Similarity.knnGraph(embs, k = 3)
+          .select(col("a_id"), col("b_id"))
+        val left = embs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val right = embs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
+        val exact = left.join(right, col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(graft.functions.VectorFns.cosine(col("a_emb"), col("b_emb")), 3)
+              .as("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("a_id"), col("b_id"))
+        val hits = exact.join(blocked, Seq("a_id", "b_id"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(col("n_exact"), col("n_hits"),
+            expr("(10000 * n_hits) div n_exact").as("recall_bp"))
+      },
+      Some(s"""$knnGraphCtes,
+             |blocked AS (SELECT a_id, b_id FROM ranked WHERE rn <= 3),
+             |gdots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |                 sum(a.x * b.x) AS dp
+             |          FROM ex a JOIN ex b ON a.i = b.i
+             |                            AND a.vec_id <> b.vec_id
+             |          GROUP BY 1, 2),
+             |gscored AS (SELECT a_id, b_id,
+             |                   round(dp / (na.n * nb.n), 3) AS cos_sim
+             |            FROM gdots JOIN nrm na ON na.vec_id = a_id
+             |                       JOIN nrm nb ON nb.vec_id = b_id),
+             |gexact AS (SELECT a_id, b_id
+             |           FROM (SELECT a_id, b_id,
+             |                        row_number() OVER (PARTITION BY a_id
+             |                             ORDER BY cos_sim DESC, b_id) AS rn
+             |                 FROM gscored) g WHERE rn <= 3),
+             |hit AS (SELECT e.a_id, e.b_id FROM gexact e
+             |        SEMI JOIN blocked USING (a_id, b_id))
+             |SELECT (SELECT count(*) FROM gexact) AS n_exact,
+             |       (SELECT count(*) FROM hit) AS n_hits,
+             |       (SELECT count(*) FROM hit) * 10000
+             |         // (SELECT count(*) FROM gexact) AS recall_bp""".stripMargin)),
+
     // Two-stage binary-quantized search: sign-bit signatures (64x
     // compression, the memory-tier scan), hamming shortlist of 32 per
     // query, exact-cosine rerank to top-5. DuckDB replays the sign-bit

@@ -296,6 +296,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m == Set((1L, 2L)), m)
   }
 
+  test("blocked kNN graph equals the exact global kNN on cleanly clustered data") {
+    // the favorable case for nprobe=1 blocking (sim_knn_recall's gate is
+    // the adversarial near-random corpus): tight label clusters along
+    // orthogonal axes, so every vector's exact global top-2 lives in its
+    // own cluster and blocked recall is exactly 1
+    val cl = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(0.99f, 0.01f, 0f), 0),
+      (2L, Array(0.98f, 0.02f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 1), (4L, Array(0.01f, 0.99f, 0f), 1),
+      (5L, Array(0.02f, 0.98f, 0f), 1),
+      (6L, Array(0f, 0f, 1f), 2), (7L, Array(0f, 0.01f, 0.99f), 2),
+      (8L, Array(0.01f, 0f, 0.98f), 2)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val blocked = Similarity.knnGraph(cl, k = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = (0L to 8L).flatMap { q =>
+      Similarity.bruteForceTopK(cl, q, 2)
+        .select("vec_id").as[Long].collect().map(q -> _)
+    }.toSet
+    assert(blocked == exact,
+      s"extra=${blocked -- exact} missing=${exact -- blocked}")
+  }
+
   test("bqSignatures packs sign bits; bqRerank shortlists by hamming then reranks") {
     // 3-dim fixture: components 0-2 map to bits 0-2, missing dims pack 0.
     // v0,v1,v2,v3 are all-nonnegative -> sig 7; v4 has a negative x -> 6.
