@@ -44,9 +44,13 @@ object Bench {
       // two consecutive full runs, 1.46s solo). At 375 queries (r14) the
       // syndrome returned under 12000 — fn_array read 2.81s in-suite
       // (REPEAT=3 median) vs a same-day solo of 0.77s, and fn_csv 1.73s
-      // vs 0.44s, both with untouched code. Size for the whole
-      // inventory with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // vs 0.44s, both with untouched code. At 392 queries (r14
+      // optimization round) it returned under 20000: the whole wide-plan
+      // band (sim_ivfpq_recall 5.52s in-suite vs 2.46s cold solo,
+      // dd_semdedup 5.15 vs 2.22, sim_kcenter_coreset 3.83 vs 2.70) read
+      // 2-5x over solo with untouched code, and doubling the cache
+      // restored them. Size for the whole inventory with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "50000")
       // bucketed-view tables (rel_join_bucketed) go to a JVM-exit-cleaned
       // temp warehouse, not ./spark-warehouse in the repo
       .config("spark.sql.warehouse.dir",

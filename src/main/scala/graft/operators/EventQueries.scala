@@ -897,20 +897,44 @@ object EventQueries {
         val r = base.withColumn("rn", row_number().over(byTs).cast("bigint"))
         val frame = Window.partitionBy("event_type").orderBy("rn")
           .rowsBetween(-3, 3)
-        val m = r.withColumn("med2",
-          expr("percentile(x2, 0.5)").over(frame).cast("bigint"))
-        val members = m
-          .select(col("event_id"), col("event_type"), col("med2"), col("rn"),
-            explode(expr("sequence(-3, 3)")).as("kk"))
-          .withColumn("mrn", col("rn") + col("kk"))
-          .join(r.select(col("event_type").as("t2"), col("rn").as("rn2"),
-              col("x2").as("mx2")),
-            col("event_type") === col("t2") && col("mrn") === col("rn2"))
-          .select(col("event_id"), abs(col("mx2") - col("med2")).as("dev"))
-        val mad = members.groupBy("event_id")
-          .agg(expr("percentile(2 * dev, 0.5)").cast("bigint").as("mad4"))
-        m.join(mad, "event_id")
-          .select(col("event_id"), col("event_type"),
+        // One window pass collects each row's <= 7 frame members; both
+        // rolling medians then come from pure codegen'd array arithmetic on
+        // that array. Exactness is unchanged: with n members, lower index
+        // (n+1) div 2 and upper n div 2 + 1 coincide for odd n and are the
+        // two middle elements for even n, and every midpoint
+        // (a + b) div 2 is an exact integer because x2 (and 2·dev) are even
+        // by construction — the same lattice values percentile()'s
+        // a + (b−a)·0.5 interpolation produced. What this removes (guide
+        // §2.4, §1.2): the per-frame interpreted percentile window
+        // aggregate, the 7× sequence-explode, the (type, rn) equi-join
+        // re-shuffle of the whole series, the per-event_id MAD aggregate
+        // shuffle, and the final med⋈mad join — the plan drops from 14
+        // exchanges to 3 (solo A/B 2.9 s → 0.9 s at sf0.1).
+        //
+        // med2/mad4 are deliberately WINDOW outputs (first() over a
+        // current-row frame on the partitioning already established — no
+        // new exchange, no new sort): as plain projection aliases,
+        // PushPredicateThroughNonJoin inlined the whole array pipeline
+        // into the final filter's condition — ~6 array_sort copies per row
+        // plus med2 re-evaluated per transform() element — and the
+        // "optimized" plan ran 2.4× SLOWER than the original (7.0 s solo).
+        // A window output is an optimizer barrier: each value is computed
+        // once per row, and the filter references the attribute.
+        val w00 = Window.partitionBy("event_type").orderBy("rn")
+          .rowsBetween(Window.currentRow, Window.currentRow)
+        val med2Expr = expr(
+          "(element_at(sv, CAST((size(sv) + 1) div 2 AS INT)) " +
+            "+ element_at(sv, CAST(size(sv) div 2 + 1 AS INT))) div 2")
+        val mad4Expr = expr(
+          "(element_at(array_sort(transform(sv, v -> 2 * abs(v - med2))), " +
+            "  CAST((size(sv) + 1) div 2 AS INT)) " +
+            "+ element_at(array_sort(transform(sv, v -> 2 * abs(v - med2))), " +
+            "  CAST(size(sv) div 2 + 1 AS INT))) div 2")
+        val m = r.withColumn("vs", collect_list(col("x2")).over(frame))
+          .withColumn("sv", array_sort(col("vs")))
+          .withColumn("med2", first(med2Expr).over(w00))
+          .withColumn("mad4", first(mad4Expr).over(w00))
+        m.select(col("event_id"), col("event_type"),
             expr("x2 div 2").as("cents"), col("med2"),
             abs(col("x2") - col("med2")).as("dev2"), col("mad4"))
           .filter(expr("20000 * dev2 > 44478 * mad4"))

@@ -4182,20 +4182,40 @@ object PipelineQueries {
         val embs = T(s, d, "embeddings")
         val blocked = Similarity.knnGraph(embs, k = 3)
           .select(col("a_id"), col("b_id"))
-        val left = embs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        val right = embs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        // Per-side norms computed ONCE per vector (O(n) sqrt-of-self-dot
+        // projections), so the n² nested-loop condition runs the dot-only
+        // kernel: round(dot/(na·nb), 3) is bit-identical to the fused
+        // cosine (same element order, same sqrt-then-multiply), at a third
+        // of the per-pair flops — guide §1.2 "per-task work" on the one
+        // deliberate all-pairs recall anchor.
+        val nrm = sqrt(graft.functions.VectorFns.dot(col("embedding"), col("embedding")))
+        // repartition: the one-file embeddings scan is a single partition,
+        // so the n² nested loop would stream on ONE core (see
+        // Dedup.embeddingNearDupPairs); spread the streamed side across
+        // the session's parallelism — the exchange moves only n rows.
+        val left = embs.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), nrm.as("a_nrm"))
+          .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+        val right = embs.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), nrm.as("b_nrm"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
         val exact = left.join(right, col("a_id") =!= col("b_id"))
           .select(col("a_id"), col("b_id"),
-            round(graft.functions.VectorFns.cosine(col("a_emb"), col("b_emb")), 3)
+            round(graft.functions.VectorFns.dot(col("a_emb"), col("b_emb"))
+              / (col("a_nrm") * col("b_nrm")), 3)
               .as("cos_sim"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("a_id"), col("b_id"))
-        val hits = exact.join(blocked, Seq("a_id", "b_id"), "left_semi")
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        // ONE pass over the exact graph: the left join against the (unique
+        // by construction) blocked pairs counts totals and hits in a single
+        // aggregate — the previous agg + semi-join + crossJoin shape
+        // recomputed the entire n² exact-kNN subtree twice (no common-
+        // subplan reuse across actions of one plan), which was ~half the
+        // query's 7.9 s (guide §2.4: remove repeated passes outright).
+        exact.join(blocked.withColumn("__hit", lit(1)), Seq("a_id", "b_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
           .select(col("n_exact"), col("n_hits"),
             expr("(10000 * n_hits) div n_exact").as("recall_bp"))
       },

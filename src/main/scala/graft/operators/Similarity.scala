@@ -697,20 +697,29 @@ object Similarity {
     * raising it is a candidate-union (probe 2 cells), not a new operator.
     */
   def knnGraph(embs: DataFrame, k: Int): DataFrame = {
+    // Norms projected ONCE per vector before the per-cluster pair square,
+    // so the Σ n_c² join runs the dot-only kernel: round(dot/(na·nb), 3)
+    // is bit-identical to the fused cosine (same element order, same
+    // sqrt-then-multiply) at a third of the per-pair flops — the norm
+    // column rides the existing shuffle (8 bytes next to a 256-byte
+    // vector).
     val assigned = assignVectors(embs, centroids(embs))
       .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("cluster"), col("vec_id"), col("embedding"))
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        sqrt(VectorFns.dot(col("embedding"), col("embedding"))).as("nrm"))
     val left = assigned
-      .select(col("cluster"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val right = assigned
       .select(col("cluster").as("b_cluster"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
     left.join(right,
         col("cluster") === col("b_cluster") && col("a_id") =!= col("b_id"))
       .select(col("cluster"), col("a_id"), col("b_id"),
-        round(VectorFns.cosine(col("a_emb"), col("b_emb")), 3).as("cos_sim"))
+        round(VectorFns.dot(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")), 3).as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("cluster"), col("cos_sim"), col("rn"))
