@@ -72,7 +72,9 @@ object Dedup {
     */
   private[graft] def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    val tok = docs.select(col("doc_id"),
+    // spread: tokenize+posexplode of the whole corpus otherwise runs in
+    // the single-partition scan stage (see Tables.spread)
+    val tok = graft.Tables.spread(docs).select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
     if (n == 1)
       // unigram degenerate case: no window needed, and the general path's
@@ -249,7 +251,9 @@ object Dedup {
     */
   def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     require(n >= 1 && w >= 1, s"need n >= 1 and w >= 1, got n=$n w=$w")
-    val tok = docs.select(col("doc_id"),
+    // spread: tokenize+posexplode of the whole corpus otherwise runs in
+    // the single-partition scan stage (see Tables.spread)
+    val tok = graft.Tables.spread(docs).select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
     val byPos = Window.partitionBy("doc_id").orderBy("p")
     val grams = (1 until n).map(i => lead(col("t"), i).over(byPos).as(s"t$i"))
@@ -734,7 +738,9 @@ object Dedup {
     * exact-Jaccard verification sets.
     */
   private[graft] def polyShingleHashRows(docs: DataFrame, n: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"),
+    // spread: tokenize+posexplode of the whole corpus otherwise runs in
+    // the single-partition scan stage (see Tables.spread)
+    val tok = graft.Tables.spread(docs).select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
     val w = Window.partitionBy("doc_id").orderBy("p")
     val grams = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
@@ -1311,7 +1317,9 @@ object Dedup {
     */
   private def spanMatches(docs: DataFrame, pairs: DataFrame,
                           spanW: Int): DataFrame = {
-    val spans = docs
+    // spread: per-position slice+join+hash over every doc otherwise runs
+    // in the single-partition scan stage (see Tables.spread)
+    val spans = graft.Tables.spread(docs)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= spanW)
       .select(col("doc_id"), posexplode(transform(
@@ -1503,7 +1511,9 @@ object Dedup {
   def cdcChunkStats(docs: DataFrame, w: Int = 16, modulus: Int = 64): DataFrame = {
     require(w >= 2 && w <= 64, s"window $w outside pow31 range")
     require(modulus >= 2, s"bad modulus $modulus")
-    val base = docs.filter(length(col("text")) >= 1)
+    // spread: the per-CHARACTER rolling-hash explode below otherwise runs
+    // in the single-partition scan stage (see Tables.spread)
+    val base = graft.Tables.spread(docs).filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"))
     // Docs shorter than the window cannot host an interior boundary; they
     // still emit their whole-doc chunk through the end-of-text boundary.
@@ -1561,7 +1571,9 @@ object Dedup {
   def onionReport(docs: DataFrame, blockW: Int = 8, dropBp: Int = 5000): DataFrame = {
     require(blockW >= 1 && dropBp >= 0 && dropBp <= 10000,
       s"bad onion params blockW=$blockW dropBp=$dropBp")
-    val blocks = materialize(docs
+    // spread: tokenize + per-block hash otherwise run in the
+    // single-partition scan stage (see Tables.spread)
+    val blocks = materialize(graft.Tables.spread(docs)
       .select(col("doc_id"), col("source"), TextFns.tokens(col("text")).as("t"))
       .withColumn("nt", size(col("t")))
       .filter(col("nt") >= blockW)

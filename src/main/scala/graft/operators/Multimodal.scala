@@ -136,7 +136,10 @@ object Multimodal {
       org.apache.spark.sql.types.BinaryType)
     implicit val enc = Encoders.row(schema)
     val idx = docs.schema.fieldIndex(idCol)
-    docs.mapPartitions(it => it.map(r => Row.fromSeq(r.toSeq :+ make(r.getLong(idx)))))
+    // spread: payload encode AND the downstream mapPartitions decoders
+    // otherwise run in the single-partition scan stage (see Tables.spread)
+    graft.Tables.spread(docs)
+      .mapPartitions(it => it.map(r => Row.fromSeq(r.toSeq :+ make(r.getLong(idx)))))
   }
 
   /** Decoded WAV metadata + amplitude features. */

@@ -904,7 +904,9 @@ object PrivacyQueries {
   def dpVocabRelease(docs: DataFrame, c: Int = DpVocabC,
                      gamma: Int = DpVocabGamma): DataFrame = {
     require(c >= 1 && gamma >= 1, s"bad dp vocab params c=$c gamma=$gamma")
-    val toks = docs
+    // spread: tokenize + bigram transform otherwise run in the
+    // single-partition scan stage (see Tables.spread)
+    val toks = graft.Tables.spread(docs)
       .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val bg = toks.select(col("doc_id"),

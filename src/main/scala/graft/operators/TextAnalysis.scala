@@ -23,7 +23,9 @@ object TextAnalysis {
     * makes the shuffle O(distinct words), not O(tokens).
     */
   def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    // spread: tokenize+explode otherwise run in the single-partition scan
+    // stage (see Tables.spread)
+    graft.Tables.spread(docs)
       .select(explode(toks(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word")

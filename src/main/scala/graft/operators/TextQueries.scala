@@ -530,7 +530,9 @@ object TextQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("cnt").desc, col("trigram"))
-        T(s, d, "documents")
+        // spread: the per-character trigram explode otherwise runs in the
+        // single-partition scan stage (see Tables.spread)
+        graft.Tables.spread(T(s, d, "documents"))
           .select(col("lang"), col("text"),
             // the length guard must yield an EMPTY array, not sequence(1,0):
             // Spark's sequence defaults to step -1 when end < start (so
