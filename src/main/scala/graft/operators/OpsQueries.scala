@@ -341,7 +341,9 @@ object OpsQueries {
     // enumeration), linear in corpus shingle mass.
     QueryDef("tx_holdout_novelty",
       (s, d) => {
-        val tok = T(s, d, "documents").select(col("doc_id"),
+        // spread: tokenize+posexplode otherwise run in the single-
+        // partition scan stage (see Tables.spread; solo A/B 1.52->1.20s)
+        val tok = Tables.spread(T(s, d, "documents")).select(col("doc_id"),
           posexplode(TextFns.tokens(col("text"))).as(Seq("p", "t")))
         val w = Window.partitionBy("doc_id").orderBy("p")
         val sh = tok

@@ -222,10 +222,14 @@ object Similarity {
     * detail [[kmeansAssign]] rolls up and [[kmeansUpdate]] regroups on.
     */
   def assignVectors(embs: DataFrame, cents: DataFrame): DataFrame = {
-    val dist2 = aggregate(
-      zip_with(col("embedding").cast("array<double>"), col("centroid"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    // Codegen'd E-step kernel (guide §4): the previous
+    // aggregate(zip_with(...)) form is CodegenFallback — an interpreted
+    // per-element closure plus a materialized intermediate array for every
+    // (vector, centroid) pair on the corpus × k hot path. FloatDoubleSqDist
+    // is bit-identical (same element order, same (a−b)² left-to-right
+    // double fold — see its scaladoc).
+    val dist2 = graft.plans.VectorExpressions.floatSqDist(
+      col("embedding"), col("centroid"))
     embs.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents.select(col("label").as("c_label"), col("centroid"))))
       .select(col("vec_id"), col("c_label"), dist2.as("d2"))

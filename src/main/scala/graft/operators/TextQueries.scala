@@ -409,7 +409,9 @@ object TextQueries {
     // in the 1e-15 tail — round(3) clears it.
     QueryDef("tx_perplexity",
       (s, d) => {
-        val bgd = T(s, d, "documents")
+        // spread: tokenize + interpreted zip_with bigram build otherwise
+        // run in the single-partition scan stage (see Tables.spread)
+        val bgd = graft.Tables.spread(T(s, d, "documents"))
           .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(zip_with(
@@ -1231,7 +1233,8 @@ object TextQueries {
     // boilerplate and looping text. All-integer intermediates, one floor
     // quantization; top-bigram tie-break is (count DESC, w1, w2) both sides.
     QueryDef("tx_repetition",
-      (s, d) => TextAnalysis.repetition(T(s, d, "documents")).orderBy("doc_id"),
+      // spread: see Tables.spread (solo A/B 2.14->1.77s)
+      (s, d) => TextAnalysis.repetition(graft.Tables.spread(T(s, d, "documents"))).orderBy("doc_id"),
       Some(s"""WITH tt AS (SELECT doc_id, $tk AS t FROM documents),
              |toks AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM tt),
              |big AS (SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM toks),

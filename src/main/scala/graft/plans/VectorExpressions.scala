@@ -115,6 +115,60 @@ case class FloatCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared euclidean distance between an `array<float>` vector
+  * and an `array<double>` centroid — the k-means/IVF E-step kernel. Replaces
+  * the interpreted `aggregate(zip_with(cast(v), c, (a,b) => (a-b)*(a-b)))`
+  * form (higher-order functions are CodegenFallback: per-element closure
+  * dispatch plus a materialized intermediate array per (vector, centroid)
+  * pair on the corpus x k hot path). Arithmetic is BIT-IDENTICAL to that
+  * form: same element order, per element (toDouble(a) - b) squared, summed
+  * left to right in double; mismatched lengths or null elements yield NULL
+  * exactly as zip_with's null padding propagated through the fold.
+  */
+case class FloatDoubleSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_sqdist"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      s"""
+         |double $s = 0.0;
+         |boolean $bad = $a.numElements() != $b.numElements();
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $d = (double) $a.getFloat($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd multi-table random-hyperplane LSH keys over an `array<float>`
   * embedding: one pass computes, for each of the `planes.size / bitsPerTable`
   * probe tables, the long bucket key whose bit b is the sign of the dot
@@ -254,6 +308,9 @@ object VectorExpressions {
 
   def floatCosine(a: Column, b: Column): Column =
     bridge.column(FloatCosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  def floatSqDist(a: Column, b: Column): Column =
+    bridge.column(FloatDoubleSqDist(bridge.expression(a), bridge.expression(b)))
 
   def rhpTableKeys(v: Column, planes: Seq[Seq[Float]], bitsPerTable: Int): Column =
     bridge.column(RhpTableKeys(bridge.expression(v), planes, bitsPerTable))

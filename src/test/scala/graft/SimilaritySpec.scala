@@ -30,6 +30,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.eval(InternalRow.empty) == (4.0 + 10.0 + 18.0))
   }
 
+  test("float_sqdist is bit-identical to the interpreted zip_with/aggregate fold") {
+    // the E-step kernel swap (assignVectors): codegen'd FloatDoubleSqDist
+    // must reproduce aggregate(zip_with(cast(v), c, (a,b)=>(a-b)*(a-b)))
+    // EXACTLY — same element order, same left-to-right double fold — on
+    // random vectors, and return NULL on ragged pairs like zip_with's null
+    // padding did through the fold
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i.toLong, Array.fill(n)(rnd.nextFloat() * 4f - 2f),
+        Array.fill(if (i % 17 == 0) n + 1 else n)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("i", "v", "c")
+      .withColumn("v", col("v").cast("array<float>"))
+    val both = df.select(
+      graft.plans.VectorExpressions.floatSqDist(col("v"), col("c")).as("fast"),
+      aggregate(
+        zip_with(col("v").cast("array<double>"), col("c"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .collect()
+    both.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), r)
+      else {
+        assert(!r.isNullAt(0), r)
+        // bit equality, not tolerance: the contract is identical arithmetic
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r)
+      }
+    }
+  }
+
   test("float_cosine on ragged arrays equals the composed full-norm form") {
     // dot over the common prefix, each norm over its FULL array — a
     // min-length norm would inflate the similarity of a truncated embedding
