@@ -617,8 +617,8 @@ object CurationQueries {
     // neighbor join, just five formula evaluations per pixel.
     QueryDef("mm_image_sharpness",
       (s, d) => Multimodal.imageSharpness(
-          Multimodal.withSynthPayload(T(s, d, "documents")
-            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+          Multimodal.withSynthPayload(Tables.spread(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id")), Multimodal.synthPng))
         .select(col("doc_id"), col("w").cast("bigint").as("w"),
           col("h").cast("bigint").as("h"),
           col("n_interior").cast("bigint").as("n_interior"), col("sharpness"))

@@ -136,10 +136,11 @@ object Multimodal {
       org.apache.spark.sql.types.BinaryType)
     implicit val enc = Encoders.row(schema)
     val idx = docs.schema.fieldIndex(idCol)
-    // spread: payload encode AND the downstream mapPartitions decoders
-    // otherwise run in the single-partition scan stage (see Tables.spread)
-    graft.Tables.spread(docs)
-      .mapPartitions(it => it.map(r => Row.fromSeq(r.toSeq :+ make(r.getLong(idx)))))
+    // NOT spread here: the WAV consumers' decode is cheap and a blanket
+    // exchange measurably regressed them (+0.25 s each in-suite); the
+    // expensive PNG encode+decode pipelines spread at their call sites
+    // (see Tables.spread).
+    docs.mapPartitions(it => it.map(r => Row.fromSeq(r.toSeq :+ make(r.getLong(idx)))))
   }
 
   /** Decoded WAV metadata + amplitude features. */

@@ -4547,8 +4547,8 @@ object PipelineQueries {
     // synthPng closed form. Integer counts: exact in any engine.
     QueryDef("mm_image_hist",
       (s, d) => Multimodal.imageChannelHist(
-          Multimodal.withSynthPayload(T(s, d, "documents")
-            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+          Multimodal.withSynthPayload(graft.Tables.spread(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id")), Multimodal.synthPng))
         .select(col("doc_id"), col("bucket"), col("n_px"))
         .orderBy("doc_id", "bucket"),
       Some("""WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
@@ -4609,7 +4609,7 @@ object PipelineQueries {
           .agg(round(count_if(col("rms") < 0.015).cast("double") / count(lit(1)), 4)
             .as("silence_ratio"))
         val img = Multimodal.imageDominantColor(
-            Multimodal.withSynthPayload(ids.select("doc_id"), Multimodal.synthPng))
+            Multimodal.withSynthPayload(graft.Tables.spread(ids.select("doc_id")), Multimodal.synthPng))
           .select("doc_id", "dom_share")
         val txt = ids.select(col("doc_id"), col("source"),
           size(graft.functions.TextFns.tokens(col("text"))).cast("bigint").as("n_tokens"))
@@ -4665,7 +4665,8 @@ object PipelineQueries {
     // synthPng pixel closed form. See Multimodal.imagePHash.
     QueryDef("mm_image_phash",
       (s, d) => Multimodal.imagePHashColumn(
-          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+          Multimodal.withSynthPayload(
+            graft.Tables.spread(T(s, d, "documents").select("doc_id")),
             Multimodal.synthPng))
         .select(col("doc_id"), col("phash").cast("bigint").as("phash"),
           col("n_set").cast("bigint").as("n_set"))
@@ -4688,7 +4689,8 @@ object PipelineQueries {
     // mm_image_phash (one definition, no drift).
     QueryDef("mm_phash_dedup",
       (s, d) => Multimodal.imagePHashColumn(
-          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+          Multimodal.withSynthPayload(
+            graft.Tables.spread(T(s, d, "documents").select("doc_id")),
             Multimodal.synthPng))
         .groupBy(col("phash").cast("bigint").as("phash"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_imgs"))
@@ -4703,7 +4705,8 @@ object PipelineQueries {
 
     QueryDef("mm_image_stats",
       (s, d) => Multimodal.decodeImageColumn(
-          Multimodal.withSynthPayload(T(s, d, "documents").select("doc_id"),
+          Multimodal.withSynthPayload(
+            graft.Tables.spread(T(s, d, "documents").select("doc_id")),
             Multimodal.synthPng))
         .select(col("doc_id"),
           col("img.width").cast("bigint").as("width"),
@@ -4731,8 +4734,8 @@ object PipelineQueries {
     // raster per tile. doc_id < 200 bounds the pixel replay.
     QueryDef("mm_image_tiles",
       (s, d) => Multimodal.imageTileLuma(
-          Multimodal.withSynthPayload(T(s, d, "documents")
-            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+          Multimodal.withSynthPayload(graft.Tables.spread(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id")), Multimodal.synthPng))
         .select(col("doc_id"), col("tile").cast("bigint").as("tile"),
           col("n_px"), col("mean_luma"))
         .orderBy("doc_id", "tile"),
@@ -4756,8 +4759,8 @@ object PipelineQueries {
     // (count DESC, key ASC) stated identically on both sides.
     QueryDef("mm_image_dominant",
       (s, d) => Multimodal.imageDominantColor(
-          Multimodal.withSynthPayload(T(s, d, "documents")
-            .filter(col("doc_id") < 200).select("doc_id"), Multimodal.synthPng))
+          Multimodal.withSynthPayload(graft.Tables.spread(T(s, d, "documents")
+            .filter(col("doc_id") < 200).select("doc_id")), Multimodal.synthPng))
         .orderBy("doc_id"),
       Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
              |              FROM documents WHERE doc_id < 200),
