@@ -1060,8 +1060,9 @@ object Dedup {
     // n² nested-loop condition evaluates the dot-only kernel:
     // round(dot/(na·nb), 3) is bit-identical to the fused cosine (same
     // element traversal order, same sqrt-then-multiply-then-divide) at a
-    // third of the per-pair flops — guide §1.2 "per-task work" on the one
-    // documented all-pairs anchor (measured 3.9 s → 1.7 s solo at sf0.1).
+    // third of the per-pair flops. Measured with the repartition below,
+    // the pair costs 3.92 s → 1.16 s solo at sf0.1 (the parallelism is
+    // the larger share; the kernel split trims per-pair work).
     val nrm = sqrt(VectorFns.dot(col("embedding"), col("embedding")))
     // The embeddings table is one small parquet file => ONE scan partition,
     // and the nested-loop join streams it on a single core — the whole n²

@@ -909,7 +909,10 @@ object EventQueries {
         // aggregate, the 7× sequence-explode, the (type, rn) equi-join
         // re-shuffle of the whole series, the per-event_id MAD aggregate
         // shuffle, and the final med⋈mad join — the plan drops from 14
-        // exchanges to 3 (solo A/B 2.9 s → 0.9 s at sf0.1).
+        // exchanges to 4 (solo A/B 2.89 s → 2.23 s at sf0.1 — solo pays
+        // cold staging; the in-suite REPEAT=3 median reads 2.64 → 1.39 s.
+        // The residual floor is the series windows' parallelism, which is
+        // the event-type count by the operator's semantics).
         //
         // med2/mad4 are deliberately WINDOW outputs (first() over a
         // current-row frame on the partitioning already established — no

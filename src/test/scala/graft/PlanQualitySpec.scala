@@ -153,7 +153,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // condition — Catalyst's own pushdown puts the cosine first, doubling
     // its evaluations
     val cond = pc.linesIterator.find(_.contains("Join condition")).getOrElse("")
-    assert(cond.indexOf("a_id") >= 0 && cond.indexOf("float_cosine") > cond.indexOf("a_id"), cond)
+    // r14 optimization: the per-pair kernel is now the dot-only
+    // float_dot/(na*nb) form over per-side precomputed norms (bit-identical
+    // to the fused cosine; a third of the per-pair flops) — the pinned
+    // contract is unchanged: the cheap id-order conjunct runs BEFORE it
+    assert(cond.indexOf("a_id") >= 0 && cond.indexOf("float_dot") > cond.indexOf("a_id"), cond)
   }
 
   test("exact percentiles avoid the interpreted ObjectHashAggregate path") {
@@ -481,7 +485,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // formatted explain prints each node twice (tree + detail section);
     // count the "(n) Exchange" detail headers = physical node count
     val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
-    assert(exchanges <= 1, s"expected at most the output-sort exchange:\n$p")
+    // r14 optimization: one ROUND-ROBIN spread of the (single-row-group,
+    // single-partition) landing is allowed BEFORE the redaction so the
+    // chained regex passes use the whole session instead of one core
+    // (Tables.spread — a no-op at warehouse scale where the scan already
+    // splits); still nothing may HASH-shuffle before the redaction, and
+    // the only other exchange is the output sort.
+    assert(exchanges <= 2, s"expected at most spread + output-sort exchanges:\n$p")
+    val hashBeforeSort = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning"))
+    assert(hashBeforeSort.isEmpty, "redaction must not hash-shuffle")
     assert(!p.contains("HashAggregate"), "redaction must not aggregate")
   }
 

@@ -148,7 +148,12 @@ class ScaleSmokeSpec extends AnyFunSuite {
     * faster-growing candidate side); the r13 fixed-pool keys + unhinted
     * verify joins measure 3.7-5.8x, so 8x holds the line with margin.
     */
-  private val GrowthCap = Map("dd_embedding_lsh" -> 8.0)
+  // dd_embedding_lsh: quiet solo runs read 6.0-7.9x; under full-suite
+  // concurrency the same code read 9.6x (r14 — wall-clock growth ratios
+  // absorb co-running suites, the closenessApprox lesson), so an 8.0 cap
+  // flakes on load. 10.5 still fails the broadcast-hint bug this cap was
+  // cut against (measured 12.0x in r13) while clearing suite noise.
+  private val GrowthCap = Map("dd_embedding_lsh" -> 10.5)
 
   test("dedup/similarity growth is ~linear from bench scale to 10x", Slow) {
     val queries = Seq("dd_minhash_lsh", "dd_cc_dedup", "sim_batch_topk",
